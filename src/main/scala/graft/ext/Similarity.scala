@@ -1,0 +1,115 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`ArrayType(FloatType)`).
+  *
+  * Two paths:
+  *  - [[cosineTopK]]: brute-force exact top-k — the correctness baseline.
+  *    One broadcast of the query vector, one narrow map stage, one
+  *    TakeOrderedAndProject; at 100 TB this scans everything but never
+  *    shuffles the corpus, so it scales linearly with executors.
+  *  - [[lshBucketed]]: random-hyperplane LSH (SimHash for vectors) — the
+  *    scale path. Embeddings are bucketed once by an nbits-bit signature
+  *    (deterministic pseudo-random planes, so bucketing is reproducible
+  *    across runs/executors with no stored model); a query probes only its
+  *    bucket (and optionally neighboring buckets at Hamming distance 1).
+  *    Bucket assignment is a narrow transformation — ideal as a partition /
+  *    Z-order key at rest.
+  *
+  * All arithmetic is done in double precision with a fixed left-to-right
+  * fold ([[foldSum]]) so results are bit-deterministic — this is what lets
+  * the DuckDB oracle (`list_reduce` is also a sequential left fold) match
+  * exactly with no tolerance.
+  */
+object Similarity {
+
+  /** Left-fold sum over an array<double> — order-fixed, bit-deterministic. */
+  def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  /** Dot product of two float arrays in double precision. */
+  def dot(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  /** Squared L2 norm in double precision. */
+  def norm2(a: Column): Column =
+    foldSum(transform(a, x => x.cast("double") * x.cast("double")))
+
+  /** Cosine similarity of two float arrays. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Exact brute-force cosine top-k of `corpus` rows vs one query vector.
+    *
+    * @param corpus   rows with (idCol, vecCol)
+    * @param query    1-row DataFrame with the query vector in `vecCol`
+    *                 (aliased to `__q`) — broadcast, never shuffled
+    */
+  def cosineTopK(
+      corpus: DataFrame,
+      query: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val q = query.select(col(vecCol).as("__q"))
+    corpus
+      .crossJoin(broadcast(q))
+      .select(col(idCol), cosine(col(vecCol), col("__q")).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic ±1 hyperplanes: plane(j)(i) depends only on (i, j) via an
+    * integer mix, so every executor derives the same planes — no model state
+    * to ship. Random-hyperplane LSH preserves cosine similarity in
+    * expectation (Goemans–Williamson / Charikar SimHash).
+    */
+  private def planeSign(dim: Int, plane: Int): Double = {
+    val x = dim.toLong * 2654435761L + plane.toLong * 40503L + 12345L
+    val mixed = (x ^ (x >>> 16)) * 0x45d9f3bL
+    if (((mixed ^ (mixed >>> 13)) & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** nbits-bit LSH bucket signature for a float-array column. */
+  def lshSignature(vecCol: Column, dim: Int, nbits: Int): Column = {
+    val bitCols = (0 until nbits).map { j =>
+      val plane = array((0 until dim).map(i => lit(planeSign(i, j))): _*)
+      when(dot(vecCol, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _).as("lsh_bucket")
+  }
+
+  /** Bucket the corpus by LSH signature; ANN search = probe the query's
+    * bucket only, then exact-cosine rank within it. Returns the corpus with
+    * a `lsh_bucket` column — write partitioned/bucketed by it at rest so a
+    * probe is a partition-pruned scan, not a full pass.
+    */
+  def lshBucketed(corpus: DataFrame, vecCol: String, dim: Int, nbits: Int): DataFrame =
+    corpus.withColumn("lsh_bucket", lshSignature(col(vecCol), dim, nbits))
+
+  /** ANN top-k: exact cosine restricted to the query's LSH bucket.
+    * Recall < 1 by construction; ScalaTest measures it against
+    * [[cosineTopK]] (SimilaritySpec).
+    */
+  def annTopK(
+      corpus: DataFrame,
+      query: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nbits: Int,
+      k: Int
+  ): DataFrame = {
+    val bucketed = lshBucketed(corpus, vecCol, dim, nbits)
+    val q = lshBucketed(query.select(col(vecCol).as(vecCol)), vecCol, dim, nbits)
+      .select(col(vecCol).as("__q"), col("lsh_bucket").as("__qb"))
+    bucketed
+      .join(broadcast(q), col("lsh_bucket") === col("__qb"))
+      .select(col(idCol), cosine(col(vecCol), col("__q")).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.model
+
+/** Core data model of the engine — the Spark-native re-expression of the
+  * reference's four data abstractions (see SURVEY.md §1.1):
+  *
+  *  - [[Log]]:          the fact record (ref: `store/postgresql/postgresql_store.go:208-217`)
+  *  - [[BlockHeader]]:  the chain header (ref: `tracker.go:237-240`)
+  *  - [[FilterConfig]]: the standing query (ref: `tracker.go:39-45`)
+  *  - [[TrackerEvent]]: the CDC output with retractions (ref: `tracker.go:841-846`)
+  *
+  * These are plain case classes so Spark derives `Encoder`s via
+  * `import spark.implicits._` and the whole pipeline stays in the
+  * Dataset/Tungsten world (no Kryo, no RDD boxing).
+  */
+
+/** One event log. `indx` is the per-filter monotonic append index assigned by
+  * the store (ref: `postgresql_store.go:130`). Block numbers are Go `uint64`
+  * in the reference; Spark `LongType` is signed — real chain heights are far
+  * below 2^63 so the narrowing is safe (documented in SURVEY.md §7.6).
+  */
+final case class Log(
+    indx: Long,
+    txIndex: Long,
+    txHash: String,
+    blockNum: Long,
+    blockHash: String,
+    address: String,
+    topics: Seq[String],
+    data: Array[Byte]
+)
+
+/** Chain header; only the fields the reference observably uses
+  * (ref: `tracker.go:291-314, 627, 639-654`).
+  */
+final case class BlockHeader(
+    number: Long,
+    hash: String,
+    parentHash: String
+)
+
+/** A standing query: address OR-membership + positional topics with `None` as
+  * wildcard (ref: `tracker.go:39-45`). `hash` (SHA-256 over addresses +
+  * topics, `None` → "empty"; ref: `tracker.go:47-60`) namespaces all
+  * persisted state: the log table partition, the filter registry row and the
+  * checkpoint key.
+  */
+final case class FilterConfig(
+    addresses: Seq[String] = Nil,
+    topics: Seq[Option[String]] = Nil,
+    start: Long = 0L
+) {
+  /** SHA-256 filter identity, ref `tracker.go:47-60`. */
+  def hash: String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    addresses.foreach(a => md.update(a.getBytes("UTF-8")))
+    topics.foreach {
+      case Some(t) => md.update(t.getBytes("UTF-8"))
+      case None    => md.update("empty".getBytes("UTF-8"))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+}
+
+/** CDC output row: reorgs retract previously-emitted logs (`action = "del"`,
+  * emitted newest-first; ref `tracker.go:756-761, 786-795`), canonical logs
+  * are appended (`action = "add"`). Structured Streaming sinks don't natively
+  * retract, so the engine emits an explicit action column (SURVEY.md §1.1d).
+  */
+final case class LogAction(action: String, log: Log)
+
+/** Header-stream event (ref `tracker.go:848-853`). */
+final case class BlockEvent(added: Seq[BlockHeader], removed: Seq[BlockHeader])

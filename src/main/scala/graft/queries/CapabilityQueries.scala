@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Capability layer (SURVEY.md §2.3-J3/§2.4-A4/§2.5-W6/§2.6/§7.4): the full
+  * relational surface the reference externalizes to its stores, exposed as
+  * Spark built-ins over the TPC-H-ish tables.
+  *
+  * Determinism discipline for the DuckDB oracle:
+  *  - double sums go through exact DECIMAL accumulation (per-row products are
+  *    single IEEE ops, bit-identical across engines; the decimal cast of an
+  *    identical double is identical; decimal addition is associative), then
+  *    cast back to DOUBLE for a stable output schema;
+  *  - counts are BIGINT on both sides (DuckDB sum(int) would be HUGEINT);
+  *  - every query ends in a total-order ORDER BY over non-null keys.
+  *
+  * Scale notes inline: dimension sides of joins are `broadcast()`;
+  * aggregations rely on partial (map-side) aggregation; top-k uses
+  * TakeOrderedAndProject, never a full sort.
+  */
+object CapabilityQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // hash join: fact(orders) ⋈ broadcast dim(customer) + group agg
+    "join_hash" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(38,2)")).cast("double")
+            .as("total_price"))
+        .orderBy("c_mktsegment")
+    },
+    // semi + anti join, tagged union (anti side may be empty — tag keeps
+    // the result shape stable either way)
+    "join_semi_anti" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .withColumn("tag", lit("with_orders"))
+      val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .withColumn("tag", lit("no_orders"))
+      semi.unionByName(anti).select("tag", "c_mktsegment", "n")
+        .orderBy("tag", "c_mktsegment")
+    },
+    // equi + range (non-equi on timestamps) join
+    "join_range" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      o.join(l, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_late"))
+        .orderBy("o_orderpriority")
+    },
+    // TPC-H Q1 shape: multi-measure grouped agg with derived expressions
+    "agg_group" -> { (s, d) =>
+      val l = Tables.lineitem(s, d)
+      val discPrice = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val charge = discPrice * (lit(1) + col("l_tax"))
+      l.where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(38,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(38,2)")).cast("double").as("sum_base_price"),
+          sum(discPrice.cast("decimal(38,6)")).cast("double").as("sum_disc_price"),
+          sum(charge.cast("decimal(38,8)")).cast("double").as("sum_charge"),
+          (sum(col("l_quantity").cast("decimal(38,2)")).cast("double") /
+            count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    // distinct aggregation
+    "agg_distinct" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("nd_parts"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+    // rollup with null group keys coalesced to a sentinel for stable sort
+    "agg_rollup" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(38,2)")).cast("double")
+          .as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy("rf", "ls")
+    },
+    // top-k per group via ranked window
+    "window_rank" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 3)
+        .select("c_mktsegment", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("c_mktsegment", "rn")
+    },
+    // running sum over an explicit ROWS frame. (l_orderkey, l_linenumber)
+    // is NOT unique in this data, so the order must be made total with the
+    // full unique tuple — a ROWS frame over a tied order is nondeterministic.
+    "window_running" -> { (s, d) =>
+      val ord = Seq(col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_partkey"), col("l_suppkey"))
+      val w = Window.partitionBy("l_orderkey").orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wrn = Window.partitionBy("l_orderkey").orderBy(ord: _*)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          row_number().over(wrn).cast("long").as("rn"),
+          col("l_linenumber"),
+          sum(col("l_quantity").cast("decimal(38,2)")).over(w).cast("double")
+            .as("run_qty"))
+        .orderBy("l_orderkey", "rn")
+    },
+    // global top-k: TakeOrderedAndProject, not a full sort
+    "sort_topk" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"))
+        .limit(100)
+    },
+    // union ∘ intersect ∘ except pipeline over key sets
+    "set_ops" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val ordered = o.select(col("o_custkey").as("k"))
+      val highBal = c.where(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("k"))
+      val all = c.select(col("c_custkey").as("k"))
+      val negBal = c.where(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("k"))
+      ordered.union(highBal).distinct()
+        .intersect(all)
+        .except(negBal)
+        .orderBy("k")
+    },
+    // date/time scalar surface (year/month/trunc/diff)
+    "scalar_datetime" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("mon_start"),
+          datediff(lit("1998-01-01").cast("date"),
+            col("o_orderdate").cast("date")).cast("long").as("days_to_98"))
+        .orderBy("o_orderkey")
+    },
+    // string + math scalar surface
+    "scalar_string_math" -> { (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("br_up"),
+          substring(col("p_name"), 1, 8).as("name8"),
+          length(col("p_name")).cast("long").as("name_len"),
+          round(col("p_retailprice"), 1).as("price_r1"),
+          abs(col("p_size") - 25).cast("long").as("size_dist"),
+          (col("p_size") % 7).cast("long").as("size_mod"),
+          sqrt(col("p_retailprice")).as("price_sqrt"))
+        .orderBy("p_partkey")
+    },
+    // tumbling event-time window (batch twin of stream_tumbling;
+    // the streaming form lives in graft.stream and is ScalaTest-verified)
+    "agg_window_time" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("tsc", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("tsc"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(38,2)")).cast("double")
+            .as("sum_value"))
+        .select(unix_millis(col("window.start")).as("hour_ms"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("hour_ms", "event_type")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "join_hash" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "join_semi_anti" ->
+      """SELECT * FROM (
+        | SELECT 'with_orders' AS tag, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        | FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        | GROUP BY 2
+        | UNION ALL
+        | SELECT 'no_orders' AS tag, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        | FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        | GROUP BY 2)
+        |ORDER BY tag, c_mktsegment""".stripMargin,
+    "join_range" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late
+        |FROM orders JOIN lineitem
+        | ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_group" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,8))) AS DOUBLE) AS sum_charge,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) / CAST(count(*) AS BIGINT) AS avg_qty,
+        | CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "agg_distinct" ->
+      """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_parts,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        | coalesce(l_linestatus, 'ALL') AS ls,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "window_rank" ->
+      """SELECT * FROM (
+        | SELECT c_mktsegment,
+        |  CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |   ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+        |  o_orderkey, o_totalprice
+        | FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+    "window_running" ->
+      """SELECT l_orderkey,
+        | CAST(row_number() OVER (PARTITION BY l_orderkey
+        |  ORDER BY l_linenumber, l_quantity, l_extendedprice, l_partkey, l_suppkey)
+        |  AS BIGINT) AS rn,
+        | l_linenumber,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) OVER (
+        |  PARTITION BY l_orderkey
+        |  ORDER BY l_linenumber, l_quantity, l_extendedprice, l_partkey, l_suppkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty
+        |FROM lineitem ORDER BY l_orderkey, rn""".stripMargin,
+    "sort_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin,
+    "set_ops" ->
+      """SELECT k FROM (
+        | ((SELECT o_custkey AS k FROM orders
+        |   UNION
+        |   SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |  INTERSECT
+        |  SELECT c_custkey FROM customer)
+        | EXCEPT
+        | SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        |ORDER BY k""".stripMargin,
+    "scalar_datetime" ->
+      """SELECT o_orderkey,
+        | CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+        | CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo,
+        | CAST(date_trunc('month', o_orderdate) AS DATE) AS mon_start,
+        | date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "scalar_string_math" ->
+      """SELECT p_partkey,
+        | upper(p_brand) AS br_up,
+        | substr(p_name, 1, 8) AS name8,
+        | CAST(length(p_name) AS BIGINT) AS name_len,
+        | round(p_retailprice, 1) AS price_r1,
+        | CAST(abs(p_size - 25) AS BIGINT) AS size_dist,
+        | CAST(p_size % 7 AS BIGINT) AS size_mod,
+        | sqrt(p_retailprice) AS price_sqrt
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "agg_window_time" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

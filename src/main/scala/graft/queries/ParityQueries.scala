@@ -1,0 +1,315 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.LogOps
+
+/** Parity queries — one per SQL-expressible operator from SURVEY.md §2,
+  * over the testdata stand-in domain (`Tables.logs`; mapping in §7.3).
+  * Every query ends in a total ORDER BY and emits only
+  * oracle-stable types (BIGINT / DOUBLE / STRING / DATE; timestamps as
+  * `ts_us` microsecond longs — see [[graft.Tables.withNanos]]).
+  *
+  * Scale discipline: every filter here is a pushable predicate (parquet
+  * row-group skipping), the only joins are broadcast (block-header dim is
+  * tiny by construction), and aggregations are partial-agg friendly. The
+  * single-partition windows (append_index/get_log) are intentionally
+  * per-filter sequences — see [[LogOps.withAppendIndex]] for the cluster
+  * strategy.
+  */
+object ParityQueries {
+
+  private def tsUs = expr("ts div 1000").as("ts_us")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1 — ranged scan with address+topic filter, decoded payload, stable order
+    "scan_range" -> { (s, d) =>
+      Tables.logs(s, d)
+        .where(col("block_num").between(2L, 80L))
+        .where(LogOps.filterAddress(Seq(1L, 7L, 13L), col("user_id")))
+        .where(col("event_type").isin("click", "purchase"))
+        .select(
+          col("event_id"), tsUs, col("user_id"), col("event_type"),
+          col("value"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          col("block_num"))
+        .orderBy("event_id")
+    },
+    // S2 — all logs of one block, addressed by hash
+    "scan_block" -> { (s, d) =>
+      Tables.logs(s, d)
+        .where(col("block_hash") === sha2(lit("42"), 256))
+        .select(col("event_id"), tsUs, col("user_id"), col("event_type"),
+          col("block_num"), col("block_hash"))
+        .orderBy("event_id")
+    },
+    // S3 — point lookup by key
+    "point_lookup" -> { (s, d) =>
+      Tables.events(s, d)
+        .where(col("event_id") === 123L)
+        .select(col("event_id"), tsUs, col("user_id"), col("event_type"),
+          col("value"), col("props"))
+    },
+    // S7 — KV prefix scan over a derived kv(key,val) table
+    "prefix_scan" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("val"))
+        .select(concat(lit("cnt_"), col("event_type")).as("key"), col("val"))
+        .where(col("key").startsWith("cnt_s"))
+        .orderBy("key")
+    },
+    // S8/W1 — monotonic append-index assignment in arrival order
+    "append_index" -> { (s, d) =>
+      val e = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      LogOps.withAppendIndex(e, 0L, Seq(col("ts_us"), col("event_id")))
+        .select("indx", "event_id", "ts_us")
+        .orderBy("indx")
+    },
+    // S9 — truncate-suffix (reorg rollback): survivors of RemoveLogs(800)
+    "truncate_from" -> { (s, d) =>
+      LogOps.truncateFrom(Tables.events(s, d), 800L, "event_id")
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    },
+    // S10 — point log read at an assigned index
+    "get_log" -> { (s, d) =>
+      val e = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      LogOps.withAppendIndex(e, 0L, Seq(col("ts_us"), col("event_id")))
+        .where(col("indx") === 500L)
+        .select("indx", "event_id", "user_id", "event_type", "value")
+    },
+    // P1 — address OR-membership
+    "filter_address" -> { (s, d) =>
+      Tables.events(s, d)
+        .where(LogOps.filterAddress(Seq(1L, 7L, 13L), col("user_id")))
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    },
+    // P2 — positional topic filter: signature topic + payload position
+    "filter_topic" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .where(col("event_type") === "purchase" && col("k") === 7L)
+        .select("event_id", "user_id", "event_type", "k")
+        .orderBy("event_id")
+    },
+    // P3 — event-signature match + payload decode into typed columns
+    "decode_event" -> { (s, d) =>
+      Tables.events(s, d)
+        .where(col("event_type") === "signup")
+        .select(col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          col("value"))
+        .orderBy("event_id")
+    },
+    // P4 — chain-identity guard (genesis check), ref tracker.go:402-444
+    "chain_guard" -> { (s, d) =>
+      Tables.blocks(s, d)
+        .agg(min("block_num").cast("string").as("g"))
+        .select(
+          when(sha2(col("g"), 256) === sha2(lit("0"), 256), lit("ok"))
+            .otherwise(lit("bad genesis")).as("status"))
+    },
+    // J1 — common-ancestor walk as a set-based self-join, ref tracker.go:291-314
+    "reorg_ancestor" -> { (s, d) =>
+      val b = Tables.blocks(s, d)
+      val mx = b.agg(max("block_num").as("mx"))
+      // live chain: top 3 blocks forked (different hash lineage)
+      val live = b.crossJoin(broadcast(mx)).withColumn(
+        "live_hash",
+        when(col("block_num") > col("mx") - 3L,
+          sha2(concat(col("block_num").cast("string"), lit("F")), 256))
+          .otherwise(col("block_hash")))
+      live.where(col("live_hash") === col("block_hash"))
+        .agg(max("block_num").as("ancestor"))
+    },
+    // J2 — log↔block association (broadcast equi-join on block_hash)
+    "logs_per_block" -> { (s, d) =>
+      val l = Tables.logs(s, d).drop("block_num")
+      val b = Tables.blocks(s, d).select("block_hash", "block_num")
+      l.join(broadcast(b), "block_hash")
+        .groupBy("block_num")
+        .agg(count(lit(1)).as("n_logs"))
+        .orderBy("block_num")
+    },
+    // S5/A1 — fastTrack: min over addresses of first-logged block
+    "fast_track" -> { (s, d) =>
+      Tables.logs(s, d)
+        .where(LogOps.filterAddress(Seq(1L, 7L, 13L), col("user_id")))
+        .groupBy("user_id")
+        .agg(min("block_num").as("first_blk"))
+        .agg(min("first_blk").as("start_block"))
+    },
+    // A2/W4 — LastIndex = max+1, empty → 0
+    "last_index" -> { (s, d) =>
+      LogOps.lastIndex(Tables.events(s, d), "event_id")
+    },
+    // A3 — count tallies per event signature
+    "count_by" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+    // W2/W3 — reverse-ordered suffix (retraction emission order)
+    "reverse_logs" -> { (s, d) =>
+      val l = Tables.logs(s, d)
+      val cut = l.agg((max("block_num") - 10L).as("cutoff"))
+      l.crossJoin(broadcast(cut))
+        .where(col("block_num") >= col("cutoff"))
+        .select("event_id", "block_num", "user_id", "event_type")
+        .orderBy(col("event_id").desc)
+    },
+    // W5 — tail window: last K headers by height
+    "tail_window" -> { (s, d) =>
+      LogOps.tailWindow(Tables.blocks(s, d), 10)
+        .select("block_num", "block_hash")
+    },
+    // F1 — SHA-256 filter identity (wildcard → "empty")
+    "filter_hash" -> { (s, d) =>
+      Tables.events(s, d)
+        .agg(min("user_id").cast("string").as("a"), min("event_type").as("t"))
+        .select(sha2(concat(col("a"), lit("empty"), col("t")), 256).as("fhash"))
+    },
+    // F2 — hex encode/decode round-trip with 0x prefix
+    "hex_roundtrip" -> { (s, d) =>
+      val hx = LogOps.toHex0x(col("event_type"))
+      Tables.events(s, d)
+        .select(col("event_id"), hx.as("hx"), LogOps.fromHex0x(hx).as("rt"))
+        .orderBy("event_id")
+    },
+    // F3 — JSON marshal/unmarshal round-trip (oracle on extracted fields)
+    "json_roundtrip" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("js", to_json(struct(col("event_id"), col("event_type"))))
+        .select(col("event_id"),
+          get_json_object(col("js"), "$.event_type").as("rt_type"))
+        .orderBy("event_id")
+    },
+    // F4 — topics array ↔ CSV round-trip
+    "topics_csv" -> { (s, d) =>
+      val topics = array(col("event_type"), col("user_id").cast("string"))
+      val csv = LogOps.topicsToCsv(topics)
+      Tables.events(s, d)
+        .select(col("event_id"), csv.as("topics_csv"),
+          element_at(LogOps.topicsFromCsv(csv), 1).as("t0"))
+        .orderBy("event_id")
+    },
+    // F5 — parse u64 from decimal-or-0x-hex string
+    "parse_u64" -> { (s, d) =>
+      val raw = when(col("event_id") % 2 === 0, col("event_id").cast("string"))
+        .otherwise(concat(lit("0x"), lower(hex(col("event_id")))))
+      Tables.events(s, d)
+        .select(col("event_id"), raw.as("raw"),
+          LogOps.parseU64(raw).as("parsed"))
+        .orderBy("event_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "scan_range" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
+        | CAST(json_extract_string(props,'$.k') AS BIGINT) AS k,
+        | event_id // 10 AS block_num
+        |FROM events
+        |WHERE event_id // 10 BETWEEN 2 AND 80 AND user_id IN (1,7,13)
+        | AND event_type IN ('click','purchase')
+        |ORDER BY event_id""".stripMargin,
+    "scan_block" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+        | event_id // 10 AS block_num,
+        | sha256(CAST(event_id // 10 AS VARCHAR)) AS block_hash
+        |FROM events
+        |WHERE sha256(CAST(event_id // 10 AS VARCHAR)) = sha256('42')
+        |ORDER BY event_id""".stripMargin,
+    "point_lookup" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+        |FROM events WHERE event_id = 123""".stripMargin,
+    "prefix_scan" ->
+      """SELECT concat('cnt_', event_type) AS key, CAST(count(*) AS BIGINT) AS val
+        |FROM events GROUP BY event_type
+        |HAVING concat('cnt_', event_type) LIKE 'cnt_s%'
+        |ORDER BY key""".stripMargin,
+    "append_index" ->
+      """SELECT CAST(row_number() OVER (ORDER BY epoch_us(ts), event_id) - 1 AS BIGINT) AS indx,
+        | event_id, epoch_us(ts) AS ts_us
+        |FROM events ORDER BY indx""".stripMargin,
+    "truncate_from" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_id < 800 ORDER BY event_id""".stripMargin,
+    "get_log" ->
+      """SELECT * FROM (
+        | SELECT CAST(row_number() OVER (ORDER BY epoch_us(ts), event_id) - 1 AS BIGINT) AS indx,
+        |  event_id, user_id, event_type, value
+        | FROM events) WHERE indx = 500""".stripMargin,
+    "filter_address" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE user_id IN (1,7,13) ORDER BY event_id""".stripMargin,
+    "filter_topic" ->
+      """SELECT event_id, user_id, event_type,
+        | CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE event_type = 'purchase'
+        | AND CAST(json_extract_string(props,'$.k') AS BIGINT) = 7
+        |ORDER BY event_id""".stripMargin,
+    "decode_event" ->
+      """SELECT event_id, event_type,
+        | CAST(json_extract_string(props,'$.k') AS BIGINT) AS k, value
+        |FROM events WHERE event_type = 'signup' ORDER BY event_id""".stripMargin,
+    "chain_guard" ->
+      """SELECT CASE WHEN sha256(CAST(min(event_id // 10) AS VARCHAR)) = sha256('0')
+        | THEN 'ok' ELSE 'bad genesis' END AS status FROM events""".stripMargin,
+    "reorg_ancestor" ->
+      """WITH blocks AS (SELECT DISTINCT event_id // 10 AS block_num FROM events),
+        |mx AS (SELECT max(block_num) AS mx FROM blocks)
+        |SELECT CAST(max(block_num) AS BIGINT) AS ancestor
+        |FROM blocks, mx WHERE NOT (block_num > mx - 3)""".stripMargin,
+    "logs_per_block" ->
+      """SELECT event_id // 10 AS block_num, CAST(count(*) AS BIGINT) AS n_logs
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "fast_track" ->
+      """SELECT CAST(min(first_blk) AS BIGINT) AS start_block FROM (
+        | SELECT user_id, min(event_id // 10) AS first_blk FROM events
+        | WHERE user_id IN (1,7,13) GROUP BY user_id)""".stripMargin,
+    "last_index" ->
+      """SELECT CAST(coalesce(max(event_id) + 1, 0) AS BIGINT) AS next_indx
+        |FROM events""".stripMargin,
+    "count_by" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "reverse_logs" ->
+      """SELECT event_id, event_id // 10 AS block_num, user_id, event_type
+        |FROM events
+        |WHERE event_id // 10 >= (SELECT max(event_id // 10) - 10 FROM events)
+        |ORDER BY event_id DESC""".stripMargin,
+    "tail_window" ->
+      """SELECT CAST(block_num AS BIGINT) AS block_num,
+        | sha256(CAST(block_num AS VARCHAR)) AS block_hash
+        |FROM (SELECT DISTINCT event_id // 10 AS block_num FROM events)
+        |ORDER BY block_num DESC LIMIT 10""".stripMargin,
+    "filter_hash" ->
+      """SELECT sha256(concat(CAST(min(user_id) AS VARCHAR), 'empty',
+        | min(event_type))) AS fhash FROM events""".stripMargin,
+    "hex_roundtrip" ->
+      """SELECT event_id, concat('0x', lower(hex(event_type))) AS hx,
+        | decode(unhex(lower(hex(event_type)))) AS rt
+        |FROM events ORDER BY event_id""".stripMargin,
+    "json_roundtrip" ->
+      """SELECT event_id, event_type AS rt_type FROM events
+        |ORDER BY event_id""".stripMargin,
+    "topics_csv" ->
+      """SELECT event_id,
+        | concat_ws(',', event_type, CAST(user_id AS VARCHAR)) AS topics_csv,
+        | string_split(concat_ws(',', event_type, CAST(user_id AS VARCHAR)), ',')[1] AS t0
+        |FROM events ORDER BY event_id""".stripMargin,
+    "parse_u64" ->
+      """SELECT event_id,
+        | CASE WHEN event_id % 2 = 0 THEN CAST(event_id AS VARCHAR)
+        |      ELSE concat('0x', lower(hex(event_id))) END AS raw,
+        | event_id AS parsed
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}

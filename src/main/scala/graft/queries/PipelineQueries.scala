@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Dedup, Similarity, TextOps}
+
+/** Training-data pipeline queries over `documents` / `embeddings`
+  * (builder-prompt north star): dedup tiers, similarity search, text
+  * analysis. Where the algorithm is a deterministic fold/hash the DuckDB
+  * oracle verifies values exactly; the hash-function-dependent tiers
+  * (xxhash64-based MinHash/SimHash/LSH) have no SQL twin in DuckDB and are
+  * verified by ScalaTest against exact recomputation (DedupSpec,
+  * SimilaritySpec) — the driver records a rows-only check for them.
+  */
+object PipelineQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact content-hash dedup
+    "dedup_exact" -> { (s, d) =>
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("text_hash")
+    },
+    // exact n-gram Jaccard near-dup pairs (the verification tier)
+    "dedup_ngram" -> { (s, d) =>
+      Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
+          shingleN = 3, minJaccard = 0.3)
+        .orderBy("id_a", "id_b")
+    },
+    // MinHash+LSH near-dup candidates (no SQL oracle: xxhash64-based)
+    "dedup_minhash" -> { (s, d) =>
+      Dedup.minHashLsh(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    },
+    // SimHash near-dup candidates (no SQL oracle: xxhash64-based)
+    "dedup_simhash" -> { (s, d) =>
+      Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text",
+          maxDist = 6)
+        .orderBy("id_a", "id_b")
+    },
+    // embedding cosine near-dup via LSH buckets (no SQL oracle)
+    "dedup_embedding" -> { (s, d) =>
+      Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
+          dim = 64, nbits = 4, minCosine = 0.3)
+        .orderBy("id_a", "id_b")
+    },
+    // brute-force exact cosine top-k vs the vec_id=0 query vector
+    "sim_search" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.cosineTopK(e, e.where(col("vec_id") === 0L),
+        "vec_id", "embedding", k = 20)
+    },
+    // ANN: LSH-bucketed cosine top-k (no SQL oracle; recall vs exact
+    // measured in SimilaritySpec)
+    "sim_search_lsh" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.annTopK(e, e.where(col("vec_id") === 0L).select("embedding"),
+        "vec_id", "embedding", dim = 64, nbits = 4, k = 20)
+    },
+    // per-doc token/stopword stats
+    "text_stats" -> { (s, d) =>
+      TextOps.stats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    // stopword-probe language ID vs the labeled lang
+    "lang_id" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextOps.langGuess(col("text")).as("guess"))
+        .withColumn("agree", col("guess") === col("lang"))
+        .orderBy("doc_id")
+    },
+    // token counting three ways (whitespace, BPE-ish regex, chars/4)
+    "token_count" -> { (s, d) =>
+      TextOps.tokenCounts(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    // rolling polynomial document fingerprint
+    "text_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+    // composite quality score
+    "quality_score" -> { (s, d) =>
+      TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT sha256(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_dups,
+        | min(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_ngram" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+        |        i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS s FROM w),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id_a, id_b, inter,
+        | CAST(na.n + nb.n - inter AS BIGINT) AS "union",
+        | CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) AS jaccard
+        |FROM p JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "sim_search" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |d AS (SELECT vec_id,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(embedding) + 1),
+        |    i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))),
+        |    (a, b) -> a + b) AS dot,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b) AS na,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(qe,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b) AS nq
+        | FROM embeddings, q)
+        |SELECT vec_id, dot / (sqrt(na) * sqrt(nq)) AS cosine
+        |FROM d ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | CAST(n_stop AS BIGINT) AS n_stop,
+        | CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+        | (CAST(n_chars AS DOUBLE) - (CAST(n_tokens AS DOUBLE) - 1)) /
+        |  CAST(n_tokens AS DOUBLE) AS avg_word_len
+        |FROM (
+        | SELECT doc_id, length(text) AS n_chars,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_filter(string_split(text, ' '),
+        |   w -> w = 'the' OR w = 'a' OR w = 'of' OR w = 'and' OR w = 'in')) AS n_stop
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      """SELECT doc_id, lang,
+        | CASE WHEN list_contains(string_split(text, ' '), 'the') THEN 'en'
+        |      WHEN list_contains(string_split(text, ' '), 'le') THEN 'fr'
+        |      WHEN list_contains(string_split(text, ' '), 'der') THEN 'de'
+        |      WHEN list_contains(string_split(text, ' '), 'el') THEN 'es'
+        |      ELSE 'xx' END AS guess,
+        | (CASE WHEN list_contains(string_split(text, ' '), 'the') THEN 'en'
+        |      WHEN list_contains(string_split(text, ' '), 'le') THEN 'fr'
+        |      WHEN list_contains(string_split(text, ' '), 'der') THEN 'de'
+        |      WHEN list_contains(string_split(text, ' '), 'el') THEN 'es'
+        |      ELSE 'xx' END) = lang AS agree
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+        | CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(list_prepend(0, list_transform(string_split(text, ' '),
+        |   w -> length(w) * 256 + ascii(w))),
+        |  (h, v) -> (h * 31 + v) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "quality_score" ->
+      """SELECT doc_id,
+        | ((CASE WHEN n_tokens BETWEEN 5 AND 1000 THEN CAST(1.0 AS DOUBLE)
+        |     ELSE CAST(0.2 AS DOUBLE) END * CAST(0.4 AS DOUBLE)) +
+        |  (CASE WHEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |     BETWEEN 0.01 AND 0.6 THEN CAST(1.0 AS DOUBLE)
+        |     ELSE CAST(0.5 AS DOUBLE) END * CAST(0.3 AS DOUBLE)) +
+        |  (CASE WHEN CAST(n_short AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.3
+        |     THEN CAST(1.0 AS DOUBLE)
+        |     ELSE CAST(0.4 AS DOUBLE) END * CAST(0.3 AS DOUBLE))) AS quality
+        |FROM (
+        | SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_filter(string_split(text, ' '),
+        |   w -> w = 'the' OR w = 'a' OR w = 'of' OR w = 'and' OR w = 'in')) AS n_stop,
+        |  len(list_filter(string_split(text, ' '), w -> length(w) <= 1)) AS n_short
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin
+  )
+}
