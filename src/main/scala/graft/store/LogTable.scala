@@ -1,0 +1,154 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The store layer (SURVEY.md §1.1e): per-filter append-only indexed log +
+  * tiny KV metadata table, over parquet directories.
+  *
+  * Reference contract (`store/store.go:6-36`): `LastIndex`, `StoreLogs`
+  * (append batch with consecutive indices), `RemoveLogs(n)` (truncate
+  * suffix), `GetLog(n)` (point read). The filter hash namespaces everything
+  * (`tracker.go:188`): here it is the directory name, so different standing
+  * queries never share files and a filter's whole history is one
+  * partition-pruned path.
+  *
+  * Scale design:
+  *  - data lands partitioned by `block_range` (block_num div 10_000) so both
+  *    range scans (S1) and reorg truncation (S9) touch only the tail
+  *    partition directories, never the full history;
+  *  - appends assign indices as `base + row_number within the batch` — the
+  *    global sequence comes from the checkpointed LastIndex, not a global
+  *    window, so batch appends stay parallel (single-partition window only
+  *    within one micro-batch, which is bounded by the AIMD batch size);
+  *  - truncation rewrites only the partitions holding `indx >= n` — an
+  *    engine with a transactional table format (Delta/Iceberg) would issue a
+  *    metadata-only DELETE; plain parquet needs the rewrite, and reorgs only
+  *    ever touch the last `MaxBlockBacklog` blocks by construction
+  *    (`tracker.go:296`).
+  */
+final class LogTable(spark: SparkSession, root: String, filterHash: String) {
+
+  private val dir = s"$root/logs/filter_hash=$filterHash"
+
+  /** Blocks per at-rest partition directory. */
+  val blocksPerRange = 10000L
+
+  def exists: Boolean =
+    new java.io.File(dir).exists() && read.limit(1).count() > 0
+
+  def read: DataFrame =
+    try spark.read.parquet(dir)
+    catch {
+      case _: Exception => emptyLogs
+    }
+
+  private def emptyLogs: DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("indx", LongType), StructField("tx_index", LongType),
+        StructField("tx_hash", StringType), StructField("block_num", LongType),
+        StructField("block_hash", StringType), StructField("address", StringType),
+        StructField("topics", ArrayType(StringType)),
+        StructField("data", StringType), StructField("block_range", LongType)
+      ))
+    )
+  }
+
+  /** A2 — next append index (max+1, empty → 0); a driver-side Long because
+    * it seeds the next batch's index range (ref `store/store.go:25-26`).
+    */
+  def lastIndex(): Long =
+    read.agg(coalesce(max(col("indx")) + 1L, lit(0L))).head().getLong(0)
+
+  /** S8/W1 — append a batch of logs, assigning consecutive indices
+    * `base, base+1, …` in (block_num, tx_index) order
+    * (ref `postgresql_store.go:110-150`). One atomic parquet append per
+    * batch = the reference's per-batch transaction.
+    */
+  def storeLogs(batch: DataFrame): Long = {
+    val base = lastIndex()
+    val w = Window.orderBy(col("block_num"), col("tx_index"))
+    val indexed = batch
+      .withColumn("indx", row_number().over(w).cast("long") + lit(base) - 1L)
+      .withColumn("block_range", col("block_num") / lit(blocksPerRange))
+      .withColumn("block_range", floor(col("block_range")))
+    indexed.write
+      .mode(SaveMode.Append)
+      .partitionBy("block_range")
+      .parquet(dir)
+    base + indexed.count()
+  }
+
+  /** S9 — RemoveLogs(n): delete every log with `indx >= n`
+    * (ref `postgresql_store.go:153-158`). Plain-parquet implementation:
+    * rewrite the surviving suffix partitions. Returns the removed logs in
+    * retraction order (indx desc — ref `tracker.go:756-761`).
+    */
+  def removeLogsFrom(n: Long): DataFrame = {
+    val current = read.cache()
+    val removed = current.where(col("indx") >= n)
+      .orderBy(col("indx").desc)
+      .cache()
+    removed.count() // materialize before the overwrite below
+    val survivors = current.where(col("indx") < n).cache()
+    survivors.count()
+    // overwrite only partitions that contained removed rows would be the
+    // Delta path; plain parquet rewrites the table (bounded: reorgs touch
+    // only the tail at most MaxBlockBacklog blocks deep)
+    val tmp = s"$dir.tmp-${System.nanoTime()}"
+    survivors.write.mode(SaveMode.Overwrite).partitionBy("block_range").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    current.unpersist()
+    survivors.unpersist()
+    removed
+  }
+
+  /** S10 — point read (pushed-down unique-key predicate). */
+  def getLog(n: Long): DataFrame = read.where(col("indx") === n)
+}
+
+/** S6/S7 — string→string KV metadata store (genesis hash, chainID,
+  * lastBlock checkpoint, filter registry — ref `store/store.go:8-14`).
+  * Tiny by construction (a handful of keys per filter), so the upsert is a
+  * read-modify-overwrite of one small parquet; at scale this is the
+  * streaming checkpoint / a Delta MERGE, never a data-sized table.
+  */
+final class KvStore(spark: SparkSession, root: String) {
+  private val dir = s"$root/kv"
+
+  def read: DataFrame =
+    try spark.read.parquet(dir)
+    catch {
+      case _: Exception =>
+        spark.createDataFrame(Seq.empty[(String, String)]).toDF("key", "value")
+    }
+
+  def get(key: String): Option[String] =
+    read.where(col("key") === key).select("value")
+      .collect().headOption.map(_.getString(0))
+
+  /** Upsert (ref `postgresql_store.go:72` ON CONFLICT DO UPDATE). */
+  def set(key: String, value: String): Unit = {
+    val updated = read.where(col("key") =!= key)
+      .unionByName(spark.createDataFrame(Seq((key, value))).toDF("key", "value"))
+    val tmp = s"$dir.tmp-${System.nanoTime()}"
+    updated.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  /** S7 — prefix scan (ref `store/store.go:11`). */
+  def listPrefix(prefix: String): DataFrame =
+    read.where(col("key").startsWith(prefix)).orderBy("key")
+}

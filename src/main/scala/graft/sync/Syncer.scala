@@ -1,0 +1,201 @@
+package graft.sync
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{BlockHeader, FilterConfig}
+import graft.reorg.Reconciler
+import graft.store.{KvStore, LogTable}
+
+/** Provider abstraction — the engine's view of the upstream source
+  * (ref `tracker.go:125-131`, the `Provider` interface over JSON-RPC).
+  * The harness implementation scans parquet; a live implementation would be
+  * a DataSourceV2 over `eth_getLogs` (SURVEY.md §4 custom-code item 2).
+  */
+trait Provider {
+
+  /** S1 — ranged log scan `[from, to]` with the filter pushed down.
+    * May throw [[Provider.TooManyResults]] — the 10k-result cap the
+    * reference AIMD reacts to (ref `tracker.go:332`).
+    */
+  def getLogs(from: Long, to: Long, filter: FilterConfig): DataFrame
+
+  /** S2 — logs of exactly one block by hash (ref `tracker.go:797-800`). */
+  def getLogsByHash(blockHash: String, filter: FilterConfig): DataFrame
+
+  /** S3 — point header lookup. */
+  def getBlock(number: Long): Option[BlockHeader]
+
+  def latestBlock(): BlockHeader
+
+  def genesisHash(): String
+
+  def chainId(): String
+}
+
+object Provider {
+  /** Upstream refused the range — too many results (ref `tracker.go:332`). */
+  final class TooManyResults(msg: String) extends RuntimeException(msg)
+}
+
+/** The sync engine (SURVEY.md §2.8): backfill-then-tail with AIMD batch
+  * sizing, chain-identity guard, checkpoint/resume and reorg retraction —
+  * the reference's `tracker.go` control plane re-expressed over Spark jobs.
+  *
+  * Execution shape at scale: each AIMD batch is one distributed Spark job
+  * (scan → filter pushdown → append); the driver loop only carries the
+  * batch-size/checkpoint control state, exactly like the reference's sync
+  * goroutine — no data ever flows through the driver.
+  */
+final class Syncer(
+    spark: SparkSession,
+    provider: Provider,
+    root: String,
+    filter: FilterConfig,
+    batchSize: Long = 100L,          // ref tracker.go:35 defaultBatchSize
+    maxBlockBacklog: Int = 10        // ref tracker.go:34
+) {
+
+  val filterHash: String = filter.hash
+  val table = new LogTable(spark, root, filterHash)
+  val kv = new KvStore(spark, root)
+
+  private val lastBlockKey = s"lastBlock_$filterHash" // ref tracker.go:219
+  private val filterKey = s"filter_$filterHash"       // ref tracker.go:195
+
+  // ── chain guard (P4, ref tracker.go:402-444) ──────────────────────────
+  def preSyncCheck(): Unit = {
+    (kv.get("genesis"), kv.get("chainID")) match {
+      case (Some(g), Some(c)) =>
+        if (g != provider.genesisHash()) sys.error("bad genesis")
+        if (c != provider.chainId()) sys.error("bad chain id")
+      case _ =>
+        kv.set("genesis", provider.genesisHash())
+        kv.set("chainID", provider.chainId())
+    }
+    // idempotent filter registry (T10, ref tracker.go:177-211)
+    if (kv.get(filterKey).isEmpty)
+      kv.set(filterKey, filter.addresses.mkString(",") + "|" +
+        filter.topics.map(_.getOrElse("empty")).mkString(","))
+  }
+
+  // ── checkpoint (T3/S11, ref tracker.go:218-247) ───────────────────────
+  def checkpoint(): Option[BlockHeader] =
+    kv.get(lastBlockKey).map { v =>
+      val Array(n, h, p) = v.split("\\|", 3)
+      BlockHeader(n.toLong, h, p)
+    }
+
+  private def writeCheckpoint(b: BlockHeader): Unit =
+    kv.set(lastBlockKey, s"${b.number}|${b.hash}|${b.parentHash}")
+
+  // ── AIMD batch loop (T1, ref tracker.go:327-394) ──────────────────────
+  /** Sync `[from, to]` in adaptively-sized batches: halve on a
+    * TooManyResults error (multiplicative decrease, ref `tracker.go:356`),
+    * recover by +10% of the configured size per success, capped
+    * (additive increase, ref `tracker.go:342, 391-394`).
+    * Returns the number of batches executed (telemetry for tests).
+    */
+  def batchSync(from: Long, to: Long): Long = {
+    var current = from
+    var size = batchSize
+    var batches = 0L
+    while (current <= to) {
+      val limit = math.min(current + size - 1, to)
+      try {
+        val logs = provider.getLogs(current, limit, filter)
+        table.storeLogs(logs)
+        provider.getBlock(limit).foreach(writeCheckpoint)
+        batches += 1
+        current = limit + 1
+        // additive increase toward the configured target
+        size = math.min(batchSize, size + math.max(1L, batchSize / 10))
+      } catch {
+        case _: Provider.TooManyResults =>
+          // multiplicative decrease; a 1-block range that still overflows is
+          // fatal in the reference too (the provider must accept it)
+          size = math.max(1L, size / 2)
+      }
+    }
+    batches
+  }
+
+  /** T2 — full sync: guard, resume from checkpoint (or fastTrack start),
+    * bulk-sync up to `head − maxBlockBacklog`, then tail-sync the hot
+    * window block-by-block under reorg protection (ref `tracker.go:582-715`).
+    */
+  def sync(): SyncReport = {
+    preSyncCheck()
+    val head = provider.latestBlock()
+    val origin = checkpoint() match {
+      case Some(last) =>
+        if (last.number > head.number)
+          sys.error("store is more advanced than the chain") // T9
+        // re-check the checkpointed block's hash — reorg while offline?
+        provider.getBlock(last.number) match {
+          case Some(liveAtLast) if liveAtLast.hash != last.hash =>
+            return reorgResync(head)
+          case _ => last.number + 1
+        }
+      case None => filter.start
+    }
+    if (origin > head.number)
+      return SyncReport(0, 0, 0, head.number)
+    val bulkEnd = head.number - maxBlockBacklog
+    var batches = 0L
+    if (bulkEnd >= origin) batches = batchSync(origin, bulkEnd)
+    // tail: per-block by hash, reorg-safe (S2, ref tracker.go:699-714)
+    val tailStart = math.max(origin, bulkEnd + 1)
+    var added = 0L
+    (tailStart to head.number).foreach { n =>
+      provider.getBlock(n).foreach { b =>
+        val logs = provider.getLogsByHash(b.hash, filter)
+        added += logs.count()
+        table.storeLogs(logs)
+        writeCheckpoint(b)
+      }
+    }
+    SyncReport(batches, added, 0, head.number)
+  }
+
+  /** T4 — checkpoint hash no longer canonical: find the ancestor within the
+    * backlog, truncate + retract above it, resync forward.
+    */
+  private def reorgResync(head: BlockHeader): SyncReport = {
+    val last = checkpoint().get
+    val storedBacklog = (math.max(0L, last.number - maxBlockBacklog + 1)
+      to last.number).flatMap { n =>
+      // stored header view reconstructed from the log table + checkpoint;
+      // a full engine persists the backlog — here block_hash is in the table
+      table.read.where(col("block_num") === n)
+        .select("block_num", "block_hash").distinct()
+        .collect().map(r => BlockHeader(r.getLong(0), r.getString(1), ""))
+    }
+    val liveBacklog = (math.max(0L, head.number - maxBlockBacklog + 1)
+      to head.number).flatMap(provider.getBlock)
+    val res = Reconciler.reconcile(storedBacklog, liveBacklog, maxBlockBacklog)
+    // truncate stored logs above the ancestor (S9) — retractions
+    val firstBad = table.read
+      .where(col("block_num") > res.ancestor)
+      .agg(min("indx")).head()
+    val removed =
+      if (firstBad.isNullAt(0)) 0L
+      else table.removeLogsFrom(firstBad.getLong(0)).count()
+    // apply the canonical chain forward
+    var added = 0L
+    res.added.foreach { b =>
+      val logs = provider.getLogsByHash(b.hash, filter)
+      added += logs.count()
+      table.storeLogs(logs)
+      writeCheckpoint(b)
+    }
+    SyncReport(0, added, removed, head.number)
+  }
+}
+
+final case class SyncReport(
+    batches: Long,
+    added: Long,
+    removed: Long,
+    headNumber: Long
+)

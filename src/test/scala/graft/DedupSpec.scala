@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+
+/** Value-level verification for the hash-based dedup tiers that have no
+  * DuckDB oracle (the driver only rows-checks them): MinHash estimates are
+  * compared against exact Jaccard, SimHash against identity.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again"
+  private def corpus = Seq(
+    (0L, base),
+    (1L, base),                                   // exact dup of 0
+    (2L, base + " tonight"),                      // near dup of 0
+    (3L, "completely different words about spark catalyst tungsten and shuffles here"),
+    (4L, "completely different words about spark catalyst tungsten and shuffles there"),
+    (5L, "unrelated text speaking of cabbages kings walruses carpenters oysters beaches")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeper = min id") {
+    val r = Dedup.exact(corpus, "doc_id", "text")
+      .orderBy("keeper").collect()
+    assert(r.length == 5)
+    val dupGroup = r.find(_.getAs[Long]("n_dups") == 2).get
+    assert(dupGroup.getAs[Long]("keeper") == 0L)
+  }
+
+  test("minhash estimate tracks exact jaccard on candidate pairs") {
+    val exact = Dedup.ngramJaccard(corpus, "doc_id", "text", shingleN = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    val est = Dedup.minHashLsh(corpus, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("est_jaccard")).toMap
+    // the exact-dup pair must be found with estimate 1.0
+    assert(est((0L, 1L)) == 1.0)
+    // every candidate's estimate within 0.3 of exact (64 hashes ⇒ σ≈0.06)
+    est.foreach { case (pair, e) =>
+      val j = exact.getOrElse(pair, 0.0)
+      assert(math.abs(e - j) < 0.3, s"pair $pair est $e vs exact $j")
+    }
+    // high-similarity pairs must be candidates (S-curve: J≈0.9 ⇒ P≈1)
+    exact.filter(_._2 > 0.8).keys.foreach(p => assert(est.contains(p)))
+  }
+
+  test("simhash: identical docs collide at distance 0, near dups are close") {
+    val pairs = Dedup.simHashPairs(corpus, "doc_id", "text", maxDist = 16)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    assert(pairs((0L, 1L)) == 0L)
+    assert(pairs.get((3L, 4L)).exists(_ <= 16))
+  }
+
+  test("embedding near-dup finds the planted duplicate vector") {
+    val v = (0 until 64).map(i => math.sin(i).toFloat)
+    val v2 = v.updated(0, v(0) + 0.001f) // near-identical
+    val w = (0 until 64).map(i => math.cos(i * 3 + 1).toFloat)
+    val embs = Seq((0L, v), (1L, v2), (2L, w))
+      .toDF("vec_id", "embedding")
+    val r = Dedup.embeddingNearDup(embs, "vec_id", "embedding",
+      dim = 64, nbits = 4, minCosine = 0.99).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).contains((0L, 1L)))
+    assert(r.length == 1)
+  }
+}

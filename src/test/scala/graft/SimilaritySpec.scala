@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: identity = 1, orthogonal = 0, opposite = -1") {
+    val df = Seq(
+      ("id", Seq(1f, 0f), Seq(1f, 0f)),
+      ("orth", Seq(1f, 0f), Seq(0f, 1f)),
+      ("opp", Seq(1f, 0f), Seq(-1f, 0f))
+    ).toDF("k", "a", "b")
+    val r = df.select(col("k"),
+      Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r("id") - 1.0) < 1e-12)
+    assert(math.abs(r("orth")) < 1e-12)
+    assert(math.abs(r("opp") + 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k returns the nearest vectors in order") {
+    // query = e0; corpus vectors at increasing angles
+    val vecs = (0 until 10).map { i =>
+      val a = i * 0.15
+      (i.toLong, Seq(math.cos(a).toFloat, math.sin(a).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(df, df.where(col("vec_id") === 0),
+      "vec_id", "embedding", k = 3).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(top.map(_.getDouble(1)).toSeq.reverse.sorted.reverse ==
+      top.map(_.getDouble(1)).toSeq) // descending
+  }
+
+  test("LSH ANN: recall vs brute force on clustered vectors") {
+    // 5 clusters of 40 vectors each: center + small deterministic noise
+    val rnd = new scala.util.Random(7)
+    val centers = (0 until 5).map(_ =>
+      Array.fill(16)(rnd.nextGaussian()))
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 5)
+      val v = c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat).toSeq
+      (i.toLong, v)
+    }
+    val df = vecs.toDF("vec_id", "embedding").cache()
+    val query = df.where(col("vec_id") === 0).select("embedding")
+    val exact = Similarity.cosineTopK(df, df.where(col("vec_id") === 0),
+      "vec_id", "embedding", k = 10).collect().map(_.getLong(0)).toSet
+    val ann = Similarity.annTopK(df, query, "vec_id", "embedding",
+      dim = 16, nbits = 4, k = 10).collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(ann).size.toDouble / exact.size
+    // same-cluster vectors share buckets with high probability
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
+  test("lsh bucket is deterministic across evaluations") {
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, (0 until 16).map(j => math.sin(i * 17 + j).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val b1 = Similarity.lshBucketed(df, "embedding", 16, 6)
+      .select("vec_id", "lsh_bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = Similarity.lshBucketed(df, "embedding", 16, 6)
+      .select("vec_id", "lsh_bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 == b2)
+  }
+}

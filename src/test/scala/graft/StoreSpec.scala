@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.store.{KvStore, LogTable}
+
+/** Port of the reference's backend-conformance suite
+  * (`store/testing.go:10-242`, 5 shared tests) against the parquet-backed
+  * store layer.
+  */
+class StoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkLogs(blockFrom: Long, blockTo: Long, perBlock: Int = 2) =
+    (blockFrom to blockTo).flatMap { b =>
+      (0 until perBlock).map(i =>
+        (i.toLong, s"tx-$b-$i", b, s"h$b", s"a${b % 3}",
+          Seq("sig"), "0x"))
+    }.toDF("tx_index", "tx_hash", "block_num", "block_hash", "address",
+      "topics", "data")
+
+  test("store/read-back round trip with consecutive indices") {
+    val t = new LogTable(spark, tmpDir("store"), "f1")
+    assert(t.lastIndex() == 0L)          // empty → 0 (store.go:25-26)
+    val next = t.storeLogs(mkLogs(0, 4)) // 10 logs
+    assert(next == 10L)
+    assert(t.lastIndex() == 10L)
+    val idx = t.read.select("indx").as[Long].collect().sorted
+    assert(idx.sameElements(0L until 10L))
+  }
+
+  test("remove-then-reappend continues the sequence (testing.go:104-143)") {
+    val t = new LogTable(spark, tmpDir("store"), "f1")
+    t.storeLogs(mkLogs(0, 4))
+    val removed = t.removeLogsFrom(6L)
+    assert(removed.count() == 4)
+    assert(t.lastIndex() == 6L)
+    t.storeLogs(mkLogs(3, 4))
+    val idx = t.read.select("indx").as[Long].collect().sorted
+    assert(idx.sameElements(0L until 10L))
+  }
+
+  test("multiple independent entries (testing.go:22-63)") {
+    val root = tmpDir("store")
+    val t1 = new LogTable(spark, root, "f1")
+    val t2 = new LogTable(spark, root, "f2")
+    t1.storeLogs(mkLogs(0, 1))
+    assert(t1.lastIndex() == 4L)
+    assert(t2.lastIndex() == 0L)     // other filter untouched
+    t2.storeLogs(mkLogs(0, 0))
+    assert(t2.lastIndex() == 2L)
+    assert(t1.lastIndex() == 4L)
+  }
+
+  test("point read GetLog (store.go:34-35)") {
+    val t = new LogTable(spark, tmpDir("store"), "f1")
+    t.storeLogs(mkLogs(0, 4))
+    val row = t.getLog(7L).collect()
+    assert(row.length == 1 && row.head.getAs[Long]("indx") == 7L)
+  }
+
+  test("kv get/set/update (testing.go:65-102)") {
+    val kv = new KvStore(spark, tmpDir("kv"))
+    assert(kv.get("k1").isEmpty)
+    kv.set("k1", "v1")
+    assert(kv.get("k1").contains("v1"))
+    kv.set("k1", "v2")               // update in place
+    assert(kv.get("k1").contains("v2"))
+    assert(kv.read.count() == 1)
+  }
+
+  test("prefix listing (testing.go:199-242)") {
+    val kv = new KvStore(spark, tmpDir("kv"))
+    kv.set("filter_a", "1"); kv.set("filter_b", "2"); kv.set("last_x", "3")
+    val keys = kv.listPrefix("filter_").select("key").as[String].collect()
+    assert(keys.toSeq == Seq("filter_a", "filter_b"))
+  }
+}

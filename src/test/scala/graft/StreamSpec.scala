@@ -1,0 +1,109 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.stream.EventStream
+import graft.stream.EventStream.{HeadObservation, HeaderAction}
+
+/** Structured-Streaming behaviors (SURVEY.md §2.8): tumbling/session
+  * windows, watermark dedup, and the reorg tail end-to-end through
+  * `flatMapGroupsWithState` on a real streaming query.
+  *
+  * Append-mode windowed aggs only emit once the watermark passes the window
+  * end, and the watermark advances between micro-batches — so each test
+  * feeds data across several `processAllAvailable()` rounds, with a final
+  * far-future event pushing the watermark past everything under test.
+  */
+class StreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("tumbling window agg over a memory stream") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val events = in.toDF.toDF("ts", "event_type", "value")
+    val q = EventStream.tumblingAgg(events, "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+    in.addData((ts(1), "click", 1.0), (ts(2), "click", 2.0),
+      (ts(11), "click", 4.0))
+    q.processAllAvailable()
+    in.addData((ts(40), "view", 8.0)) // watermark → 10:35 after this batch
+    q.processAllAvailable()
+    in.addData((ts(59), "view", 1.0)) // next batch runs with wm 10:35
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("tumbling")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getDouble(3)))
+    assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)))
+    assert(rows.contains(("2024-01-01 10:10:00.0", "click", 1L, 4.0)))
+  }
+
+  test("streaming dedup within watermark drops the duplicate") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val events = in.toDF.toDF("event_id", "ts")
+    val q = EventStream.dedupWithinWatermark(events, "10 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    in.addData((1L, ts(1)), (1L, ts(2)), (2L, ts(3)))
+    q.processAllAvailable()
+    in.addData((1L, ts(4))) // still within the watermark → dropped
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup").count() == 2)
+  }
+
+  test("reorg tail end-to-end: fork retracts then applies (T4)") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[HeadObservation]
+    val q = EventStream.reorgTail(in.toDS(), maxBacklog = 10)
+      .writeStream.format("memory").queryName("tail")
+      .outputMode("append").start()
+    def h(n: Long, tag: String, p: String) =
+      HeadObservation("f", n, s"h$tag", s"h$p")
+    // canonical 1..3
+    in.addData(h(1, "1", "0"), h(2, "2", "1"), h(3, "3", "2"))
+    q.processAllAvailable()
+    // fork at height 2: 20←1, 30←20
+    in.addData(h(2, "20", "1"), h(3, "30", "20"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("tail").as[HeaderAction].collect().toSeq
+    val expected = Seq(
+      HeaderAction("f", "add", 1, "h1"),
+      HeaderAction("f", "add", 2, "h2"),
+      HeaderAction("f", "add", 3, "h3"),
+      HeaderAction("f", "del", 2, "h2"),
+      HeaderAction("f", "del", 3, "h3"),
+      HeaderAction("f", "add", 2, "h20"),
+      HeaderAction("f", "add", 3, "h30"))
+    assert(out == expected)
+  }
+
+  test("session window groups by gap") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val events = in.toDF.toDF("ts", "user_id")
+    val q = EventStream.sessionAgg(events, "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    // user 1: events at 10:01,10:03 (one session), 10:20 (another)
+    in.addData((ts(1), 1L), (ts(3), 1L), (ts(20), 1L))
+    q.processAllAvailable()
+    in.addData((ts(50), 2L)) // watermark → 10:40 after this batch
+    q.processAllAvailable()
+    in.addData((ts(59), 2L)) // batch evaluated with wm 10:40
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessions")
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(rows.count(_._1 == 1L) == 2)
+    assert(rows.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(1L, 2L))
+  }
+}

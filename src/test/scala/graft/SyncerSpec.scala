@@ -1,0 +1,115 @@
+package graft
+
+import graft.model.FilterConfig
+import graft.sync.Syncer
+
+/** Sync-engine tests: AIMD batching (`TestTooMuchDataRequested`,
+  * `tracker_test.go:780-818`), checkpoint/resume
+  * (`TestTrackerSyncerRestarts`, `tracker_test.go:221-275`), reorg resync
+  * (`TestTrackerSyncerReconcile`, `tracker_test.go:277-367`) and the chain
+  * guard (`tracker_test.go:182-219`).
+  */
+class SyncerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 100 blocks with 2 (even) or 5 (odd) logs — ref tracker_test.go:784-795
+  private def chain100 = MockChain.linear(100,
+    n => if (n % 2 == 0) 2 else 5)
+  private val totalLogs = (0L until 100L)
+    .map(n => if (n % 2 == 0) 2 else 5).sum
+
+  test("AIMD: provider cap forces halving, all logs stored exactly once") {
+    val provider = new MockProvider(spark, chain100, capBlocks = Some(3))
+    val sync = new Syncer(spark, provider, tmpDir("sync"), FilterConfig(),
+      batchSize = 11)
+    val batches = sync.batchSync(0, 99)
+    assert(sync.table.read.count() == totalLogs)
+    // batch 11 must shrink to ≤4 blocks: strictly more batches than 100/11
+    assert(batches > 9)
+    val txs = sync.table.read.select("tx_hash").as[String].collect()
+    assert(txs.length == txs.distinct.length) // exactly once
+  }
+
+  test("full sync: guard + bulk + tail, then idempotent resume") {
+    val provider = new MockProvider(spark, chain100)
+    val root = tmpDir("sync")
+    val sync = new Syncer(spark, provider, root, FilterConfig())
+    sync.sync()
+    assert(sync.table.read.count() == totalLogs)
+    assert(sync.checkpoint().map(_.number).contains(99L))
+    // restart: a new Syncer over the same store must add nothing
+    val sync2 = new Syncer(spark, provider, root, FilterConfig())
+    val r2 = sync2.sync()
+    assert(r2.added == 0 && r2.removed == 0)
+    assert(sync2.table.read.count() == totalLogs)
+  }
+
+  test("resume after chain advance syncs only the delta") {
+    val provider = new MockProvider(spark, chain100)
+    val root = tmpDir("sync")
+    new Syncer(spark, provider, root, FilterConfig()).sync()
+    val extended = MockChain.linear(110, n => if (n % 2 == 0) 2 else 5)
+    val sync2 = new Syncer(spark, new MockProvider(spark, extended), root,
+      FilterConfig())
+    sync2.sync()
+    val expected = (0L until 110L).map(n => if (n % 2 == 0) 2 else 5).sum
+    assert(sync2.table.read.count() == expected)
+  }
+
+  test("reorg resync: forked tail is retracted and replaced") {
+    val root = tmpDir("sync")
+    val provider = new MockProvider(spark, chain100)
+    new Syncer(spark, provider, root, FilterConfig()).sync()
+    // fork the top 3 blocks onto a new lineage with 1 log each
+    val forked = MockChain.fork(chain100, depth = 3, extend = 1)
+    val sync2 = new Syncer(spark, new MockProvider(spark, forked), root,
+      FilterConfig())
+    val r = sync2.sync()
+    val oldTail = (97L to 99L).map(n => if (n % 2 == 0) 2 else 5).sum
+    assert(r.removed == oldTail)
+    assert(r.added == 4) // 4 forked blocks × 1 log
+    // post-state oracle: stored logs == canonical chain logs
+    val stored = sync2.table.read.select("tx_hash").as[String].collect().sorted
+    val canonical = new MockProvider(spark, forked).allLogs
+      .select("tx_hash").as[String].collect().sorted
+    assert(stored.sameElements(canonical))
+  }
+
+  test("chain guard: bad genesis fails (tracker_test.go:182-219)") {
+    val root = tmpDir("sync")
+    new Syncer(spark, new MockProvider(spark, chain100), root,
+      FilterConfig()).sync()
+    // different genesis lineage
+    val other = MockChain.linear(50, _ => 1)
+      .map(b => b.copy(tag = s"${b.tag}X", parentTag = s"${b.parentTag}X"))
+    val bad = intercept[RuntimeException] {
+      new Syncer(spark, new MockProvider(spark, other), root,
+        FilterConfig()).sync()
+    }
+    assert(bad.getMessage.contains("bad genesis"))
+  }
+
+  test("store ahead of chain is a hard error (T9, tracker.go:639-641)") {
+    val root = tmpDir("sync")
+    new Syncer(spark, new MockProvider(spark, chain100), root,
+      FilterConfig()).sync()
+    val shorter = chain100.take(50)
+    val err = intercept[RuntimeException] {
+      new Syncer(spark, new MockProvider(spark, shorter), root,
+        FilterConfig()).sync()
+    }
+    assert(err.getMessage.contains("store is more advanced"))
+  }
+
+  test("address + topic filter pushdown reaches the provider (P1/P2)") {
+    val provider = new MockProvider(spark, chain100)
+    val filter = FilterConfig(addresses = Seq("a1"),
+      topics = Seq(Some("sig1")))
+    val sync = new Syncer(spark, provider, tmpDir("sync"), filter)
+    sync.sync()
+    // a1 ⇔ num%3==1; sig1 ⇔ num%2==1 ⇒ blocks ≡ 1 or 7 mod 6 → 5 logs each
+    val expected = (0L until 100L)
+      .filter(n => n % 3 == 1 && n % 2 == 1).map(_ => 5).sum
+    assert(sync.table.read.count() == expected)
+  }
+}
