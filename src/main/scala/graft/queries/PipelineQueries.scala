@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, Similarity, TextOps}
+import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
 
 /** Training-data pipeline queries over `documents` / `embeddings`
   * (builder-prompt north star): dedup tiers, similarity search, text
@@ -86,10 +86,35 @@ object PipelineQueries {
     "quality_score" -> { (s, d) =>
       TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")
+    },
+    // multimodal plumbing: blobs → batched feature extraction (decode is a
+    // deterministic stub — see graft.ext.Multimodal.Codecs); the sha/bytes
+    // columns are oracle-checkable, the stub feature vector is projected out
+    "media_features" -> { (s, d) =>
+      Multimodal.featureTable(
+        Multimodal.fromText(Tables.documents(s, d), "doc_id", "text"))
+        .select("media_id", "kind", "n_bytes", "sha")
+        .orderBy("media_id")
+    },
+    // custom codegen expressions (§2.9): keccak256 event-signature topic +
+    // little-endian u64 payload decode (no SQL twin in DuckDB → rows-only;
+    // value-verified in EthFunctionsSpec against published vectors)
+    "decode_abi" -> { (s, d) =>
+      import graft.functions.EthFunctions
+      Tables.events(s, d)
+        .select(col("event_id"),
+          EthFunctions.keccak256(col("event_type")).as("topic0"),
+          EthFunctions.le_u64(encode(col("props"), "UTF-8"), lit(0L))
+            .as("payload_le"))
+        .orderBy("event_id")
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "media_features" ->
+      """SELECT doc_id AS media_id, 'image' AS kind,
+        | CAST(strlen(text) AS BIGINT) AS n_bytes, sha256(text) AS sha
+        |FROM documents ORDER BY media_id""".stripMargin,
     "dedup_exact" ->
       """SELECT sha256(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_dups,
         | min(doc_id) AS keeper
