@@ -174,6 +174,77 @@ object CapabilityQueries {
           sqrt(col("p_retailprice")).as("price_sqrt"))
         .orderBy("p_partkey")
     },
+    // as-of join: for each click, the latest purchase by the same user at
+    // or before it. Spark lacks a native ASOF join operator — composed as
+    // tagged-union + running `last(ignoreNulls)` window, which is the
+    // single-shuffle formulation (one exchange on user_id, no row explosion;
+    // DuckDB verifies with its native ASOF JOIN).
+    "join_asof" -> { (s, d) =>
+      val e = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val tagged = e.select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_type"),
+        when(col("event_type") === "purchase", col("ts_us")).as("p_ts"),
+        when(col("event_type") === "purchase", col("value")).as("p_val"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("last_purchase_ts", last(col("p_ts"), ignoreNulls = true).over(w))
+        .withColumn("last_purchase_val", last(col("p_val"), ignoreNulls = true).over(w))
+        .where(col("event_type") === "click" &&
+          col("last_purchase_ts").isNotNull)
+        .select("event_id", "user_id", "ts_us",
+          "last_purchase_ts", "last_purchase_val")
+        .orderBy("event_id")
+    },
+    // generator / UDTF surface: positional explode of an array column
+    "explode_array" -> { (s, d) =>
+      val parts = split(concat_ws(",", col("event_type"),
+        col("user_id").cast("string")), ",")
+      Tables.events(s, d)
+        .select(col("event_id"), posexplode(parts).as(Seq("pos", "val")))
+        .select(col("event_id"), col("pos").cast("long").as("pos"), col("val"))
+        .orderBy("event_id", "pos")
+    },
+    // pivot: one column per event type (explicit value list keeps the
+    // schema static — no extra distinct-scan job at scale)
+    "agg_pivot" -> { (s, d) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(sum(col("value").cast("decimal(38,2)")).cast("double"))
+        .na.fill(0.0, types)
+        .orderBy("user_id")
+    },
+    // lag/lead/rank window surface (W6)
+    "window_lag" -> { (s, d) =>
+      val e = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      e.select(col("event_id"), col("user_id"), col("value"),
+          lag("value", 1).over(w).as("prev_value"),
+          lead("value", 1).over(w).as("next_value"),
+          rank().over(w).cast("long").as("rnk"))
+        .orderBy("event_id")
+    },
+    // full cube over two dims
+    "agg_cube" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"))
+        .orderBy("rf", "ls")
+    },
+    // exact median (sort-based percentile — deterministic, unlike stddev
+    // whose float accumulation is order-dependent)
+    "agg_median" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("median_value"),
+          min("value").as("min_value"), max("value").as("max_value"))
+        .orderBy("event_type")
+    },
     // tumbling event-time window (batch twin of stream_tumbling;
     // the streaming form lives in graft.stream and is ScalaTest-verified)
     "agg_window_time" -> { (s, d) =>
@@ -282,6 +353,44 @@ object CapabilityQueries {
         | CAST(p_size % 7 AS BIGINT) AS size_mod,
         | sqrt(p_retailprice) AS price_sqrt
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "join_asof" ->
+      """SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+        | epoch_us(p.ts) AS last_purchase_ts, p.value AS last_purchase_val
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        | ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "explode_array" ->
+      """SELECT event_id,
+        | unnest(range(2)) AS pos,
+        | unnest(string_split(concat_ws(',', event_type,
+        |   CAST(user_id AS VARCHAR)), ',')) AS val
+        |FROM events ORDER BY event_id, pos""".stripMargin,
+    "agg_pivot" ->
+      """SELECT user_id,
+        | coalesce(CAST(sum(CASE WHEN event_type='click' THEN CAST(value AS DECIMAL(38,2)) END) AS DOUBLE), 0.0) AS click,
+        | coalesce(CAST(sum(CASE WHEN event_type='error' THEN CAST(value AS DECIMAL(38,2)) END) AS DOUBLE), 0.0) AS error,
+        | coalesce(CAST(sum(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(38,2)) END) AS DOUBLE), 0.0) AS purchase,
+        | coalesce(CAST(sum(CASE WHEN event_type='signup' THEN CAST(value AS DECIMAL(38,2)) END) AS DOUBLE), 0.0) AS signup,
+        | coalesce(CAST(sum(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(38,2)) END) AS DOUBLE), 0.0) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "window_lag" ->
+      """SELECT event_id, user_id, value,
+        | lag(value, 1) OVER w AS prev_value,
+        | lead(value, 1) OVER w AS next_value,
+        | CAST(rank() OVER w AS BIGINT) AS rnk
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY event_id""".stripMargin,
+    "agg_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        | coalesce(l_linestatus, 'ALL') AS ls, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "agg_median" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS median_value,
+        | min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_window_time" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
         | CAST(count(*) AS BIGINT) AS n,
