@@ -138,7 +138,16 @@ object EventStream {
     val adds = batch.filter(_.action == "add").collect()
     if (adds.nonEmpty) {
       val hashes = adds.map(_.hash).toSeq
-      table.storeLogs(liveLogs.where(col("block_hash").isin(hashes: _*)))
+      // idempotent apply: a head observed both by backfill and by the tail
+      // (the hand-off block) must not be double-appended — probe only the
+      // added hashes, so the check is bounded by the batch, not the table
+      val existing = table.read
+        .where(col("block_hash").isin(hashes: _*))
+        .select("block_hash").distinct()
+        .collect().map(_.getString(0)).toSet
+      val fresh = hashes.filterNot(existing)
+      if (fresh.nonEmpty)
+        table.storeLogs(liveLogs.where(col("block_hash").isin(fresh: _*)))
     }
   }
 }

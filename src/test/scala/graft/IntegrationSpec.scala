@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.model.FilterConfig
+import graft.stream.EventStream
+import graft.stream.EventStream.HeadObservation
+import graft.sync.Syncer
+
+/** Full-pipeline integration: batch backfill (Syncer) hands off to the
+  * streaming tail (reorgTail + foreachBatch CDC) over the same LogTable —
+  * the reference's `BatchSync` → `Sync` → live-events lifecycle
+  * (SURVEY.md §3.2) — and the stored table always converges to the
+  * canonical chain (the reference fuzz oracle, `tracker_test.go:449-469`).
+  */
+class IntegrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("backfill, stream tail, fork, converge to canonical") {
+    implicit val sql = spark.sqlContext
+    val root = tmpDir("e2e")
+    val filter = FilterConfig()
+
+    // 1. backfill blocks 0..49 in batch
+    val chain = MockChain.linear(50, n => if (n % 2 == 0) 2 else 5)
+    val provider = new MockProvider(spark, chain)
+    val syncer = new Syncer(spark, provider, root, filter)
+    syncer.sync()
+    assert(syncer.table.read.count() ==
+      (0L until 50L).map(n => if (n % 2 == 0) 2L else 5L).sum)
+
+    // 2. live tail: chain grows 50..52, then forks at 51
+    val grown = chain ++ Seq(
+      MBlock(50, "50", "49", 1), MBlock(51, "51", "50", 2),
+      MBlock(52, "52", "51", 1))
+    val forked = grown.take(51) ++ Seq(          // keep ..50, fork 51,52,53
+      MBlock(51, "51F", "50", 3), MBlock(52, "52F", "51F", 1),
+      MBlock(53, "53F", "52F", 2))
+    val liveLogs = new MockProvider(spark, forked)
+      .allLogs.unionByName(new MockProvider(spark, grown).allLogs)
+      .distinct() // the source can serve logs of both lineages by hash
+
+    val heads = MemoryStream[HeadObservation]
+    val q = EventStream.reorgTail(heads.toDS(), maxBacklog = 10)
+      .writeStream
+      .foreachBatch(EventStream.applyCdc(syncer.table, liveLogs) _)
+      .start()
+
+    def obs(b: MBlock) = HeadObservation("f", b.num, b.hash, b.parentHash)
+    // seed the tail state with the backfilled tip, then advance
+    heads.addData(obs(chain.last))
+    q.processAllAvailable()
+    heads.addData(obs(grown(50)), obs(grown(51)), obs(grown(52)))
+    q.processAllAvailable()
+    // fork arrives
+    heads.addData(obs(forked(51)), obs(forked(52)), obs(forked(53)))
+    q.processAllAvailable()
+    q.stop()
+
+    // 3. oracle: stored logs == canonical chain logs, indices consistent
+    val stored = syncer.table.read
+    val storedTx = stored.select("tx_hash").as[String].collect().sorted
+    val canonical = new MockProvider(spark, forked).allLogs
+      .select("tx_hash").as[String].collect().sorted
+    assert(storedTx.sameElements(canonical))
+    // append indices remain dense 0..n-1
+    val idx = stored.select("indx").as[Long].collect().sorted
+    assert(idx.sameElements(idx.indices.map(_.toLong)))
+  }
+}
