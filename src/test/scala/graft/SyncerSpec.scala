@@ -101,6 +101,28 @@ class SyncerSpec extends SparkSpec {
     assert(err.getMessage.contains("store is more advanced"))
   }
 
+  test("randomized sync fuzz: repeated forks always converge to canonical") {
+    // the reference's layer-4 oracle (tracker_test.go:369-482): after every
+    // round of random advance/fork, stored logs == the mock's canonical set
+    val rnd = new scala.util.Random(7)
+    val root = tmpDir("fuzz")
+    var chain = MockChain.linear(30, _ => rnd.nextInt(3))
+    (1 to 8).foreach { gen =>
+      val provider = new MockProvider(spark, chain)
+      val syncer = new Syncer(spark, provider, root, FilterConfig())
+      syncer.sync()
+      val stored = syncer.table.read.select("tx_hash").as[String]
+        .collect().sorted
+      val canonical = provider.allLogs.select("tx_hash").as[String]
+        .collect().sorted
+      assert(stored.sameElements(canonical), s"diverged at generation $gen")
+      assert(syncer.checkpoint().map(_.number).contains(chain.last.num))
+      chain = MockChain.fork(chain, depth = rnd.nextInt(6),
+        extend = 1 + rnd.nextInt(4), logsAt = _ => rnd.nextInt(3),
+        suffix = s"G$gen")
+    }
+  }
+
   test("address + topic filter pushdown reaches the provider (P1/P2)") {
     val provider = new MockProvider(spark, chain100)
     val filter = FilterConfig(addresses = Seq("a1"),

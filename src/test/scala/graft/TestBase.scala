@@ -38,17 +38,18 @@ object MockChain {
     (0L until n).map(i => MBlock(i, i.toString, (i - 1).toString, logsAt(i)))
 
   /** Fork the top `depth` blocks of `chain` onto a new lineage (tag suffix
-    * "F"), optionally extending by `extend` new blocks.
+    * defaults to "F"; pass a generation-unique suffix when forking
+    * repeatedly), optionally extending by `extend` new blocks.
     */
   def fork(chain: Seq[MBlock], depth: Int, extend: Int = 0,
-      logsAt: Long => Int = _ => 1): Seq[MBlock] = {
+      logsAt: Long => Int = _ => 1, suffix: String = "F"): Seq[MBlock] = {
     val keep = chain.dropRight(depth)
     val base = keep.last
     val forkStart = base.num + 1
     val forked = (0 until depth + extend).map { i =>
       val num = forkStart + i
-      val pTag = if (i == 0) base.tag else s"${num - 1}F"
-      MBlock(num, s"${num}F", pTag, logsAt(num))
+      val pTag = if (i == 0) base.tag else s"${num - 1}$suffix"
+      MBlock(num, s"$num$suffix", pTag, logsAt(num))
     }
     keep ++ forked
   }
