@@ -107,6 +107,17 @@ object Keccak {
     out
   }
 
-  def hash256Hex(msg: Array[Byte]): String =
-    hash256(msg).map("%02x".format(_)).mkString
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  def hash256Hex(msg: Array[Byte]): String = {
+    val d = hash256(msg)
+    val out = new Array[Char](64)
+    var i = 0
+    while (i < 32) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
 }

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale techniques that change the plan, not the result: skew salting and
+  * bucketed co-location. These are the knobs a 1000-executor deployment
+  * turns when AQE's automatic skew handling isn't enough (AQE splits skewed
+  * *partitions*, but a single hot KEY still lands in one task without
+  * salting).
+  */
+object ScaleOps {
+
+  /** Skew-salted equi-join: fact rows get a deterministic salt in
+    * `[0, saltFactor)`, the dimension is replicated `saltFactor` times, and
+    * the join key becomes (key, salt) — a hot key's rows spread over
+    * `saltFactor` tasks instead of one.
+    *
+    * Result-identical to `fact.join(dim, keys)` (inner): each fact row
+    * matches exactly the one dim replica carrying its salt.
+    *
+    * Cost model: dim is replicated ×saltFactor — use for genuinely skewed
+    * fact keys against small-to-medium dims; for broadcast-sized dims just
+    * broadcast (no salt needed).
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      saltFactor: Int
+  ): DataFrame = {
+    require(saltFactor > 0)
+    // deterministic salt: spread by a hash of the whole fact row, not rand()
+    // (retries/speculative tasks must salt identically)
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(saltFactor)))
+    val replicated = dim
+      .withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+      .withColumn("__salt", col("__salt").cast("long"))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Approximate distinct count (HLL++): constant memory per group vs the
+    * exact distinct's shuffle of every key. `rsd` trades accuracy for
+    * sketch size. The exact/approx pair is the standard two-tier pattern:
+    * approx for monitoring/planning, exact only where the answer is the
+    * product.
+    */
+  def approxDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      rsd: Double = 0.05): DataFrame =
+    df.groupBy(groupCol)
+      .agg(approx_count_distinct(valueCol, rsd).as("approx_nd"),
+        count(lit(1)).as("n"))
+
+  /** Write both sides bucketed by the join key so the subsequent join is
+    * shuffle-free (co-located scan). Requires a catalog table (bucketing
+    * metadata lives in the catalog, not the files).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+}
