@@ -90,6 +90,61 @@ object Similarity {
   def lshBucketed(corpus: DataFrame, vecCol: String, dim: Int, nbits: Int): DataFrame =
     corpus.withColumn("lsh_bucket", lshSignature(col(vecCol), dim, nbits))
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
+    * vector to its nearest centroid; a query probes only the `nprobe`
+    * closest cells and exact-ranks within them. The standard FAISS-style
+    * recall/cost dial: `nprobe = nlist` degenerates to brute force.
+    *
+    * At rest, partition the corpus by `ivf_cell` — a probe then reads
+    * `nprobe/nlist` of the data. Training cost is one MLlib KMeans fit on a
+    * sample; the model is centroids-only (tiny, broadcastable).
+    */
+  def ivfIndex(
+      corpus: DataFrame,
+      vecCol: String,
+      nlist: Int,
+      seed: Long = 42L
+  ): (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = corpus.withColumn("__v",
+      array_to_vector(transform(col(vecCol), x => x.cast("double"))))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("__v").setPredictionCol("ivf_cell")
+      .fit(withVec)
+    (model.transform(withVec).drop("__v"), model)
+  }
+
+  /** IVF probe: exact cosine over the `nprobe` cells nearest to the query. */
+  def ivfTopK(
+      indexed: DataFrame,
+      model: org.apache.spark.ml.clustering.KMeansModel,
+      queryVec: Array[Float],
+      idCol: String,
+      vecCol: String,
+      nprobe: Int,
+      k: Int
+  ): DataFrame = {
+    val spark = indexed.sparkSession
+    val qd = queryVec.map(_.toDouble)
+    def dist(c: org.apache.spark.ml.linalg.Vector): Double = {
+      var s = 0.0; var i = 0
+      while (i < qd.length) { val d = c(i) - qd(i); s += d * d; i += 1 }
+      s
+    }
+    val cells = model.clusterCenters.zipWithIndex
+      .sortBy { case (c, _) => dist(c) }
+      .take(nprobe).map(_._2)
+    val q = spark.createDataFrame(Seq(Tuple1(queryVec.toSeq)))
+      .toDF("__q")
+    indexed
+      .where(col("ivf_cell").isin(cells.map(Integer.valueOf): _*))
+      .crossJoin(broadcast(q))
+      .select(col(idCol), cosine(col(vecCol), col("__q")).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** ANN top-k: exact cosine restricted to the query's LSH bucket.
     * Recall < 1 by construction; ScalaTest measures it against
     * [[cosineTopK]] (SimilaritySpec).

@@ -58,6 +58,16 @@ object PipelineQueries {
       Similarity.annTopK(e, e.where(col("vec_id") === 0L).select("embedding"),
         "vec_id", "embedding", dim = 64, nbits = 4, k = 20)
     },
+    // ANN: IVF (KMeans coarse quantizer + nprobe cells) — rows-only; recall
+    // vs exact verified in SimilaritySpec
+    "sim_search_ivf" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val (indexed, model) = Similarity.ivfIndex(e, "embedding", nlist = 16)
+      val qv = e.where(col("vec_id") === 0L).select("embedding")
+        .head().getSeq[Float](0).toArray
+      Similarity.ivfTopK(indexed, model, qv, "vec_id", "embedding",
+        nprobe = 4, k = 20)
+    },
     // per-doc token/stopword stats
     "text_stats" -> { (s, d) =>
       TextOps.stats(Tables.documents(s, d), "doc_id", "text")

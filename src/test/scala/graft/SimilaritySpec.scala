@@ -56,6 +56,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("IVF: probing more cells increases recall to 1.0 at nprobe=nlist") {
+    val rnd = new scala.util.Random(11)
+    val centers = (0 until 4).map(_ => Array.fill(16)(rnd.nextGaussian()))
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + 0.1 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding").cache()
+    val (indexed, model) = Similarity.ivfIndex(df, "embedding", nlist = 4)
+    val cached = indexed.cache()
+    val query = vecs.head._2.toArray
+    val exact = Similarity.cosineTopK(df, df.where(col("vec_id") === 0),
+      "vec_id", "embedding", k = 10).collect().map(_.getLong(0)).toSet
+    val probe1 = Similarity.ivfTopK(cached, model, query, "vec_id",
+      "embedding", nprobe = 1, k = 10).collect().map(_.getLong(0)).toSet
+    val probeAll = Similarity.ivfTopK(cached, model, query, "vec_id",
+      "embedding", nprobe = 4, k = 10).collect().map(_.getLong(0)).toSet
+    assert(probeAll == exact)                       // nprobe=nlist ⇒ exact
+    val recall1 = exact.intersect(probe1).size.toDouble / exact.size
+    assert(recall1 >= 0.5, s"nprobe=1 recall $recall1")
+  }
+
   test("lsh bucket is deterministic across evaluations") {
     val vecs = (0 until 50).map(i =>
       (i.toLong, (0 until 16).map(j => math.sin(i * 17 + j).toFloat)))
