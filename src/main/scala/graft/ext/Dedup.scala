@@ -219,15 +219,20 @@ object Dedup {
       nbits: Int,
       minCosine: Double
   ): DataFrame = {
+    // norms once per vector BEFORE the pair join (each vector appears in
+    // many pairs; computing norm2 per pair tripled the interpreted-fold
+    // work). The join then needs only one dot product per pair.
     val bucketed = Similarity.lshBucketed(embs, vecCol, dim, nbits)
+      .withColumn("__norm", sqrt(Similarity.norm2(col(vecCol))))
     val a = bucketed.select(col("lsh_bucket"), col(idCol).as("id_a"),
-      col(vecCol).as("v_a"))
+      col(vecCol).as("v_a"), col("__norm").as("n_a"))
     val b = bucketed.select(col("lsh_bucket"), col(idCol).as("id_b"),
-      col(vecCol).as("v_b"))
+      col(vecCol).as("v_b"), col("__norm").as("n_b"))
     a.join(b, Seq("lsh_bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
+        (Similarity.dot(col("v_a"), col("v_b")) /
+          (col("n_a") * col("n_b"))).as("cosine"))
       .where(col("cosine") >= minCosine)
       .distinct()
   }
