@@ -28,12 +28,11 @@ import org.apache.spark.sql.functions._
   *    ever touch the last `MaxBlockBacklog` blocks by construction
   *    (`tracker.go:296`).
   */
-final class LogTable(spark: SparkSession, root: String, filterHash: String) {
+final class LogTable(spark: SparkSession, root: String, filterHash: String,
+    /** Blocks per at-rest partition directory. */
+    val blocksPerRange: Long = 10000L) {
 
   private val dir = s"$root/logs/filter_hash=$filterHash"
-
-  /** Blocks per at-rest partition directory. */
-  val blocksPerRange = 10000L
 
   def exists: Boolean =
     new java.io.File(dir).exists() && read.limit(1).count() > 0
@@ -84,30 +83,48 @@ final class LogTable(spark: SparkSession, root: String, filterHash: String) {
   }
 
   /** S9 — RemoveLogs(n): delete every log with `indx >= n`
-    * (ref `postgresql_store.go:153-158`). Plain-parquet implementation:
-    * rewrite the surviving suffix partitions. Returns the removed logs in
-    * retraction order (indx desc — ref `tracker.go:756-761`).
+    * (ref `postgresql_store.go:153-158`). Partition-pruned rewrite: only
+    * `block_range` directories that actually contain removed rows are
+    * rebuilt — everything below them is untouched, so a reorg (bounded to
+    * the last `MaxBlockBacklog` blocks, ref `tracker.go:296`) rewrites at
+    * most the one or two tail partitions regardless of table size. An
+    * engine on a transactional format (Delta/Iceberg) would make this a
+    * metadata-only DELETE; the swap below is the plain-parquet equivalent.
+    * Returns the removed logs in ascending order (the retraction emission
+    * order after revertLogs, ref `tracker.go:756-761`).
     */
   def removeLogsFrom(n: Long): DataFrame = {
     val current = read.cache()
     val removed = current.where(col("indx") >= n)
-      .orderBy(col("indx").desc)
+      .orderBy(col("indx"))
       .cache()
-    removed.count() // materialize before the overwrite below
-    val survivors = current.where(col("indx") < n).cache()
-    survivors.count()
-    // overwrite only partitions that contained removed rows would be the
-    // Delta path; plain parquet rewrites the table (bounded: reorgs touch
-    // only the tail at most MaxBlockBacklog blocks deep)
-    val tmp = s"$dir.tmp-${System.nanoTime()}"
-    survivors.write.mode(SaveMode.Overwrite).partitionBy("block_range").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(dir)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    removed.count() // materialize before the rewrite below
+    // partition-dir values are type-inferred on read (int, not long)
+    val affected = removed.select(col("block_range").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    if (affected.nonEmpty) {
+      val survivors = current
+        .where(col("block_range").isin(affected.map(Long.box): _*) &&
+          col("indx") < n)
+        .cache()
+      survivors.count()
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val tmp = s"$dir.tmp-${System.nanoTime()}"
+      survivors.write.mode(SaveMode.Overwrite)
+        .partitionBy("block_range").parquet(tmp)
+      affected.foreach { r =>
+        val dst = new org.apache.hadoop.fs.Path(s"$dir/block_range=$r")
+        val src = new org.apache.hadoop.fs.Path(s"$tmp/block_range=$r")
+        fs.delete(dst, true)
+        // a partition whose every row was removed has no tmp output — the
+        // delete above is the whole operation for it
+        if (fs.exists(src)) fs.rename(src, dst)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      survivors.unpersist()
+    }
     current.unpersist()
-    survivors.unpersist()
     removed
   }
 

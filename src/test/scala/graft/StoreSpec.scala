@@ -52,6 +52,34 @@ class StoreSpec extends SparkSpec {
     assert(t1.lastIndex() == 4L)
   }
 
+  test("truncation is partition-pruned and handles fully-emptied partitions") {
+    val root = tmpDir("store")
+    // 2 blocks per partition dir → blocks 0..9 span 5 partitions
+    val t = new LogTable(spark, root, "f1", blocksPerRange = 2L)
+    t.storeLogs(mkLogs(0, 9)) // 20 logs, indices 0..19
+    val dirBase = s"$root/logs/filter_hash=f1"
+    def mtimes(): Map[String, Long] =
+      new java.io.File(dirBase).listFiles()
+        .filter(_.getName.startsWith("block_range="))
+        .map(f => f.getName -> f.listFiles().map(_.lastModified()).max).toMap
+    val before = mtimes()
+    Thread.sleep(1100)
+    // remove indx >= 13 → blocks 6(half),7,8,9 → partitions 3 (rewritten),
+    // 4 (fully emptied)
+    val removed = t.removeLogsFrom(13L)
+    assert(removed.count() == 7)
+    assert(t.lastIndex() == 13L)
+    val after = mtimes()
+    assert(!after.contains("block_range=4"), "emptied partition must vanish")
+    // untouched partitions keep their files byte-for-byte (same mtimes)
+    Seq("block_range=0", "block_range=1", "block_range=2").foreach { p =>
+      assert(after(p) == before(p), s"$p was rewritten but holds no removed rows")
+    }
+    // survivors intact and dense
+    val idx = t.read.select("indx").as[Long].collect().sorted
+    assert(idx.sameElements(0L until 13L))
+  }
+
   test("point read GetLog (store.go:34-35)") {
     val t = new LogTable(spark, tmpDir("store"), "f1")
     t.storeLogs(mkLogs(0, 4))
