@@ -33,7 +33,10 @@ object Dedup {
       .groupBy(sha2(col(textCol), 256).as("text_hash"))
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keeper"))
 
-  /** Word n-gram shingles of a text column, as a deduplicated array. */
+  /** Word n-gram shingles of a text column, as a deduplicated array.
+    * Per-row Column form — convenient for composition; for the hot paths
+    * use [[shingleRows]], which stays inside whole-stage codegen.
+    */
   def shingles(textCol: Column, n: Int): Column = {
     val words = split(textCol, " ")
     array_distinct(
@@ -46,6 +49,29 @@ object Dedup {
           )
       )
     )
+  }
+
+  /** Distinct (doc, shingle) rows via posexplode + window `lead` — fully
+    * codegen'd, unlike the lambda-HOF form (higher-order functions are
+    * interpreted). The window shuffles one small (doc, pos, word) row per
+    * token, partitioned by doc — cheap and embarrassingly parallel. The
+    * closing aggregate both dedups within-doc shingles and acts as the
+    * materialization barrier every consumer reuses.
+    */
+  def shingleRows(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy("pos")
+    val words = df.select(col(idCol).as("doc"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+    val leads = (1 until n).map(j => lead(col("w"), j).over(w))
+    words
+      .select(col("doc"),
+        concat_ws(" ", (col("w") +: leads): _*).as("s"),
+        leads.last.as("__last"))
+      .where(col("__last").isNotNull)
+      .select("doc", "s")
+      .distinct()
   }
 
   /** k MinHash values per document: for seed s, min over shingles of
@@ -89,9 +115,7 @@ object Dedup {
     // sf0.1. The groupBy also materializes the signature once (shuffle
     // barrier), so the band explode and the self-join below reuse data
     // instead of re-inlining the whole expression tree.
-    val sig = docs
-      .select(col(idCol).as("doc"),
-        explode(shingles(col(textCol), shingleN)).as("s"))
+    val sig = shingleRows(docs, idCol, textCol, shingleN)
       .groupBy("doc")
       .agg(array((0 until numHashes).map(i =>
         min(xxhash64(col("s"), lit(i)))): _*).as("sig"))
@@ -186,10 +210,7 @@ object Dedup {
     // (counts + both self-join sides), so ReuseExchange computes the
     // interpreted shingle HOF once instead of three times (3× measured win
     // at sf0.1).
-    val sh = docs
-      .select(col(idCol).as("doc"),
-        explode(shingles(col(textCol), shingleN)).as("s"))
-      .distinct()
+    val sh = shingleRows(docs, idCol, textCol, shingleN)
     val counts = sh.groupBy("doc").agg(count(lit(1)).as("n"))
     val pairs = sh.as("x")
       .join(sh.as("y"), col("x.s") === col("y.s") &&
