@@ -245,6 +245,20 @@ object CapabilityQueries {
           min("value").as("min_value"), max("value").as("max_value"))
         .orderBy("event_type")
     },
+    // sessionization: gap-based session windows per user (batch twin of
+    // stream_session; Spark's session_window vs a gaps-and-islands oracle)
+    "agg_session" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("tsc", timestamp_micros(expr("ts div 1000")))
+        .groupBy(session_window(col("tsc"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(38,2)")).cast("double")
+            .as("sum_value"))
+        .select(unix_millis(col("session_window.start")).as("s_start_ms"),
+          unix_millis(col("session_window.end")).as("s_end_ms"),
+          col("user_id"), col("n_events"), col("sum_value"))
+        .orderBy("user_id", "s_start_ms")
+    },
     // tumbling event-time window (batch twin of stream_tumbling;
     // the streaming form lives in graft.stream and is ScalaTest-verified)
     "agg_window_time" -> { (s, d) =>
@@ -391,6 +405,25 @@ object CapabilityQueries {
       """SELECT event_type, quantile_cont(value, 0.5) AS median_value,
         | min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_session" ->
+      """WITH x AS (
+        | SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           >= INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS brk
+        | FROM events),
+        |g AS (
+        | SELECT user_id, ts, value,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        | FROM x)
+        |SELECT epoch_ms(min(ts)) AS s_start_ms,
+        | epoch_ms(max(ts) + INTERVAL 30 MINUTE) AS s_end_ms,
+        | user_id, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, s_start_ms""".stripMargin,
     "agg_window_time" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
         | CAST(count(*) AS BIGINT) AS n,
