@@ -59,19 +59,19 @@ object Dedup {
     * materialization barrier every consumer reuses.
     */
   def shingleRows(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+      textCol: String, n: Int, distinct: Boolean = true): org.apache.spark.sql.DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc").orderBy("pos")
     val words = df.select(col(idCol).as("doc"),
       posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
     val leads = (1 until n).map(j => lead(col("w"), j).over(w))
-    words
+    val rows = words
       .select(col("doc"),
         concat_ws(" ", (col("w") +: leads): _*).as("s"),
         leads.last.as("__last"))
       .where(col("__last").isNotNull)
       .select("doc", "s")
-      .distinct()
+    if (distinct) rows.distinct() else rows
   }
 
   /** k MinHash values per document: for seed s, min over shingles of

@@ -68,6 +68,16 @@ object PipelineQueries {
       Similarity.ivfTopK(indexed, model, qv, "vec_id", "embedding",
         nprobe = 4, k = 20)
     },
+    // corpus-level n-gram frequency (top-50 bigrams): the vocabulary/phrase
+    // statistics pass of a training-data pipeline
+    "ngram_freq" -> { (s, d) =>
+      Dedup.shingleRows(Tables.documents(s, d), "doc_id", "text",
+          n = 2, distinct = false)
+        .groupBy("s")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("s"))
+        .limit(50)
+    },
     // per-doc token/stopword stats
     "text_stats" -> { (s, d) =>
       TextOps.stats(Tables.documents(s, d), "doc_id", "text")
@@ -125,6 +135,12 @@ object PipelineQueries {
       """SELECT doc_id AS media_id, 'image' AS kind,
         | CAST(strlen(text) AS BIGINT) AS n_bytes, sha256(text) AS sha
         |FROM documents ORDER BY media_id""".stripMargin,
+    "ngram_freq" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT unnest(list_transform(range(1, len(ws)),
+        |        i -> concat_ws(' ', ws[i], ws[i+1]))) AS s FROM w)
+        |SELECT s, CAST(count(*) AS BIGINT) AS n FROM sh
+        |GROUP BY s ORDER BY n DESC, s LIMIT 50""".stripMargin,
     "dedup_exact" ->
       """SELECT sha256(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_dups,
         | min(doc_id) AS keeper
