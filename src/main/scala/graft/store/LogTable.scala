@@ -153,9 +153,17 @@ final class KvStore(spark: SparkSession, root: String) {
       .collect().headOption.map(_.getString(0))
 
   /** Upsert (ref `postgresql_store.go:72` ON CONFLICT DO UPDATE). */
-  def set(key: String, value: String): Unit = {
-    val updated = read.where(col("key") =!= key)
-      .unionByName(spark.createDataFrame(Seq((key, value))).toDF("key", "value"))
+  def set(key: String, value: String): Unit = setAll(Map(key -> value))
+
+  /** Batched upsert — one table rewrite for any number of keys (a
+    * checkpoint writes lastBlock + header backlog together). Single-writer
+    * by design: the reference's store is driven by one sync goroutine per
+    * filter (`tracker.go:582`), and this engine keeps that contract — the
+    * KV is per-tracker metadata, not a shared database.
+    */
+  def setAll(kvs: Map[String, String]): Unit = {
+    val updated = read.where(!col("key").isin(kvs.keys.toSeq: _*))
+      .unionByName(spark.createDataFrame(kvs.toSeq).toDF("key", "value"))
     val tmp = s"$dir.tmp-${System.nanoTime()}"
     updated.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(

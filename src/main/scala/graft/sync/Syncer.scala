@@ -80,14 +80,36 @@ final class Syncer(
   }
 
   // ── checkpoint (T3/S11, ref tracker.go:218-247) ───────────────────────
+  private val backlogKey = s"headers_$filterHash"
+
   def checkpoint(): Option[BlockHeader] =
     kv.get(lastBlockKey).map { v =>
       val Array(n, h, p) = v.split("\\|", 3)
       BlockHeader(n.toLong, h, p)
     }
 
-  private def writeCheckpoint(b: BlockHeader): Unit =
-    kv.set(lastBlockKey, s"${b.number}|${b.hash}|${b.parentHash}")
+  /** The persisted hot-window headers — the blocktracker backlog the
+    * reference keeps in memory (`tracker.go:605-609`), durable here so a
+    * restarted tracker can reconcile a reorg that happened while it was
+    * down, even across blocks that carried no logs.
+    */
+  def storedBacklog(): Seq[BlockHeader] =
+    kv.get(backlogKey).toSeq.flatMap(_.split(";").filter(_.nonEmpty).map { s =>
+      val Array(n, h, p) = s.split("\\|", 3)
+      BlockHeader(n.toLong, h, p)
+    })
+
+  private def writeCheckpoint(b: BlockHeader): Unit = {
+    // one KV rewrite carries both the last block and the header backlog;
+    // entries at or above b are dropped first, so a post-reorg re-apply
+    // self-heals the stored lineage
+    val kept = (storedBacklog().filter(_.number < b.number) :+ b)
+      .sortBy(_.number).takeRight(maxBlockBacklog)
+    kv.setAll(Map(
+      lastBlockKey -> s"${b.number}|${b.hash}|${b.parentHash}",
+      backlogKey -> kept.map(h => s"${h.number}|${h.hash}|${h.parentHash}")
+        .mkString(";")))
+  }
 
   // ── AIMD batch loop (T1, ref tracker.go:327-394) ──────────────────────
   /** Sync `[from, to]` in adaptively-sized batches: halve on a
@@ -163,17 +185,22 @@ final class Syncer(
     */
   private def reorgResync(head: BlockHeader): SyncReport = {
     val last = checkpoint().get
-    val storedBacklog = (math.max(0L, last.number - maxBlockBacklog + 1)
-      to last.number).flatMap { n =>
-      // stored header view reconstructed from the log table + checkpoint;
-      // a full engine persists the backlog — here block_hash is in the table
-      table.read.where(col("block_num") === n)
-        .select("block_num", "block_hash").distinct()
-        .collect().map(r => BlockHeader(r.getLong(0), r.getString(1), ""))
+    // prefer the persisted header backlog (covers log-less blocks); fall
+    // back to reconstructing hashes from the log table for stores written
+    // before the backlog existed
+    val stored = {
+      val persisted = storedBacklog()
+      if (persisted.nonEmpty) persisted
+      else (math.max(0L, last.number - maxBlockBacklog + 1)
+        to last.number).flatMap { n =>
+        table.read.where(col("block_num") === n)
+          .select("block_num", "block_hash").distinct()
+          .collect().map(r => BlockHeader(r.getLong(0), r.getString(1), ""))
+      }
     }
     val liveBacklog = (math.max(0L, head.number - maxBlockBacklog + 1)
       to head.number).flatMap(provider.getBlock)
-    val res = Reconciler.reconcile(storedBacklog, liveBacklog, maxBlockBacklog)
+    val res = Reconciler.reconcile(stored, liveBacklog, maxBlockBacklog)
     // truncate stored logs above the ancestor (S9) — retractions
     val firstBad = table.read
       .where(col("block_num") > res.ancestor)

@@ -101,6 +101,28 @@ class SyncerSpec extends SparkSpec {
     assert(err.getMessage.contains("store is more advanced"))
   }
 
+  test("reorg across log-less blocks uses the persisted header backlog") {
+    val root = tmpDir("sync")
+    // the hot window is all empty blocks — nothing in the log table to
+    // reconstruct headers from; only the persisted backlog can prove the
+    // fork point
+    val chain = MockChain.linear(40, n => if (n >= 28) 0 else 2)
+    new Syncer(spark, new MockProvider(spark, chain), root, FilterConfig())
+      .sync()
+    val forked = MockChain.fork(chain, depth = 4, extend = 1, logsAt = _ => 1)
+    val s2 = new Syncer(spark, new MockProvider(spark, forked), root,
+      FilterConfig())
+    val r = s2.sync()
+    assert(r.removed == 0)  // forked-away blocks carried no logs
+    assert(r.added == 5)    // 5 new-lineage blocks × 1 log
+    val stored = s2.table.read.select("tx_hash").as[String].collect().sorted
+    val canonical = new MockProvider(spark, forked).allLogs
+      .select("tx_hash").as[String].collect().sorted
+    assert(stored.sameElements(canonical))
+    // the persisted backlog now reflects the new lineage
+    assert(s2.storedBacklog().last.hash == forked.last.hash)
+  }
+
   test("randomized sync fuzz: repeated forks always converge to canonical") {
     // the reference's layer-4 oracle (tracker_test.go:369-482): after every
     // round of random advance/fork, stored logs == the mock's canonical set
