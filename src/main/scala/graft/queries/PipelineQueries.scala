@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -78,6 +79,43 @@ object PipelineQueries {
         .orderBy(col("n").desc, col("s"))
         .limit(50)
     },
+    // fuzzy-match verification tier: exact edit distance over the near-dup
+    // candidate pairs (cheap because it runs on candidates, not the corpus)
+    "edit_distance" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.3).select("id_a", "id_b")
+      pairs
+        .join(docs.withColumnRenamed("doc_id", "id_a")
+          .withColumnRenamed("text", "text_a"), "id_a")
+        .join(docs.withColumnRenamed("doc_id", "id_b")
+          .withColumnRenamed("text", "text_b"), "id_b")
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"))
+        .orderBy("id_a", "id_b")
+    },
+    // TF-IDF-style term relevance: top-3 terms per doc. Weighting uses the
+    // exact df-ratio (N/df) instead of ln(N/df) — ln is not guaranteed
+    // bit-identical across math libraries, the ratio is (both engines do
+    // one IEEE division on identical operands)
+    "tfidf" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.count().toDouble
+      val words = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = words.select("doc_id", "w").distinct()
+        .groupBy("w").agg(count(lit(1)).as("df"))
+      val w3 = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("w"))
+      tf.join(df, "w")
+        .withColumn("score",
+          col("tf").cast("double") * (lit(nDocs) / col("df").cast("double")))
+        .withColumn("rnk", row_number().over(w3).cast("long"))
+        .where(col("rnk") <= 3)
+        .select("doc_id", "rnk", "w", "score")
+        .orderBy("doc_id", "rnk")
+    },
     // per-doc token/stopword stats
     "text_stats" -> { (s, d) =>
       TextOps.stats(Tables.documents(s, d), "doc_id", "text")
@@ -135,6 +173,40 @@ object PipelineQueries {
       """SELECT doc_id AS media_id, 'image' AS kind,
         | CAST(strlen(text) AS BIGINT) AS n_bytes, sha256(text) AS sha
         |FROM documents ORDER BY media_id""".stripMargin,
+    "edit_distance" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+        |        i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS s FROM w),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |cand AS (SELECT id_a, id_b FROM p
+        |  JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.3)
+        |SELECT id_a, id_b,
+        | CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+        |FROM cand JOIN documents da ON da.doc_id = id_a
+        | JOIN documents db ON db.doc_id = id_b
+        |ORDER BY id_a, id_b""".stripMargin,
+    "tfidf" ->
+      """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY 1, 2),
+        |df AS (SELECT w, count(*) AS df FROM
+        |  (SELECT DISTINCT doc_id, w FROM words) GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |scored AS (
+        | SELECT doc_id, w,
+        |  CAST(tf AS DOUBLE) * (nd.n / CAST(df AS DOUBLE)) AS score
+        | FROM tf JOIN df USING (w), nd),
+        |ranked AS (
+        | SELECT doc_id, w, score,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, w) AS BIGINT) AS rnk
+        | FROM scored)
+        |SELECT doc_id, rnk, w, score FROM ranked WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
     "ngram_freq" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |sh AS (SELECT unnest(list_transform(range(1, len(ws)),
