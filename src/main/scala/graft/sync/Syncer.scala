@@ -133,9 +133,12 @@ final class Syncer(
         // additive increase toward the configured target
         size = math.min(batchSize, size + math.max(1L, batchSize / 10))
       } catch {
-        case _: Provider.TooManyResults =>
-          // multiplicative decrease; a 1-block range that still overflows is
-          // fatal in the reference too (the provider must accept it)
+        case e: Provider.TooManyResults =>
+          // multiplicative decrease; a 1-block range that still overflows
+          // can never succeed — surface it instead of livelocking
+          if (size <= 1)
+            throw new IllegalStateException(
+              s"provider rejects a single-block range at $current", e)
           size = math.max(1L, size / 2)
       }
     }

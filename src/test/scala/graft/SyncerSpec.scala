@@ -30,6 +30,21 @@ class SyncerSpec extends SparkSpec {
     assert(txs.length == txs.distinct.length) // exactly once
   }
 
+  test("AIMD surfaces an un-satisfiable single-block cap instead of livelocking") {
+    // cap below the smallest per-block log count: even a 1-block range fails
+    val capped = new MockProvider(spark, chain100, capBlocks = Some(3)) {
+      override def getLogs(from: Long, to: Long,
+          filter: graft.model.FilterConfig) = {
+        if (to - from >= 0) throw new graft.sync.Provider.TooManyResults("cap")
+        super.getLogs(from, to, filter)
+      }
+    }
+    val sync = new Syncer(spark, capped, tmpDir("sync"), FilterConfig(),
+      batchSize = 8)
+    val e = intercept[IllegalStateException] { sync.batchSync(0, 20) }
+    assert(e.getMessage.contains("single-block range"))
+  }
+
   test("full sync: guard + bulk + tail, then idempotent resume") {
     val provider = new MockProvider(spark, chain100)
     val root = tmpDir("sync")

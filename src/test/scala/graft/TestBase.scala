@@ -59,7 +59,7 @@ object MockChain {
   * reference's `mockClientWithLimit` (rejects ranges spanning more than
   * `cap+1` blocks — ref `tracker_test.go:760-778`).
   */
-final class MockProvider(
+class MockProvider(
     spark: SparkSession,
     chain: Seq[MBlock],
     capBlocks: Option[Long] = None
