@@ -130,6 +130,35 @@ final class LogTable(spark: SparkSession, root: String, filterHash: String,
 
   /** S10 — point read (pushed-down unique-key predicate). */
   def getLog(n: Long): DataFrame = read.where(col("indx") === n)
+
+  /** Layout maintenance: rewrite every partition clustered by
+    * `(block_num, tx_index)` and collapsed to one file per partition dir.
+    * Streaming appends leave one small file per micro-batch with
+    * interleaved block ranges; after compaction each file's
+    * `block_num`/`indx` min-max stats are tight, so ranged scans (S1) and
+    * reorg truncation (S9) skip whole row groups. This is the
+    * OPTIMIZE/Z-ORDER analog for plain parquet — single sort key because
+    * the access pattern is one-dimensional (block order ≡ index order).
+    */
+  def compact(): Unit = {
+    val current = read.cache()
+    current.count()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = s"$dir.compact-${System.nanoTime()}"
+    current
+      .repartition(col("block_range"))
+      // lead with the partition column: FileFormatWriter requires data
+      // sorted by partition cols and would otherwise inject its own
+      // (unstable) sort, destroying the block clustering
+      .sortWithinPartitions(col("block_range"), col("block_num"),
+        col("tx_index"))
+      .write.mode(SaveMode.Overwrite).partitionBy("block_range").parquet(tmp)
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    current.unpersist()
+  }
 }
 
 /** S6/S7 — string→string KV metadata store (genesis hash, chainID,

@@ -87,6 +87,31 @@ class StoreSpec extends SparkSpec {
     assert(row.length == 1 && row.head.getAs[Long]("indx") == 7L)
   }
 
+  test("compact clusters each partition into one block-sorted file") {
+    val root = tmpDir("store")
+    val t = new LogTable(spark, root, "f1", blocksPerRange = 5L)
+    // many small out-of-order appends → fragmented files
+    Seq((8L, 9L), (0L, 1L), (6L, 7L), (2L, 3L), (4L, 5L)).foreach {
+      case (a, b) => t.storeLogs(mkLogs(a, b))
+    }
+    val before = t.read.count()
+    t.compact()
+    assert(t.read.count() == before)
+    // one data file per partition dir, rows sorted by block_num within it
+    import org.apache.spark.sql.functions.input_file_name
+    val byFile = t.read
+      .select(input_file_name().as("f"), col("block_num"))
+      .collect().groupBy(_.getString(0))
+    assert(byFile.size == 2) // 2 block_range partitions, 1 file each
+    byFile.values.foreach { rows =>
+      val nums = rows.map(_.getLong(1))
+      assert(nums.sameElements(nums.sorted), "file not block-sorted")
+    }
+    // indices unchanged by compaction
+    val idx = t.read.select("indx").as[Long].collect().sorted
+    assert(idx.sameElements(0L until before))
+  }
+
   test("kv get/set/update (testing.go:65-102)") {
     val kv = new KvStore(spark, tmpDir("kv"))
     assert(kv.get("k1").isEmpty)
