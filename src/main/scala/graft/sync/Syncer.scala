@@ -38,6 +38,29 @@ object Provider {
   final class TooManyResults(msg: String) extends RuntimeException(msg)
 }
 
+/** S5 — fastTrack: discover the first block an address ever logged so a
+  * fresh filter starts there instead of at genesis (ref
+  * `tracker.go:446-519`, Etherscan REST in the reference; any index works).
+  */
+trait FirstLogLocator {
+  /** Earliest block with a log from any of `addresses`; None = unknown. */
+  def firstLogBlock(addresses: Seq[String]): Option[Long]
+}
+
+/** Locator that scans the provider itself — the harness stand-in for the
+  * external REST index (same min-over-addresses aggregation, A1).
+  */
+final class ProviderScanLocator(provider: Provider, headHint: Long)
+    extends FirstLogLocator {
+  override def firstLogBlock(addresses: Seq[String]): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, min}
+    val logs = provider.getLogs(0L, headHint,
+      graft.model.FilterConfig(addresses = addresses))
+    val r = logs.agg(min(col("block_num"))).head()
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+}
+
 /** The sync engine (SURVEY.md §2.8): backfill-then-tail with AIMD batch
   * sizing, chain-identity guard, checkpoint/resume and reorg retraction —
   * the reference's `tracker.go` control plane re-expressed over Spark jobs.
@@ -53,8 +76,31 @@ final class Syncer(
     root: String,
     filter: FilterConfig,
     batchSize: Long = 100L,          // ref tracker.go:35 defaultBatchSize
-    maxBlockBacklog: Int = 10        // ref tracker.go:34
+    maxBlockBacklog: Int = 10,       // ref tracker.go:34
+    locator: Option[FirstLogLocator] = None, // S5 fastTrack (tracker.go:446)
+    fetchRetries: Int = 5,           // ref tracker.go:806-811
+    fetchRetryDelayMs: Long = 0L     // 500 in the reference; 0 in tests
 ) {
+
+  /** T8 — fixed-backoff retry for per-block tail fetches (a freshly
+    * announced head may not be served by an unsynced node yet,
+    * ref `tracker.go:803-812`).
+    */
+  private def withRetry[A](what: String)(f: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case e: Exception =>
+          attempt += 1
+          if (attempt >= fetchRetries)
+            throw new IllegalStateException(
+              s"$what failed after $fetchRetries attempts", e)
+          if (fetchRetryDelayMs > 0) Thread.sleep(fetchRetryDelayMs)
+      }
+    }
+    sys.error("unreachable")
+  }
 
   val filterHash: String = filter.hash
   val table = new LogTable(spark, root, filterHash)
@@ -145,6 +191,16 @@ final class Syncer(
     batches
   }
 
+  /** S5/A1 — fresh filter with a locator: start at (first logged block − 1)
+    * like the reference (`tracker.go:500-519`), never before `filter.start`.
+    */
+  private def fastTrackOrigin(): Long =
+    locator
+      .filter(_ => filter.addresses.nonEmpty)
+      .flatMap(_.firstLogBlock(filter.addresses))
+      .map(b => math.max(filter.start, math.max(0L, b - 1)))
+      .getOrElse(filter.start)
+
   /** T2 — full sync: guard, resume from checkpoint (or fastTrack start),
     * bulk-sync up to `head − maxBlockBacklog`, then tail-sync the hot
     * window block-by-block under reorg protection (ref `tracker.go:582-715`).
@@ -162,7 +218,7 @@ final class Syncer(
             return reorgResync(head)
           case _ => last.number + 1
         }
-      case None => filter.start
+      case None => fastTrackOrigin()
     }
     if (origin > head.number)
       return SyncReport(0, 0, 0, head.number)
@@ -174,8 +230,12 @@ final class Syncer(
     var added = 0L
     (tailStart to head.number).foreach { n =>
       provider.getBlock(n).foreach { b =>
-        val logs = provider.getLogsByHash(b.hash, filter)
-        added += logs.count()
+        // T8: tolerate a transiently-unsynced node on the hot tail
+        val (logs, c) = withRetry(s"logs of block ${b.hash}") {
+          val df = provider.getLogsByHash(b.hash, filter)
+          (df, df.count())
+        }
+        added += c
         table.storeLogs(logs)
         writeCheckpoint(b)
       }
@@ -214,8 +274,11 @@ final class Syncer(
     // apply the canonical chain forward
     var added = 0L
     res.added.foreach { b =>
-      val logs = provider.getLogsByHash(b.hash, filter)
-      added += logs.count()
+      val (logs, c) = withRetry(s"logs of block ${b.hash}") {
+        val df = provider.getLogsByHash(b.hash, filter)
+        (df, df.count())
+      }
+      added += c
       table.storeLogs(logs)
       writeCheckpoint(b)
     }

@@ -138,6 +138,56 @@ class SyncerSpec extends SparkSpec {
     assert(s2.storedBacklog().last.hash == forked.last.hash)
   }
 
+  test("fastTrack: a fresh filter starts at first-log-block − 1 (S5/A1)") {
+    // address a1 first logs at block 1 (num%3==1) — with a chain whose
+    // early blocks are empty for a1, the locator must skip the prefix
+    val chain = MockChain.linear(100, n => if (n < 40) 0 else 2)
+    val provider = new MockProvider(spark, chain)
+    var scanned = Seq.empty[(Long, Long)]
+    val tracking = new MockProvider(spark, chain) {
+      override def getLogs(from: Long, to: Long,
+          filter: graft.model.FilterConfig) = {
+        scanned = scanned :+ (from, to); super.getLogs(from, to, filter)
+      }
+    }
+    val locator = new graft.sync.ProviderScanLocator(provider, 99L)
+    val sync = new Syncer(spark, tracking, tmpDir("sync"),
+      FilterConfig(addresses = Seq("a1")), locator = Some(locator))
+    sync.sync()
+    // first a1 log ≥ block 40 with num%3==1 → block 40; origin = 39
+    val bulkScans = scanned.filter { case (f, _) => f < 89 }
+    assert(bulkScans.nonEmpty && bulkScans.head._1 == 39L,
+      s"bulk sync did not start at first-log−1: $scanned")
+    val expected = (40L until 100L).count(_ % 3 == 1) * 2
+    assert(sync.table.read.count() == expected)
+  }
+
+  test("tail fetch retries transient failures (T8, tracker.go:803-812)") {
+    val chain = MockChain.linear(20, _ => 1)
+    var failures = 3
+    val flaky = new MockProvider(spark, chain) {
+      override def getLogsByHash(h: String,
+          filter: graft.model.FilterConfig) = {
+        if (h == "h15" && failures > 0) { failures -= 1; sys.error("unsynced") }
+        super.getLogsByHash(h, filter)
+      }
+    }
+    val sync = new Syncer(spark, flaky, tmpDir("sync"), FilterConfig())
+    sync.sync()
+    assert(sync.table.read.count() == 20)
+    assert(failures == 0) // the retry actually exercised the failure path
+    // a permanently failing block surfaces after fetchRetries attempts
+    val dead = new MockProvider(spark, chain) {
+      override def getLogsByHash(h: String,
+          filter: graft.model.FilterConfig) = sys.error("down")
+    }
+    val e = intercept[IllegalStateException] {
+      new Syncer(spark, dead, tmpDir("sync"), FilterConfig(),
+        fetchRetries = 2).sync()
+    }
+    assert(e.getMessage.contains("failed after 2 attempts"))
+  }
+
   test("randomized sync fuzz: repeated forks always converge to canonical") {
     // the reference's layer-4 oracle (tracker_test.go:369-482): after every
     // round of random advance/fork, stored logs == the mock's canonical set
