@@ -51,6 +51,19 @@ object CapabilityQueries {
       semi.unionByName(anti).select("tag", "c_mktsegment", "n")
         .orderBy("tag", "c_mktsegment")
     },
+    // full outer join with null-side handling
+    "join_outer" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val perCust = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+      c.join(perCust, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          coalesce(col("c_name"), lit("<no-customer>")).as("name"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("custkey")
+    },
     // equi + range (non-equi on timestamps) join
     "join_range" -> { (s, d) =>
       val o = Tables.orders(s, d)
@@ -290,6 +303,14 @@ object CapabilityQueries {
         | FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         | GROUP BY 2)
         |ORDER BY tag, c_mktsegment""".stripMargin,
+    "join_outer" ->
+      """SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        | coalesce(c_name, '<no-customer>') AS name,
+        | coalesce(n_orders, 0) AS n_orders
+        |FROM customer FULL OUTER JOIN (
+        | SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        | FROM orders GROUP BY 1) ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
     "join_range" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late
         |FROM orders JOIN lineitem
