@@ -148,6 +148,54 @@ object CapabilityQueries {
           col("l_linenumber"))
         .limit(100)
     },
+    // distribution windows: ntile / percent_rank / cume_dist
+    "window_dist" -> { (s, d) =>
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_custkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("c_mktsegment", "c_custkey")
+    },
+    // conditional scalar surface: CASE / nullif / ifnull / greatest / least
+    "scalar_conditional" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_partkey", "l_suppkey")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          when(col("l_quantity") > 30, "bulk")
+            .when(col("l_quantity") > 10, "mid")
+            .otherwise("small").as("size_class"),
+          expr("nullif(l_linestatus, 'O')").as("closed_status"),
+          coalesce(expr("nullif(l_returnflag, 'N')"), lit("~")).as("rf_or"),
+          greatest(col("l_discount"), col("l_tax")).as("max_rate"),
+          least(col("l_discount"), col("l_tax")).as("min_rate"))
+    },
+    // multiset ops: UNION ALL / INTERSECT ALL / EXCEPT ALL keep duplicates
+    "set_ops_all" -> { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_custkey").as("k"))
+      val c5 = Tables.customer(s, d).where(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("k"))
+      o.union(c5)                       // union = UNION ALL in Spark
+        .intersectAll(o)
+        .exceptAll(c5)
+        .groupBy("k").agg(count(lit(1)).as("n")) // stable multiset compare
+        .orderBy("k")
+    },
+    // deterministic train/val/test split: hash-based, reproducible across
+    // runs/engines (the stable-split op of a training-data pipeline)
+    "stable_split" -> { (s, d) =>
+      val bucket = conv(substring(sha2(col("doc_id").cast("string"), 256),
+        1, 2), 16, 10).cast("long")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(bucket < 204, "train")     // 204/256 ≈ 80%
+            .when(bucket < 230, "val")    //  26/256 ≈ 10%
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
     // union ∘ intersect ∘ except pipeline over key sets
     "set_ops" -> { (s, d) =>
       val c = Tables.customer(s, d)
@@ -361,6 +409,43 @@ object CapabilityQueries {
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
         |LIMIT 100""".stripMargin,
+    "window_dist" ->
+      """SELECT c_mktsegment, c_custkey,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "scalar_conditional" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        | CASE WHEN l_quantity > 30 THEN 'bulk'
+        |      WHEN l_quantity > 10 THEN 'mid' ELSE 'small' END AS size_class,
+        | nullif(l_linestatus, 'O') AS closed_status,
+        | coalesce(nullif(l_returnflag, 'N'), '~') AS rf_or,
+        | greatest(l_discount, l_tax) AS max_rate,
+        | least(l_discount, l_tax) AS min_rate
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        | l_partkey, l_suppkey""".stripMargin,
+    "set_ops_all" ->
+      """SELECT k, CAST(count(*) AS BIGINT) AS n FROM (
+        | (SELECT o_custkey AS k FROM orders
+        |  UNION ALL
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        | INTERSECT ALL
+        | SELECT o_custkey FROM orders
+        | EXCEPT ALL
+        | SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |GROUP BY k ORDER BY k""".stripMargin,
+    "stable_split" ->
+      """SELECT doc_id,
+        | CASE WHEN CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2)
+        |        AS BIGINT) < 204 THEN 'train'
+        |      WHEN CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2)
+        |        AS BIGINT) < 230 THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "set_ops" ->
       """SELECT k FROM (
         | ((SELECT o_custkey AS k FROM orders
