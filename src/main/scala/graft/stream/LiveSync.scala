@@ -1,0 +1,52 @@
+package graft.stream
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.model.FilterConfig
+import graft.ops.LogOps
+import graft.store.LogTable
+
+/** The reference's `Sync` loop as one Structured Streaming pipeline
+  * (SURVEY.md §3.2): rate-limited source → standing filter → indexed
+  * append, with Spark's checkpoint as the `lastBlock_<hash>` row.
+  *
+  *  - source: [[ChainSourceProvider]] (DataSourceV2, AIMD admission — T1);
+  *  - filter: P1 address membership + P2 positional topics, pushed into the
+  *    stream as ordinary predicates;
+  *  - sink: `foreachBatch` → [[LogTable.storeLogs]] — per-micro-batch
+  *    atomic append with consecutive indices (S8/W1), exactly the
+  *    reference's per-batch store transaction;
+  *  - restart: the `checkpointLocation` (keyed by filter hash, T3) replays
+  *    nothing — a resumed query continues at the committed offset.
+  */
+object LiveSync {
+
+  def start(
+      spark: SparkSession,
+      root: String,
+      filter: FilterConfig,
+      headBlock: Long,
+      batchSize: Long = 100L,
+      maxLogsPerBatch: Long = Long.MaxValue
+  ): StreamingQuery = {
+    val table = new LogTable(spark, root, filter.hash)
+    val logs = spark.readStream
+      .format("graft.stream.ChainSourceProvider")
+      .option("headBlock", headBlock)
+      .option("batchSize", batchSize)
+      .option("maxLogsPerBatch", maxLogsPerBatch)
+      .load()
+      .where(LogOps.filterAddress(filter.addresses, col("address")))
+      .where(LogOps.filterTopics(filter.topics, col("topics")))
+
+    logs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) table.storeLogs(batch): Unit
+      }
+      .option("checkpointLocation", s"$root/ckpt/${filter.hash}")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}
