@@ -162,8 +162,9 @@ object CapabilityQueries {
     // conditional scalar surface: CASE / nullif / ifnull / greatest / least
     "scalar_conditional" -> { (s, d) =>
       Tables.lineitem(s, d)
-        .orderBy("l_orderkey", "l_linenumber", "l_quantity",
-          "l_extendedprice", "l_partkey", "l_suppkey")
+        .where(col("l_orderkey") < 10000)   // pushed-down scope: the point
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity",   // is operator
+          "l_extendedprice", "l_partkey", "l_suppkey")         // coverage,
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           when(col("l_quantity") > 30, "bulk")
             .when(col("l_quantity") > 10, "mid")
@@ -425,7 +426,7 @@ object CapabilityQueries {
         | coalesce(nullif(l_returnflag, 'N'), '~') AS rf_or,
         | greatest(l_discount, l_tax) AS max_rate,
         | least(l_discount, l_tax) AS min_rate
-        |FROM lineitem
+        |FROM lineitem WHERE l_orderkey < 10000
         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice,
         | l_partkey, l_suppkey""".stripMargin,
     "set_ops_all" ->
