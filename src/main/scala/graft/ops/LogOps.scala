@@ -31,13 +31,13 @@ object LogOps {
   /** P2 — positional topic filter; `None` = wildcard at that position
     * (ref `tracker.go:41, 67-69`). Conjunction of `topics[i] == h` for every
     * non-wildcard position; a log with fewer topics than the pattern cannot
-    * match (element_at past the end yields null ⇒ predicate false).
+    * match — `get` (unlike ANSI `element_at`) yields null past the end, so
+    * the equality is false rather than an error.
     */
   def filterTopics(pattern: Seq[Option[String]], topicsCol: Column): Column =
     pattern.zipWithIndex.foldLeft(lit(true)) {
       case (acc, (Some(h), i)) =>
-        // element_at is 1-based
-        acc && element_at(topicsCol, i + 1) === lit(h)
+        acc && get(topicsCol, lit(i)) === lit(h) // get is 0-based
       case (acc, (None, _)) => acc
     }
 
