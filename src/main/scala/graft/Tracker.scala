@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.model.{BlockHeader, FilterConfig}
+import graft.reorg.Reconciler
+import graft.store.LogTable
+import graft.stream.{EventStream, LiveSync}
+import graft.sync.{FirstLogLocator, Provider, SyncReport, Syncer}
+
+/** Porcelain facade — the `NewTracker → Sync → events` surface of the
+  * reference (`tracker.go:151-261`, SURVEY.md §3), one object per standing
+  * filter:
+  *
+  * {{{
+  *   val t = Tracker(spark, provider, "/data/tracker", filter)
+  *   t.sync()                       // backfill-then-tail batch sync (T2)
+  *   t.logs                         // the tracked log as a DataFrame
+  *   t.logs.groupBy("address").count()
+  *   t.lastBlock                    // checkpoint (T3)
+  *   t.live(headBlock = …)          // streaming ingestion (S4/T1)
+  *   t.reconcile(liveHeaders)       // CDC delta for an incoming chain (T4)
+  * }}}
+  *
+  * Everything here delegates to the layer modules (`sync.Syncer`,
+  * `store.LogTable`, `stream.*`) — the facade adds no behavior, only the
+  * reference-shaped surface.
+  */
+final class Tracker private (
+    spark: SparkSession,
+    provider: Provider,
+    root: String,
+    val filter: FilterConfig,
+    syncer: Syncer
+) {
+
+  /** The per-filter log table (S6–S11 store surface). */
+  def table: LogTable = syncer.table
+
+  /** The tracked log as a queryable DataFrame. */
+  def logs: DataFrame = syncer.table.read
+
+  /** T2 — chain guard + resume + bulk backfill + reorg-safe tail. */
+  def sync(): SyncReport = syncer.sync()
+
+  /** T3 — the checkpointed last-synced block. */
+  def lastBlock: Option[BlockHeader] = syncer.checkpoint()
+
+  /** S4/T1 — streaming ingestion with AIMD admission; one query per filter,
+    * checkpointed under this tracker's root.
+    */
+  def live(headBlock: Long, batchSize: Long = 100L,
+      maxLogsPerBatch: Long = Long.MaxValue): StreamingQuery =
+    LiveSync.start(spark, root, filter, headBlock, batchSize, maxLogsPerBatch)
+
+  /** T4 — CDC delta (add/del rows, retractions oldest-first) for an
+    * incoming canonical header set, without mutating the store.
+    */
+  def reconcile(liveHeaders: Seq[BlockHeader], maxBacklog: Int = 10): DataFrame = {
+    val stored = syncer.storedBacklog()
+    val res = Reconciler.reconcile(stored, liveHeaders, maxBacklog)
+    val liveLogs = liveHeaders
+      .map(h => provider.getLogsByHash(h.hash, filter))
+      .reduceOption(_ unionByName _)
+      .getOrElse(logs.limit(0))
+    Reconciler.logDelta(logs, liveLogs, res)
+  }
+}
+
+object Tracker {
+  def apply(
+      spark: SparkSession,
+      provider: Provider,
+      root: String,
+      filter: FilterConfig = FilterConfig(),
+      batchSize: Long = 100L,
+      maxBlockBacklog: Int = 10,
+      locator: Option[FirstLogLocator] = None
+  ): Tracker =
+    new Tracker(spark, provider, root, filter,
+      new Syncer(spark, provider, root, filter, batchSize, maxBlockBacklog,
+        locator))
+}
