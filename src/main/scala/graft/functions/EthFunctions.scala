@@ -102,4 +102,12 @@ object EthFunctions {
   }
 
   private def expr(c: Column): Expression = Bridge.expression(c)
+
+  /** Make the custom expressions SQL-callable in a session:
+    * `SELECT keccak256(s), le_u64(data, 0) FROM …`.
+    */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    Bridge.registerFunction(spark, "keccak256", es => KeccakHash(es.head))
+    Bridge.registerFunction(spark, "le_u64", es => LeU64(es(0), es(1)))
+  }
 }

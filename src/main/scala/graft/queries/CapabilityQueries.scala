@@ -298,6 +298,18 @@ object CapabilityQueries {
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"))
         .orderBy("rf", "ls")
     },
+    // ordered array / string aggregation (sort_array makes the per-group
+    // collection order deterministic regardless of partitioning)
+    "agg_collect" -> { (s, d) =>
+      Tables.events(s, d)
+        .where(col("user_id") < 5)
+        .groupBy("user_id")
+        .agg(
+          sort_array(collect_list(col("event_id"))).as("event_ids"),
+          concat_ws(",", sort_array(collect_set(col("event_type"))))
+            .as("types_csv"))
+        .orderBy("user_id")
+    },
     // exact median (sort-based percentile — deterministic, unlike stddev
     // whose float accumulation is order-dependent)
     "agg_median" -> { (s, d) =>
@@ -508,6 +520,12 @@ object CapabilityQueries {
         | coalesce(l_linestatus, 'ALL') AS ls, CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+    "agg_collect" ->
+      """SELECT user_id,
+        | list_sort(list(event_id)) AS event_ids,
+        | list_aggregate(list_sort(list(DISTINCT event_type)), 'string_agg', ',') AS types_csv
+        |FROM events WHERE user_id < 5
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "agg_median" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS median_value,
         | min(value) AS min_value, max(value) AS max_value

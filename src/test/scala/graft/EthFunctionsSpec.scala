@@ -42,6 +42,18 @@ class EthFunctionsSpec extends SparkSpec {
     assert(r.getLong(2) == 0L) // bytes 12..15 are zero, rest out of range
   }
 
+  test("registerAll makes the expressions SQL-callable") {
+    graft.functions.EthFunctions.registerAll(spark)
+    Seq("abc").toDF("s").createOrReplaceTempView("sqltest")
+    val h = spark.sql("SELECT keccak256(s) FROM sqltest").as[String].head()
+    assert(h ==
+      "4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45")
+    val v = spark.sql(
+      "SELECT le_u64(cast(X'2a00000000000000' AS BINARY), 0L)")
+      .collect().head.getLong(0)
+    assert(v == 42L)
+  }
+
   test("eventTopic constant-folds to the signature hash") {
     val df = Seq(1).toDF("x")
     val topic = df.select(EthFunctions.eventTopic("Transfer(address,address,uint256)"))

@@ -44,8 +44,14 @@ def main():
             print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); ok = False
         else:
             g, e = got[gcols], exp[ecols]
+            def norm(v):
+                if hasattr(v, "tolist"):
+                    v = v.tolist()
+                if isinstance(v, list):
+                    return tuple(v)
+                return v
             for c in gcols:
-                gv, ev = list(g[c]), list(e[c])
+                gv, ev = [norm(x) for x in g[c]], [norm(x) for x in e[c]]
                 bad = [(i, a, b) for i, (a, b) in enumerate(zip(gv, ev))
                        if a != b and not (a != a and b != b)]
                 if bad:
