@@ -110,7 +110,8 @@ object Similarity {
     val withVec = corpus.withColumn("__v",
       array_to_vector(transform(col(vecCol), x => x.cast("double"))))
     val model = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("__v").setPredictionCol("ivf_cell")
+      .setMaxIter(10) // coarse cells only need rough centroids; recall is
+      .setFeaturesCol("__v").setPredictionCol("ivf_cell") // nprobe-driven
       .fit(withVec)
     (model.transform(withVec).drop("__v"), model)
   }
