@@ -32,7 +32,8 @@ final class Tracker private (
     provider: Provider,
     root: String,
     val filter: FilterConfig,
-    syncer: Syncer
+    syncer: Syncer,
+    maxBlockBacklog: Int
 ) {
 
   /** The per-filter log table (S6–S11 store surface). */
@@ -57,9 +58,10 @@ final class Tracker private (
   /** T4 — CDC delta (add/del rows, retractions oldest-first) for an
     * incoming canonical header set, without mutating the store.
     */
-  def reconcile(liveHeaders: Seq[BlockHeader], maxBacklog: Int = 10): DataFrame = {
+  def reconcile(liveHeaders: Seq[BlockHeader]): DataFrame = {
     val stored = syncer.storedBacklog()
-    val res = Reconciler.reconcile(stored, liveHeaders, maxBacklog)
+    // the tolerance is the tracker's configured backlog, not a re-default
+    val res = Reconciler.reconcile(stored, liveHeaders, maxBlockBacklog)
     val liveLogs = liveHeaders
       .map(h => provider.getLogsByHash(h.hash, filter))
       .reduceOption(_ unionByName _)
@@ -80,5 +82,5 @@ object Tracker {
   ): Tracker =
     new Tracker(spark, provider, root, filter,
       new Syncer(spark, provider, root, filter, batchSize, maxBlockBacklog,
-        locator))
+        locator), maxBlockBacklog)
 }

@@ -37,11 +37,13 @@ final class LogTable(spark: SparkSession, root: String, filterHash: String,
   def exists: Boolean =
     new java.io.File(dir).exists() && read.limit(1).count() > 0
 
+  /** Missing directory = genuinely fresh store → empty; any OTHER failure
+    * (I/O, corrupt footer) propagates — silently treating it as "fresh"
+    * would reset lastIndex to 0 and corrupt the monotonic sequence.
+    */
   def read: DataFrame =
-    try spark.read.parquet(dir)
-    catch {
-      case _: Exception => emptyLogs
-    }
+    if (!new java.io.File(dir).exists()) emptyLogs
+    else spark.read.parquet(dir)
 
   private def emptyLogs: DataFrame = {
     import org.apache.spark.sql.types._
@@ -70,16 +72,22 @@ final class LogTable(spark: SparkSession, root: String, filterHash: String,
     */
   def storeLogs(batch: DataFrame): Long = {
     val base = lastIndex()
-    val w = Window.orderBy(col("block_num"), col("tx_index"))
+    // tx_hash in the order makes the assignment deterministic when a tx
+    // emits several logs (same block_num+tx_index); rows identical in all
+    // three are interchangeable, so any tie-break there is immaterial
+    val w = Window.orderBy(col("block_num"), col("tx_index"), col("tx_hash"))
     val indexed = batch
       .withColumn("indx", row_number().over(w).cast("long") + lit(base) - 1L)
       .withColumn("block_range", col("block_num") / lit(blocksPerRange))
       .withColumn("block_range", floor(col("block_range")))
+      .persist()
+    val n = indexed.count() // single evaluation of the (possibly remote) batch
     indexed.write
       .mode(SaveMode.Append)
       .partitionBy("block_range")
       .parquet(dir)
-    base + indexed.count()
+    indexed.unpersist()
+    base + n
   }
 
   /** S9 — RemoveLogs(n): delete every log with `indx >= n`
@@ -95,10 +103,15 @@ final class LogTable(spark: SparkSession, root: String, filterHash: String,
     */
   def removeLogsFrom(n: Long): DataFrame = {
     val current = read.cache()
-    val removed = current.where(col("indx") >= n)
-      .orderBy(col("indx"))
-      .cache()
-    removed.count() // materialize before the rewrite below
+    // pin the removed set on the DRIVER before deleting its source files —
+    // a cached plan can be evicted and recomputed against the rewritten
+    // directory; the set is reorg-bounded (≤ MaxBlockBacklog blocks), so
+    // collecting is safe by construction
+    val removedRows = current.where(col("indx") >= n)
+      .orderBy(col("indx")).collect()
+    val removed = spark.createDataFrame(
+      spark.sparkContext.parallelize(removedRows.toSeq, 1),
+      current.schema)
     // partition-dir values are type-inferred on read (int, not long)
     val affected = removed.select(col("block_range").cast("long")).distinct()
       .collect().map(_.getLong(0))
@@ -164,16 +177,46 @@ final class LogTable(spark: SparkSession, root: String, filterHash: String,
 /** S6/S7 — string→string KV metadata store (genesis hash, chainID,
   * lastBlock checkpoint, filter registry — ref `store/store.go:8-14`).
   * Tiny by construction (a handful of keys per filter), so the upsert is a
-  * read-modify-overwrite of one small parquet; at scale this is the
-  * streaming checkpoint / a Delta MERGE, never a data-sized table.
+  * read-modify-rewrite of one small parquet; at scale this is the streaming
+  * checkpoint / a Delta MERGE, never a data-sized table.
+  *
+  * Crash safety: every write lands in a fresh `v<nanos>` directory whose
+  * `_SUCCESS` marker is written last by the commit protocol; readers pick
+  * the newest *complete* version and stale versions are pruned on the next
+  * write. There is no delete-before-rename window — a crash at any point
+  * leaves the previous version readable (losing the checkpoint would
+  * otherwise silently re-backfill the whole history on restart).
+  *
+  * Single-writer by design: the reference's store is driven by one sync
+  * goroutine per filter (`tracker.go:582`) and this engine keeps that
+  * contract — the KV is per-tracker metadata, not a shared database.
   */
 final class KvStore(spark: SparkSession, root: String) {
   private val dir = s"$root/kv"
 
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+
+  /** Complete (committed) versions, oldest→newest. */
+  private def versions(): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(base)) Nil
+    else fs.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
+      .flatMap { st =>
+        val name = st.getPath.getName.drop(1)
+        if (name.forall(_.isDigit) &&
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+          Some(name.toLong -> st.getPath)
+        else None
+      }
+      .sortBy(_._1)
+  }
+
   def read: DataFrame =
-    try spark.read.parquet(dir)
-    catch {
-      case _: Exception =>
+    versions().lastOption match {
+      case Some((_, p)) => spark.read.parquet(p.toString)
+      case None =>
         spark.createDataFrame(Seq.empty[(String, String)]).toDF("key", "value")
     }
 
@@ -184,22 +227,23 @@ final class KvStore(spark: SparkSession, root: String) {
   /** Upsert (ref `postgresql_store.go:72` ON CONFLICT DO UPDATE). */
   def set(key: String, value: String): Unit = setAll(Map(key -> value))
 
-  /** Batched upsert — one table rewrite for any number of keys (a
-    * checkpoint writes lastBlock + header backlog together). Single-writer
-    * by design: the reference's store is driven by one sync goroutine per
-    * filter (`tracker.go:582`), and this engine keeps that contract — the
-    * KV is per-tracker metadata, not a shared database.
+  /** Batched upsert — one versioned rewrite for any number of keys (a
+    * checkpoint writes lastBlock + header backlog together).
     */
   def setAll(kvs: Map[String, String]): Unit = {
     val updated = read.where(!col("key").isin(kvs.keys.toSeq: _*))
       .unionByName(spark.createDataFrame(kvs.toSeq).toDF("key", "value"))
-    val tmp = s"$dir.tmp-${System.nanoTime()}"
-    updated.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(dir)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+      .collect() // tiny by construction; pin before touching directories
+    val v = System.nanoTime()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(updated.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType))))
+      .write.parquet(s"$dir/v$v")
+    versions().filter(_._1 < v).foreach(x => fs.delete(x._2, true))
   }
 
   /** S7 — prefix scan (ref `store/store.go:11`). */

@@ -87,11 +87,18 @@ object EventStream {
       val known = backlog.exists(b => b.number == h.number && b.hash == h.hash)
       if (!known) {
         // fork point: highest stored header the new one links to
-        val keep = backlog.takeWhile(b => b.number < h.number)
-        val dropped = backlog.drop(keep.size)
-        // consistency: if the new header doesn't link onto keep's last and
-        // heights overlap, the divergence is deeper — the reference errors
-        // beyond the backlog bound (tracker.go:313)
+        var keep = backlog.takeWhile(b => b.number < h.number)
+        val droppedAbove = backlog.drop(keep.size)
+        // direct-parent consistency: a head whose parentHash contradicts the
+        // stored header at h−1 invalidates that header too. With contiguous
+        // ascending delivery (T6 contract) deeper stale prefixes are
+        // retracted incrementally as each replacement arrives; this check is
+        // the safety net for a source that skipped the replacement parent.
+        val staleParent = keep.lastOption.exists(b =>
+          b.number == h.number - 1 && b.hash != h.parentHash)
+        val dropped =
+          if (staleParent) { val d = keep.last; keep = keep.dropRight(1); d +: droppedAbove }
+          else droppedAbove
         // retractions emit oldest-first (revertLogs semantics,
         // ref tracker.go:756-761 + tracker_test.go:584-590)
         dropped.foreach(d =>

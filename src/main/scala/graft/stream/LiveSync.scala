@@ -18,8 +18,9 @@ import graft.store.LogTable
   *  - sink: `foreachBatch` → [[LogTable.storeLogs]] — per-micro-batch
   *    atomic append with consecutive indices (S8/W1), exactly the
   *    reference's per-batch store transaction;
-  *  - restart: the `checkpointLocation` (keyed by filter hash, T3) replays
-  *    nothing — a resumed query continues at the committed offset.
+  *  - restart: the `checkpointLocation` (keyed by filter hash, T3) resumes
+  *    at the committed offset; `foreachBatch` is at-least-once, so the sink
+  *    additionally skips blocks already stored (idempotent apply).
   */
 object LiveSync {
 
@@ -43,7 +44,20 @@ object LiveSync {
 
     logs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        if (!batch.isEmpty) table.storeLogs(batch): Unit
+        // foreachBatch is at-least-once: a crash after the append but before
+        // the micro-batch commit replays the batch — skip blocks already
+        // stored (probe bounded by the batch's own hashes)
+        if (!batch.isEmpty) {
+          val hashes = batch.select("block_hash").distinct()
+            .collect().map(_.getString(0)).toSeq
+          val existing = table.read
+            .where(col("block_hash").isin(hashes: _*))
+            .select("block_hash").distinct()
+            .collect().map(_.getString(0)).toSet
+          val fresh = hashes.filterNot(existing)
+          if (fresh.nonEmpty)
+            table.storeLogs(batch.where(col("block_hash").isin(fresh: _*))): Unit
+        }
       }
       .option("checkpointLocation", s"$root/ckpt/${filter.hash}")
       .trigger(Trigger.AvailableNow())

@@ -31,22 +31,31 @@ class ReorgProcessor(maxBacklog: Int)
       inputRows: Iterator[HeadObservation],
       timerValues: TimerValues
   ): Iterator[HeaderAction] = {
-    var backlog: List[BlockHeader] =
-      Option(backlogState.get()).map(_.headers).getOrElse(Nil)
-    val out = scala.collection.mutable.ArrayBuffer.empty[HeaderAction]
-    inputRows.toSeq.sortBy(_.number).foreach { obs =>
-      val h = BlockHeader(obs.number, obs.hash, obs.parentHash)
-      val known = backlog.exists(b => b.number == h.number && b.hash == h.hash)
-      if (!known) {
-        val keep = backlog.takeWhile(b => b.number < h.number)
-        val dropped = backlog.drop(keep.size)
-        dropped.foreach(d => out += HeaderAction(key, "del", d.number, d.hash))
-        out += HeaderAction(key, "add", h.number, h.hash)
-        backlog = (keep :+ h).takeRight(maxBacklog)
-      }
-    }
-    backlogState.update(Backlog(backlog))
-    out.iterator
+    // share the exact reconcile semantics with the v1 implementation —
+    // one body, two state APIs
+    val state = new WrappedState(backlogState)
+    EventStream.reconcileHead(maxBacklog)(key, inputRows, state)
+  }
+  /** Minimal GroupState adapter over a v2 ValueState — only the members
+    * reconcileHead touches.
+    */
+  private final class WrappedState(
+      vs: org.apache.spark.sql.streaming.ValueState[Backlog])
+      extends org.apache.spark.sql.streaming.GroupState[Backlog] {
+    override def exists: Boolean = vs.exists()
+    override def get: Backlog = vs.get()
+    override def getOption: Option[Backlog] = Option(vs.get())
+    override def update(s: Backlog): Unit = vs.update(s)
+    override def remove(): Unit = vs.clear()
+    override def hasTimedOut: Boolean = false
+    override def setTimeoutDuration(durationMs: Long): Unit = ()
+    override def setTimeoutDuration(duration: String): Unit = ()
+    override def setTimeoutTimestamp(t: Long): Unit = ()
+    override def setTimeoutTimestamp(t: Long, additionalDuration: String): Unit = ()
+    override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
+    override def setTimeoutTimestamp(t: java.sql.Date, additionalDuration: String): Unit = ()
+    override def getCurrentWatermarkMs(): Long = 0L
+    override def getCurrentProcessingTimeMs(): Long = 0L
   }
 }
 

@@ -129,7 +129,7 @@ final class Syncer(
   private val backlogKey = s"headers_$filterHash"
 
   def checkpoint(): Option[BlockHeader] =
-    kv.get(lastBlockKey).map { v =>
+    kv.get(lastBlockKey).filter(_.nonEmpty).map { v =>
       val Array(n, h, p) = v.split("\\|", 3)
       BlockHeader(n.toLong, h, p)
     }
@@ -212,6 +212,13 @@ final class Syncer(
       case Some(last) =>
         if (last.number > head.number)
           sys.error("store is more advanced than the chain") // T9
+        // crash recovery: a torn batch may have appended logs whose
+        // checkpoint write never landed — drop everything beyond the
+        // checkpoint so the resume is idempotent (pushed-down probe,
+        // touches only the tail partitions)
+        val orphan = table.read.where(col("block_num") > last.number)
+          .agg(min("indx")).head()
+        if (!orphan.isNullAt(0)) table.removeLogsFrom(orphan.getLong(0))
         // re-check the checkpointed block's hash — reorg while offline?
         provider.getBlock(last.number) match {
           case Some(liveAtLast) if liveAtLast.hash != last.hash =>
@@ -261,9 +268,13 @@ final class Syncer(
           .collect().map(r => BlockHeader(r.getLong(0), r.getString(1), ""))
       }
     }
-    val liveBacklog = (math.max(0L, head.number - maxBlockBacklog + 1)
-      to head.number).flatMap(provider.getBlock)
-    val res = Reconciler.reconcile(stored, liveBacklog, maxBlockBacklog)
+    // anchor the live view at the STORED heights — the fork point must be
+    // provable inside the stored window; anchoring at the current head
+    // would make a shallow offline reorg look "deeper than backlog" once
+    // the chain has advanced past the window
+    val liveAtStored = stored.map(_.number).sorted
+      .flatMap(n => provider.getBlock(n))
+    val res = Reconciler.reconcile(stored, liveAtStored, maxBlockBacklog)
     // truncate stored logs above the ancestor (S9) — retractions
     val firstBad = table.read
       .where(col("block_num") > res.ancestor)
@@ -271,18 +282,18 @@ final class Syncer(
     val removed =
       if (firstBad.isNullAt(0)) 0L
       else table.removeLogsFrom(firstBad.getLong(0)).count()
-    // apply the canonical chain forward
-    var added = 0L
-    res.added.foreach { b =>
-      val (logs, c) = withRetry(s"logs of block ${b.hash}") {
-        val df = provider.getLogsByHash(b.hash, filter)
-        (df, df.count())
-      }
-      added += c
-      table.storeLogs(logs)
-      writeCheckpoint(b)
+    // reset the checkpoint to the common ancestor (prunes forked backlog
+    // entries) and resync forward through the normal bulk+tail path —
+    // this handles an arbitrarily long gap between ancestor and head.
+    // No common block at all (full divergence within tolerance) ⇒ clear
+    // the checkpoint entirely so the recursive sync restarts fresh instead
+    // of re-detecting the same mismatch forever
+    provider.getBlock(res.ancestor) match {
+      case Some(anchor) => writeCheckpoint(anchor)
+      case None => kv.setAll(Map(lastBlockKey -> "", backlogKey -> ""))
     }
-    SyncReport(0, added, removed, head.number)
+    val fwd = sync()
+    SyncReport(fwd.batches, fwd.added, removed, head.number)
   }
 }
 

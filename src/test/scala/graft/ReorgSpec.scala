@@ -102,6 +102,17 @@ class ReorgSpec extends SparkSpec {
     assert(backlog == List(h(1), h(2), b30, b40, b50))
   }
 
+  test("head contradicting its direct parent retracts the stale parent") {
+    // backlog ..4,5(h5); new head 6 with parent h5' ⇒ h5 is stale too
+    val (out, backlog) = run(
+      List(h(4), h(5)),
+      Seq(obs(h(6, tag = "6F", parent = "5F"))))
+    assert(out == Seq(
+      HeaderAction("f", "del", 5, "h5"),
+      HeaderAction("f", "add", 6, "h6F")))
+    assert(backlog == List(h(4), h(6, tag = "6F", parent = "5F")))
+  }
+
   test("backlog is bounded by maxBacklog") {
     val (_, backlog) = run(
       (1L to 10L).map(i => h(i)).toList, Seq(obs(h(11))), maxBacklog = 10)

@@ -188,6 +188,29 @@ class SyncerSpec extends SparkSpec {
     assert(e.getMessage.contains("failed after 2 attempts"))
   }
 
+  test("offline shallow reorg + long advance resyncs instead of erroring") {
+    // tracker stops at block 99; a depth-2 reorg happens AND the chain then
+    // advances 50 more blocks — the fork point is inside the stored window
+    // but far below the new head, which must not read as 'deeper than
+    // backlog'
+    val root = tmpDir("sync")
+    new Syncer(spark, new MockProvider(spark, chain100), root,
+      FilterConfig()).sync()
+    val forked = MockChain.fork(chain100, depth = 2, extend = 50,
+      logsAt = _ => 1)
+    assert(forked.last.num == 149)
+    val s2 = new Syncer(spark, new MockProvider(spark, forked), root,
+      FilterConfig())
+    val r = s2.sync()
+    val oldTail = (98L to 99L).map(n => if (n % 2 == 0) 2 else 5).sum
+    assert(r.removed == oldTail)
+    val stored = s2.table.read.select("tx_hash").as[String].collect().sorted
+    val canonical = new MockProvider(spark, forked).allLogs
+      .select("tx_hash").as[String].collect().sorted
+    assert(stored.sameElements(canonical))
+    assert(s2.checkpoint().map(_.number).contains(149L))
+  }
+
   test("randomized sync fuzz: repeated forks always converge to canonical") {
     // the reference's layer-4 oracle (tracker_test.go:369-482): after every
     // round of random advance/fork, stored logs == the mock's canonical set
