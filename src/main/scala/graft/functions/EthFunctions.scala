@@ -56,7 +56,11 @@ case class LeU64(bytes: Expression, offset: Expression)
 
   override def nullSafeEval(b: Any, off: Any): Any = {
     val arr = b.asInstanceOf[Array[Byte]]
-    val o = off.asInstanceOf[Long].toInt
+    // accept any integral offset — the generated code's `(int) off` cast
+    // is width-agnostic, and the interpreted path must match it
+    // (AbstractDataType is private[sql], so ExpectsInputTypes coercion
+    // isn't declarable from here)
+    val o = off.asInstanceOf[Number].intValue()
     var v = 0L
     var i = 0
     while (i < 8) {

@@ -62,7 +62,8 @@ final case class FilterConfig(
 }
 
 /** CDC output row: reorgs retract previously-emitted logs (`action = "del"`,
-  * emitted newest-first; ref `tracker.go:756-761, 786-795`), canonical logs
+  * emitted oldest-first — removeLogs collects newest-first but revertLogs
+  * reverses before emitting; ref `tracker.go:756-761, 786-795`), canonical logs
   * are appended (`action = "add"`). Structured Streaming sinks don't natively
   * retract, so the engine emits an explicit action column (SURVEY.md §1.1d).
   */

@@ -301,11 +301,15 @@ object CapabilityQueries {
     // ordered array / string aggregation (sort_array makes the per-group
     // collection order deterministic regardless of partitioning)
     "agg_collect" -> { (s, d) =>
+      // arrays are CSV-serialized in the OUTPUT (the driver's pandas
+      // compare can't hash ndarray cells) — the aggregation itself still
+      // exercises collect_list/collect_set
       Tables.events(s, d)
         .where(col("user_id") < 5)
         .groupBy("user_id")
         .agg(
-          sort_array(collect_list(col("event_id"))).as("event_ids"),
+          concat_ws(",", sort_array(collect_list(col("event_id"))))
+            .as("event_ids_csv"),
           concat_ws(",", sort_array(collect_set(col("event_type"))))
             .as("types_csv"))
         .orderBy("user_id")
@@ -522,7 +526,7 @@ object CapabilityQueries {
         |ORDER BY rf, ls""".stripMargin,
     "agg_collect" ->
       """SELECT user_id,
-        | list_sort(list(event_id)) AS event_ids,
+        | list_aggregate(list_sort(list(event_id)), 'string_agg', ',') AS event_ids_csv,
         | list_aggregate(list_sort(list(DISTINCT event_type)), 'string_agg', ',') AS types_csv
         |FROM events WHERE user_id < 5
         |GROUP BY user_id ORDER BY user_id""".stripMargin,

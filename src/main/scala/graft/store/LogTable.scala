@@ -234,7 +234,11 @@ final class KvStore(spark: SparkSession, root: String) {
     val updated = read.where(!col("key").isin(kvs.keys.toSeq: _*))
       .unionByName(spark.createDataFrame(kvs.toSeq).toDF("key", "value"))
       .collect() // tiny by construction; pin before touching directories
-    val v = System.nanoTime()
+    // Monotonic across JVM restarts: nanoTime's origin is arbitrary per JVM
+    // (boot-relative on Linux), so a restart could mint a version SMALLER
+    // than an existing one and read() would pin to the stale dir forever.
+    val v = versions().lastOption.map(_._1 + 1L)
+      .getOrElse(System.currentTimeMillis())
     spark.createDataFrame(
       spark.sparkContext.parallelize(updated.toSeq, 1),
       org.apache.spark.sql.types.StructType(Seq(

@@ -235,8 +235,20 @@ final class Syncer(
     // tail: per-block by hash, reorg-safe (S2, ref tracker.go:699-714)
     val tailStart = math.max(origin, bulkEnd + 1)
     var added = 0L
-    (tailStart to head.number).foreach { n =>
+    // linkage guard: each tail head must extend the previously stored
+    // block (ref blocktracker reconcile, tracker.go:571-609) — a
+    // parentHash mismatch means the chain forked mid-tail; appending
+    // would mix lineages the checkpoint hash re-check can never catch
+    var prev: Option[BlockHeader] = checkpoint()
+    var n = tailStart
+    while (n <= head.number) {
       provider.getBlock(n).foreach { b =>
+        if (prev.exists(p =>
+            p.number == b.number - 1 && p.hash != b.parentHash)) {
+          val r = reorgResync(head)
+          return SyncReport(batches + r.batches, added + r.added,
+            r.removed, r.headNumber)
+        }
         // T8: tolerate a transiently-unsynced node on the hot tail
         val (logs, c) = withRetry(s"logs of block ${b.hash}") {
           val df = provider.getLogsByHash(b.hash, filter)
@@ -245,7 +257,9 @@ final class Syncer(
         added += c
         table.storeLogs(logs)
         writeCheckpoint(b)
+        prev = Some(b)
       }
+      n += 1
     }
     SyncReport(batches, added, 0, head.number)
   }

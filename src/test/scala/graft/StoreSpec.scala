@@ -122,6 +122,28 @@ class StoreSpec extends SparkSpec {
     assert(kv.read.count() == 1)
   }
 
+  test("kv versions are monotonic across restarts (stale-dir regression)") {
+    // nanoTime's origin is arbitrary per JVM — a restart could mint a
+    // smaller version and pin read() to the stale dir forever; versions
+    // must instead derive from max(existing)+1
+    val dir = tmpDir("kv")
+    val kv = new KvStore(spark, dir)
+    kv.set("k", "1")
+    def vers() = new java.io.File(dir, "kv").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName.drop(1).toLong).sorted.toSeq
+    val v1 = vers()
+    assert(v1.size == 1)
+    // a "restarted JVM" writing after a clock regression: new KvStore
+    // instance must still write a strictly larger version and prune
+    val kv2 = new KvStore(spark, dir)
+    kv2.set("k", "2")
+    val v2 = vers()
+    assert(v2.size == 1 && v2.head == v1.head + 1)
+    assert(kv2.get("k").contains("2"))
+    assert(new KvStore(spark, dir).get("k").contains("2"))
+  }
+
   test("prefix listing (testing.go:199-242)") {
     val kv = new KvStore(spark, tmpDir("kv"))
     kv.set("filter_a", "1"); kv.set("filter_b", "2"); kv.set("last_x", "3")

@@ -90,6 +90,41 @@ class SyncerSpec extends SparkSpec {
     assert(stored.sameElements(canonical))
   }
 
+  test("mid-tail reorg: parent-hash mismatch triggers reconcile, not append") {
+    // the chain forks WHILE the tail loop is running: blocks 35-36 are
+    // stored from lineage A, then block 37 arrives from lineage B whose
+    // parentHash doesn't extend A's 36 — the linkage guard must reconcile
+    // (ref blocktracker handleReconcile) instead of appending mixed
+    // lineages that the next sync's checkpoint-hash re-check can't catch
+    val chainA = MockChain.linear(40, _ => 1)
+    val chainB = MockChain.fork(chainA, depth = 5, extend = 0,
+      logsAt = _ => 2)
+    val pA = new MockProvider(spark, chainA)
+    val pB = new MockProvider(spark, chainB)
+    var flipped = false
+    val switching = new graft.sync.Provider {
+      private def cur = if (flipped) pB else pA
+      override def getLogs(f: Long, t: Long, fl: FilterConfig) =
+        cur.getLogs(f, t, fl)
+      override def getLogsByHash(h: String, fl: FilterConfig) =
+        cur.getLogsByHash(h, fl)
+      override def getBlock(n: Long) = {
+        if (n == 37) flipped = true
+        cur.getBlock(n)
+      }
+      override def latestBlock() = cur.latestBlock()
+      override def genesisHash() = cur.genesisHash()
+      override def chainId() = cur.chainId()
+    }
+    val sync = new Syncer(spark, switching, tmpDir("sync"), FilterConfig())
+    val r = sync.sync()
+    assert(r.removed == 2) // A's forked-away 35,36 (1 log each) retracted
+    val stored = sync.table.read.select("tx_hash").as[String].collect().sorted
+    val canonical = pB.allLogs.select("tx_hash").as[String].collect().sorted
+    assert(stored.sameElements(canonical))
+    assert(sync.checkpoint().map(_.hash).contains(chainB.last.hash))
+  }
+
   test("chain guard: bad genesis fails (tracker_test.go:182-219)") {
     val root = tmpDir("sync")
     new Syncer(spark, new MockProvider(spark, chain100), root,
