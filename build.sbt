@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] puts 32 executor threads in ONE JVM: an 8g heap made mid-run
+  // GC pauses land on whichever query was executing (driver bench showed
+  // 3-12x inflation on random queries vs isolated runs). The box has
+  // 128 GiB; give the fork enough headroom that shuffles never thrash.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -32,7 +32,13 @@ object Bench {
     // warmup (untimed): JVM + codegen + parquet footers
     try once(SparkEntry.queries("scan_range")) catch { case _: Throwable => }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated subset for local iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try once(fn)
       catch { case e: Throwable =>

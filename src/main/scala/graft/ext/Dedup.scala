@@ -51,26 +51,26 @@ object Dedup {
     )
   }
 
-  /** Distinct (doc, shingle) rows via posexplode + window `lead` — fully
-    * codegen'd, unlike the lambda-HOF form (higher-order functions are
-    * interpreted). The window shuffles one small (doc, pos, word) row per
-    * token, partitioned by doc — cheap and embarrassingly parallel. The
-    * closing aggregate both dedups within-doc shingles and acts as the
-    * materialization barrier every consumer reuses.
+  /** (doc, shingle) rows, fully codegen'd and SHUFFLE-FREE: the word array
+    * is zipped against its own n−1 shifted slices (`arrays_zip` of `slice`s
+    * — plain expressions, not interpreted lambda HOFs), so each row expands
+    * to its W−n+1 shingles in a narrow explode. This replaced an earlier
+    * posexplode + window-`lead` form whose per-doc window cost a full
+    * shuffle+sort before any consumer ran. With `distinct`, the closing
+    * aggregate dedups within-doc shingles and is the materialization
+    * barrier every consumer reuses (ReuseExchange).
     */
   def shingleRows(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, n: Int, distinct: Boolean = true): org.apache.spark.sql.DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc").orderBy("pos")
-    val words = df.select(col(idCol).as("doc"),
-      posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
-    val leads = (1 until n).map(j => lead(col("w"), j).over(w))
-    val rows = words
+    val words = split(col(textCol), " ")
+    // each part j = words[j..], truncated to the common shingle count
+    // (W−n+1; empty when W<n) so the zip never pads with nulls
+    val nShingles = greatest(size(words) - (n - 1), lit(0))
+    val parts = (0 until n).map(j => slice(words, lit(j + 1), nShingles))
+    val rows = df
+      .select(col(idCol).as("doc"), explode(arrays_zip(parts: _*)).as("z"))
       .select(col("doc"),
-        concat_ws(" ", (col("w") +: leads): _*).as("s"),
-        leads.last.as("__last"))
-      .where(col("__last").isNotNull)
-      .select("doc", "s")
+        concat_ws(" ", (0 until n).map(j => col(s"z.$j")): _*).as("s"))
     if (distinct) rows.distinct() else rows
   }
 

@@ -109,10 +109,17 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val withVec = corpus.withColumn("__v",
       array_to_vector(transform(col(vecCol), x => x.cast("double"))))
+    // Train the coarse quantizer on a BOUNDED single-partition sample
+    // (FAISS-style): centroid quality needs a few hundred points per cell,
+    // not the corpus — and Lloyd's over the full corpus pays
+    // iterations × full-scan job overhead for nothing. At 100 TB this is
+    // the difference between a 10-pass corpus scan and a constant-size fit.
+    val train = withVec.select("__v").limit(nlist * 256).coalesce(1).cache()
     val model = new KMeans().setK(nlist).setSeed(seed)
       .setMaxIter(10) // coarse cells only need rough centroids; recall is
       .setFeaturesCol("__v").setPredictionCol("ivf_cell") // nprobe-driven
-      .fit(withVec)
+      .fit(train)
+    train.unpersist(blocking = false)
     (model.transform(withVec).drop("__v"), model)
   }
 
