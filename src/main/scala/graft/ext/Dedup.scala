@@ -120,7 +120,12 @@ object Dedup {
       .agg(array((0 until numHashes).map(i =>
         min(xxhash64(col("s"), lit(i)))): _*).as("sig"))
 
-    // explode into (doc, band, band_hash)
+    // explode into (doc, band, band_hash). Both self-join sides recompute
+    // this subtree (column pruning specializes each leg, so ReuseExchange
+    // never matches) — measured CHEAPER than .cache(): materializing an
+    // InMemoryRelation costs more than re-running the codegen'd pipeline
+    // and loses broadcast-size stats (2.9s → 3.3s with cache at sf0.1).
+    // At cluster scale, write the signature table once and join against it.
     val banded = sig.select(
       col("doc"),
       col("sig"),
@@ -150,21 +155,37 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document (Charikar): per-word xxhash64, ±1 vote per
-    * bit, sign → bit. Implemented as explode + 64 conditional sums — a
-    * single map-side-combinable aggregation per doc.
+    * bit, sign → bit.
+    *
+    * The 64 per-bit vote counters are PACKED into 16 longs of 4×16-bit
+    * lanes before aggregation: a first cut aggregated 64 separate
+    * conditional sums, whose 64-slot buffer pushed the generated
+    * HashAggregate past codegen limits into the interpreted path. 16 plain
+    * long sums stay codegen'd and map-side-combinable, and the same 64 bit
+    * extractions per word happen either way. Lanes hold counts, not ±1
+    * votes — bit b is set iff 2·cnt_b > n_words, which is the same
+    * sign test. Bound: documents up to 32,767 words (the top lane shifts by
+    * 48, so counts must stay below 2^15 to keep the packed sum positive);
+    * longer docs should be pre-chunked (at 100 TB you chunk anyway for
+    * context windows).
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val words = docs.select(col(idCol).as("doc"),
       explode(split(col(textCol), " ")).as("w"))
       .withColumn("h", xxhash64(col("w")))
-    val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"v$b")
+    // packed(i) lane j (j=0..3) counts bit 4i+j across words
+    val packed = (0 until 16).map { i =>
+      (0 until 4).map { j =>
+        shiftleft(shiftright(col("h"), 4 * i + j).bitwiseAND(1), 16 * j)
+      }.reduce(_ + _)
     }
-    val voted = words.groupBy("doc").agg(votes.head, votes.tail: _*)
-    val fp = (0 until 64)
-      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
+    val aggs = packed.zipWithIndex.map { case (p, i) => sum(p).as(s"p$i") } :+
+      count(lit(1)).as("n")
+    val voted = words.groupBy("doc").agg(aggs.head, aggs.tail: _*)
+    val fp = (0 until 64).map { b =>
+      val cnt = shiftright(col(s"p${b / 4}"), 16 * (b % 4)).bitwiseAND(0xffffL)
+      when(cnt * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
     voted.select(col("doc"), fp.as("simhash"))
   }
 
@@ -175,6 +196,8 @@ object Dedup {
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
     val fp = simHash(docs, idCol, textCol)
+    // both self-join sides recompute this — cheaper than caching here
+    // (see minHashLsh note)
     val banded = fp.select(col("doc"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), i * 16).bitwiseAND(0xffffL)): _*))
@@ -205,11 +228,13 @@ object Dedup {
       shingleN: Int = 3,
       minJaccard: Double = 0.0
   ): DataFrame = {
-    // distinct-by-aggregate instead of array_distinct: the Aggregate's
-    // Exchange is an identical subtree under all three consumers below
-    // (counts + both self-join sides), so ReuseExchange computes the
-    // interpreted shingle HOF once instead of three times (3× measured win
-    // at sf0.1).
+    // Three consumers (counts + both self-join sides) each recompute the
+    // shingle subtree — column pruning specializes each leg, so
+    // ReuseExchange never matches (the plan shows four Scan→Generate→
+    // Aggregate chains). Measured FASTER than .cache() at sf0.1 (3.6s vs
+    // 5.2s): codegen'd recompute beats InMemoryRelation materialization,
+    // and caching hides broadcast-size stats. At cluster scale, materialize
+    // the shingle table once, then join.
     val sh = shingleRows(docs, idCol, textCol, shingleN)
     val counts = sh.groupBy("doc").agg(count(lit(1)).as("n"))
     val pairs = sh.as("x")
@@ -229,6 +254,58 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Connected components over near-dup pairs: the step that turns pairwise
+    * duplicate evidence into dedup groups ("keep one doc per cluster").
+    * Min-label propagation to fixpoint: every node starts labeled with its
+    * own id; each round, labels flow across edges and each node keeps the
+    * minimum seen. Deterministic — the final label of a component is its
+    * smallest member id, independent of iteration order.
+    *
+    * Scale notes: each round is one join + one aggregate, both shuffling on
+    * node id; rounds needed = component diameter, which for near-dup
+    * clusters is tiny (dups of a doc are dups of each other). For graphs
+    * with long chains use the large-star/small-star variant (Kiveris et al.,
+    * "Connected Components in MapReduce"), which converges in O(log n)
+    * rounds — same per-round plan shape. `localCheckpoint` truncates
+    * lineage each round (an iterative DataFrame loop otherwise re-executes
+    * the whole prefix every round and the plan grows unboundedly); edges
+    * are checkpointed once so the (expensive) candidate-pair computation
+    * never reruns.
+    *
+    * @param pairs undirected edges (id_a, id_b)
+    * @param nodes one row per node (`idCol`) — isolated nodes keep their
+    *              own id as the cluster label
+    * @return (node, label)
+    */
+  def connectedComponents(
+      pairs: DataFrame, nodes: DataFrame, idCol: String): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col(idCol).as("node"), col(idCol).as("label"))
+      .localCheckpoint(true)
+    // labels only ever decrease ⇒ sum(label) strictly decreases until the
+    // fixpoint; compare in unbounded decimal (no overflow at any scale)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label")).cast("decimal(38,0)")).head().getDecimal(0)
+    var prev = labelSum(labels)
+    var done = false
+    var rounds = 0
+    while (!done && rounds < 50) {
+      val prop = edges.join(labels, edges("src") === labels("node"))
+        .select(edges("dst").as("node"), col("label"))
+      labels = labels.union(prop)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val cur = labelSum(labels)
+      if (cur.compareTo(prev) == 0) done = true
+      prev = cur
+      rounds += 1
+    }
+    labels
+  }
+
   /** Embedding near-dup: pairs of vectors with cosine ≥ threshold, candidate-
     * limited to shared LSH buckets (see [[Similarity.lshBucketed]]).
     */
@@ -241,8 +318,9 @@ object Dedup {
       minCosine: Double
   ): DataFrame = {
     // norms once per vector BEFORE the pair join (each vector appears in
-    // many pairs; computing norm2 per pair tripled the interpreted-fold
-    // work). The join then needs only one dot product per pair.
+    // many pairs; computing norm2 per pair tripled the per-pair work). The
+    // join then needs only one dot product per pair. Both join sides
+    // recompute it — cheaper than caching here (see minHashLsh note).
     val bucketed = Similarity.lshBucketed(embs, vecCol, dim, nbits)
       .withColumn("__norm", sqrt(Similarity.norm2(col(vecCol))))
     val a = bucketed.select(col("lsh_bucket"), col(idCol).as("id_a"),

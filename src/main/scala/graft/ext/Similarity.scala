@@ -25,17 +25,23 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-fold sum over an array<double> — order-fixed, bit-deterministic. */
+  /** Left-fold sum over an array<double> — order-fixed, bit-deterministic.
+    * (Interpreted HOF — kept for composition in non-hot paths.)
+    */
   def foldSum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
-  /** Dot product of two float arrays in double precision. */
+  /** Dot product in double precision — native codegen'd expression
+    * ([[graft.functions.DotProductF]]); same left-to-right accumulation as
+    * the interpreted `aggregate(zip_with(...))` fold it replaced, so outputs
+    * are bit-identical (SimilaritySpec asserts this) while the per-pair cost
+    * drops from ~dim interpreted lambda calls to one fused loop.
+    */
   def dot(a: Column, b: Column): Column =
-    foldSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+    graft.functions.VectorFunctions.dot(a, b)
 
-  /** Squared L2 norm in double precision. */
-  def norm2(a: Column): Column =
-    foldSum(transform(a, x => x.cast("double") * x.cast("double")))
+  /** Squared L2 norm in double precision (= dot(a, a), codegen'd). */
+  def norm2(a: Column): Column = dot(a, a)
 
   /** Cosine similarity of two float arrays. */
   def cosine(a: Column, b: Column): Column =
@@ -101,32 +107,76 @@ object Similarity {
     */
   def ivfIndex(
       corpus: DataFrame,
+      idCol: String,
       vecCol: String,
-      nlist: Int,
-      seed: Long = 42L
-  ): (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val withVec = corpus.withColumn("__v",
-      array_to_vector(transform(col(vecCol), x => x.cast("double"))))
-    // Train the coarse quantizer on a BOUNDED single-partition sample
+      nlist: Int
+  ): (DataFrame, Array[Array[Double]]) = {
+    // Train the coarse quantizer on a BOUNDED, DETERMINISTIC sample
     // (FAISS-style): centroid quality needs a few hundred points per cell,
-    // not the corpus — and Lloyd's over the full corpus pays
-    // iterations × full-scan job overhead for nothing. At 100 TB this is
-    // the difference between a 10-pass corpus scan and a constant-size fit.
-    val train = withVec.select("__v").limit(nlist * 256).coalesce(1).cache()
-    val model = new KMeans().setK(nlist).setSeed(seed)
-      .setMaxIter(10) // coarse cells only need rough centroids; recall is
-      .setFeaturesCol("__v").setPredictionCol("ivf_cell") // nprobe-driven
-      .fit(train)
-    train.unpersist(blocking = false)
-    (model.transform(withVec).drop("__v"), model)
+    // not the corpus. orderBy+limit plans as TakeOrdered (per-partition
+    // top-N, no full sort), and Lloyd's on ≤ nlist*64 points runs on the
+    // driver in microseconds — zero extra Spark jobs vs the 10+ jobs an
+    // MLlib KMeans fit schedules. At 100 TB this is the difference between
+    // a 10-pass corpus scan and a constant-size local fit; only the
+    // cell-assignment map (one narrow codegen'd pass) touches the corpus.
+    val sample = corpus.select(col(vecCol)).orderBy(col(idCol))
+      .limit(nlist * 64)
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val centroids = localKMeans(sample, nlist, iters = 10)
+    val indexed = corpus.withColumn("ivf_cell",
+      graft.functions.VectorFunctions.nearestCentroid(col(vecCol), centroids))
+    (indexed, centroids)
+  }
+
+  /** Deterministic Lloyd's on a driver-local sample: evenly-spaced init over
+    * the (id-ordered) sample, fixed iteration count, empty cells keep their
+    * previous centroid. No RNG ⇒ same centroids on every run/retry.
+    */
+  private[ext] def localKMeans(
+      points: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    require(points.nonEmpty, "empty KMeans sample")
+    val dim = points(0).length
+    val kk = math.min(k, points.length)
+    val centroids = Array.tabulate(kk)(c => points(c * points.length / kk).clone())
+    def nearest(p: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < kk) {
+        var d = 0.0; var i = 0
+        while (i < dim) { val x = p(i) - centroids(c)(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Double](kk, dim)
+      val counts = new Array[Long](kk)
+      points.foreach { p =>
+        val c = nearest(p)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += p(i); i += 1 }
+      }
+      var c = 0
+      while (c < kk) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) { centroids(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centroids
   }
 
   /** IVF probe: exact cosine over the `nprobe` cells nearest to the query. */
   def ivfTopK(
       indexed: DataFrame,
-      model: org.apache.spark.ml.clustering.KMeansModel,
+      centroids: Array[Array[Double]],
       queryVec: Array[Float],
       idCol: String,
       vecCol: String,
@@ -135,12 +185,12 @@ object Similarity {
   ): DataFrame = {
     val spark = indexed.sparkSession
     val qd = queryVec.map(_.toDouble)
-    def dist(c: org.apache.spark.ml.linalg.Vector): Double = {
+    def dist(c: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < qd.length) { val d = c(i) - qd(i); s += d * d; i += 1 }
       s
     }
-    val cells = model.clusterCenters.zipWithIndex
+    val cells = centroids.zipWithIndex
       .sortBy { case (c, _) => dist(c) }
       .take(nprobe).map(_._2)
     val q = spark.createDataFrame(Seq(Tuple1(queryVec.toSeq)))

@@ -72,6 +72,29 @@ object TextOps {
     aggregate(perWord, lit(0L), (h, v) => (h * 31 + v) % 1000000007L)
   }
 
+  /** Boilerplate detection (C4-style, adapted to shingles since this corpus
+    * has no line structure): a shingle is boilerplate when it appears in
+    * ≥ `minDf` distinct documents; per doc, report how much of its content
+    * is boilerplate. Downstream, `boiler_ratio` feeds a filter threshold
+    * exactly like [[qualityScore]].
+    *
+    * Shape at scale: one distinct-shingle pass, a self-aggregated document
+    * frequency (small — vocabulary-sized), one join back. The df side is
+    * orders of magnitude smaller than the corpus and broadcast-friendly.
+    */
+  def boilerplateStats(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, minDf: Long = 5L): DataFrame = {
+    val sh = Dedup.shingleRows(docs, idCol, textCol, shingleN)
+    val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    sh.join(df, "s")
+      .groupBy(col("doc").as(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        col("n_boiler").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** Composite quality score in [0,1]: penalize extreme lengths, extreme
     * stopword ratios and single-char word floods. Weights are heuristic but
     * fixed — the operator shape (cheap per-row scoring feeding a filter

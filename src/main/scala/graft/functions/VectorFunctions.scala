@@ -1,0 +1,152 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+
+/** Native vector arithmetic for the similarity/dedup surface.
+  *
+  * The first implementation used `aggregate(zip_with(...))` — but Spark's
+  * higher-order functions are `CodegenFallback`: every element evaluation
+  * walks an interpreted lambda, and a pair-join that computes one dot
+  * product per candidate pair pays ~dim interpreted calls per row. These
+  * expressions inline into whole-stage codegen like any built-in.
+  *
+  * Numeric contract (what keeps the DuckDB oracle bit-exact): accumulate in
+  * `double`, strictly left-to-right — identical order to both the old
+  * `aggregate`-fold form and DuckDB's `list_reduce`, so swapping
+  * implementations changes no output bit.
+  *
+  *  - [[DotProductF]]     — Σ a(i)·b(i) over the common prefix length.
+  *  - [[NearestCentroidF]] — argmin over a small broadcast centroid table of
+  *    squared L2 distance; the IVF cell-assignment map (FAISS-style coarse
+  *    quantizer, ref SURVEY.md §7.4 north-star ops). Centroids ride along as
+  *    a reference object in the generated class — no per-row allocation.
+  */
+case class DotProductF(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    val bb = b.asInstanceOf[ArrayData]
+    val n = math.min(aa.numElements(), bb.numElements())
+    val fa = isFloat(left); val fb = isFloat(right)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (fa) aa.getFloat(i).toDouble else aa.getDouble(i)
+      val y = if (fb) bb.getFloat(i).toDouble else bb.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val getA = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getB = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += $getA * $getB;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductF =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Index (0-based) of the centroid nearest to `vec` in squared L2.
+  * `centroids` is plan-constant data (the coarse quantizer is tiny —
+  * nlist × dim doubles), carried via `addReferenceObj`, so the generated
+  * code reads it as a field — the Spark-idiomatic shape for
+  * "broadcast-small-model, scan-big-data" scoring.
+  */
+case class NearestCentroidF(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val fl = isFloat
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      var d = 0.0
+      var i = 0
+      val n = math.min(arr.numElements(), cen.length)
+      while (i < n) {
+        val x = (if (fl) arr.getFloat(i).toDouble else arr.getDouble(i)) - cen(i)
+        d += x * x
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cs = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val x = ctx.freshName("x")
+      val bestD = ctx.freshName("bestD")
+      val get = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      s"""
+         |double $bestD = Double.MAX_VALUE;
+         |${ev.value} = 0;
+         |for (int $c = 0; $c < $cs.length; $c++) {
+         |  double $d = 0.0;
+         |  int $n = java.lang.Math.min($v.numElements(), $cs[$c].length);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = $get - $cs[$c][$i];
+         |    $d += $x * $x;
+         |  }
+         |  if ($d < $bestD) { $bestD = $d; ${ev.value} = $c; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidF =
+    copy(child = newChild)
+}
+
+object VectorFunctions {
+  /** dot(a, b): Σ a(i)·b(i) in double, left-to-right (codegen'd). */
+  def dot(a: Column, b: Column): Column =
+    Bridge.column(DotProductF(Bridge.expression(a), Bridge.expression(b)))
+
+  /** 0-based index of the nearest centroid (squared L2, codegen'd). */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    Bridge.column(NearestCentroidF(Bridge.expression(vec), centroids))
+
+  /** SQL-callable registration: `SELECT vec_dot(a, b) FROM …`. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    Bridge.registerFunction(spark, "vec_dot", es => DotProductF(es(0), es(1)))
+}

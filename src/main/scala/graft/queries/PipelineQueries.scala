@@ -63,10 +63,11 @@ object PipelineQueries {
     // vs exact verified in SimilaritySpec
     "sim_search_ivf" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
-      val (indexed, model) = Similarity.ivfIndex(e, "embedding", nlist = 16)
+      val (indexed, centroids) = Similarity.ivfIndex(e, "vec_id", "embedding",
+        nlist = 16)
       val qv = e.where(col("vec_id") === 0L).select("embedding")
         .head().getSeq[Float](0).toArray
-      Similarity.ivfTopK(indexed, model, qv, "vec_id", "embedding",
+      Similarity.ivfTopK(indexed, centroids, qv, "vec_id", "embedding",
         nprobe = 4, k = 20)
     },
     // corpus-level n-gram frequency (top-50 bigrams): the vocabulary/phrase
@@ -154,6 +155,53 @@ object PipelineQueries {
         .select("media_id", "kind", "n_bytes", "sha")
         .orderBy("media_id")
     },
+    // near-dup pairs → dedup GROUPS: connected components by min-label
+    // propagation (the "keep one per cluster" step of corpus dedup)
+    "dedup_cluster" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.3).select("id_a", "id_b")
+      val cc = Dedup.connectedComponents(pairs, docs.select("doc_id"), "doc_id")
+      val sizes = cc.groupBy("label").agg(count(lit(1)).as("n_members"))
+      cc.join(sizes, "label")
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+          col("n_members"))
+        .orderBy("doc_id")
+    },
+    // C4-style boilerplate detection over shingles (df >= 5 docs)
+    "doc_boilerplate" -> { (s, d) =>
+      TextOps.boilerplateStats(Tables.documents(s, d), "doc_id", "text",
+          shingleN = 3, minDf = 5L)
+        .orderBy("doc_id")
+    },
+    // deterministic stratified sampling: first 20 docs per language —
+    // the per-group quota downsampling step of corpus curation
+    "sample_stratified" -> { (s, d) =>
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 20)
+        .orderBy("lang", "rk")
+    },
+    // per-vector L2 norm — the normalization pass before cosine ops
+    "embed_norm" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          sqrt(Similarity.norm2(col("embedding"))).as("l2"))
+        .orderBy("vec_id")
+    },
+    // Morton (Z-order) clustering key over (block, user): the data-layout
+    // primitive behind multi-dimensional file pruning (graft.ops.Layout)
+    "zorder_key" -> { (s, d) =>
+      import graft.ops.Layout
+      Tables.events(s, d)
+        .select(col("event_id"),
+          Layout.zorderKey(floor(col("event_id") / 10).cast("long"),
+            col("user_id"), bits = 16).as("zkey"))
+        .orderBy("event_id")
+    },
     // custom codegen expressions (§2.9): keccak256 event-signature topic +
     // little-endian u64 payload decode (no SQL twin in DuckDB → rows-only;
     // value-verified in EthFunctionsSpec against published vectors)
@@ -169,6 +217,57 @@ object PipelineQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "dedup_cluster" ->
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+        |        i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS s FROM w),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |cand AS (SELECT id_a, id_b FROM p
+        |  JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.3),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM cand
+        |      UNION ALL SELECT id_b, id_a FROM cand),
+        |reach(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.node),
+        |lab AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY 1),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+        |       FROM lab GROUP BY 1)
+        |SELECT node AS doc_id, cluster_id, n_members
+        |FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
+    "doc_boilerplate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+        |        i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS s FROM w),
+        |df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        | CAST(sum(CASE WHEN df.df >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        | CAST(sum(CASE WHEN df.df >= 5 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |   CAST(count(*) AS DOUBLE) AS boiler_ratio
+        |FROM sh JOIN df USING (s) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang, rk FROM (
+        | SELECT doc_id, lang,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rk
+        | FROM documents)
+        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+    "embed_norm" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        | sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding,
+        |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS l2
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "zorder_key" ->
+      """SELECT event_id,
+        | list_reduce(list_transform(range(0, 16), i ->
+        |   ((((event_id // 10) >> i) & 1) << (2*i)) +
+        |   (((user_id >> i) & 1) << (2*i + 1))),
+        |  (a, b) -> a + b) AS zkey
+        |FROM events ORDER BY event_id""".stripMargin,
     "media_features" ->
       """SELECT doc_id AS media_id, 'image' AS kind,
         | CAST(strlen(text) AS BIGINT) AS n_bytes, sha256(text) AS sha

@@ -58,6 +58,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs.get((3L, 4L)).exists(_ <= 16))
   }
 
+  test("connected components: min-label propagation over a chained graph") {
+    // components: {1,2,3,4} (a chain — needs >1 round), {5,6}, singletons 7,8
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val nodes = (1L to 8L).toDF("doc_id")
+    val labels = Dedup.connectedComponents(pairs, nodes, "doc_id")
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("label"))
+      .toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L))
+  }
+
   test("embedding near-dup finds the planted duplicate vector") {
     val v = (0 until 64).map(i => math.sin(i).toFloat)
     val v2 = v.updated(0, v(0) + 0.001f) // near-identical

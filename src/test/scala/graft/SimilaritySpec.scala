@@ -64,18 +64,40 @@ class SimilaritySpec extends SparkSpec {
       (i.toLong, c.map(x => (x + 0.1 * rnd.nextGaussian()).toFloat).toSeq)
     }
     val df = vecs.toDF("vec_id", "embedding").cache()
-    val (indexed, model) = Similarity.ivfIndex(df, "embedding", nlist = 4)
+    val (indexed, centroids) = Similarity.ivfIndex(df, "vec_id", "embedding",
+      nlist = 4)
     val cached = indexed.cache()
     val query = vecs.head._2.toArray
     val exact = Similarity.cosineTopK(df, df.where(col("vec_id") === 0),
       "vec_id", "embedding", k = 10).collect().map(_.getLong(0)).toSet
-    val probe1 = Similarity.ivfTopK(cached, model, query, "vec_id",
+    val probe1 = Similarity.ivfTopK(cached, centroids, query, "vec_id",
       "embedding", nprobe = 1, k = 10).collect().map(_.getLong(0)).toSet
-    val probeAll = Similarity.ivfTopK(cached, model, query, "vec_id",
+    val probeAll = Similarity.ivfTopK(cached, centroids, query, "vec_id",
       "embedding", nprobe = 4, k = 10).collect().map(_.getLong(0)).toSet
     assert(probeAll == exact)                       // nprobe=nlist ⇒ exact
     val recall1 = exact.intersect(probe1).size.toDouble / exact.size
     assert(recall1 >= 0.5, s"nprobe=1 recall $recall1")
+  }
+
+  test("codegen dot product is bit-identical to the interpreted HOF fold") {
+    val rnd = new scala.util.Random(3)
+    val vecs = (0 until 100).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "a").withColumn("b", reverse(col("a")))
+    val interp = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val rows = df.select(
+      Similarity.dot(col("a"), col("b")).as("fast"), interp.as("slow"),
+      Similarity.norm2(col("a")).as("fastn"),
+      aggregate(transform(col("a"), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, x) => acc + x).as("slown")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
   }
 
   test("lsh bucket is deterministic across evaluations") {

@@ -51,6 +51,22 @@ class TextOpsSpec extends SparkSpec {
     assert(g == Map(1L -> "en", 2L -> "fr", 3L -> "de", 4L -> "es", 5L -> "xx"))
   }
 
+  test("boilerplate stats flag shingles shared across enough docs") {
+    // the 4-word prefix "spark shuffles data fast" yields 2 shared 3-gram
+    // shingles present in all 3 docs; each doc's tail shingles are unique
+    val df = Seq(
+      (1L, "spark shuffles data fast alpha beta gamma"),
+      (2L, "spark shuffles data fast delta epsilon zeta"),
+      (3L, "spark shuffles data fast eta theta iota")
+    ).toDF("doc_id", "text")
+    val r = TextOps.boilerplateStats(df, "doc_id", "text",
+        shingleN = 3, minDf = 3L)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_shingles"), x.getAs[Long]("n_boiler")))).toMap
+    // 7 words ⇒ 5 shingles/doc; 2 boilerplate (the shared prefix ones)
+    assert(r == Map(1L -> ((5L, 2L)), 2L -> ((5L, 2L)), 3L -> ((5L, 2L))))
+  }
+
   test("quality score components") {
     val good = Seq((1L, "the quick brown fox jumps over a lazy dog today"))
       .toDF("doc_id", "text")
