@@ -283,7 +283,12 @@ object Dedup {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
-    var labels = nodes.select(col(idCol).as("node"), col(idCol).as("label"))
+    // Iterate ONLY over nodes that have an edge: isolated nodes can never
+    // change label, so they stay out of the loop entirely and rejoin at
+    // the end. At corpus scale the candidate-pair graph is orders of
+    // magnitude smaller than the corpus — the loop shuffles just that.
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
       .localCheckpoint(true)
     // labels only ever decrease ⇒ sum(label) strictly decreases until the
     // fixpoint; compare in unbounded decimal (no overflow at any scale)
@@ -303,7 +308,9 @@ object Dedup {
       prev = cur
       rounds += 1
     }
-    labels
+    nodes.select(col(idCol).as("node"))
+      .join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
   }
 
   /** Embedding near-dup: pairs of vectors with cosine ≥ threshold, candidate-

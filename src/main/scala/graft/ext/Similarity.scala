@@ -203,6 +203,95 @@ object Similarity {
       .limit(k)
   }
 
+  /** Product quantization (PQ) index: split each vector into `m` subspaces
+    * of dim/m dims; per subspace, a tiny codebook (k centroids from a
+    * driver-local fit, like [[ivfIndex]]) replaces the sub-vector with its
+    * nearest-centroid code. A 64-float vector becomes `m` small ints — a
+    * 32× compression that makes billion-vector scans memory-resident.
+    * Encoding is one narrow codegen'd pass ([[graft.functions.NearestCentroidF]]
+    * per subspace).
+    *
+    * @return (encoded corpus with pq_0..pq_{m-1} code columns, codebooks
+    *         indexed [subspace][centroid][dim])
+    */
+  def pqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int = 16
+  ): (DataFrame, Array[Array[Array[Double]]]) = {
+    val sample = corpus.select(col(vecCol)).orderBy(col(idCol))
+      .limit(k * 64)
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty && sample(0).length % m == 0,
+      s"dim ${sample.headOption.map(_.length)} not divisible by m=$m")
+    val sub = sample(0).length / m
+    val codebooks = Array.tabulate(m) { j =>
+      localKMeans(sample.map(_.slice(j * sub, (j + 1) * sub)), k, iters = 10)
+    }
+    val encoded = codebooks.zipWithIndex.foldLeft(corpus) { case (df, (cb, j)) =>
+      df.withColumn(s"pq_$j",
+        graft.functions.VectorFunctions.nearestCentroid(
+          slice(col(vecCol), j * sub + 1, sub), cb))
+    }
+    (encoded, codebooks)
+  }
+
+  /** PQ asymmetric-distance (ADC) search with exact re-rank: the query
+    * precomputes, per subspace, its dot product with each of the k
+    * centroids (an m×k table, built on the driver); a corpus row's
+    * approximate dot product is then m table lookups — `element_at` on
+    * literal arrays, fully codegen'd, no float math per row. The top
+    * `rerank` ADC candidates are then exact-cosine re-ranked (standard PQ
+    * practice — ADC orders clusters well but blurs within-cluster detail).
+    * Recall vs brute force is measured in SimilaritySpec.
+    *
+    * Scale shape: the ADC pass reads only the m code columns (the 32×
+    * compressed index); full vectors are touched for `rerank` rows only.
+    */
+  def pqTopK(
+      encoded: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      queryVec: Array[Float],
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rerank: Int = 0
+  ): DataFrame = {
+    val m = codebooks.length
+    val sub = queryVec.length / m
+    // table(j)(c) = <query_j, centroid_c> — approx dot = Σ_j table(j)(code_j)
+    val tables = Array.tabulate(m) { j =>
+      codebooks(j).map { cen =>
+        var s = 0.0; var i = 0
+        while (i < sub) { s += queryVec(j * sub + i) * cen(i); i += 1 }
+        s
+      }
+    }
+    val score = (0 until m).map { j =>
+      element_at(array(tables(j).map(lit): _*), col(s"pq_$j") + 1)
+    }.reduce(_ + _)
+    if (rerank <= 0)
+      encoded
+        .select(col(idCol), score.as("approx_dot"))
+        .orderBy(col("approx_dot").desc, col(idCol))
+        .limit(k)
+    else {
+      val spark = encoded.sparkSession
+      val q = spark.createDataFrame(Seq(Tuple1(queryVec.toSeq))).toDF("__q")
+      encoded
+        .select(col(idCol), col(vecCol), score.as("approx_dot"))
+        .orderBy(col("approx_dot").desc, col(idCol))
+        .limit(math.max(rerank, k))
+        .crossJoin(broadcast(q))
+        .select(col(idCol), cosine(col(vecCol), col("__q")).as("cosine"))
+        .orderBy(col("cosine").desc, col(idCol))
+        .limit(k)
+    }
+  }
+
   /** ANN top-k: exact cosine restricted to the query's LSH bucket.
     * Recall < 1 by construction; ScalaTest measures it against
     * [[cosineTopK]] (SimilaritySpec).

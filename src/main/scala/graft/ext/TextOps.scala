@@ -84,9 +84,13 @@ object TextOps {
     */
   def boilerplateStats(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, minDf: Long = 5L): DataFrame = {
+    // document frequency via a count window over the shingle partition —
+    // one shuffle on s, versus the groupBy-then-join-back form whose two
+    // consumers each recomputed the whole shingle subtree (no ReuseExchange
+    // across differently-pruned legs; same lesson as Dedup.ngramJaccard)
     val sh = Dedup.shingleRows(docs, idCol, textCol, shingleN)
-    val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
-    sh.join(df, "s")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("s")
+    sh.withColumn("df", count(lit(1)).over(w))
       .groupBy(col("doc").as(idCol))
       .agg(
         count(lit(1)).as("n_shingles"),

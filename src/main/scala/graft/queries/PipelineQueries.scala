@@ -155,6 +155,36 @@ object PipelineQueries {
         .select("media_id", "kind", "n_bytes", "sha")
         .orderBy("media_id")
     },
+    // ANN: product quantization — 32× compressed codes, ADC table-lookup
+    // scoring (no SQL oracle: codebook-dependent; recall vs exact verified
+    // in SimilaritySpec)
+    "sim_search_pq" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val (encoded, codebooks) = Similarity.pqIndex(e, "vec_id", "embedding",
+        m = 8, k = 16)
+      val qv = e.where(col("vec_id") === 0L).select("embedding")
+        .head().getSeq[Float](0).toArray
+      Similarity.pqTopK(encoded, codebooks, qv, "vec_id", "embedding",
+        k = 20, rerank = 100)
+    },
+    // per-class embedding centroids: bit-deterministic means via an
+    // id-ordered fold (matches DuckDB's list(x ORDER BY vec_id) +
+    // list_reduce exactly). At scale the decimal-sum form is the cheap
+    // alternative; the fold keeps the oracle exact on IEEE doubles.
+    "embed_centroid" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "x0")))
+        .select(col("label"), col("vec_id"), col("pos").cast("long").as("pos"),
+          col("x0").cast("double").as("x"))
+        .groupBy("label", "pos")
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("x")))).as("xs"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("pos"),
+          (aggregate(transform(col("xs"), r => r.getField("x")),
+            lit(0.0), (a, b) => a + b) / col("n")).as("mean"))
+        .orderBy("label", "pos")
+    },
     // near-dup pairs → dedup GROUPS: connected components by min-label
     // propagation (the "keep one per cluster" step of corpus dedup)
     "dedup_cluster" -> { (s, d) =>
@@ -217,6 +247,16 @@ object PipelineQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "embed_centroid" ->
+      """WITH e AS (
+        | SELECT label, u.s.pos AS pos, vec_id, u.s.x AS x
+        | FROM embeddings,
+        |  unnest(list_transform(range(1, len(embedding) + 1),
+        |    i -> struct_pack(pos := i - 1, x := CAST(embedding[i] AS DOUBLE)))) AS u(s))
+        |SELECT label, pos,
+        | list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(x ORDER BY vec_id)),
+        |   (a, b) -> a + b) / CAST(count(*) AS BIGINT) AS mean
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dedup_cluster" ->
       """WITH RECURSIVE
         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -79,6 +79,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recall1 >= 0.5, s"nprobe=1 recall $recall1")
   }
 
+  test("PQ ADC: recall vs brute force on clustered vectors") {
+    val rnd = new scala.util.Random(13)
+    val centers = (0 until 4).map(_ => Array.fill(32)(rnd.nextGaussian()))
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + 0.1 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding").cache()
+    val (encoded, codebooks) = Similarity.pqIndex(df, "vec_id", "embedding",
+      m = 8, k = 8)
+    val query = vecs.head._2.toArray
+    val exact = Similarity.cosineTopK(df, df.where(col("vec_id") === 0),
+      "vec_id", "embedding", k = 10).collect().map(_.getLong(0)).toSet
+    val pq = Similarity.pqTopK(encoded, codebooks, query, "vec_id",
+        "embedding", k = 10, rerank = 50)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(pq).size.toDouble / exact.size
+    assert(recall >= 0.7, s"PQ recall $recall too low")
+    // codes are deterministic: re-encoding yields identical code columns
+    val (encoded2, _) = Similarity.pqIndex(df, "vec_id", "embedding",
+      m = 8, k = 8)
+    val a = encoded.select("vec_id", "pq_0", "pq_7").collect().toSeq
+    val b = encoded2.select("vec_id", "pq_0", "pq_7").collect().toSeq
+    assert(a.toSet == b.toSet)
+  }
+
   test("codegen dot product is bit-identical to the interpreted HOF fold") {
     val rnd = new scala.util.Random(3)
     val vecs = (0 until 100).map(i =>
