@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Regenerates the physical-plan snapshots behind PLANS.md:
+  * `sbt "runMain graft.PlanDump [sfDir] [query...]"` prints
+  * `.explain("formatted")`-style plans for the named queries (default: the
+  * headline set). Auditing tool only — not part of the driver contract.
+  */
+object PlanDump {
+  private val headline = Seq("scan_range", "join_hash", "agg_group",
+    "sort_topk", "join_asof", "sim_search", "sim_search_pq", "dedup_minhash",
+    "dedup_cluster", "window_rank", "zorder_key")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.drop(1).toSeq else headline
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { q =>
+      println(s"## $q\n")
+      println("```")
+      println(SparkEntry.queries(q)(spark, sfDir).queryExecution
+        .explainString(org.apache.spark.sql.execution.SimpleMode).trim)
+      println("```\n")
+    }
+    spark.stop()
+  }
+}
