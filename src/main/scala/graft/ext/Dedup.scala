@@ -97,13 +97,23 @@ object Dedup {
     * should be salted or capped; we cap pairs per bucket implicitly by
     * distinct-ing pairs after the join.
     */
+  /** @param maxBucket when > 0, drop band-buckets holding more than this
+    *                   many docs before the self-join — the skew guard for
+    *                   boilerplate floods (a bucket of B docs costs B²
+    *                   pairs; at corpus scale a template shared by 10⁶ docs
+    *                   would otherwise dominate the whole job). Dropping
+    *                   the WHOLE hot bucket (vs sampling it) keeps the
+    *                   output deterministic; near-dup pairs inside a flood
+    *                   are better handled by exact-hash dedup first.
+    */
   def minHashLsh(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       shingleN: Int = 3,
       numHashes: Int = 32,
-      bands: Int = 8
+      bands: Int = 8,
+      maxBucket: Int = 0
   ): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
@@ -137,9 +147,18 @@ object Dedup {
       ).as(Seq("band", "band_hash"))
     )
 
-    val a = banded.select(col("band"), col("band_hash"),
+    val pruned =
+      if (maxBucket <= 0) banded
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "band_hash")
+        banded.withColumn("__bn", count(lit(1)).over(w))
+          .where(col("__bn") <= maxBucket).drop("__bn")
+      }
+
+    val a = pruned.select(col("band"), col("band_hash"),
       col("doc").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_hash"),
+    val b = pruned.select(col("band"), col("band_hash"),
       col("doc").as("id_b"), col("sig").as("sig_b"))
 
     a.join(b, Seq("band", "band_hash"))

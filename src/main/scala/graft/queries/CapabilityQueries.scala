@@ -323,6 +323,20 @@ object CapabilityQueries {
           min("value").as("min_value"), max("value").as("max_value"))
         .orderBy("event_type")
     },
+    // exact multi-quantile profile per group (TPC-H-ish column stats pass;
+    // Spark's sort-based percentile interpolates identically to DuckDB's
+    // quantile_cont — verified bit-exact including float artifacts)
+    "agg_quantiles" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          percentile(col("l_quantity").cast("double"), lit(0.25)).as("q25"),
+          percentile(col("l_quantity").cast("double"), lit(0.5)).as("q50"),
+          percentile(col("l_quantity").cast("double"), lit(0.75)).as("q75"),
+          percentile(col("l_extendedprice").cast("double"), lit(0.5))
+            .as("price_p50"))
+        .orderBy("l_returnflag")
+    },
     // sessionization: gap-based session windows per user (batch twin of
     // stream_session; Spark's session_window vs a gaps-and-islands oracle)
     "agg_session" -> { (s, d) =>
@@ -534,6 +548,13 @@ object CapabilityQueries {
       """SELECT event_type, quantile_cont(value, 0.5) AS median_value,
         | min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_quantiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS q25,
+        | quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS q50,
+        | quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS q75,
+        | quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS price_p50
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_session" ->
       """WITH x AS (
         | SELECT user_id, ts, value,

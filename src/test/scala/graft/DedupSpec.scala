@@ -58,6 +58,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs.get((3L, 4L)).exists(_ <= 16))
   }
 
+  test("minhash bucket cap drops flooded buckets, keeps small-bucket pairs") {
+    val flood = (10L until 40L).map(i => (i, base)) // 30 identical docs
+    val docs = (corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq ++ flood).toDF("doc_id", "text")
+    val capped = Dedup.minHashLsh(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the flood (plus docs 0/1, same text) exceeds every cap'd bucket —
+    // none of its pairs survive; the distinct near-dup pair (3,4) does
+    assert(!capped.exists { case (x, y) => x >= 10L && y >= 10L })
+    assert(capped.contains((3L, 4L)))
+  }
+
   test("connected components: min-label propagation over a chained graph") {
     // components: {1,2,3,4} (a chain — needs >1 round), {5,6}, singletons 7,8
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
