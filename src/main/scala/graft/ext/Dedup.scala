@@ -332,6 +332,62 @@ object Dedup {
       .select(col("node"), coalesce(col("label"), col("node")).as("label"))
   }
 
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the O(log n)-round variant for graphs with long chains, where plain
+    * min-label propagation ([[connectedComponents]]) needs diameter rounds.
+    * Each round is one groupBy + one join over the edge set; the edge set
+    * only shrinks toward a star per component, so rounds cost less as they
+    * go. Returns (node, label) for nodes that appear in `pairs`; the label
+    * is the component's minimum id (same contract as
+    * [[connectedComponents]], asserted equivalent on random graphs in
+    * DedupSpec).
+    *
+    *  - large-star: every directed pair (u,v), v > u, re-links v to
+    *    m(u) = min(Γ(u) ∪ u) — tall trees flatten geometrically.
+    *  - small-star: every directed pair (u,v), v ≤ u, re-links v (and u)
+    *    to m≤(u) = min over u's smaller neighbors — stars canonicalize.
+    */
+  def connectedComponentsStar(pairs: DataFrame): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    def adj(e: DataFrame): DataFrame =
+      e.select(col("u").as("x"), col("v").as("y"))
+        .union(e.select(col("v").as("x"), col("u").as("y")))
+
+    var e = canon(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
+      .localCheckpoint(true)
+    var done = e.isEmpty
+    var rounds = 0
+    while (!done && rounds < 30) {
+      // large-star
+      val a1 = adj(e)
+      val m1 = a1.groupBy("x").agg(min(col("y")).as("mn"))
+        .select(col("x"), least(col("mn"), col("x")).as("m"))
+      val ls = canon(a1.join(m1, "x").where(col("y") > col("x"))
+        .select(col("y").as("u"), col("m").as("v")))
+      // small-star
+      val a2 = adj(ls).where(col("y") <= col("x"))
+      val m2 = a2.groupBy("x").agg(min(col("y")).as("m"))
+      val ss = canon(
+        a2.join(m2, "x").select(col("y").as("u"), col("m").as("v"))
+          .union(m2.select(col("x").as("u"), col("m").as("v"))))
+        .localCheckpoint(true)
+      // converged when the edge set is stable (set equality both ways)
+      done = ss.count() == e.count() &&
+        ss.except(e).isEmpty
+      e = ss
+      rounds += 1
+    }
+    // converged edges form stars rooted at component minima
+    adj(e).groupBy(col("x").as("node"))
+      .agg(min(col("y")).as("mn"))
+      .select(col("node"), least(col("mn"), col("node")).as("label"))
+  }
+
   /** Embedding near-dup: pairs of vectors with cosine ≥ threshold, candidate-
     * limited to shared LSH buckets (see [[Similarity.lshBucketed]]).
     */

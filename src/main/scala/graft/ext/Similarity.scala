@@ -292,6 +292,32 @@ object Similarity {
     }
   }
 
+  /** Streaming IVF index maintenance: each micro-batch of vectors gets its
+    * cell from the broadcast centroids (one narrow codegen'd pass — the
+    * model is plan-constant, nothing shuffles) and appends to a
+    * cell-partitioned parquet table. A probe then partition-prunes to its
+    * `nprobe` cell directories; the index stays queryable while ingesting.
+    * This is the maintenance half of [[ivfIndex]]: fit once on a bounded
+    * sample, assign forever on the stream (re-fit = rewrite, like any
+    * FAISS-style index rebuild).
+    */
+  def ivfStreamWriter(
+      vecs: DataFrame,
+      centroids: Array[Array[Double]],
+      vecCol: String,
+      path: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs
+      .withColumn("ivf_cell",
+        graft.functions.VectorFunctions.nearestCentroid(col(vecCol), centroids))
+      .writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("ivf_cell")
+      .outputMode("append")
+      .start()
+
   /** ANN top-k: exact cosine restricted to the query's LSH bucket.
     * Recall < 1 by construction; ScalaTest measures it against
     * [[cosineTopK]] (SimilaritySpec).

@@ -172,6 +172,38 @@ final class LogTable(spark: SparkSession, root: String, filterHash: String,
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
     current.unpersist()
   }
+
+  /** Two-dimensional layout maintenance: like [[compact]], but clusters
+    * each partition by a Morton key over (block_num, xxhash64(address)) —
+    * the reference's two real access dimensions (ranged scans S1 ×
+    * address-filtered standing queries P1). Z-ordering makes BOTH the
+    * per-file `block_num` min/max AND the per-file `address` value set
+    * tight, so either predicate prunes row groups; a block-only sort
+    * leaves every file spanning all addresses. Within-partition file
+    * count stays 1; the clustering only reorders rows.
+    */
+  def compactZOrdered(bits: Int = 16): Unit = {
+    val current = read.cache()
+    current.count()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = s"$dir.compact-${System.nanoTime()}"
+    current
+      .withColumn("__z", graft.ops.Layout.zorderKey(
+        col("block_num"),
+        // hash the address so the second dimension is dense + numeric;
+        // pruning still works on the raw address column's file stats
+        xxhash64(col("address")).bitwiseAND((1L << bits) - 1), bits))
+      .repartition(col("block_range"))
+      // lead with the partition column (see compact); then the Z key
+      .sortWithinPartitions(col("block_range"), col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).partitionBy("block_range").parquet(tmp)
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    current.unpersist()
+  }
 }
 
 /** S6/S7 — string→string KV metadata store (genesis hash, chainID,

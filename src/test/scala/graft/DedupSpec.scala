@@ -83,6 +83,28 @@ class DedupSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L))
   }
 
+  test("large-star/small-star CC matches label propagation on random graphs") {
+    val rnd = new scala.util.Random(42)
+    (0 until 3).foreach { trial =>
+      val n = 30
+      // a 10-node chain forces diameter >> log(n); plus random extra edges
+      val edges = (0 until 9).map(i => (i.toLong, (i + 1).toLong)) ++
+        (0 until 15).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+          .filter(p => p._1 != p._2)
+      val pairs = edges.toDF("id_a", "id_b")
+      val nodes = (0L until n.toLong).toDF("doc_id")
+      val simple = Dedup.connectedComponents(pairs, nodes, "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = Dedup.connectedComponentsStar(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // star covers exactly the nodes with at least one edge
+      assert(star.keySet == edges.flatMap(e => Seq(e._1, e._2)).toSet)
+      star.foreach { case (nd, lb) =>
+        assert(simple(nd) == lb, s"trial $trial node $nd: $lb vs ${simple(nd)}")
+      }
+    }
+  }
+
   test("embedding near-dup finds the planted duplicate vector") {
     val v = (0 until 64).map(i => math.sin(i).toFloat)
     val v2 = v.updated(0, v(0) + 0.001f) // near-identical

@@ -112,6 +112,29 @@ class StoreSpec extends SparkSpec {
     assert(idx.sameElements(0L until before))
   }
 
+  test("compactZOrdered clusters rows by the (block, address-hash) Z key") {
+    val root = tmpDir("store")
+    val t = new LogTable(spark, root, "f1", blocksPerRange = 100L)
+    t.storeLogs(mkLogs(0, 49, perBlock = 4)) // addresses interleave blocks
+    val before = t.read.count()
+    t.compactZOrdered(bits = 8)
+    assert(t.read.count() == before)
+    // rows inside each file must follow the Z key order (the clustering
+    // property row-group stats pruning relies on at real row-group sizes)
+    val z = graft.ops.Layout.zorderKey(
+      col("block_num"), xxhash64(col("address")).bitwiseAND(255L), 8)
+    val byFile = t.read
+      .select(input_file_name().as("f"), z.as("z"))
+      .collect().groupBy(_.getString(0))
+    byFile.values.foreach { rows =>
+      val zs = rows.map(_.getLong(1))
+      assert(zs.sameElements(zs.sorted), "file not z-ordered")
+    }
+    // content unchanged
+    val idx = t.read.select("indx").as[Long].collect().sorted
+    assert(idx.sameElements(0L until before))
+  }
+
   test("kv get/set/update (testing.go:65-102)") {
     val kv = new KvStore(spark, tmpDir("kv"))
     assert(kv.get("k1").isEmpty)
