@@ -296,12 +296,53 @@ object Dedup {
     *              own id as the cluster label
     * @return (node, label)
     */
+  /** @param maxDriverEdges candidate-pair graphs at or below this size are
+    *                        solved with driver-side union-find (one collect
+    *                        of the checkpointed edge list — microseconds,
+    *                        zero iterative jobs). The pair graph is the
+    *                        OUTPUT of near-dup detection, orders of
+    *                        magnitude smaller than the corpus, so this is
+    *                        the common case even at 100 TB — the same
+    *                        "small model on the driver, big data on the
+    *                        executors" split as the ANN index fits. Larger
+    *                        graphs take the distributed propagation loop
+    *                        (or [[connectedComponentsStar]] for long
+    *                        chains).
+    */
   def connectedComponents(
-      pairs: DataFrame, nodes: DataFrame, idCol: String): DataFrame = {
-    val edges = pairs
+      pairs: DataFrame, nodes: DataFrame, idCol: String,
+      maxDriverEdges: Long = 1000000L): DataFrame = {
+    // checkpoint the pair list BEFORE mirroring it: the union's two
+    // branches would otherwise each recompute the (expensive) candidate
+    // generation; after the checkpoint, both read materialized rows
+    val p0 = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val edges = p0
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
+      .union(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
+    if (edges.count() <= 2 * maxDriverEdges) {
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      // union-find with path compression; labels = component minimum
+      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val p = parent(c); parent(c) = r; c = p }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val withEdge = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val labels = withEdge.map(n => (n, find(n))).toSeq.toDF("node", "label")
+      return nodes.select(col(idCol).cast("long").as("node"))
+        .join(broadcast(labels), Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+    }
     // Iterate ONLY over nodes that have an edge: isolated nodes can never
     // change label, so they stay out of the loop entirely and rejoin at
     // the end. At corpus scale the candidate-pair graph is orders of

@@ -76,11 +76,19 @@ class DedupSpec extends SparkSpec {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
       .toDF("id_a", "id_b")
     val nodes = (1L to 8L).toDF("doc_id")
-    val labels = Dedup.connectedComponents(pairs, nodes, "doc_id")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L)
+    // driver union-find path (default threshold)
+    val fast = Dedup.connectedComponents(pairs, nodes, "doc_id")
       .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("label"))
       .toMap
-    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L))
+    assert(fast == expected)
+    // distributed propagation path (threshold forced to 0)
+    val dist = Dedup.connectedComponents(pairs, nodes, "doc_id",
+        maxDriverEdges = 0L)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("label"))
+      .toMap
+    assert(dist == expected)
   }
 
   test("large-star/small-star CC matches label propagation on random graphs") {
