@@ -144,6 +144,23 @@ final class LogTable(spark: SparkSession, root: String, filterHash: String,
   /** S10 — point read (pushed-down unique-key predicate). */
   def getLog(n: Long): DataFrame = read.where(col("indx") === n)
 
+  /** Swap a freshly-written directory into place without a
+    * destroy-before-replace window: the live dir is RENAMED aside (not
+    * deleted) before the replacement moves in, so a crash at any point
+    * leaves the data recoverable under `<dir>` or `<dir>.trash-*` — the
+    * same no-lost-state discipline as KvStore's versioned commits. The
+    * brief not-found window between the two renames only affects
+    * concurrent readers, which the store contract (single writer, reads
+    * re-plan per query) already tolerates.
+    */
+  private def swapInto(fs: org.apache.hadoop.fs.FileSystem, tmp: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    val trash = new org.apache.hadoop.fs.Path(s"$dir.trash-${System.nanoTime()}")
+    if (fs.exists(dst)) fs.rename(dst, trash)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    fs.delete(trash, true)
+  }
+
   /** Layout maintenance: rewrite every partition clustered by
     * `(block_num, tx_index)` and collapsed to one file per partition dir.
     * Streaming appends leave one small file per micro-batch with
@@ -167,9 +184,7 @@ final class LogTable(spark: SparkSession, root: String, filterHash: String,
       .sortWithinPartitions(col("block_range"), col("block_num"),
         col("tx_index"))
       .write.mode(SaveMode.Overwrite).partitionBy("block_range").parquet(tmp)
-    val dst = new org.apache.hadoop.fs.Path(dir)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    swapInto(fs, tmp)
     current.unpersist()
   }
 
@@ -199,9 +214,7 @@ final class LogTable(spark: SparkSession, root: String, filterHash: String,
       .sortWithinPartitions(col("block_range"), col("__z"))
       .drop("__z")
       .write.mode(SaveMode.Overwrite).partitionBy("block_range").parquet(tmp)
-    val dst = new org.apache.hadoop.fs.Path(dir)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    swapInto(fs, tmp)
     current.unpersist()
   }
 }
