@@ -45,8 +45,9 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      // drop per-query caches (shared dedup intermediates) outside the
-      // timed window so queries stay independent measurements
+      // defensive, outside the timed window: drop any DataFrame caches a
+      // query left behind so queries stay independent measurements
+      // (localCheckpoint blocks release when their RDDs GC)
       spark.catalog.clearCache()
       name -> dt
     }

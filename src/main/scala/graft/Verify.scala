@@ -21,8 +21,8 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // per-query caches (shared dedup intermediates) must not outlive the
-      // query — 67 queries in one JVM would otherwise pile up blocks
+      // defensive: drop any DataFrame caches a query may leave behind
+      // (localCheckpoint blocks are separate — released when their RDDs GC)
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -93,18 +93,16 @@ object Dedup {
     *
     * Scale: the docs→signature stage is narrow; the band explode produces
     * `bands` rows/doc; the self-join shuffles on (band, band_hash) — bucket
-    * sizes are the skew risk, so pathological buckets (boilerplate docs)
-    * should be salted or capped; we cap pairs per bucket implicitly by
-    * distinct-ing pairs after the join.
-    */
-  /** @param maxBucket when > 0, drop band-buckets holding more than this
-    *                   many docs before the self-join — the skew guard for
-    *                   boilerplate floods (a bucket of B docs costs B²
-    *                   pairs; at corpus scale a template shared by 10⁶ docs
-    *                   would otherwise dominate the whole job). Dropping
-    *                   the WHOLE hot bucket (vs sampling it) keeps the
-    *                   output deterministic; near-dup pairs inside a flood
-    *                   are better handled by exact-hash dedup first.
+    * sizes are the skew risk (see `maxBucket`).
+    *
+    * @param maxBucket when > 0, drop band-buckets holding more than this
+    *                  many docs before the self-join — the skew guard for
+    *                  boilerplate floods (a bucket of B docs costs B²
+    *                  pairs; at corpus scale a template shared by 10⁶ docs
+    *                  would otherwise dominate the whole job). Dropping
+    *                  the WHOLE hot bucket (vs sampling it) keeps the
+    *                  output deterministic; near-dup pairs inside a flood
+    *                  are better handled by exact-hash dedup first.
     */
   def minHashLsh(
       docs: DataFrame,
@@ -201,11 +199,17 @@ object Dedup {
     val aggs = packed.zipWithIndex.map { case (p, i) => sum(p).as(s"p$i") } :+
       count(lit(1)).as("n")
     val voted = words.groupBy("doc").agg(aggs.head, aggs.tail: _*)
+      // enforce the lane bound instead of silently corrupting fingerprints
+      // for monster documents; the condition is post-aggregation (one check
+      // per doc, not per word)
+      .withColumn("__guard", when(col("n") > 32767L,
+        raise_error(concat(lit("simHash: document "), col("doc").cast("string"),
+          lit(" exceeds 32767 words — chunk it first")))).otherwise(lit(null)))
     val fp = (0 until 64).map { b =>
       val cnt = shiftright(col(s"p${b / 4}"), 16 * (b % 4)).bitwiseAND(0xffffL)
       when(cnt * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-    voted.select(col("doc"), fp.as("simhash"))
+    voted.select(col("doc"), when(col("__guard").isNull, fp).as("simhash"))
   }
 
   /** SimHash near-dup candidate pairs within Hamming distance `maxDist`,
@@ -291,62 +295,62 @@ object Dedup {
     * are checkpointed once so the (expensive) candidate-pair computation
     * never reruns.
     *
-    * @param pairs undirected edges (id_a, id_b)
+    * @param pairs undirected edges (id_a, id_b); ids must be integral
+    *              (castable to long — both paths cast, so output schema is
+    *              (node LONG, label LONG) regardless of which path runs)
     * @param nodes one row per node (`idCol`) — isolated nodes keep their
     *              own id as the cluster label
+    * @param maxDriverEdges pair graphs at or below this size are solved
+    *              with driver-side union-find: ONE job (a limit-bounded
+    *              collect), zero iterations. The pair graph is the OUTPUT
+    *              of near-dup detection, orders of magnitude smaller than
+    *              the corpus, so this is the common case even at 100 TB —
+    *              the same "small model on the driver, big data on the
+    *              executors" split as the ANN index fits. Larger graphs
+    *              take the distributed propagation loop (or
+    *              [[connectedComponentsStar]] for long chains).
     * @return (node, label)
-    */
-  /** @param maxDriverEdges candidate-pair graphs at or below this size are
-    *                        solved with driver-side union-find (one collect
-    *                        of the checkpointed edge list — microseconds,
-    *                        zero iterative jobs). The pair graph is the
-    *                        OUTPUT of near-dup detection, orders of
-    *                        magnitude smaller than the corpus, so this is
-    *                        the common case even at 100 TB — the same
-    *                        "small model on the driver, big data on the
-    *                        executors" split as the ANN index fits. Larger
-    *                        graphs take the distributed propagation loop
-    *                        (or [[connectedComponentsStar]] for long
-    *                        chains).
     */
   def connectedComponents(
       pairs: DataFrame, nodes: DataFrame, idCol: String,
       maxDriverEdges: Long = 1000000L): DataFrame = {
-    // checkpoint the pair list BEFORE mirroring it: the union's two
-    // branches would otherwise each recompute the (expensive) candidate
-    // generation; after the checkpoint, both read materialized rows
-    val p0 = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
-    val edges = p0
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
-    if (edges.count() <= 2 * maxDriverEdges) {
-      val spark = nodes.sparkSession
-      import spark.implicits._
-      // union-find with path compression; labels = component minimum
-      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val p = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+    // probe with a bounded collect: if the whole pair list fits under the
+    // limit we already hold it — no checkpoint, no count job, no recompute
+    val probe = p.limit(math.min(maxDriverEdges + 1, Int.MaxValue.toLong - 1).toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (probe.length <= maxDriverEdges) {
+      // union-find with path compression; union-by-min ⇒ every component's
+      // root (= label) is its minimum id
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
         while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
         var c = x
-        while (parent.getOrElse(c, c) != r) { val p = parent(c); parent(c) = r; c = p }
+        while (parent.getOrElse(c, c) != r) { val q = parent(c); parent(c) = r; c = q }
         r
       }
-      es.foreach { case (a, b) =>
+      probe.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      val withEdge = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val withEdge = probe.flatMap(e => Seq(e._1, e._2)).distinct
       val labels = withEdge.map(n => (n, find(n))).toSeq.toDF("node", "label")
       return nodes.select(col(idCol).cast("long").as("node"))
         .join(broadcast(labels), Seq("node"), "left")
         .select(col("node"), coalesce(col("label"), col("node")).as("label"))
     }
-    // Iterate ONLY over nodes that have an edge: isolated nodes can never
-    // change label, so they stay out of the loop entirely and rejoin at
-    // the end. At corpus scale the candidate-pair graph is orders of
-    // magnitude smaller than the corpus — the loop shuffles just that.
+    // Distributed path. Checkpoint the pair list BEFORE mirroring it: the
+    // union's two branches would otherwise each recompute the (expensive)
+    // candidate generation. Iterate ONLY over nodes that have an edge:
+    // isolated nodes can never change label, so they stay out of the loop
+    // and rejoin at the end — the loop shuffles the pair graph, never the
+    // corpus.
+    val p0 = p.localCheckpoint(true)
+    val edges = p0.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
@@ -357,7 +361,8 @@ object Dedup {
     var prev = labelSum(labels)
     var done = false
     var rounds = 0
-    while (!done && rounds < 50) {
+    val maxRounds = 64 // propagation needs diameter rounds; see throw below
+    while (!done && rounds < maxRounds) {
       val prop = edges.join(labels, edges("src") === labels("node"))
         .select(edges("dst").as("node"), col("label"))
       labels = labels.union(prop)
@@ -368,7 +373,13 @@ object Dedup {
       prev = cur
       rounds += 1
     }
-    nodes.select(col(idCol).as("node"))
+    // returning non-converged labels would silently split real duplicate
+    // clusters — fail loudly; components deeper than maxRounds want the
+    // O(log n) star variant
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxRounds rounds " +
+        "(component diameter too large) — use connectedComponentsStar")
+    nodes.select(col(idCol).cast("long").as("node"))
       .join(labels, Seq("node"), "left")
       .select(col("node"), coalesce(col("label"), col("node")).as("label"))
   }

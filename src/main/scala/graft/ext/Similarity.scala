@@ -236,6 +236,12 @@ object Similarity {
         graft.functions.VectorFunctions.nearestCentroid(
           slice(col(vecCol), j * sub + 1, sub), cb))
     }
+      // store the vector norm WITH the codes (computed in the same encode
+      // pass): ADC approximates the raw inner product, but search ranks by
+      // cosine — without the norm, large-norm vectors would dominate the
+      // candidate ordering regardless of angle on unnormalized corpora
+      .withColumn("pq_norm",
+        sqrt(graft.functions.VectorFunctions.dot(col(vecCol), col(vecCol))))
     (encoded, codebooks)
   }
 
@@ -248,8 +254,9 @@ object Similarity {
     * practice — ADC orders clusters well but blurs within-cluster detail).
     * Recall vs brute force is measured in SimilaritySpec.
     *
-    * Scale shape: the ADC pass reads only the m code columns (the 32×
-    * compressed index); full vectors are touched for `rerank` rows only.
+    * Scale shape: the ADC pass reads only the m code columns plus the
+    * stored norm (the 32× compressed index); full vectors are touched for
+    * `rerank` rows only.
     */
   def pqTopK(
       encoded: DataFrame,
@@ -270,9 +277,12 @@ object Similarity {
         s
       }
     }
-    val score = (0 until m).map { j =>
+    // approx cosine = ADC dot / stored vector norm (query norm is a
+    // constant factor — it never changes the ranking); without the norm
+    // division, unnormalized corpora would rank by magnitude, not angle
+    val score = ((0 until m).map { j =>
       element_at(array(tables(j).map(lit): _*), col(s"pq_$j") + 1)
-    }.reduce(_ + _)
+    }.reduce(_ + _)) / col("pq_norm")
     if (rerank <= 0)
       encoded
         .select(col(idCol), score.as("approx_dot"))

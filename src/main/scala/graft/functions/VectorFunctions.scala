@@ -29,20 +29,30 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
 case class DotProductF(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // the result can be null for NON-null inputs (length mismatch / null
+  // element), so nullable must not derive from the children — a
+  // non-nullable child (e.g. a literal plane array) would otherwise make
+  // codegen drop the isNull slot this expression assigns
+  override def nullable: Boolean = true
 
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _                       => false
   }
 
+  // Null contract — identical to the `aggregate(zip_with(a, b, _*_))` fold
+  // this replaces: unequal lengths (zip_with pads with null) or any null
+  // element make the WHOLE result null, never a silently-wrong partial sum.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val aa = a.asInstanceOf[ArrayData]
     val bb = b.asInstanceOf[ArrayData]
-    val n = math.min(aa.numElements(), bb.numElements())
+    if (aa.numElements() != bb.numElements()) return null
+    val n = aa.numElements()
     val fa = isFloat(left); val fb = isFloat(right)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (aa.isNullAt(i) || bb.isNullAt(i)) return null
       val x = if (fa) aa.getFloat(i).toDouble else aa.getDouble(i)
       val y = if (fb) bb.getFloat(i).toDouble else bb.getDouble(i)
       s += x * y
@@ -58,10 +68,17 @@ case class DotProductF(left: Expression, right: Expression)
       val getA = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getB = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |${ev.value} = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value} += $getA * $getB;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true; ${ev.value} = 0.0; break;
+         |    }
+         |    ${ev.value} += $getA * $getB;
+         |  }
          |}
        """.stripMargin
     })
@@ -80,6 +97,7 @@ case class DotProductF(left: Expression, right: Expression)
 case class NearestCentroidF(child: Expression, centroids: Array[Array[Double]])
     extends UnaryExpression {
   override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true // null on null elements (see below)
 
   private def isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
@@ -89,6 +107,13 @@ case class NearestCentroidF(child: Expression, centroids: Array[Array[Double]])
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val fl = isFloat
+    // null elements → null result (a partial distance would silently
+    // assign corrupt vectors to a cell)
+    var j = 0
+    while (j < arr.numElements()) {
+      if (arr.isNullAt(j)) return null
+      j += 1
+    }
     var best = 0
     var bestD = Double.MaxValue
     var c = 0
@@ -113,22 +138,28 @@ case class NearestCentroidF(child: Expression, centroids: Array[Array[Double]])
       val cs = ctx.addReferenceObj("centroids", centroids, "double[][]")
       val c = ctx.freshName("c")
       val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
       val n = ctx.freshName("n")
       val d = ctx.freshName("d")
       val x = ctx.freshName("x")
       val bestD = ctx.freshName("bestD")
       val get = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
       s"""
-         |double $bestD = Double.MAX_VALUE;
-         |${ev.value} = 0;
-         |for (int $c = 0; $c < $cs.length; $c++) {
-         |  double $d = 0.0;
-         |  int $n = java.lang.Math.min($v.numElements(), $cs[$c].length);
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    double $x = $get - $cs[$c][$i];
-         |    $d += $x * $x;
+         |for (int $j = 0; $j < $v.numElements(); $j++) {
+         |  if ($v.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |}
+         |if (!${ev.isNull}) {
+         |  double $bestD = Double.MAX_VALUE;
+         |  ${ev.value} = 0;
+         |  for (int $c = 0; $c < $cs.length; $c++) {
+         |    double $d = 0.0;
+         |    int $n = java.lang.Math.min($v.numElements(), $cs[$c].length);
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      double $x = $get - $cs[$c][$i];
+         |      $d += $x * $x;
+         |    }
+         |    if ($d < $bestD) { $bestD = $d; ${ev.value} = $c; }
          |  }
-         |  if ($d < $bestD) { $bestD = $d; ${ev.value} = $c; }
          |}
        """.stripMargin
     })

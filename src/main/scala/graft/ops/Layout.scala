@@ -25,9 +25,13 @@ object Layout {
     */
   def zorderKey(x: Column, y: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, "bits must be in [1,31]")
+    // widen to long FIRST: shiftleft preserves the input's type, so an
+    // IntegerType input at bits >= 16 would shift into the int sign bit
+    // and wrap negative, scrambling the key order
+    val (xl, yl) = (x.cast("long"), y.cast("long"))
     (0 until bits).map { i =>
-      shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i) +
-        shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1)
+      shiftleft(shiftright(xl, i).bitwiseAND(1L), 2 * i) +
+        shiftleft(shiftright(yl, i).bitwiseAND(1L), 2 * i + 1)
     }.reduce(_ + _)
   }
 

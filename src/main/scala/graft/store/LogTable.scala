@@ -154,11 +154,41 @@ final class LogTable(spark: SparkSession, root: String, filterHash: String,
     * re-plan per query) already tolerates.
     */
   private def swapInto(fs: org.apache.hadoop.fs.FileSystem, tmp: String): Unit = {
+    // Hadoop FileSystem.rename reports failure by RETURNING FALSE, not
+    // throwing — an unchecked rename-aside would let the second rename
+    // move tmp INSIDE the still-present live dir (nested garbage) or
+    // silently abandon the rewrite. Abort loudly instead; every failure
+    // mode leaves the data intact under dir, trash, or tmp.
+    def mustRename(from: org.apache.hadoop.fs.Path,
+        to: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"rename $from -> $to failed")
     val dst = new org.apache.hadoop.fs.Path(dir)
     val trash = new org.apache.hadoop.fs.Path(s"$dir.trash-${System.nanoTime()}")
-    if (fs.exists(dst)) fs.rename(dst, trash)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    if (fs.exists(dst)) mustRename(dst, trash)
+    mustRename(new org.apache.hadoop.fs.Path(tmp), dst)
     fs.delete(trash, true)
+  }
+
+  /** Shared compaction scaffold: rewrite every partition into one file,
+    * rows clustered by `sortKeys`, then swap atomically-as-possible
+    * (see [[swapInto]]).
+    */
+  private def rewriteClustered(sortKeys: Seq[org.apache.spark.sql.Column]): Unit = {
+    val current = read.cache()
+    current.count()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = s"$dir.compact-${System.nanoTime()}"
+    current
+      .repartition(col("block_range"))
+      // lead with the partition column: FileFormatWriter requires data
+      // sorted by partition cols and would otherwise inject its own
+      // (unstable) sort, destroying the clustering
+      .sortWithinPartitions(col("block_range") +: sortKeys: _*)
+      .write.mode(SaveMode.Overwrite).partitionBy("block_range").parquet(tmp)
+    swapInto(fs, tmp)
+    current.unpersist()
   }
 
   /** Layout maintenance: rewrite every partition clustered by
@@ -170,23 +200,8 @@ final class LogTable(spark: SparkSession, root: String, filterHash: String,
     * OPTIMIZE/Z-ORDER analog for plain parquet — single sort key because
     * the access pattern is one-dimensional (block order ≡ index order).
     */
-  def compact(): Unit = {
-    val current = read.cache()
-    current.count()
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val tmp = s"$dir.compact-${System.nanoTime()}"
-    current
-      .repartition(col("block_range"))
-      // lead with the partition column: FileFormatWriter requires data
-      // sorted by partition cols and would otherwise inject its own
-      // (unstable) sort, destroying the block clustering
-      .sortWithinPartitions(col("block_range"), col("block_num"),
-        col("tx_index"))
-      .write.mode(SaveMode.Overwrite).partitionBy("block_range").parquet(tmp)
-    swapInto(fs, tmp)
-    current.unpersist()
-  }
+  def compact(): Unit =
+    rewriteClustered(Seq(col("block_num"), col("tx_index")))
 
   /** Two-dimensional layout maintenance: like [[compact]], but clusters
     * each partition by a Morton key over (block_num, xxhash64(address)) —
@@ -197,26 +212,12 @@ final class LogTable(spark: SparkSession, root: String, filterHash: String,
     * leaves every file spanning all addresses. Within-partition file
     * count stays 1; the clustering only reorders rows.
     */
-  def compactZOrdered(bits: Int = 16): Unit = {
-    val current = read.cache()
-    current.count()
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val tmp = s"$dir.compact-${System.nanoTime()}"
-    current
-      .withColumn("__z", graft.ops.Layout.zorderKey(
-        col("block_num"),
-        // hash the address so the second dimension is dense + numeric;
-        // pruning still works on the raw address column's file stats
-        xxhash64(col("address")).bitwiseAND((1L << bits) - 1), bits))
-      .repartition(col("block_range"))
-      // lead with the partition column (see compact); then the Z key
-      .sortWithinPartitions(col("block_range"), col("__z"))
-      .drop("__z")
-      .write.mode(SaveMode.Overwrite).partitionBy("block_range").parquet(tmp)
-    swapInto(fs, tmp)
-    current.unpersist()
-  }
+  def compactZOrdered(bits: Int = 16): Unit =
+    rewriteClustered(Seq(graft.ops.Layout.zorderKey(
+      col("block_num"),
+      // hash the address so the second dimension is dense + numeric;
+      // pruning still works on the raw address column's file stats
+      xxhash64(col("address")).bitwiseAND((1L << bits) - 1), bits)))
 }
 
 /** S6/S7 — string→string KV metadata store (genesis hash, chainID,

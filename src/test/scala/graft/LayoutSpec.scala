@@ -31,6 +31,15 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("zorderKey widens int inputs (bit 15 must not wrap the int sign)") {
+    val rows = Seq((32768, 40000), (1, 2)).toDF("x", "y") // IntegerType cols
+    val got = rows
+      .select(Layout.zorderKey(col("x"), col("y"), bits = 16).as("z"))
+      .collect().map(_.getLong(0))
+    got.foreach(z => assert(z >= 0L, s"wrapped negative z $z"))
+    assert(got(0) == mortonRef(32768L & 0xffff, 40000L & 0xffff, 16))
+  }
+
   test("writeZOrdered produces files with disjoint z-ranges (file pruning)") {
     val df = (0L until 4096L).map(i => (i % 64, i / 64)).toDF("a", "b")
     val dir = java.nio.file.Files.createTempDirectory("zorder").toString

@@ -124,6 +124,24 @@ class SimilaritySpec extends SparkSpec {
       assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
         java.lang.Double.doubleToLongBits(r.getDouble(3)))
     }
+    // null contract also matches the HOF fold: length mismatch or a null
+    // element yields null, never a partial sum
+    val edge = Seq(
+      (1L, Seq[java.lang.Float](1f, 2f), Seq[java.lang.Float](1f)),
+      (2L, Seq[java.lang.Float](1f, null), Seq[java.lang.Float](1f, 2f)),
+      (3L, Seq[java.lang.Float](1f, 2f), Seq[java.lang.Float](3f, 4f))
+    ).toDF("k", "a", "b")
+    val er = edge.select(col("k"),
+      Similarity.dot(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"),
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x).as("slow"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(er(1L) == ((None, None)))
+    assert(er(2L) == ((None, None)))
+    assert(er(3L) == ((Some(11.0), Some(11.0))))
   }
 
   test("lsh bucket is deterministic across evaluations") {
