@@ -49,14 +49,30 @@ final case class FilterConfig(
     topics: Seq[Option[String]] = Nil,
     start: Long = 0L
 ) {
-  /** SHA-256 filter identity, ref `tracker.go:47-60`. */
+  /** Injective framing of the filter: every element carries a kind tag and
+    * a length prefix, so distinct configs can never serialize identically.
+    * The reference digests a bare concatenation (`tracker.go:47-60`), under
+    * which ["ab"] collides with ["a","b"] and a `None` wildcard collides
+    * with the literal topic "empty" — colliding filters would share a log
+    * table, registry row and checkpoint. Deliberate (documented) deviation:
+    * same scheme shape, unambiguous encoding.
+    */
+  def canonical: String = {
+    val sb = new StringBuilder
+    addresses.foreach(a =>
+      sb.append('a').append(a.length).append(':').append(a).append(';'))
+    topics.foreach {
+      case Some(t) =>
+        sb.append('t').append(t.length).append(':').append(t).append(';')
+      case None => sb.append("w;")
+    }
+    sb.toString
+  }
+
+  /** SHA-256 filter identity over [[canonical]], ref `tracker.go:47-60`. */
   def hash: String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    addresses.foreach(a => md.update(a.getBytes("UTF-8")))
-    topics.foreach {
-      case Some(t) => md.update(t.getBytes("UTF-8"))
-      case None    => md.update("empty".getBytes("UTF-8"))
-    }
+    md.update(canonical.getBytes("UTF-8"))
     md.digest().map("%02x".format(_)).mkString
   }
 }

@@ -41,19 +41,16 @@ object LogOps {
       case (acc, (None, _)) => acc
     }
 
-  /** F1 — SHA-256 filter identity over addresses+topics, `None` → "empty"
-    * (ref `tracker.go:47-60`). Column form so it can namespace data at rest
-    * (`partitionBy("filter_hash")`); the Scala-side twin is
-    * [[graft.model.FilterConfig.hash]].
+  /** F1 — SHA-256 filter identity (ref `tracker.go:47-60`), Column form so
+    * it can namespace data at rest (`partitionBy("filter_hash")`). Digests
+    * [[graft.model.FilterConfig.canonical]] — the length-framed injective
+    * encoding (see its doc for the deliberate deviation from the
+    * reference's collision-prone bare concatenation) — so it always equals
+    * [[graft.model.FilterConfig.hash]] (LogOpsSpec pins this). The config
+    * is plan-constant, so this is a literal, not per-row work.
     */
   def filterHash(cfg: FilterConfig): Column =
-    sha2(
-      concat(
-        (cfg.addresses.map(lit) ++
-          cfg.topics.map(t => lit(t.getOrElse("empty")))): _*
-      ),
-      256
-    )
+    sha2(lit(cfg.canonical), 256)
 
   // ─────────────── index assignment & suffix ops (store semantics) ───────
 

@@ -76,8 +76,15 @@ object Reconciler {
   }
 
   /** Log-level consequence of a reconcile, as DataFrames (CDC form,
-    * SURVEY.md §1.1d): retract stored logs above the ancestor (newest
-    * first), apply live logs of the added blocks (block order).
+    * SURVEY.md §1.1d): retract stored logs above the ancestor, then apply
+    * live logs of the added blocks — both oldest-first, exactly the event
+    * order the reference emits (tracker.go:786-795 + revertLogs).
+    *
+    * The emission order is carried by an EXPLICIT `cdc_phase` column
+    * (0 = del, 1 = add) plus the natural keys (indx / block_num, tx_index):
+    * a DataFrame's row order only survives to a terminal collect, so any
+    * consumer that shuffles or re-partitions must re-sort on these columns
+    * — per-side sorts before the union would be silently discarded.
     *
     * @param storedLogs logs table with (indx, block_num, block_hash, …)
     * @param liveLogs   log source keyed by block_hash (S2 per-block fetch)
@@ -90,16 +97,16 @@ object Reconciler {
     val removedLogs = storedLogs
       .where(col("block_num") > result.ancestor)
       .withColumn("action", lit("del"))
-      .orderBy(col("indx"))
+      .withColumn("cdc_phase", lit(0))
     val addedHashes = result.added.map(_.hash)
     val addedLogs =
       if (addedHashes.isEmpty) liveLogs.where(lit(false))
       else liveLogs.where(col("block_hash").isin(addedHashes: _*))
     val appliedLogs = addedLogs
       .withColumn("action", lit("add"))
-      .orderBy(col("block_num"), col("tx_index"))
-    // retractions first, then applies, both oldest-first — exactly the
-    // event order the reference emits (tracker.go:786-795 + revertLogs)
+      .withColumn("cdc_phase", lit(1))
     removedLogs.unionByName(appliedLogs, allowMissingColumns = true)
+      .orderBy(col("cdc_phase"), col("indx"), col("block_num"),
+        col("tx_index"))
   }
 }

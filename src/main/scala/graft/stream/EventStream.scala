@@ -135,21 +135,38 @@ object EventStream {
       table: graft.store.LogTable,
       liveLogs: DataFrame
   )(batch: Dataset[HeaderAction], batchId: Long): Unit = {
-    val dels = batch.filter(_.action == "del").collect()
+    // One micro-batch can carry several reorgs of the SAME height — e.g.
+    // del(7,A) add(7,B) del(7,B) add(7,C). A naive all-dels-then-all-adds
+    // application would re-append BOTH B and C. Fold to the LAST action
+    // per (filter, hash) instead: a hash whose final action is del stays
+    // out; one whose final action is add goes in (even if a del of it
+    // precedes the add — the chain reorged back to it). Row order is the
+    // emission order: flatMapGroupsWithState emits each group's actions
+    // from a single task in iterator order and no shuffle sits between it
+    // and foreachBatch.
+    val rows = batch.collect()
+    val last = scala.collection.mutable.LinkedHashMap
+      .empty[(String, String), HeaderAction]
+    rows.foreach(a => last((a.filterHash, a.hash)) = a)
+    val dels = rows.filter(_.action == "del")
     if (dels.nonEmpty) {
       val minNum = dels.map(_.number).min
       val firstBad = table.read
         .where(col("block_num") >= minNum).agg(min("indx")).head()
       if (!firstBad.isNullAt(0)) table.removeLogsFrom(firstBad.getLong(0))
     }
-    val adds = batch.filter(_.action == "add").collect()
+    val adds = last.values.filter(_.action == "add").toSeq
     if (adds.nonEmpty) {
-      val hashes = adds.map(_.hash).toSeq
+      val hashes = adds.map(_.hash)
       // idempotent apply: a head observed both by backfill and by the tail
-      // (the hand-off block) must not be double-appended — probe only the
-      // added hashes, so the check is bounded by the batch, not the table
+      // (the hand-off block) must not be double-appended. Probe only the
+      // added hashes AND only the batch's height range — block_num bounds
+      // let the scan prune to the tail partitions instead of reading the
+      // whole append-only table every micro-batch.
+      val (lo, hi) = (adds.map(_.number).min, adds.map(_.number).max)
       val existing = table.read
-        .where(col("block_hash").isin(hashes: _*))
+        .where(col("block_num").between(lo, hi) &&
+          col("block_hash").isin(hashes: _*))
         .select("block_hash").distinct()
         .collect().map(_.getString(0)).toSet
       val fresh = hashes.filterNot(existing)

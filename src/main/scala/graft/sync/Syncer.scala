@@ -54,10 +54,17 @@ final class ProviderScanLocator(provider: Provider, headHint: Long)
     extends FirstLogLocator {
   override def firstLogBlock(addresses: Seq[String]): Option[Long] = {
     import org.apache.spark.sql.functions.{col, min}
-    val logs = provider.getLogs(0L, headHint,
-      graft.model.FilterConfig(addresses = addresses))
-    val r = logs.agg(min(col("block_num"))).head()
-    if (r.isNullAt(0)) None else Some(r.getLong(0))
+    // a busy address can exceed the provider's result cap on this one
+    // unbounded probe — that must DEGRADE (start from filter.start, like a
+    // locator-less sync), not crash the first sync it was meant to speed up
+    try {
+      val logs = provider.getLogs(0L, headHint,
+        graft.model.FilterConfig(addresses = addresses))
+      val r = logs.agg(min(col("block_num"))).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    } catch {
+      case _: Provider.TooManyResults => None
+    }
   }
 }
 
@@ -111,14 +118,16 @@ final class Syncer(
 
   // ── chain guard (P4, ref tracker.go:402-444) ──────────────────────────
   def preSyncCheck(): Unit = {
-    (kv.get("genesis"), kv.get("chainID")) match {
-      case (Some(g), Some(c)) =>
-        if (g != provider.genesisHash()) sys.error("bad genesis")
-        if (c != provider.chainId()) sys.error("bad chain id")
-      case _ =>
-        kv.set("genesis", provider.genesisHash())
-        kv.set("chainID", provider.chainId())
-    }
+    // validate every PRESENT key (a crash between first-run writes must
+    // not let a wrong-chain provider slip past the guard on restart), and
+    // write both keys in ONE atomic KV commit so no partial state exists
+    val (g0, c0) = (kv.get("genesis"), kv.get("chainID"))
+    g0.foreach(g => if (g != provider.genesisHash()) sys.error("bad genesis"))
+    c0.foreach(c => if (c != provider.chainId()) sys.error("bad chain id"))
+    if (g0.isEmpty || c0.isEmpty)
+      kv.setAll(Map(
+        "genesis" -> provider.genesisHash(),
+        "chainID" -> provider.chainId()))
     // idempotent filter registry (T10, ref tracker.go:177-211)
     if (kv.get(filterKey).isEmpty)
       kv.set(filterKey, filter.addresses.mkString(",") + "|" +
@@ -242,23 +251,33 @@ final class Syncer(
     var prev: Option[BlockHeader] = checkpoint()
     var n = tailStart
     while (n <= head.number) {
-      provider.getBlock(n).foreach { b =>
-        if (prev.exists(p =>
-            p.number == b.number - 1 && p.hash != b.parentHash)) {
-          val r = reorgResync(head)
-          return SyncReport(batches + r.batches, added + r.added,
-            r.removed, r.headNumber)
-        }
-        // T8: tolerate a transiently-unsynced node on the hot tail
-        val (logs, c) = withRetry(s"logs of block ${b.hash}") {
-          val df = provider.getLogsByHash(b.hash, filter)
-          (df, df.count())
-        }
-        added += c
-        table.storeLogs(logs)
-        writeCheckpoint(b)
-        prev = Some(b)
+      // T8 covers the HEADER fetch too: a None from a transiently-unsynced
+      // node must not silently skip the block (its logs would be lost
+      // forever and the parent-linkage guard would go blind across the gap)
+      val b = withRetry(s"header of block $n") {
+        provider.getBlock(n).getOrElse(
+          throw new IllegalStateException(s"block $n not served yet"))
       }
+      if (prev.exists(p =>
+          p.number == b.number - 1 && p.hash != b.parentHash)) {
+        val r = reorgResync(head)
+        return SyncReport(batches + r.batches, added + r.added,
+          r.removed, r.headNumber)
+      }
+      // T8: tolerate a transiently-unsynced node on the hot tail. PIN the
+      // fetched rows inside the retry — storeLogs re-evaluates its input,
+      // and an unpinned provider DataFrame would hit the provider again
+      // OUTSIDE the retry (unprotected, and possibly returning different
+      // rows than were counted). The tail block's logs are small by
+      // construction (one block).
+      val (logs, c) = withRetry(s"logs of block ${b.hash}") {
+        val df = provider.getLogsByHash(b.hash, filter).localCheckpoint(true)
+        (df, df.count())
+      }
+      added += c
+      table.storeLogs(logs)
+      writeCheckpoint(b)
+      prev = Some(b)
       n += 1
     }
     SyncReport(batches, added, 0, head.number)
@@ -275,11 +294,14 @@ final class Syncer(
     val stored = {
       val persisted = storedBacklog()
       if (persisted.nonEmpty) persisted
-      else (math.max(0L, last.number - maxBlockBacklog + 1)
-        to last.number).flatMap { n =>
-        table.read.where(col("block_num") === n)
+      else {
+        // one ranged query for the whole window, not one job per height
+        val lo = math.max(0L, last.number - maxBlockBacklog + 1)
+        table.read.where(col("block_num").between(lo, last.number))
           .select("block_num", "block_hash").distinct()
-          .collect().map(r => BlockHeader(r.getLong(0), r.getString(1), ""))
+          .collect()
+          .map(r => BlockHeader(r.getLong(0), r.getString(1), ""))
+          .sortBy(_.number).toSeq
       }
     }
     // anchor the live view at the STORED heights — the fork point must be
@@ -307,7 +329,9 @@ final class Syncer(
       case None => kv.setAll(Map(lastBlockKey -> "", backlogKey -> ""))
     }
     val fwd = sync()
-    SyncReport(fwd.batches, fwd.added, removed, head.number)
+    // a second fork during the forward resync contributes its own
+    // retractions and a fresher head — aggregate, don't drop them
+    SyncReport(fwd.batches, fwd.added, removed + fwd.removed, fwd.headNumber)
   }
 }
 

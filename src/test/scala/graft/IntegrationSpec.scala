@@ -68,4 +68,38 @@ class IntegrationSpec extends SparkSpec {
     val idx = stored.select("indx").as[Long].collect().sorted
     assert(idx.sameElements(idx.indices.map(_.toLong)))
   }
+
+  test("double reorg of one height within a single micro-batch nets out") {
+    implicit val sql = spark.sqlContext
+    val root = tmpDir("e2e-dd")
+    val filter = FilterConfig()
+    val chain = MockChain.linear(50, _ => 1)
+    val provider = new MockProvider(spark, chain)
+    val syncer = new Syncer(spark, provider, root, filter)
+    syncer.sync()
+
+    // three competing blocks at height 50 — A superseded by B superseded
+    // by C, all observed in ONE micro-batch; only C's logs may survive
+    val a = MBlock(50, "50A", "49", 1)
+    val b = MBlock(50, "50B", "49", 2)
+    val c = MBlock(50, "50C", "49", 3)
+    val liveLogs = Seq(a, b, c)
+      .map(m => new MockProvider(spark, chain :+ m).allLogs)
+      .reduce(_ unionByName _).distinct()
+
+    val heads = MemoryStream[HeadObservation]
+    val q = EventStream.reorgTail(heads.toDS(), maxBacklog = 10)
+      .writeStream
+      .foreachBatch(EventStream.applyCdc(syncer.table, liveLogs) _)
+      .start()
+    def obs(m: MBlock) = HeadObservation("f", m.num, m.hash, m.parentHash)
+    heads.addData(obs(chain.last), obs(a), obs(b), obs(c)) // one batch
+    q.processAllAvailable()
+    q.stop()
+
+    val at50 = syncer.table.read.where(col("block_num") === 50L)
+      .select("block_hash").distinct().as[String].collect().toSet
+    assert(at50 == Set(c.hash), s"expected only ${c.hash}, got $at50")
+    assert(syncer.table.read.where(col("block_num") === 50L).count() == 3L)
+  }
 }

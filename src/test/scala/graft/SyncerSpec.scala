@@ -139,6 +139,23 @@ class SyncerSpec extends SparkSpec {
     assert(bad.getMessage.contains("bad genesis"))
   }
 
+  test("chain guard validates a partially-written identity (crash between writes)") {
+    val root = tmpDir("sync")
+    // simulate a crash after the first guard key landed but not the second
+    val s1 = new Syncer(spark, new MockProvider(spark, chain100), root,
+      FilterConfig())
+    s1.kv.set("genesis", new MockProvider(spark, chain100).genesisHash())
+    // restart against a DIFFERENT chain: the present key must still be
+    // validated, not silently overwritten as "fresh"
+    val other = MockChain.linear(50, _ => 1)
+      .map(b => b.copy(tag = s"${b.tag}X", parentTag = s"${b.parentTag}X"))
+    val bad = intercept[RuntimeException] {
+      new Syncer(spark, new MockProvider(spark, other), root,
+        FilterConfig()).sync()
+    }
+    assert(bad.getMessage.contains("bad genesis"))
+  }
+
   test("store ahead of chain is a hard error (T9, tracker.go:639-641)") {
     val root = tmpDir("sync")
     new Syncer(spark, new MockProvider(spark, chain100), root,
