@@ -35,6 +35,24 @@ case class DotProductF(left: Expression, right: Expression)
   // codegen drop the isNull slot this expression assigns
   override def nullable: Boolean = true
 
+  // SQL-reachable (vec_dot), so analysis must reject non-float/double
+  // arrays — getDouble over int-backed ArrayData would reinterpret bytes
+  // silently (ExpectsInputTypes isn't declarable outside the sql package;
+  // AbstractDataType is private[sql])
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _                                    => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vec_dot expects array<float>/array<double> inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _                       => false
@@ -94,10 +112,27 @@ case class DotProductF(left: Expression, right: Expression)
   * code reads it as a field — the Spark-idiomatic shape for
   * "broadcast-small-model, scan-big-data" scoring.
   */
-case class NearestCentroidF(child: Expression, centroids: Array[Array[Double]])
+case class NearestCentroidF(child: Expression, centroids: Seq[Seq[Double]])
     extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true // null on null elements (see below)
+
+  // Seq (not Array) parameter: case-class equality over arrays is
+  // reference identity, which would break semanticEquals/CSE between two
+  // expressions built from equal-valued (but distinct) centroid tables.
+  private lazy val cents: Array[Array[Double]] = centroids.map(_.toArray).toArray
+  private lazy val dim: Int = if (cents.isEmpty) 0 else cents(0).length
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroid expects array<float>/array<double>, got " +
+            other.simpleString)
+    }
 
   private def isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
@@ -107,8 +142,9 @@ case class NearestCentroidF(child: Expression, centroids: Array[Array[Double]])
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val fl = isFloat
-    // null elements → null result (a partial distance would silently
-    // assign corrupt vectors to a cell)
+    // wrong dimensionality or null elements → null result (a partial
+    // distance would silently assign corrupt vectors to a cell)
+    if (arr.numElements() != dim) return null
     var j = 0
     while (j < arr.numElements()) {
       if (arr.isNullAt(j)) return null
@@ -117,12 +153,11 @@ case class NearestCentroidF(child: Expression, centroids: Array[Array[Double]])
     var best = 0
     var bestD = Double.MaxValue
     var c = 0
-    while (c < centroids.length) {
-      val cen = centroids(c)
+    while (c < cents.length) {
+      val cen = cents(c)
       var d = 0.0
       var i = 0
-      val n = math.min(arr.numElements(), cen.length)
-      while (i < n) {
+      while (i < dim) {
         val x = (if (fl) arr.getFloat(i).toDouble else arr.getDouble(i)) - cen(i)
         d += x * x
         i += 1
@@ -135,7 +170,7 @@ case class NearestCentroidF(child: Expression, centroids: Array[Array[Double]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
-      val cs = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      val cs = ctx.addReferenceObj("centroids", cents, "double[][]")
       val c = ctx.freshName("c")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
@@ -145,16 +180,16 @@ case class NearestCentroidF(child: Expression, centroids: Array[Array[Double]])
       val bestD = ctx.freshName("bestD")
       val get = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
       s"""
-         |for (int $j = 0; $j < $v.numElements(); $j++) {
-         |  if ($v.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |if ($v.numElements() != $dim) { ${ev.isNull} = true; }
+         |for (int $j = 0; !${ev.isNull} && $j < $v.numElements(); $j++) {
+         |  if ($v.isNullAt($j)) { ${ev.isNull} = true; }
          |}
          |if (!${ev.isNull}) {
          |  double $bestD = Double.MAX_VALUE;
          |  ${ev.value} = 0;
          |  for (int $c = 0; $c < $cs.length; $c++) {
          |    double $d = 0.0;
-         |    int $n = java.lang.Math.min($v.numElements(), $cs[$c].length);
-         |    for (int $i = 0; $i < $n; $i++) {
+         |    for (int $i = 0; $i < $dim; $i++) {
          |      double $x = $get - $cs[$c][$i];
          |      $d += $x * $x;
          |    }
@@ -175,7 +210,8 @@ object VectorFunctions {
 
   /** 0-based index of the nearest centroid (squared L2, codegen'd). */
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
-    Bridge.column(NearestCentroidF(Bridge.expression(vec), centroids))
+    Bridge.column(NearestCentroidF(Bridge.expression(vec),
+      centroids.toIndexedSeq.map(_.toIndexedSeq)))
 
   /** SQL-callable registration: `SELECT vec_dot(a, b) FROM …`. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =

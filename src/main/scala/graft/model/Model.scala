@@ -55,7 +55,11 @@ final case class FilterConfig(
     * which ["ab"] collides with ["a","b"] and a `None` wildcard collides
     * with the literal topic "empty" — colliding filters would share a log
     * table, registry row and checkpoint. Deliberate (documented) deviation:
-    * same scheme shape, unambiguous encoding.
+    * same scheme shape, unambiguous encoding. NOTE: this is identity
+    * scheme v2 — stores written under the v1 (bare-concat) hashes resolve
+    * to different directories/keys; migrating an existing store means
+    * renaming its `filter_hash=<v1>` dir and `*_<v1>` KV keys to the v2
+    * hash (no in-repo stores predate v2).
     */
   def canonical: String = {
     val sb = new StringBuilder

@@ -42,6 +42,8 @@ object Layout {
     */
   def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
       path: String, numFiles: Int, bits: Int = 16): Unit = {
+    require(!df.columns.contains("__z"),
+      "input already has a __z column — rename it before writeZOrdered")
     val keyed = df.withColumn("__z", zorderKey(col(xCol), col(yCol), bits))
     keyed
       .repartitionByRange(numFiles, col("__z"))

@@ -39,11 +39,34 @@ final class LogTable(spark: SparkSession, root: String, filterHash: String,
 
   /** Missing directory = genuinely fresh store → empty; any OTHER failure
     * (I/O, corrupt footer) propagates — silently treating it as "fresh"
-    * would reset lastIndex to 0 and corrupt the monotonic sequence.
+    * would reset lastIndex to 0 and corrupt the monotonic sequence. That
+    * includes a crashed compaction swap: if the live dir is gone but a
+    * `.trash-*` sibling exists, the data is sitting there mid-swap — fail
+    * loudly with the recovery path instead of pretending to be fresh.
     */
   def read: DataFrame =
-    if (!new java.io.File(dir).exists()) emptyLogs
-    else spark.read.parquet(dir)
+    if (!new java.io.File(dir).exists()) {
+      val self = new java.io.File(dir)
+      val siblings = Option(self.getParentFile)
+        .flatMap(p => Option(p.listFiles()))
+        .getOrElse(Array.empty[java.io.File])
+      val strandedTrash =
+        siblings.find(_.getName.startsWith(self.getName + ".trash-"))
+      strandedTrash.foreach(t => throw new java.io.IOException(
+        s"log table $dir missing but ${t.getPath} exists — a compaction " +
+          "swap crashed mid-rename; rename the trash dir back to recover"))
+      emptyLogs
+    } else if (!hasParquetFiles(new java.io.File(dir))) {
+      // a reorg that truncates EVERY stored log leaves the dir with no
+      // data files (only _SUCCESS markers); schema inference would throw,
+      // bricking the store — that state is a legitimately empty table
+      emptyLogs
+    } else spark.read.parquet(dir)
+
+  private def hasParquetFiles(f: java.io.File): Boolean =
+    if (f.isFile) f.getName.endsWith(".parquet")
+    else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      .exists(hasParquetFiles)
 
   private def emptyLogs: DataFrame = {
     import org.apache.spark.sql.types._
@@ -166,21 +189,35 @@ final class LogTable(spark: SparkSession, root: String, filterHash: String,
     val dst = new org.apache.hadoop.fs.Path(dir)
     val trash = new org.apache.hadoop.fs.Path(s"$dir.trash-${System.nanoTime()}")
     if (fs.exists(dst)) mustRename(dst, trash)
-    mustRename(new org.apache.hadoop.fs.Path(tmp), dst)
+    try mustRename(new org.apache.hadoop.fs.Path(tmp), dst)
+    catch {
+      case e: Throwable =>
+        // roll the live dir back so a failed swap leaves the table
+        // readable in place; if even the rollback fails, read() detects
+        // the stranded trash dir and reports the recovery path
+        if (fs.exists(trash)) fs.rename(trash, dst)
+        throw e
+    }
     fs.delete(trash, true)
   }
 
   /** Shared compaction scaffold: rewrite every partition into one file,
     * rows clustered by `sortKeys`, then swap atomically-as-possible
-    * (see [[swapInto]]).
+    * (see [[swapInto]]). No-op on an empty/fresh table — swapping in a
+    * row-less directory (which parquet writes with no data files) would
+    * leave a dir that fails schema inference on every later read.
+    *
+    * The source dir stays intact until the tmp write has fully succeeded,
+    * so the write streams straight from the live files — no cache/
+    * materialization pass (unlike removeLogsFrom, which deletes the very
+    * partitions it reads and must pin rows first).
     */
   private def rewriteClustered(sortKeys: Seq[org.apache.spark.sql.Column]): Unit = {
-    val current = read.cache()
-    current.count()
+    if (!new java.io.File(dir).exists() || read.isEmpty) return
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val tmp = s"$dir.compact-${System.nanoTime()}"
-    current
+    read
       .repartition(col("block_range"))
       // lead with the partition column: FileFormatWriter requires data
       // sorted by partition cols and would otherwise inject its own
@@ -188,7 +225,6 @@ final class LogTable(spark: SparkSession, root: String, filterHash: String,
       .sortWithinPartitions(col("block_range") +: sortKeys: _*)
       .write.mode(SaveMode.Overwrite).partitionBy("block_range").parquet(tmp)
     swapInto(fs, tmp)
-    current.unpersist()
   }
 
   /** Layout maintenance: rewrite every partition clustered by
@@ -212,12 +248,21 @@ final class LogTable(spark: SparkSession, root: String, filterHash: String,
     * leaves every file spanning all addresses. Within-partition file
     * count stays 1; the clustering only reorders rows.
     */
-  def compactZOrdered(bits: Int = 16): Unit =
+  def compactZOrdered(bits: Int = 16): Unit = {
+    require(blocksPerRange <= (1L << bits),
+      s"blocksPerRange=$blocksPerRange exceeds the $bits-bit Z budget")
     rewriteClustered(Seq(graft.ops.Layout.zorderKey(
-      col("block_num"),
+      // PARTITION-RELATIVE block coordinate: raw low bits of block_num
+      // wrap every 2^bits blocks, and a block_range straddling that
+      // boundary would sort post-wrap blocks first — destroying exactly
+      // the block clustering this method exists for. block_num mod
+      // blocksPerRange is monotone within every partition and fits the
+      // bit budget (blocksPerRange defaults to 10000 < 2^16).
+      pmod(col("block_num"), lit(blocksPerRange)),
       // hash the address so the second dimension is dense + numeric;
       // pruning still works on the raw address column's file stats
       xxhash64(col("address")).bitwiseAND((1L << bits) - 1), bits)))
+  }
 }
 
 /** S6/S7 — string→string KV metadata store (genesis hash, chainID,

@@ -112,6 +112,18 @@ class StoreSpec extends SparkSpec {
     assert(idx.sameElements(0L until before))
   }
 
+  test("compact on an empty/fresh table is a no-op, not a brick") {
+    val t = new LogTable(spark, tmpDir("store"), "f1")
+    t.compact()          // fresh: no dir at all
+    assert(t.lastIndex() == 0L)
+    t.storeLogs(mkLogs(0, 1))
+    t.removeLogsFrom(0L) // now the dir exists but holds zero rows
+    t.compact()
+    assert(t.lastIndex() == 0L)
+    t.storeLogs(mkLogs(0, 1))
+    assert(t.read.count() == 4) // still fully usable
+  }
+
   test("compactZOrdered clusters rows by the (block, address-hash) Z key") {
     val root = tmpDir("store")
     val t = new LogTable(spark, root, "f1", blocksPerRange = 100L)
