@@ -319,9 +319,13 @@ object Dedup {
     val p = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
     // probe with a bounded collect: if the whole pair list fits under the
     // limit we already hold it — no checkpoint, no count job, no recompute
-    val probe = p.limit(math.min(maxDriverEdges + 1, Int.MaxValue.toLong - 1).toInt)
+    // clamp to what a driver array can actually hold — a larger request
+    // (or Long.MaxValue) must route to the distributed path, not probe a
+    // truncated edge list and silently solve an incomplete graph
+    val cap = math.min(maxDriverEdges, Int.MaxValue.toLong - 2)
+    val probe = p.limit((cap + 1).toInt)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    if (probe.length <= maxDriverEdges) {
+    if (probe.length <= cap) {
       // union-find with path compression; union-by-min ⇒ every component's
       // root (= label) is its minimum id
       val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -357,7 +361,7 @@ object Dedup {
     // labels only ever decrease ⇒ sum(label) strictly decreases until the
     // fixpoint; compare in unbounded decimal (no overflow at any scale)
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label")).cast("decimal(38,0)")).head().getDecimal(0)
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
     var prev = labelSum(labels)
     var done = false
     var rounds = 0
@@ -434,6 +438,10 @@ object Dedup {
       e = ss
       rounds += 1
     }
+    // same fail-loudly contract as connectedComponents: labels from a
+    // still-evolving edge set would silently split real clusters
+    if (!done && !e.isEmpty) throw new IllegalStateException(
+      "connectedComponentsStar did not converge in 30 rounds")
     // converged edges form stars rooted at component minima
     adj(e).groupBy(col("x").as("node"))
       .agg(min(col("y")).as("mn"))

@@ -119,7 +119,11 @@ object Similarity {
     // MLlib KMeans fit schedules. At 100 TB this is the difference between
     // a 10-pass corpus scan and a constant-size local fit; only the
     // cell-assignment map (one narrow codegen'd pass) touches the corpus.
-    val sample = corpus.select(col(vecCol)).orderBy(col(idCol))
+    val sample = corpus.select(col(vecCol), col(idCol))
+      // hash-order, id tie-break: deterministic AND unbiased — an
+      // id-ordered prefix of a corpus laid out by class/topic would put
+      // every centroid inside the first few classes and collapse recall
+      .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(nlist * 64)
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
@@ -221,7 +225,8 @@ object Similarity {
       m: Int,
       k: Int = 16
   ): (DataFrame, Array[Array[Array[Double]]]) = {
-    val sample = corpus.select(col(vecCol)).orderBy(col(idCol))
+    val sample = corpus.select(col(vecCol), col(idCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol)) // see ivfIndex: unbiased
       .limit(k * 64)
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
@@ -240,8 +245,7 @@ object Similarity {
       // pass): ADC approximates the raw inner product, but search ranks by
       // cosine — without the norm, large-norm vectors would dominate the
       // candidate ordering regardless of angle on unnormalized corpora
-      .withColumn("pq_norm",
-        sqrt(graft.functions.VectorFunctions.dot(col(vecCol), col(vecCol))))
+      .withColumn("pq_norm", sqrt(norm2(col(vecCol))))
     (encoded, codebooks)
   }
 
@@ -283,15 +287,19 @@ object Similarity {
     val score = ((0 until m).map { j =>
       element_at(array(tables(j).map(lit): _*), col(s"pq_$j") + 1)
     }.reduce(_ + _)) / col("pq_norm")
+    // zero-norm vectors have no direction: adc/0 is ±Inf and cosine 0/0 is
+    // NaN, which Spark sorts ABOVE every real double in a descending sort —
+    // a single corrupt row would crown every query. Exclude them outright.
+    val searchable = encoded.where(col("pq_norm") > 0.0)
     if (rerank <= 0)
-      encoded
+      searchable
         .select(col(idCol), score.as("approx_dot"))
         .orderBy(col("approx_dot").desc, col(idCol))
         .limit(k)
     else {
       val spark = encoded.sparkSession
       val q = spark.createDataFrame(Seq(Tuple1(queryVec.toSeq))).toDF("__q")
-      encoded
+      searchable
         .select(col(idCol), col(vecCol), score.as("approx_dot"))
         .orderBy(col("approx_dot").desc, col(idCol))
         .limit(math.max(rerank, k))

@@ -84,13 +84,15 @@ object TextOps {
     */
   def boilerplateStats(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, minDf: Long = 5L): DataFrame = {
-    // document frequency via a count window over the shingle partition —
-    // one shuffle on s, versus the groupBy-then-join-back form whose two
-    // consumers each recomputed the whole shingle subtree (no ReuseExchange
-    // across differently-pruned legs; same lesson as Dedup.ngramJaccard)
+    // document frequency as a separate aggregate, broadcast back onto the
+    // shingle rows: the df table is vocabulary-sized (tiny next to the
+    // corpus) and the aggregate combines map-side. The earlier window-
+    // over-partitionBy(s) form put EVERY row of a hot shingle on one task
+    // with no partial aggregation — and boilerplate shingles are by
+    // definition the hottest ones, a guaranteed straggler at corpus scale.
     val sh = Dedup.shingleRows(docs, idCol, textCol, shingleN)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("s")
-    sh.withColumn("df", count(lit(1)).over(w))
+    val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    sh.join(broadcast(df), "s")
       .groupBy(col("doc").as(idCol))
       .agg(
         count(lit(1)).as("n_shingles"),

@@ -228,8 +228,8 @@ object PipelineQueries {
       import graft.ops.Layout
       Tables.events(s, d)
         .select(col("event_id"),
-          Layout.zorderKey(floor(col("event_id") / 10).cast("long"),
-            col("user_id"), bits = 16).as("zkey"))
+          Layout.zorderKey(expr("event_id div 10"), // exact integer div —
+            col("user_id"), bits = 16).as("zkey"))   // matches DuckDB //
         .orderBy("event_id")
     },
     // custom codegen expressions (§2.9): keccak256 event-signature topic +
