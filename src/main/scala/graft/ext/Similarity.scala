@@ -177,6 +177,21 @@ object Similarity {
     centroids
   }
 
+  /** Indices of the `nprobe` centroids nearest to the query (driver-side —
+    * the centroid table is tiny).
+    */
+  private def nearestCells(centroids: Array[Array[Double]],
+      queryVec: Array[Float], nprobe: Int): Array[Int] = {
+    val qd = queryVec.map(_.toDouble)
+    def dist(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < qd.length) { val d = c(i) - qd(i); s += d * d; i += 1 }
+      s
+    }
+    centroids.zipWithIndex.sortBy { case (c, _) => dist(c) }
+      .take(nprobe).map(_._2)
+  }
+
   /** IVF probe: exact cosine over the `nprobe` cells nearest to the query. */
   def ivfTopK(
       indexed: DataFrame,
@@ -188,15 +203,7 @@ object Similarity {
       k: Int
   ): DataFrame = {
     val spark = indexed.sparkSession
-    val qd = queryVec.map(_.toDouble)
-    def dist(c: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < qd.length) { val d = c(i) - qd(i); s += d * d; i += 1 }
-      s
-    }
-    val cells = centroids.zipWithIndex
-      .sortBy { case (c, _) => dist(c) }
-      .take(nprobe).map(_._2)
+    val cells = nearestCells(centroids, queryVec, nprobe)
     val q = spark.createDataFrame(Seq(Tuple1(queryVec.toSeq)))
       .toDF("__q")
     indexed
@@ -236,17 +243,24 @@ object Similarity {
     val codebooks = Array.tabulate(m) { j =>
       localKMeans(sample.map(_.slice(j * sub, (j + 1) * sub)), k, iters = 10)
     }
-    val encoded = codebooks.zipWithIndex.foldLeft(corpus) { case (df, (cb, j)) =>
-      df.withColumn(s"pq_$j",
+    (pqEncode(corpus, vecCol, codebooks), codebooks)
+  }
+
+  /** Attach `pq_0..pq_{m-1}` code columns plus `pq_norm` to any vector
+    * DataFrame — one narrow codegen'd pass, usable in batch or per
+    * micro-batch. The norm rides with the codes because ADC approximates
+    * the raw inner product while search ranks by cosine: without it,
+    * large-norm vectors would dominate the candidate ordering regardless
+    * of angle on unnormalized corpora.
+    */
+  def pqEncode(df: DataFrame, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val sub = codebooks(0)(0).length
+    codebooks.zipWithIndex.foldLeft(df) { case (d, (cb, j)) =>
+      d.withColumn(s"pq_$j",
         graft.functions.VectorFunctions.nearestCentroid(
           slice(col(vecCol), j * sub + 1, sub), cb))
-    }
-      // store the vector norm WITH the codes (computed in the same encode
-      // pass): ADC approximates the raw inner product, but search ranks by
-      // cosine — without the norm, large-norm vectors would dominate the
-      // candidate ordering regardless of angle on unnormalized corpora
-      .withColumn("pq_norm", sqrt(norm2(col(vecCol))))
-    (encoded, codebooks)
+    }.withColumn("pq_norm", sqrt(norm2(col(vecCol))))
   }
 
   /** PQ asymmetric-distance (ADC) search with exact re-rank: the query
@@ -335,6 +349,52 @@ object Similarity {
       .partitionBy("ivf_cell")
       .outputMode("append")
       .start()
+
+  /** Streaming IVF-PQ index maintenance (the FAISS composite, PQ on raw
+    * vectors rather than residuals): one narrow codegen'd pass assigns the
+    * coarse cell AND the m sub-space codes + norm, appended
+    * cell-partitioned. A probe partition-prunes to `nprobe` cells and
+    * ADC-scans only the code columns — the full vector is read for the
+    * re-rank rows alone.
+    */
+  def ivfPqStreamWriter(
+      vecs: DataFrame,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      vecCol: String,
+      path: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    pqEncode(
+      vecs.withColumn("ivf_cell",
+        graft.functions.VectorFunctions.nearestCentroid(col(vecCol), centroids)),
+      vecCol, codebooks)
+      .writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("ivf_cell")
+      .outputMode("append")
+      .start()
+
+  /** IVF-PQ probe: partition-prune to the query's `nprobe` cells, ADC-rank
+    * the code columns, exact-cosine re-rank the survivors.
+    */
+  def ivfPqTopK(
+      indexed: DataFrame,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      queryVec: Array[Float],
+      idCol: String,
+      vecCol: String,
+      nprobe: Int,
+      k: Int,
+      rerank: Int = 0
+  ): DataFrame = {
+    val cells = nearestCells(centroids, queryVec, nprobe)
+    pqTopK(
+      indexed.where(col("ivf_cell").isin(cells.map(Integer.valueOf): _*)),
+      codebooks, queryVec, idCol, vecCol, k, rerank)
+  }
 
   /** ANN top-k: exact cosine restricted to the query's LSH bucket.
     * Recall < 1 by construction; ScalaTest measures it against

@@ -61,4 +61,42 @@ class StreamAnnSpec extends SparkSpec {
       "probe does not partition-prune")
     assert(probed.collect().length == 5)
   }
+
+  test("streaming IVF-PQ composite: codes + cells on the stream, good recall") {
+    implicit val sql = spark.sqlContext
+    val rnd = new scala.util.Random(9)
+    val centers = (0 until 4).map(_ => Array.fill(32)(rnd.nextGaussian()))
+    def vec(i: Int): Seq[Float] =
+      centers(i % 4).map(x => (x + 0.1 * rnd.nextGaussian()).toFloat).toSeq
+    val all = (0 until 120).map(i => (i.toLong, vec(i)))
+    val hist = all.take(60).toDF("vec_id", "embedding")
+    val centroids = Similarity.ivfIndex(hist, "vec_id", "embedding",
+      nlist = 4)._2
+    val codebooks = Similarity.pqIndex(hist, "vec_id", "embedding",
+      m = 8, k = 8)._2
+
+    val path = tmpDir("ivfpq-table")
+    val ckpt = tmpDir("ivfpq-ckpt")
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Similarity.ivfPqStreamWriter(in.toDF.toDF("vec_id", "embedding"),
+      centroids, codebooks, "embedding", path, ckpt)
+    in.addData(all.take(60))
+    q.processAllAvailable()
+    in.addData(all.drop(60))
+    q.processAllAvailable()
+    q.stop()
+
+    val table = spark.read.parquet(path)
+    assert(table.count() == 120)
+    assert((0 until 8).forall(j => table.columns.contains(s"pq_$j")))
+    val full = all.toDF("vec_id", "embedding")
+    val exact = Similarity.cosineTopK(full,
+      full.where(col("vec_id") === 0), "vec_id", "embedding", k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val got = Similarity.ivfPqTopK(table, centroids, codebooks,
+      all.head._2.toArray, "vec_id", "embedding", nprobe = 2, k = 10,
+      rerank = 40).collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF-PQ recall $recall too low")
+  }
 }
