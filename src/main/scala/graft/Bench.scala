@@ -29,8 +29,16 @@ object Bench {
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    // warmup (untimed): JVM + codegen + parquet footers
-    try once(SparkEntry.queries("scan_range")) catch { case _: Throwable => }
+    // warmup (untimed): JVM + codegen + parquet footers — touch EVERY
+    // harness table, not just events, so no timed query pays first-read
+    // footer costs
+    try {
+      once(SparkEntry.queries("scan_range"))
+      Seq("lineitem", "orders", "customer", "part", "supplier", "nation",
+        "region", "documents", "embeddings").foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
+      }
+    } catch { case _: Throwable => }
 
     // optional comma-separated subset for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -38,11 +46,13 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try once(fn)
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        failed += name
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // defensive, outside the timed window: drop any DataFrame caches a
@@ -54,7 +64,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failures are carried IN the emitted line — a crashing query must not
+    // read as a faster, healthy run
+    val fail = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fail,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import graft.model.{BlockHeader, FilterConfig}
 import graft.reorg.Reconciler
 import graft.store.LogTable
-import graft.stream.{EventStream, LiveSync}
+import graft.stream.LiveSync
 import graft.sync.{FirstLogLocator, Provider, SyncReport, Syncer}
 
 /** Porcelain facade — the `NewTracker → Sync → events` surface of the
@@ -33,7 +33,8 @@ final class Tracker private (
     root: String,
     val filter: FilterConfig,
     syncer: Syncer,
-    maxBlockBacklog: Int
+    maxBlockBacklog: Int,
+    batchSize: Long
 ) {
 
   /** The per-filter log table (S6–S11 store surface). */
@@ -49,9 +50,11 @@ final class Tracker private (
   def lastBlock: Option[BlockHeader] = syncer.checkpoint()
 
   /** S4/T1 — streaming ingestion with AIMD admission; one query per filter,
-    * checkpointed under this tracker's root.
+    * checkpointed under this tracker's root. Defaults to the tracker's
+    * configured batch size — not a re-defaulted 100 (same rule as the
+    * backlog in [[reconcile]]).
     */
-  def live(headBlock: Long, batchSize: Long = 100L,
+  def live(headBlock: Long, batchSize: Long = this.batchSize,
       maxLogsPerBatch: Long = Long.MaxValue): StreamingQuery =
     LiveSync.start(spark, root, filter, headBlock, batchSize, maxLogsPerBatch)
 
@@ -62,10 +65,12 @@ final class Tracker private (
     val stored = syncer.storedBacklog()
     // the tolerance is the tracker's configured backlog, not a re-default
     val res = Reconciler.reconcile(stored, liveHeaders, maxBlockBacklog)
-    val liveLogs = liveHeaders
+    // fetch ONLY the blocks the reconcile actually adds — logDelta filters
+    // to those hashes anyway, and each fetch is a provider round-trip
+    val liveLogs = res.added
       .map(h => provider.getLogsByHash(h.hash, filter))
       .reduceOption(_ unionByName _)
-      .getOrElse(logs.limit(0))
+      .getOrElse(logs.limit(0)) // no new blocks ⇒ empty add side
     Reconciler.logDelta(logs, liveLogs, res)
   }
 }
@@ -82,5 +87,5 @@ object Tracker {
   ): Tracker =
     new Tracker(spark, provider, root, filter,
       new Syncer(spark, provider, root, filter, batchSize, maxBlockBacklog,
-        locator), maxBlockBacklog)
+        locator), maxBlockBacklog, batchSize)
 }

@@ -20,6 +20,15 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must not leave a PREVIOUS run's dump in place —
+        // the driver compare would silently pass it against stale results
+        val stale = new java.io.File(s"$outDir/$name")
+        if (stale.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(stale)
+        }
       }
       // defensive: drop any DataFrame caches a query may leave behind
       // (localCheckpoint blocks are separate — released when their RDDs GC)

@@ -93,7 +93,11 @@ object Multimodal {
       kind: String = "image"): Dataset[MediaBlob] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    // null payloads/ids carry no media — drop them rather than NPE in the
+    // executor map (the Long/String tuple encoder is non-nullable)
+    df.select(col(idCol).cast("long"), col(textCol))
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .as[(Long, String)]
       .map { case (id, text) =>
         val bytes = text.getBytes("UTF-8")
         MediaBlob(id, kind, bytes, s"$kind/fake", 64, 64, -1L)
@@ -133,11 +137,9 @@ object Multimodal {
       .map { case (c, i) => Frame(m.media_id, i, c) })
   }
 
-  /** Feature table join-back: features ⋈ metadata — the shuffle happens on
-    * small feature rows only, never on payloads.
+  /** Feature rows as a DataFrame — small, shuffle/join-friendly (payloads
+    * stay behind in the blob Dataset).
     */
   def featureTable(media: Dataset[MediaBlob]): DataFrame =
     extractFeatures(media).toDF()
-      .select(col("media_id"), col("kind"), col("n_bytes"), col("sha"),
-        col("feature"))
 }
