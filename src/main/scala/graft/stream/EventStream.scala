@@ -52,9 +52,19 @@ object EventStream {
 
   /** Incoming header observation for [[reorgTail]]: one head-of-chain
     * sample per micro-batch row.
+    *
+    * `seq` is the per-filter arrival order (monotonically increasing, like
+    * the reference blocktracker's sequential head delivery). It matters
+    * because a micro-batch's rows reach the state function in SHUFFLE
+    * order, not arrival order: when one batch spans several reorgs of the
+    * same heights, sorting by block number alone processes a later fork's
+    * lower block before the earlier events and retracts the wrong lineage
+    * (caught by the randomized-batching fuzz in IntegrationSpec). Sources
+    * that can emit at most one reorg per batch may leave it unset (-1) —
+    * number order is then sufficient.
     */
   final case class HeadObservation(filterHash: String, number: Long,
-      hash: String, parentHash: String)
+      hash: String, parentHash: String, seq: Long = -1L)
 
   /** State: the hot backlog of canonical headers, newest last; bounded at
     * `maxBacklog` (T5 — confirmation-depth window, ref `tracker.go:296`).
@@ -81,8 +91,10 @@ object EventStream {
   ): Iterator[HeaderAction] = {
     var backlog = state.getOption.getOrElse(Backlog(Nil)).headers
     val out = scala.collection.mutable.ArrayBuffer.empty[HeaderAction]
-    // arrival order matters: process observations by (number, hash) stable
-    it.toSeq.sortBy(_.number).foreach { obs =>
+    // arrival order matters: re-establish it from the explicit sequence
+    // (shuffle scrambles within-batch row order), falling back to block
+    // number for unsequenced sources
+    it.toSeq.sortBy(o => (o.seq, o.number)).foreach { obs =>
       val h = BlockHeader(obs.number, obs.hash, obs.parentHash)
       val known = backlog.exists(b => b.number == h.number && b.hash == h.hash)
       if (!known) {

@@ -69,6 +69,81 @@ class IntegrationSpec extends SparkSpec {
     assert(idx.sameElements(idx.indices.map(_.toLong)))
   }
 
+  test("randomized advances/forks under arbitrary micro-batch boundaries") {
+    // the reference's fuzz oracle (tracker_test.go:369-482) applied to the
+    // STREAMING tail: random head events — advance or fork (depth ≤ 3) —
+    // delivered in randomly-sized micro-batches; whatever the batching,
+    // the stored table must converge to the final canonical chain's logs
+    implicit val sql = spark.sqlContext
+    (0 until 3).foreach { trial =>
+      val rnd = new scala.util.Random(100 + trial)
+      val root = tmpDir(s"e2e-fuzz$trial")
+      val base = MockChain.linear(30, _ => 1)
+      var chain = base
+      val syncer = new Syncer(spark, new MockProvider(spark, chain), root,
+        FilterConfig())
+      syncer.sync()
+
+      val obs = scala.collection.mutable.ArrayBuffer.empty[HeadObservation]
+      val lineages = scala.collection.mutable.ArrayBuffer[Seq[MBlock]](chain)
+      var gen = 0
+      var seq = 0L
+      def observe(b: MBlock): Unit = {
+        obs += HeadObservation("f", b.num, b.hash, b.parentHash, seq)
+        seq += 1
+      }
+      (0 until 25).foreach { _ =>
+        gen += 1
+        if (rnd.nextDouble() < 0.3 && chain.length > 5) {
+          val depth = 1 + rnd.nextInt(3)
+          chain = MockChain.fork(chain, depth, extend = 0,
+            logsAt = _ => 1 + (gen % 2), suffix = s"G$gen")
+          chain.takeRight(depth).foreach(observe)
+        } else {
+          val n = chain.last.num + 1
+          val b = MBlock(n, s"${n}G$gen", chain.last.tag, 1)
+          chain = chain :+ b
+          observe(b)
+        }
+        lineages += chain
+      }
+      // log source that can serve every lineage by hash
+      val liveLogs = lineages.map(c => new MockProvider(spark, c).allLogs)
+        .reduce(_ unionByName _).distinct().localCheckpoint(true)
+
+      val heads = MemoryStream[HeadObservation]
+      val q = EventStream.reorgTail(heads.toDS(), maxBacklog = 10)
+        .writeStream
+        .foreachBatch(EventStream.applyCdc(syncer.table, liveLogs) _)
+        .start()
+      // seed the backlog with the backfilled tail so depth-3 forks always
+      // find their ancestor in state (seq below any generated observation)
+      base.takeRight(10).zipWithIndex.foreach { case (b, i) =>
+        heads.addData(HeadObservation("f", b.num, b.hash, b.parentHash,
+          -100L + i))
+      }
+      q.processAllAvailable()
+      var rest = obs.toList
+      while (rest.nonEmpty) {
+        val k = 1 + rnd.nextInt(5)
+        val (batch, later) = rest.splitAt(k)
+        heads.addData(batch: _*)
+        q.processAllAvailable()
+        rest = later
+      }
+      q.stop()
+
+      val stored = syncer.table.read
+        .select("tx_hash").as[String].collect().sorted
+      val canonical = new MockProvider(spark, chain).allLogs
+        .select("tx_hash").as[String].collect().sorted
+      assert(stored.sameElements(canonical),
+        s"trial $trial: ${stored.length} stored vs ${canonical.length} " +
+          s"canonical; missing=${(canonical.toSet -- stored.toSet).toSeq.sorted}" +
+          s"; extra=${(stored.toSet -- canonical.toSet).toSeq.sorted}")
+    }
+  }
+
   test("double reorg of one height within a single micro-batch nets out") {
     implicit val sql = spark.sqlContext
     val root = tmpDir("e2e-dd")
@@ -92,7 +167,11 @@ class IntegrationSpec extends SparkSpec {
       .writeStream
       .foreachBatch(EventStream.applyCdc(syncer.table, liveLogs) _)
       .start()
-    def obs(m: MBlock) = HeadObservation("f", m.num, m.hash, m.parentHash)
+    var seq = 0L
+    def obs(m: MBlock): HeadObservation = {
+      seq += 1
+      HeadObservation("f", m.num, m.hash, m.parentHash, seq)
+    }
     heads.addData(obs(chain.last), obs(a), obs(b), obs(c)) // one batch
     q.processAllAvailable()
     q.stop()
