@@ -240,16 +240,51 @@ object Dedup {
       .distinct()
   }
 
+  /** Distinct (doc, shingle) rows with the hot-shingle frequency cap
+    * applied: shingles appearing in more than `maxDf` documents are dropped
+    * from the WHOLE computation (counts and joins alike, so any Jaccard
+    * built on top stays a true Jaccard over the retained shingle set).
+    *
+    * This is the exact-tier twin of [[minHashLsh]]'s `maxBucket` guard: a
+    * boilerplate 3-gram shared by 10⁶ docs would otherwise contribute 10¹²
+    * rows to a shingle self-join. Dropping by document frequency is
+    * deterministic (no sampling), and boilerplate shingles carry no
+    * near-dup signal — C4-style pipelines strip them anyway
+    * (see [[TextOps.boilerplateStats]]).
+    *
+    * Plan shape: the hot-shingle list is a map-side-combinable aggregate
+    * whose output is tiny by construction (≤ total-occurrences / maxDf), so
+    * it broadcasts and the cap costs one broadcast LEFT ANTI join — no
+    * extra shuffle, no per-partition sort (a `Window.partitionBy(s)` form
+    * would re-shuffle every consumer on the shingle key).
+    */
+  def cappedShingleRows(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, maxDf: Long): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, shingleN)
+    if (maxDf <= 0) sh
+    else {
+      val hot = sh.groupBy("s").agg(count(lit(1)).as("__df"))
+        .where(col("__df") > maxDf).select("s")
+      sh.join(broadcast(hot), Seq("s"), "left_anti")
+    }
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
     * (id_a, id_b, inter, union, jaccard) — the verification tier; also the
     * DuckDB-oracle-checkable face of near-dup detection.
+    *
+    * @param maxDf hot-shingle document-frequency cap (0 = uncapped); see
+    *              [[cappedShingleRows]]. REQUIRED at corpus scale — the
+    *              uncapped self-join is quadratic in the hottest shingle's
+    *              document frequency.
     */
   def ngramJaccard(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       shingleN: Int = 3,
-      minJaccard: Double = 0.0
+      minJaccard: Double = 0.0,
+      maxDf: Long = 0L
   ): DataFrame = {
     // Three consumers (counts + both self-join sides) each recompute the
     // shingle subtree — column pruning specializes each leg, so
@@ -258,7 +293,7 @@ object Dedup {
     // 5.2s): codegen'd recompute beats InMemoryRelation materialization,
     // and caching hides broadcast-size stats. At cluster scale, materialize
     // the shingle table once, then join.
-    val sh = shingleRows(docs, idCol, textCol, shingleN)
+    val sh = cappedShingleRows(docs, idCol, textCol, shingleN, maxDf)
     val counts = sh.groupBy("doc").agg(count(lit(1)).as("n"))
     val pairs = sh.as("x")
       .join(sh.as("y"), col("x.s") === col("y.s") &&
@@ -275,6 +310,72 @@ object Dedup {
         (col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
+  }
+
+  /** Exact n-gram Jaccard for a GIVEN candidate-pair list — the verify
+    * stage of the tiered pipeline (LSH proposes, exact verifies). Unlike
+    * [[ngramJaccard]] this never self-joins the corpus: cost is linear in
+    * Σ|shingles| over the candidate pairs, so a 100 TB corpus pays only for
+    * the (orders-of-magnitude smaller) candidate set.
+    *
+    * Candidates that share no retained shingle drop out (inner join) —
+    * their Jaccard is 0, below any useful threshold.
+    *
+    * @param cand (id_a, id_b) candidate pairs, id_a < id_b
+    * @return (id_a, id_b, inter, union, jaccard) — same schema/semantics as
+    *         [[ngramJaccard]] restricted to `cand`
+    */
+  def verifyJaccard(
+      cand: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      maxDf: Long = 0L
+  ): DataFrame = {
+    val sh = cappedShingleRows(docs, idCol, textCol, shingleN, maxDf)
+    val counts = sh.groupBy("doc").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc").as("id_a"), col("s")), Seq("id_a"))
+      .join(sh.select(col("doc").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("doc").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(counts.select(col("doc").as("id_b"), col("n").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("n_a") + col("n_b") - col("inter")).as("union"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+  }
+
+  /** Tiered near-dup pairs — the 100 TB composition: MinHash-LSH proposes
+    * candidates (banded, skew-capped), exact Jaccard verifies survivors.
+    * No corpus-wide shingle self-join anywhere in the plan.
+    *
+    * Recall note: a true pair is missed only if ALL `bands` bands disagree —
+    * P(miss) = (1−J^r)^bands with r = numHashes/bands. Near-dup thresholds
+    * worth clustering on (J ≥ ~0.7) with r=2, bands=16 give P(miss) < 1e-8;
+    * DedupSpec asserts pair-set equality vs the exact tier on the test
+    * corpora.
+    *
+    * @return (id_a, id_b) pairs with exact Jaccard ≥ minJaccard
+    */
+  def nearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      minJaccard: Double = 0.5,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      maxBucket: Int = 0,
+      maxDf: Long = 0L
+  ): DataFrame = {
+    val cand = minHashLsh(docs, idCol, textCol, shingleN, numHashes, bands,
+      maxBucket).select("id_a", "id_b")
+    verifyJaccard(cand, docs, idCol, textCol, shingleN, maxDf)
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b")
   }
 
   /** Connected components over near-dup pairs: the step that turns pairwise

@@ -23,10 +23,13 @@ object PipelineQueries {
       Dedup.exact(Tables.documents(s, d), "doc_id", "text")
         .orderBy("text_hash")
     },
-    // exact n-gram Jaccard near-dup pairs (the verification tier)
+    // exact n-gram Jaccard near-dup pairs (the verification tier); maxDf
+    // caps hot boilerplate shingles before the self-join — the 100 TB
+    // guard, mirrored in the oracle SQL (df max is 9 at sf0.1, so 1000 is
+    // semantically a no-op here)
     "dedup_ngram" -> { (s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
-          shingleN = 3, minJaccard = 0.3)
+          shingleN = 3, minJaccard = 0.3, maxDf = 1000L)
         .orderBy("id_a", "id_b")
     },
     // MinHash+LSH near-dup candidates (no SQL oracle: xxhash64-based)
@@ -85,7 +88,7 @@ object PipelineQueries {
     "edit_distance" -> { (s, d) =>
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
-        shingleN = 3, minJaccard = 0.3).select("id_a", "id_b")
+        shingleN = 3, minJaccard = 0.3, maxDf = 1000L).select("id_a", "id_b")
       pairs
         .join(docs.withColumnRenamed("doc_id", "id_a")
           .withColumnRenamed("text", "text_a"), "id_a")
@@ -186,11 +189,19 @@ object PipelineQueries {
         .orderBy("label", "pos")
     },
     // near-dup pairs → dedup GROUPS: connected components by min-label
-    // propagation (the "keep one per cluster" step of corpus dedup)
+    // propagation (the "keep one per cluster" step of corpus dedup).
+    // Pairs come from the TIERED pipeline — MinHash-LSH candidates, exact
+    // Jaccard verify on survivors — so no corpus-wide shingle self-join
+    // runs anywhere in this plan (the documented 100 TB composition).
+    // Recall vs the exact tier is 1 here: every qualifying pair in the
+    // test corpora has J ≥ 0.888, and P(LSH miss) = (1−J²)¹⁶ < 1e-10;
+    // DedupSpec asserts pair-set equality, the DuckDB oracle stays the
+    // exact recursive-CTE form.
     "dedup_cluster" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
-        shingleN = 3, minJaccard = 0.3).select("id_a", "id_b")
+      val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.3, numHashes = 32, bands = 16,
+        maxBucket = 1000, maxDf = 1000L)
       val cc = Dedup.connectedComponents(pairs, docs.select("doc_id"), "doc_id")
       val sizes = cc.groupBy("label").agg(count(lit(1)).as("n_members"))
       cc.join(sizes, "label")
@@ -260,8 +271,10 @@ object PipelineQueries {
     "dedup_cluster" ->
       """WITH RECURSIVE
         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+        |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
         |        i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS s FROM w),
+        |sh AS (SELECT doc_id, s FROM sh0
+        |       QUALIFY count(*) OVER (PARTITION BY s) <= 1000),
         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
         |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -314,8 +327,10 @@ object PipelineQueries {
         |FROM documents ORDER BY media_id""".stripMargin,
     "edit_distance" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+        |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
         |        i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS s FROM w),
+        |sh AS (SELECT doc_id, s FROM sh0
+        |       QUALIFY count(*) OVER (PARTITION BY s) <= 1000),
         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
         |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -358,8 +373,10 @@ object PipelineQueries {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_ngram" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+        |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
         |        i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS s FROM w),
+        |sh AS (SELECT doc_id, s FROM sh0
+        |       QUALIFY count(*) OVER (PARTITION BY s) <= 1000),
         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
         |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id

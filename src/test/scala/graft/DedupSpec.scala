@@ -113,6 +113,64 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("maxDf cap stops a boilerplate flood from exploding the pair count") {
+    // 40 docs sharing a boilerplate prefix but otherwise unique: every pair
+    // shares the hot shingles, so the uncapped self-join yields all C(40,2)
+    // pairs — the quadratic blowup the cap exists to stop. One genuine
+    // near-dup pair (100,101) with its own distinct text must survive.
+    val boiler = "subscribe to our newsletter for daily updates and offers"
+    val flood = (0L until 40L).map(i =>
+      (i, s"$boiler unique$i tail$i words$i alpha$i beta$i gamma$i delta$i"))
+    val docs = (flood ++ Seq(
+      (100L, "the walrus and the carpenter were walking close at hand"),
+      (101L, "the walrus and the carpenter were walking close at hand today")
+    )).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccard(docs, "doc_id", "text", shingleN = 3)
+    val capped = Dedup.ngramJaccard(docs, "doc_id", "text", shingleN = 3,
+      maxDf = 10L)
+    // uncapped: the flood alone contributes all 780 pairs
+    assert(uncapped.where(col("id_a") < 40L && col("id_b") < 40L).count() ==
+      40L * 39 / 2)
+    // capped: hot shingles (df=40 > 10) are dropped, flood pairs vanish;
+    // the distinct near-dup pair is untouched (its shingles have df ≤ 2)
+    val cappedPairs = capped.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(!cappedPairs.exists { case (a, b) => a < 40L && b < 40L })
+    assert(cappedPairs.contains((100L, 101L)))
+  }
+
+  test("verifyJaccard reproduces ngramJaccard exactly on its own pairs") {
+    val exact = Dedup.ngramJaccard(corpus, "doc_id", "text", shingleN = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Long]("inter"), r.getAs[Long]("union"),
+          r.getAs[Double]("jaccard"))).toMap
+    val cand = exact.keys.toSeq.toDF("id_a", "id_b")
+    val verified = Dedup.verifyJaccard(cand, corpus, "doc_id", "text",
+        shingleN = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Long]("inter"), r.getAs[Long]("union"),
+          r.getAs[Double]("jaccard"))).toMap
+    assert(verified == exact)
+  }
+
+  test("tiered nearDupPairs matches the exact tier on the sf0.001 corpus") {
+    // the declared dedup_cluster path: LSH proposes, exact verifies — must
+    // equal the corpus-wide exact self-join at test scale (recall argument
+    // in Dedup.nearDupPairs scaladoc)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val exact = pairSet(Dedup.ngramJaccard(docs, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.3, maxDf = 1000L).select("id_a", "id_b"))
+    val tiered = pairSet(Dedup.nearDupPairs(docs, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.3, numHashes = 32, bands = 16,
+      maxBucket = 1000, maxDf = 1000L))
+    assert(tiered == exact)
+    assert(exact.nonEmpty) // the corpus plants near-dups — no vacuous pass
+  }
+
   test("embedding near-dup finds the planted duplicate vector") {
     val v = (0 until 64).map(i => math.sin(i).toFloat)
     val v2 = v.updated(0, v(0) + 0.001f) // near-identical
