@@ -11,7 +11,14 @@ import org.apache.spark.sql.SparkSession
   *  - one untimed warmup query absorbs JVM/codegen/parquet-footer costs so
   *    per-query numbers reflect steady state;
   *  - local[32] with shuffle.partitions=32 (builder prompt) — matched
-  *    parallelism, no 200-partition default.
+  *    parallelism, no 200-partition default;
+  *  - NOISE-PROOFING: the host has bursty CPU steal (identical code has
+  *    measured 75→212 s sweep totals). Each query is timed
+  *    SPARK_GRAFT_REPS (default 3) times and the MIN is recorded — reps
+  *    are interleaved as whole sweeps, not back-to-back, so one steal
+  *    burst (seconds–minutes) cannot poison every sample of a query.
+  *    The emitted line carries `reps` plus `steal_pct`/`busy_pct` from
+  *    /proc/stat deltas so a polluted run is self-evident in the artifact.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -46,20 +53,47 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try once(fn)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        failed += name
+    // aggregate (user+nice+system, steal) jiffies from /proc/stat — the
+    // cheap host-contention witness; absent (non-Linux) → zeros
+    def cpuJiffies(): (Long, Long, Long) =
+      try {
+        val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+          .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1)
+          .map(_.toLong)
+        // user nice system idle iowait irq softirq steal
+        (cpu.take(3).sum, if (cpu.length > 7) cpu(7) else 0L, cpu.sum)
+      } catch { case _: Throwable => (0L, 0L, 0L) }
+
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    val (busy0, steal0, all0) = cpuJiffies()
+    for (_ <- 1 to reps) {
+      selected.foreach { case (name, fn) =>
+        if (!failed.contains(name)) {
+          val t0 = System.nanoTime()
+          try once(fn)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            failed += name
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // defensive, outside the timed window: drop any DataFrame caches
+          // a query left behind so queries stay independent measurements
+          // (localCheckpoint blocks release when their RDDs GC)
+          spark.catalog.clearCache()
+          if (!failed.contains(name))
+            best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+        }
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // defensive, outside the timed window: drop any DataFrame caches a
-      // query left behind so queries stay independent measurements
-      // (localCheckpoint blocks release when their RDDs GC)
-      spark.catalog.clearCache()
-      name -> dt
+    }
+    val (busy1, steal1, all1) = cpuJiffies()
+    val dAll = math.max(1L, all1 - all0)
+    val stealPct = 100.0 * (steal1 - steal0) / dAll
+    val busyPct = 100.0 * (busy1 - busy0) / dAll
+
+    val results = selected.collect {
+      case (name, _) if best.contains(name) => name -> best(name)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -67,7 +101,7 @@ object Bench {
     // failures are carried IN the emitted line — a crashing query must not
     // read as a faster, healthy run
     val fail = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fail,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fail,"reps":$reps,"steal_pct":${f"$stealPct%.2f"},"busy_pct":${f"$busyPct%.2f"},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
