@@ -243,21 +243,60 @@ object PipelineQueries {
             col("user_id"), bits = 16).as("zkey"))   // matches DuckDB //
         .orderBy("event_id")
     },
-    // custom codegen expressions (§2.9): keccak256 event-signature topic +
-    // little-endian u64 payload decode (no SQL twin in DuckDB → rows-only;
-    // value-verified in EthFunctionsSpec against published vectors)
+    // schema-driven ABI decode (§2.9, ref README.md:95-104): build a
+    // standard ABI blob from event columns (static address/uint64/bool
+    // head slots + a dynamic string tail with offset pointer), then decode
+    // it back through Abi.decode — the full head/tail walk, compiled to
+    // codegen'd slice expressions. The DuckDB oracle constructs the SAME
+    // hex blob and decodes it by independent hex-slice arithmetic, so the
+    // decoded VALUES are verified, not just row counts.
     "decode_abi" -> { (s, d) =>
-      import graft.functions.EthFunctions
+      import graft.functions.Abi
+      val memo = encode(col("event_type"), "UTF-8")
+      val h = concat(
+        lpad(lower(hex(col("user_id"))), 64, "0"),          // address slot
+        lpad(lower(hex(expr("event_id div 7"))), 64, "0"),  // uint64 slot
+        lpad(lower(hex(pmod(col("event_id"), lit(2)))), 64, "0"), // bool
+        lpad(lit("80"), 64, "0"),                           // tail ptr: 128
+        lpad(lower(hex(length(memo))), 64, "0"),            // tail: length
+        rpad(lower(hex(memo)), 64, "0"))                    // tail: payload
+      val dec = Abi.decode(unhex(h),
+        "Transfer(address from_addr, uint64 amount, bool flag, string memo)")
       Tables.events(s, d)
         .select(col("event_id"),
-          EthFunctions.keccak256(col("event_type")).as("topic0"),
-          EthFunctions.le_u64(encode(col("props"), "UTF-8"), lit(0L))
-            .as("payload_le"))
+          dec.getField("from_addr").as("from_addr"),
+          dec.getField("amount").as("amount"),
+          dec.getField("flag").as("flag"),
+          dec.getField("memo").as("memo"))
         .orderBy("event_id")
     }
   )
 
   val oracle: Map[String, String] = Map(
+    // same blob construction, decoded by independent hex-slice arithmetic:
+    // slot k occupies hex chars 64k+1..64k+64; right-aligned u64 = last 16
+    // chars of its slot; the dynamic string is found via its offset word
+    "decode_abi" ->
+      """WITH b AS (
+        | SELECT event_id,
+        |  concat(
+        |   lpad(lower(hex(user_id)), 64, '0'),
+        |   lpad(lower(hex(event_id // 7)), 64, '0'),
+        |   lpad(lower(hex(event_id % 2)), 64, '0'),
+        |   lpad('80', 64, '0'),
+        |   lpad(lower(hex(strlen(event_type))), 64, '0'),
+        |   rpad(lower(hex(event_type)), 64, '0')) AS h
+        | FROM events)
+        |SELECT event_id,
+        | substr(h, 25, 40) AS from_addr,
+        | CAST(concat('0x', substr(h, 113, 16)) AS BIGINT) AS amount,
+        | CAST(concat('0x', substr(h, 177, 16)) AS BIGINT) <> 0 AS flag,
+        | decode(from_hex(substr(h,
+        |   2 * CAST(concat('0x', substr(h, 241, 16)) AS BIGINT) + 65,
+        |   2 * CAST(concat('0x', substr(h,
+        |     2 * CAST(concat('0x', substr(h, 241, 16)) AS BIGINT) + 49,
+        |     16)) AS BIGINT)))) AS memo
+        |FROM b ORDER BY event_id""".stripMargin,
     "embed_centroid" ->
       """WITH e AS (
         | SELECT label, u.s.pos AS pos, vec_id, u.s.x AS x
