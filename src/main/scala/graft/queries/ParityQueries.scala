@@ -15,9 +15,9 @@ import graft.ops.LogOps
   * Scale discipline: every filter here is a pushable predicate (parquet
   * row-group skipping), the only joins are broadcast (block-header dim is
   * tiny by construction), and aggregations are partial-agg friendly. The
-  * single-partition windows (append_index/get_log) are intentionally
-  * per-filter sequences — see [[LogOps.withAppendIndex]] for the cluster
-  * strategy.
+  * append-index windows (append_index/get_log) partition by the filter
+  * key — one independent sequence per filter, no single-partition global
+  * sort; see [[LogOps.withAppendIndex]] for the one-huge-filter strategy.
   */
 object ParityQueries {
 
@@ -61,12 +61,18 @@ object ParityQueries {
         .where(col("key").startsWith("cnt_s"))
         .orderBy("key")
     },
-    // S8/W1 — monotonic append-index assignment in arrival order
+    // S8/W1 — monotonic append-index assignment in arrival order, declared
+    // in the SCALE shape: one independent sequence per filter (the
+    // reference keeps one log per filter Entry), so the window partitions
+    // by the filter key and no single-partition global sort exists in the
+    // plan. For one huge filter, the production path assigns ranged
+    // indices per micro-batch instead (LogTable.storeLogs).
     "append_index" -> { (s, d) =>
       val e = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
-      LogOps.withAppendIndex(e, 0L, Seq(col("ts_us"), col("event_id")))
-        .select("indx", "event_id", "ts_us")
-        .orderBy("indx")
+      LogOps.withAppendIndex(e, 0L, Seq(col("ts_us"), col("event_id")),
+          partitionCols = Seq(col("event_type")))
+        .select("event_type", "indx", "event_id", "ts_us")
+        .orderBy("event_type", "indx")
     },
     // S9 — truncate-suffix (reorg rollback): survivors of RemoveLogs(800)
     "truncate_from" -> { (s, d) =>
@@ -74,12 +80,16 @@ object ParityQueries {
         .select("event_id", "user_id", "event_type")
         .orderBy("event_id")
     },
-    // S10 — point log read at an assigned index
+    // S10 — point log read at an assigned index, per filter sequence
+    // (same scale shape as append_index: partitioned window, then the
+    // point predicate — one row per filter holding ≥501 logs)
     "get_log" -> { (s, d) =>
       val e = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
-      LogOps.withAppendIndex(e, 0L, Seq(col("ts_us"), col("event_id")))
+      LogOps.withAppendIndex(e, 0L, Seq(col("ts_us"), col("event_id")),
+          partitionCols = Seq(col("event_type")))
         .where(col("indx") === 500L)
-        .select("indx", "event_id", "user_id", "event_type", "value")
+        .select("event_type", "indx", "event_id", "user_id", "value")
+        .orderBy("event_type")
     },
     // P1 — address OR-membership
     "filter_address" -> { (s, d) =>
@@ -234,17 +244,21 @@ object ParityQueries {
         |HAVING concat('cnt_', event_type) LIKE 'cnt_s%'
         |ORDER BY key""".stripMargin,
     "append_index" ->
-      """SELECT CAST(row_number() OVER (ORDER BY epoch_us(ts), event_id) - 1 AS BIGINT) AS indx,
+      """SELECT event_type,
+        | CAST(row_number() OVER (PARTITION BY event_type
+        |   ORDER BY epoch_us(ts), event_id) - 1 AS BIGINT) AS indx,
         | event_id, epoch_us(ts) AS ts_us
-        |FROM events ORDER BY indx""".stripMargin,
+        |FROM events ORDER BY event_type, indx""".stripMargin,
     "truncate_from" ->
       """SELECT event_id, user_id, event_type FROM events
         |WHERE event_id < 800 ORDER BY event_id""".stripMargin,
     "get_log" ->
-      """SELECT * FROM (
-        | SELECT CAST(row_number() OVER (ORDER BY epoch_us(ts), event_id) - 1 AS BIGINT) AS indx,
-        |  event_id, user_id, event_type, value
-        | FROM events) WHERE indx = 500""".stripMargin,
+      """SELECT event_type, indx, event_id, user_id, value FROM (
+        | SELECT event_type,
+        |  CAST(row_number() OVER (PARTITION BY event_type
+        |    ORDER BY epoch_us(ts), event_id) - 1 AS BIGINT) AS indx,
+        |  event_id, user_id, value
+        | FROM events) WHERE indx = 500 ORDER BY event_type""".stripMargin,
     "filter_address" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |WHERE user_id IN (1,7,13) ORDER BY event_id""".stripMargin,

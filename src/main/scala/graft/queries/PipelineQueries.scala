@@ -104,7 +104,9 @@ object PipelineQueries {
     // one IEEE division on identical operands)
     "tfidf" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      val nDocs = docs.count().toDouble
+      // N folded into the dataflow as a broadcast 1-row frame — no extra
+      // driver-side count() job before the query runs
+      val nd = docs.agg(count(lit(1)).cast("double").as("__n"))
       val words = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("w"))
       val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
@@ -113,8 +115,9 @@ object PipelineQueries {
       val w3 = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("w"))
       tf.join(df, "w")
+        .crossJoin(broadcast(nd))
         .withColumn("score",
-          col("tf").cast("double") * (lit(nDocs) / col("df").cast("double")))
+          col("tf").cast("double") * (col("__n") / col("df").cast("double")))
         .withColumn("rnk", row_number().over(w3).cast("long"))
         .where(col("rnk") <= 3)
         .select("doc_id", "rnk", "w", "score")
