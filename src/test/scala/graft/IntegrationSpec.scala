@@ -181,4 +181,83 @@ class IntegrationSpec extends SparkSpec {
     assert(at50 == Set(c.hash), s"expected only ${c.hash}, got $at50")
     assert(syncer.table.read.where(col("block_num") === 50L).count() == 3L)
   }
+
+  test("mid-tail fork fuzz: batch Syncer converges under random fork timing") {
+    // The targeted mid-tail test (SyncerSpec) flips lineage at one fixed
+    // height; this fuzz randomizes WHEN the fork lands relative to the
+    // per-block tail fetches — the race the linkage guard
+    // (Syncer.sync tail loop) exists for. Each round grows the chain,
+    // schedules a fork to appear exactly when a scheduled tail header is
+    // fetched, syncs, then checks full convergence to the (new) canonical
+    // chain — the reference's fuzz oracle (tracker_test.go:369-482)
+    // applied to the batch tail instead of the streaming tail.
+    import graft.model.BlockHeader
+    for (trial <- 0 until 3) {
+      val rnd = new scala.util.Random(7100 + trial)
+      var gen = 0
+      var chain = MockChain.linear(30, n => (n % 3 + 1).toInt)
+      var flipAt: Option[Long] = None
+      var pending: Option[Seq[MBlock]] = None
+      var forksFired = 0
+      def grow(c: Seq[MBlock], k: Int, suffix: String): Seq[MBlock] =
+        (1 to k).foldLeft(c) { (acc, _) =>
+          val num = acc.last.num + 1
+          acc :+ MBlock(num, s"$num$suffix", acc.last.tag, rnd.nextInt(3) + 1)
+        }
+      val provider = new graft.sync.Provider {
+        private def p = new MockProvider(spark, chain)
+        override def getLogs(f: Long, t: Long, fl: FilterConfig) =
+          p.getLogs(f, t, fl)
+        override def getLogsByHash(h: String, fl: FilterConfig) =
+          p.getLogsByHash(h, fl)
+        override def getBlock(n: Long): Option[BlockHeader] = {
+          if (flipAt.contains(n)) { // the fork lands mid-tail, between fetches
+            chain = pending.get; flipAt = None; pending = None
+            forksFired += 1
+          }
+          p.getBlock(n)
+        }
+        override def latestBlock() = p.latestBlock()
+        override def genesisHash() = p.genesisHash()
+        override def chainId() = p.chainId()
+      }
+      val sync = new Syncer(spark, provider, tmpDir(s"midtail$trial"),
+        FilterConfig())
+      sync.sync()
+
+      for (_ <- 0 until 5) {
+        gen += 1
+        val oldTip = chain.last.num
+        // mostly tail-only growth; occasionally enough to force bulk+tail
+        val growBy = if (rnd.nextInt(4) == 0) 12 + rnd.nextInt(5)
+          else 1 + rnd.nextInt(4)
+        chain = grow(chain, growBy, s"g$gen")
+        if (rnd.nextInt(10) < 7) {
+          // fork depth ≤ 4 (within backlog 10 even across rounds), optional
+          // extension; lands when a random to-be-fetched tail header is read
+          val depth = 1 + rnd.nextInt(4)
+          val extend = rnd.nextInt(3)
+          pending = Some(MockChain.fork(chain, depth, extend,
+            logsAt = _ => rnd.nextInt(3) + 1, suffix = s"f$gen"))
+          val head = chain.last.num
+          val tailStart = math.max(oldTip + 1, head - 10 + 1)
+          flipAt = Some(tailStart + rnd.nextInt((head - tailStart + 1).toInt))
+        }
+        sync.sync()
+        // quiesce: the post-flip lineage may carry a longer head
+        sync.sync()
+        assert(flipAt.isEmpty, s"trial $trial: scheduled fork never fired")
+        val stored = sync.table.read.select("tx_hash")
+          .as[String].collect().sorted
+        val canonical = new MockProvider(spark, chain).allLogs
+          .select("tx_hash").as[String].collect().sorted
+        assert(stored.sameElements(canonical),
+          s"trial $trial gen $gen: stored diverged from canonical")
+        val idx = sync.table.read.select("indx").as[Long].collect().sorted
+        assert(idx.sameElements(idx.indices.map(_.toLong)))
+        assert(sync.checkpoint().map(_.hash).contains(chain.last.hash))
+      }
+      assert(forksFired >= 2, s"trial $trial: only $forksFired forks fired")
+    }
+  }
 }
