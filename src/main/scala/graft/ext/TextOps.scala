@@ -10,8 +10,32 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Common stopword probes used by the heuristics. */
+  /** Generic stopword probes (the fallback profile for languages without a
+    * dedicated list).
+    */
   val StopWords: Seq[String] = Seq("the", "a", "of", "and", "in")
+
+  /** Per-language stopword profiles — the classic function-word lists of
+    * each language (high-frequency closed-class words; the standard
+    * stopword-probe language-ID signal). Overlaps between Romance
+    * languages ('de', 'en', 'la', 'un' …) are linguistic reality — the
+    * argmax in [[langGuess]] resolves them by evidence count. Logographic
+    * scripts (zh) are not space-tokenized, so they get a charset branch,
+    * not a profile.
+    */
+  val StopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "in", "to", "is", "it", "that",
+      "for"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "en", "un", "une",
+      "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht",
+      "mit", "von"),
+    "es" -> Seq("el", "los", "las", "de", "y", "en", "un", "una", "es",
+      "que")
+  )
+
+  /** Profile lookup order for tie-breaking in [[langGuess]] (first wins). */
+  val ProfileOrder: Seq[String] = Seq("en", "fr", "de", "es")
 
   private def words(textCol: Column): Column = split(textCol, " ")
 
@@ -21,11 +45,26 @@ object TextOps {
   /** Per-document stats: token count, stopword count/ratio, average word
     * length (derived arithmetically from char count to stay exact:
     * single-space-joined text ⇒ wordChars = len - (n-1)).
+    *
+    * With `langCol` set, stopwords are counted against the DOCUMENT'S OWN
+    * language profile ([[StopwordProfiles]]; fallback [[StopWords]] for
+    * unprofiled languages) — an English stopword ratio is meaningless for
+    * a French document. Occurrence counts, not distinct types (ratios feed
+    * quality thresholds).
     */
-  def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def stats(docs: DataFrame, idCol: String, textCol: String,
+      langCol: Option[String] = None): DataFrame = {
     val ws = words(col(textCol))
     val nTok = size(ws).cast("long")
-    val nStop = size(filter(ws, isStop _)).cast("long")
+    def countIn(profile: Seq[String]) =
+      size(filter(ws, w => w.isin(profile: _*)))
+    val nStop = (langCol match {
+      case None => size(filter(ws, isStop _))
+      case Some(lc) =>
+        ProfileOrder.foldRight(countIn(StopWords)) { (lang, els) =>
+          when(col(lc) === lang, countIn(StopwordProfiles(lang))).otherwise(els)
+        }
+    }).cast("long")
     docs.select(
       col(idCol),
       nTok.as("n_tokens"),
@@ -36,17 +75,34 @@ object TextOps {
     )
   }
 
-  /** N-gram-free language-ID heuristic: probe for language-marker stopwords.
-    * Deterministic CASE cascade — the point is the operator shape (scan-speed
-    * classification), not linguistic accuracy on this synthetic corpus.
+  /** Stopword-profile language ID: score each language by how many of its
+    * profile words occur in the document (distinct-type evidence via
+    * `array_intersect` — codegen'd, no interpreted lambda), take the
+    * argmax; ties break in [[ProfileOrder]] order, zero evidence → "xx".
+    * CJK codepoints short-circuit to "zh" first — logographic text is not
+    * space-tokenized, so stopword probes are structurally blind there
+    * (charset detection is the standard first tier).
+    *
+    * Scan-speed per-row classification; the whole cascade is one codegen'd
+    * projection. Accuracy per language is measured in TextOpsSpec on real
+    * sample sentences.
     */
   def langGuess(textCol: Column): Column = {
     val ws = words(textCol)
-    when(array_contains(ws, "the"), "en")
-      .when(array_contains(ws, "le"), "fr")
-      .when(array_contains(ws, "der"), "de")
-      .when(array_contains(ws, "el"), "es")
-      .otherwise("xx")
+    val score = ProfileOrder.map(l =>
+      l -> size(array_intersect(ws, lit(StopwordProfiles(l).toArray)))).toMap
+    // first-wins argmax as a cascade: a language matches when its score is
+    // positive and no LATER language strictly beats it (earlier ones
+    // already failed, hence were strictly smaller)
+    val cascade = ProfileOrder.zipWithIndex.foldRight(lit("xx")) {
+      case ((lang, i), els) =>
+        val laters = ProfileOrder.drop(i + 1)
+        val wins = laters.foldLeft(score(lang) > 0) { (c, other) =>
+          c && score(lang) >= score(other)
+        }
+        when(wins, lit(lang)).otherwise(els)
+    }
+    when(textCol.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(cascade)
   }
 
   /** Token counts three ways: whitespace split, BPE-ish regex token classes,

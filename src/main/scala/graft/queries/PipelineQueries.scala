@@ -123,12 +123,15 @@ object PipelineQueries {
         .select("doc_id", "rnk", "w", "score")
         .orderBy("doc_id", "rnk")
     },
-    // per-doc token/stopword stats
+    // per-doc token/stopword stats, counted against each document's OWN
+    // language profile (fallback: generic list for unprofiled langs)
     "text_stats" -> { (s, d) =>
-      TextOps.stats(Tables.documents(s, d), "doc_id", "text")
+      TextOps.stats(Tables.documents(s, d), "doc_id", "text",
+          langCol = Some("lang"))
         .orderBy("doc_id")
     },
-    // stopword-probe language ID vs the labeled lang
+    // per-language stopword-profile language ID (argmax over profile
+    // evidence, CJK charset branch) vs the labeled lang
     "lang_id" -> { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
@@ -451,23 +454,39 @@ object PipelineQueries {
         |FROM (
         | SELECT doc_id, length(text) AS n_chars,
         |  len(string_split(text, ' ')) AS n_tokens,
-        |  len(list_filter(string_split(text, ' '),
-        |   w -> w = 'the' OR w = 'a' OR w = 'of' OR w = 'and' OR w = 'in')) AS n_stop
+        |  len(list_filter(string_split(text, ' '), w -> list_contains(
+        |   CASE lang
+        |    WHEN 'en' THEN ['the','a','of','and','in','to','is','it','that','for']
+        |    WHEN 'fr' THEN ['le','la','les','de','des','et','en','un','une','est']
+        |    WHEN 'de' THEN ['der','die','das','und','ist','ein','eine','nicht','mit','von']
+        |    WHEN 'es' THEN ['el','los','las','de','y','en','un','una','es','que']
+        |    ELSE ['the','a','of','and','in'] END, w))) AS n_stop
         | FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "lang_id" ->
-      """SELECT doc_id, lang,
-        | CASE WHEN list_contains(string_split(text, ' '), 'the') THEN 'en'
-        |      WHEN list_contains(string_split(text, ' '), 'le') THEN 'fr'
-        |      WHEN list_contains(string_split(text, ' '), 'der') THEN 'de'
-        |      WHEN list_contains(string_split(text, ' '), 'el') THEN 'es'
-        |      ELSE 'xx' END AS guess,
-        | (CASE WHEN list_contains(string_split(text, ' '), 'the') THEN 'en'
-        |      WHEN list_contains(string_split(text, ' '), 'le') THEN 'fr'
-        |      WHEN list_contains(string_split(text, ' '), 'der') THEN 'de'
-        |      WHEN list_contains(string_split(text, ' '), 'el') THEN 'es'
-        |      ELSE 'xx' END) = lang AS agree
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH s AS (
+        | SELECT doc_id, lang, text,
+        |  len(list_intersect(string_split(text, ' '),
+        |   ['the','a','of','and','in','to','is','it','that','for'])) AS s_en,
+        |  len(list_intersect(string_split(text, ' '),
+        |   ['le','la','les','de','des','et','en','un','une','est'])) AS s_fr,
+        |  len(list_intersect(string_split(text, ' '),
+        |   ['der','die','das','und','ist','ein','eine','nicht','mit','von'])) AS s_de,
+        |  len(list_intersect(string_split(text, ' '),
+        |   ['el','los','las','de','y','en','un','una','es','que'])) AS s_es
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, lang,
+        |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |   WHEN s_en > 0 AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_es
+        |    THEN 'en'
+        |   WHEN s_fr > 0 AND s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+        |   WHEN s_de > 0 AND s_de >= s_es THEN 'de'
+        |   WHEN s_es > 0 THEN 'es'
+        |   ELSE 'xx' END AS guess
+        | FROM s)
+        |SELECT doc_id, lang, guess, guess = lang AS agree
+        |FROM g ORDER BY doc_id""".stripMargin,
     "token_count" ->
       """SELECT doc_id,
         | CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS ws_tokens,

@@ -40,15 +40,60 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("est_tokens") == math.ceil(11 / 4.0).toLong)
   }
 
-  test("langGuess probes marker stopwords") {
+  test("langGuess: per-language accuracy on real sample sentences") {
+    // 4 real sentences per profiled language + zh (CJK branch) + one with
+    // no evidence; accuracy is asserted PER LANGUAGE, not just overall
+    val samples = Seq(
+      // en
+      ("en", "the quick brown fox jumps over the lazy dog in a field"),
+      ("en", "it is a truth universally acknowledged that a man wants a wife"),
+      ("en", "to be or not to be that is the question for all of us"),
+      ("en", "the report and the appendix are in the folder for review"),
+      // fr
+      ("fr", "le chat est sur la table et les livres sont dans un coin"),
+      ("fr", "la vie est belle et le temps des cerises reviendra un jour"),
+      ("fr", "les enfants de la patrie chantent une chanson et des refrains"),
+      ("fr", "un homme est entre dans le jardin avec une lanterne et des cles"),
+      // de
+      ("de", "der hund und die katze sind nicht mit dem kind im garten"),
+      ("de", "das ist ein gutes buch und der autor ist nicht bekannt"),
+      ("de", "die sonne scheint und ein vogel singt mit einem lied von oben"),
+      ("de", "der zug ist nicht mit der zeit von einem gleis gefahren"),
+      // es
+      ("es", "el perro y el gato estan en la casa de los abuelos que viven alli"),
+      ("es", "una cancion que las ninas cantan en el patio de la escuela"),
+      ("es", "los libros de historia son un tesoro que el tiempo guarda"),
+      ("es", "es un dia de sol y las calles estan llenas de gente que pasea"),
+      // zh (CJK charset branch — logographic, not space-tokenized)
+      ("zh", "今天天气很好我们去公园散步"),
+      ("zh", "机器学习是人工智能的一个分支"),
+      // no stopword evidence at all
+      ("xx", "spark engine motor turbine")
+    ).zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) }
+      .toDF("doc_id", "lang", "text")
+    val got = samples.select(col("lang"),
+        TextOps.langGuess(col("text")).as("g"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val perLang = got.groupBy(_._1).map { case (l, xs) =>
+      l -> xs.count(x => x._2 == x._1).toDouble / xs.length
+    }
+    // every language must classify ALL its samples correctly
+    perLang.foreach { case (l, acc) =>
+      assert(acc == 1.0, s"lang $l accuracy $acc: ${got.filter(_._1 == l).toSeq}")
+    }
+  }
+
+  test("stats with langCol counts each document's own profile") {
     val df = Seq(
-      (1L, "the spark engine"), (2L, "le moteur spark"),
-      (3L, "der spark motor"), (4L, "el motor spark"),
-      (5L, "spark engine motor")
-    ).toDF("doc_id", "text")
-    val g = df.select(col("doc_id"), TextOps.langGuess(col("text")).as("g"))
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(g == Map(1L -> "en", 2L -> "fr", 3L -> "de", 4L -> "es", 5L -> "xx"))
+      (1L, "en", "the cat sat on a mat"),       // the, a → 2
+      (2L, "fr", "le chat est sur la table"),   // le, est, la → 3
+      (3L, "zh", "the a spark engine"),         // fallback generic: the, a → 2
+      (4L, "de", "der hund und die katze")      // der, und, die → 3
+    ).toDF("doc_id", "lang", "text")
+    val r = TextOps.stats(df, "doc_id", "text", langCol = Some("lang"))
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("n_stop"))
+      .toMap
+    assert(r == Map(1L -> 2L, 2L -> 3L, 3L -> 2L, 4L -> 3L))
   }
 
   test("boilerplate stats flag shingles shared across enough docs") {
