@@ -29,13 +29,18 @@ final case class Log(
     data: Array[Byte]
 )
 
-/** Chain header; only the fields the reference observably uses
-  * (ref: `tracker.go:291-314, 627, 639-654`).
+/** Chain header; the fields the reference observably uses
+  * (ref: `tracker.go:291-314, 627, 639-654`) plus `difficulty`, which the
+  * reference serializes into the checkpointed block (`tracker.go:237-240`,
+  * defaulting nil to 0) — carried here for checkpoint parity. BigInt like
+  * the reference's `big.Int` (chain difficulty exceeds uint64); Spark
+  * encodes it as Decimal(38,0), ample for any real chain.
   */
 final case class BlockHeader(
     number: Long,
     hash: String,
-    parentHash: String
+    parentHash: String,
+    difficulty: BigInt = BigInt(0)
 )
 
 /** A standing query: address OR-membership + positional topics with `None` as

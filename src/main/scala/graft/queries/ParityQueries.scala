@@ -82,12 +82,12 @@ object ParityQueries {
     },
     // S10 — point log read at an assigned index, per filter sequence
     // (same scale shape as append_index: partitioned window, then the
-    // point predicate — one row per filter holding ≥501 logs)
+    // point predicate — one row per filter holding ≥151 logs)
     "get_log" -> { (s, d) =>
       val e = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
       LogOps.withAppendIndex(e, 0L, Seq(col("ts_us"), col("event_id")),
           partitionCols = Seq(col("event_type")))
-        .where(col("indx") === 500L)
+        .where(col("indx") === 150L)
         .select("event_type", "indx", "event_id", "user_id", "value")
         .orderBy("event_type")
     },
@@ -258,7 +258,7 @@ object ParityQueries {
         |  CAST(row_number() OVER (PARTITION BY event_type
         |    ORDER BY epoch_us(ts), event_id) - 1 AS BIGINT) AS indx,
         |  event_id, user_id, value
-        | FROM events) WHERE indx = 500 ORDER BY event_type""".stripMargin,
+        | FROM events) WHERE indx = 150 ORDER BY event_type""".stripMargin,
     "filter_address" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |WHERE user_id IN (1,7,13) ORDER BY event_id""".stripMargin,

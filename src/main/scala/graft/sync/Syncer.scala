@@ -138,10 +138,7 @@ final class Syncer(
   private val backlogKey = s"headers_$filterHash"
 
   def checkpoint(): Option[BlockHeader] =
-    kv.get(lastBlockKey).filter(_.nonEmpty).map { v =>
-      val Array(n, h, p) = v.split("\\|", 3)
-      BlockHeader(n.toLong, h, p)
-    }
+    kv.get(lastBlockKey).filter(_.nonEmpty).map(parseHeader)
 
   /** The persisted hot-window headers — the blocktracker backlog the
     * reference keeps in memory (`tracker.go:605-609`), durable here so a
@@ -149,10 +146,23 @@ final class Syncer(
     * down, even across blocks that carried no logs.
     */
   def storedBacklog(): Seq[BlockHeader] =
-    kv.get(backlogKey).toSeq.flatMap(_.split(";").filter(_.nonEmpty).map { s =>
-      val Array(n, h, p) = s.split("\\|", 3)
-      BlockHeader(n.toLong, h, p)
-    })
+    kv.get(backlogKey).toSeq
+      .flatMap(_.split(";").filter(_.nonEmpty).map(parseHeader))
+
+  /** `number|hash|parentHash[|difficulty]` — difficulty (ref
+    * `tracker.go:237-240` serializes it with the checkpointed block) was
+    * added later; 3-field strings from older stores parse as difficulty 0,
+    * the same default the reference applies to a nil Difficulty.
+    */
+  private def parseHeader(s: String): BlockHeader = {
+    val parts = s.split("\\|", 4)
+    val d = if (parts.length > 3 && parts(3).nonEmpty) BigInt(parts(3))
+      else BigInt(0)
+    BlockHeader(parts(0).toLong, parts(1), parts(2), d)
+  }
+
+  private def fmtHeader(b: BlockHeader): String =
+    s"${b.number}|${b.hash}|${b.parentHash}|${b.difficulty}"
 
   private def writeCheckpoint(b: BlockHeader): Unit = {
     // one KV rewrite carries both the last block and the header backlog;
@@ -161,9 +171,8 @@ final class Syncer(
     val kept = (storedBacklog().filter(_.number < b.number) :+ b)
       .sortBy(_.number).takeRight(maxBlockBacklog)
     kv.setAll(Map(
-      lastBlockKey -> s"${b.number}|${b.hash}|${b.parentHash}",
-      backlogKey -> kept.map(h => s"${h.number}|${h.hash}|${h.parentHash}")
-        .mkString(";")))
+      lastBlockKey -> fmtHeader(b),
+      backlogKey -> kept.map(fmtHeader).mkString(";")))
   }
 
   // ── AIMD batch loop (T1, ref tracker.go:327-394) ──────────────────────

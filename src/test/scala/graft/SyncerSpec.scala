@@ -285,6 +285,40 @@ class SyncerSpec extends SparkSpec {
     }
   }
 
+  test("difficulty round-trips through the checkpoint; legacy 3-field parses") {
+    // ref tracker.go:237-240 serializes Difficulty with the checkpointed
+    // block (nil → 0); here it rides the persisted header strings — a
+    // restarted Syncer must read back the exact BigInt (beyond uint64),
+    // and pre-difficulty stores (3-field strings) must parse as 0
+    import graft.model.BlockHeader
+    val big = BigInt("123456789012345678901234567890")
+    val base = new MockProvider(spark, MockChain.linear(20, _ => 1))
+    val provider = new graft.sync.Provider {
+      private def d(b: BlockHeader) = b.copy(difficulty = big + b.number)
+      override def getLogs(f: Long, t: Long, fl: FilterConfig) =
+        base.getLogs(f, t, fl)
+      override def getLogsByHash(h: String, fl: FilterConfig) =
+        base.getLogsByHash(h, fl)
+      override def getBlock(n: Long) = base.getBlock(n).map(d)
+      override def latestBlock() = d(base.latestBlock())
+      override def genesisHash() = base.genesisHash()
+      override def chainId() = base.chainId()
+    }
+    val root = tmpDir("diff")
+    new Syncer(spark, provider, root, FilterConfig()).sync()
+    // a FRESH instance reads the persisted state, not in-memory leftovers
+    val re = new Syncer(spark, provider, root, FilterConfig())
+    assert(re.checkpoint().map(_.difficulty).contains(big + 19))
+    val backlog = re.storedBacklog()
+    assert(backlog.nonEmpty)
+    backlog.foreach(h => assert(h.difficulty == big + h.number))
+    // legacy store: overwrite with a 3-field (pre-difficulty) string
+    re.kv.set(s"lastBlock_${FilterConfig().hash}", "19|h19|h18")
+    val legacy = new Syncer(spark, provider, root, FilterConfig())
+    assert(legacy.checkpoint().contains(BlockHeader(19, "h19", "h18")))
+    assert(legacy.checkpoint().get.difficulty == BigInt(0))
+  }
+
   test("address + topic filter pushdown reaches the provider (P1/P2)") {
     val provider = new MockProvider(spark, chain100)
     val filter = FilterConfig(addresses = Seq("a1"),
