@@ -145,13 +145,19 @@ object Dedup {
       ).as(Seq("band", "band_hash"))
     )
 
+    // Hot buckets are dropped via a broadcast anti-join against the (tiny
+    // by construction — ≤ rows/maxBucket entries) over-cap bucket list:
+    // the aggregate combines map-side and the probe side never shuffles.
+    // The earlier Window.partitionBy(band, band_hash) form re-shuffled and
+    // sorted the whole banded table, and put every row of a hot bucket on
+    // one task — the exact straggler the cap exists to prevent.
     val pruned =
       if (maxBucket <= 0) banded
       else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "band_hash")
-        banded.withColumn("__bn", count(lit(1)).over(w))
-          .where(col("__bn") <= maxBucket).drop("__bn")
+        val hot = banded.groupBy("band", "band_hash")
+          .agg(count(lit(1)).as("__bn"))
+          .where(col("__bn") > maxBucket).select("band", "band_hash")
+        banded.join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
       }
 
     val a = pruned.select(col("band"), col("band_hash"),

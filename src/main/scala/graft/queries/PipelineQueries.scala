@@ -32,9 +32,13 @@ object PipelineQueries {
           shingleN = 3, minJaccard = 0.3, maxDf = 1000L)
         .orderBy("id_a", "id_b")
     },
-    // MinHash+LSH near-dup candidates (no SQL oracle: xxhash64-based)
+    // MinHash+LSH near-dup candidates (no SQL oracle: xxhash64-based),
+    // declared WITH the hot-bucket skew cap — the shape that survives a
+    // boilerplate flood at corpus scale (no-op on this corpus: the largest
+    // band bucket holds far fewer than 1000 docs)
     "dedup_minhash" -> { (s, d) =>
-      Dedup.minHashLsh(Tables.documents(s, d), "doc_id", "text")
+      Dedup.minHashLsh(Tables.documents(s, d), "doc_id", "text",
+          maxBucket = 1000)
         .orderBy("id_a", "id_b")
     },
     // SimHash near-dup candidates (no SQL oracle: xxhash64-based)
