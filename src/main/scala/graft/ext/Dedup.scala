@@ -271,7 +271,15 @@ object Dedup {
     else {
       val hot = sh.groupBy("s").agg(count(lit(1)).as("__df"))
         .where(col("__df") > maxDf).select("s")
-      sh.join(broadcast(hot), Seq("s"), "left_anti")
+      // LAZY local checkpoint: with the cap on, every consumer (counts +
+      // both self-join legs) would otherwise recompute BOTH the shingle
+      // subtree and the hot-list aggregate — 6 evaluations instead of 1.
+      // The checkpoint collapses the capped table into one shared RDD,
+      // materialized on first use (measured at sf0.1: dedup_ngram
+      // 4.8→1.9 s, edit_distance 4.4→1.9 s, dedup_cluster 4.4→2.7 s).
+      // The uncapped path keeps pure recompute, which measured FASTER
+      // than caching there (fewer consumers of a cheaper subtree).
+      sh.join(broadcast(hot), Seq("s"), "left_anti").localCheckpoint(false)
     }
   }
 

@@ -135,4 +135,37 @@ object Abi {
     }
     struct(cols: _*)
   }
+
+  /** Decode the INDEXED parameters from the topics array — the other half
+    * of the reference's `ParseLog` (go-web3 reads indexed values out of
+    * `log.Topics[1..]`). Topic k+1 carries the k-th indexed parameter as
+    * one 32-byte word (64 hex chars, optional 0x prefix):
+    *
+    *  - static types decode exactly like a head slot (address right-
+    *    aligned, numbers big-endian, `bool` last byte);
+    *  - dynamic indexed types (`bytes`/`string`) are stored as their
+    *    KECCAK HASH per the ABI spec — the value is unrecoverable, so they
+    *    decode to the raw 64-hex string (callers can equality-match it
+    *    against `keccak256` of a candidate value).
+    */
+  def decodeTopics(topics: Column, sig: String): Column = {
+    val ev = parseEvent(sig)
+    val indexed = ev.fields.filter(_.indexed)
+    require(indexed.nonEmpty, s"no indexed parameters in: $sig")
+    val cols = indexed.zipWithIndex.map { case (f, i) =>
+      // element_at is 1-based; topic0 (signature hash) occupies slot 1
+      val word = lower(regexp_replace(element_at(topics, i + 2), "^0[xX]", ""))
+      val c = f.typ match {
+        case "bool" => conv(word.substr(lit(49), lit(16)), 16, 10)
+          .cast("long") =!= 0L
+        case "address" => word.substr(lit(25), lit(40))
+        case UintN(n) if n.toInt <= 64 =>
+          conv(word.substr(lit(49), lit(16)), 16, 10).cast("long")
+        case BytesN(n) => word.substr(lit(1), lit(n.toInt * 2))
+        case _ => word // uint256/int256 + hashed dynamic types: raw 64-hex
+      }
+      c.as(f.name)
+    }
+    struct(cols: _*)
+  }
 }

@@ -121,6 +121,40 @@ class AbiSpec extends SparkSpec {
     assert(BigInt(v, 16) == big)
   }
 
+  test("decodeTopics reads indexed params; dynamic indexed stay hashed") {
+    // ERC-20 Transfer: both addresses indexed, value in data
+    val from = Array.tabulate[Byte](20)(i => (0x10 + i).toByte)
+    val to = Array.tabulate[Byte](20)(i => (0x30 + i).toByte)
+    def topicOf(addr: Array[Byte]) =
+      "0x" + "0" * 24 + addr.map("%02x".format(_)).mkString
+    val sig =
+      "Transfer(address indexed from, address indexed to, uint256 value)"
+    val df = Seq(Tuple1(Seq(
+      "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef",
+      topicOf(from), topicOf(to)))).toDF("topics")
+    val r = df.select(Abi.decodeTopics(col("topics"), sig).as("t"))
+      .select("t.from", "t.to").collect().head
+    assert(r.getString(0) == from.map("%02x".format(_)).mkString)
+    assert(r.getString(1) == to.map("%02x".format(_)).mkString)
+    // indexed uint64 + bool decode as typed values
+    val sig2 = "Ev(uint64 indexed n, bool indexed f, string s)"
+    val tN = "0x" + "0" * 48 + "00000000000004d2" // 1234
+    val tF = "0x" + "0" * 63 + "1"
+    val r2 = Seq(Tuple1(Seq("0xsig", tN, tF))).toDF("topics")
+      .select(Abi.decodeTopics(col("topics"), sig2).as("t"))
+      .select("t.n", "t.f").collect().head
+    assert(r2.getLong(0) == 1234L)
+    assert(r2.getBoolean(1))
+    // indexed string: the topic is the keccak hash of the value — decoded
+    // as the raw 64-hex word, matchable via keccak256
+    val sig3 = "Ev(string indexed tag, uint64 v)"
+    val hashed = graft.functions.Keccak.hash256Hex("hello".getBytes("UTF-8"))
+    val r3 = Seq(Tuple1(Seq("0xsig", "0x" + hashed))).toDF("topics")
+      .select(Abi.decodeTopics(col("topics"), sig3).getField("tag"))
+      .collect().head.getString(0)
+    assert(r3 == hashed)
+  }
+
   test("malformed signatures fail loudly") {
     intercept[IllegalArgumentException](Abi.parseEvent("NoParens"))
     intercept[IllegalArgumentException](Abi.parseEvent("E(uint64 a b c)"))
