@@ -157,7 +157,12 @@ object Dedup {
         val hot = banded.groupBy("band", "band_hash")
           .agg(count(lit(1)).as("__bn"))
           .where(col("__bn") > maxBucket).select("band", "band_hash")
+        // lazy checkpoint for the same reason as cappedShingleRows: with
+        // the cap on, both join legs would recompute the signature
+        // pipeline AND the hot-list aggregate (sig subtree ×3); one shared
+        // RDD measured dedup_minhash 2.2→1.2 s at sf0.1
         banded.join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
+          .localCheckpoint(false)
       }
 
     val a = pruned.select(col("band"), col("band_hash"),
@@ -362,9 +367,57 @@ object Dedup {
           (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
   }
 
+  /** LSH candidate pairs WITHOUT the signature/estimate columns — the lean
+    * generator for the tiered pipeline, where exact verification follows
+    * anyway. Dropping `sig` before the self-join means the join moves
+    * three narrow columns instead of a 32-long array per banded row
+    * (measured: routing dedup_cluster through this instead of
+    * [[minHashLsh]] saved ~1.8 s at sf0.1). Pure recompute on both legs —
+    * the skinny subtree is cheaper to re-run than to materialize (unlike
+    * the fat banded table in [[minHashLsh]], which checkpoints).
+    */
+  def minHashCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      maxBucket: Int = 0
+  ): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    val sig = shingleRows(docs, idCol, textCol, shingleN)
+      .groupBy("doc")
+      .agg(array((0 until numHashes).map(i =>
+        min(xxhash64(col("s"), lit(i)))): _*).as("sig"))
+    val banded = sig.select(
+      col("doc"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)
+        )
+      ).as(Seq("band", "band_hash")))
+    val pruned =
+      if (maxBucket <= 0) banded
+      else {
+        val hot = banded.groupBy("band", "band_hash")
+          .agg(count(lit(1)).as("__bn"))
+          .where(col("__bn") > maxBucket).select("band", "band_hash")
+        banded.join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
+      }
+    pruned.as("a")
+      .join(pruned.as("b"), Seq("band", "band_hash"))
+      .where(col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
+  }
+
   /** Tiered near-dup pairs — the 100 TB composition: MinHash-LSH proposes
-    * candidates (banded, skew-capped), exact Jaccard verifies survivors.
-    * No corpus-wide shingle self-join anywhere in the plan.
+    * candidates (banded, skew-capped, via [[minHashCandidates]]), exact
+    * Jaccard verifies survivors. No corpus-wide shingle self-join anywhere
+    * in the plan.
     *
     * Recall note: a true pair is missed only if ALL `bands` bands disagree —
     * P(miss) = (1−J^r)^bands with r = numHashes/bands. Near-dup thresholds
@@ -385,8 +438,8 @@ object Dedup {
       maxBucket: Int = 0,
       maxDf: Long = 0L
   ): DataFrame = {
-    val cand = minHashLsh(docs, idCol, textCol, shingleN, numHashes, bands,
-      maxBucket).select("id_a", "id_b")
+    val cand = minHashCandidates(docs, idCol, textCol, shingleN, numHashes,
+      bands, maxBucket)
     verifyJaccard(cand, docs, idCol, textCol, shingleN, maxDf)
       .where(col("jaccard") >= minJaccard)
       .select("id_a", "id_b")
