@@ -153,8 +153,10 @@ object Abi {
     val indexed = ev.fields.filter(_.indexed)
     require(indexed.nonEmpty, s"no indexed parameters in: $sig")
     val cols = indexed.zipWithIndex.map { case (f, i) =>
-      // element_at is 1-based; topic0 (signature hash) occupies slot 1
-      val word = lower(regexp_replace(element_at(topics, i + 2), "^0[xX]", ""))
+      // null-safe `get` (0-based), NOT element_at: under ANSI mode (Spark 4
+      // default) element_at THROWS on a short topics array, killing the
+      // whole job on one malformed log — same contract as LogOps.filterTopic
+      val word = lower(regexp_replace(get(topics, lit(i + 1)), "^0[xX]", ""))
       val c = f.typ match {
         case "bool" => conv(word.substr(lit(49), lit(16)), 16, 10)
           .cast("long") =!= 0L

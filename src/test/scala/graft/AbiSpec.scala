@@ -153,6 +153,27 @@ class AbiSpec extends SparkSpec {
       .select(Abi.decodeTopics(col("topics"), sig3).getField("tag"))
       .collect().head.getString(0)
     assert(r3 == hashed)
+    // a SHORT topics array (malformed log) yields nulls, not a job-killing
+    // ANSI out-of-bounds error
+    val r4 = Seq(Tuple1(Seq("0xsig", tN))).toDF("topics")
+      .select(Abi.decodeTopics(col("topics"), sig2).as("t"))
+      .select("t.n", "t.f").collect().head
+    assert(r4.getLong(0) == 1234L)
+    assert(r4.isNullAt(1))
+  }
+
+  test("truncated blobs decode to nulls, not ANSI job kills") {
+    // a 3-byte "blob": every slot read slices past the end → empty slice →
+    // conv(hex('')) is null → null fields; the dynamic pointer chain
+    // propagates the null. Malformed DATA degrades per-row; only malformed
+    // SCHEMAS throw (at plan build).
+    val r = Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("data")
+      .select(Abi.decode(col("data"),
+        "E(uint64 a, address b, bytes c)").as("ev"))
+      .select("ev.a", "ev.b", "ev.c").collect().head
+    assert(r.isNullAt(0))
+    assert(r.getString(1) == "") // empty slice hex — still a value, not a crash
+    assert(r.isNullAt(2))
   }
 
   test("malformed signatures fail loudly") {
