@@ -376,6 +376,35 @@ object Dedup {
     * the skinny subtree is cheaper to re-run than to materialize (unlike
     * the fat banded table in [[minHashLsh]], which checkpoints).
     */
+  /** The banded signature rows of a corpus — (doc, band, band_hash), the
+    * storable/joinable form of the LSH index. Batch path: explode +
+    * codegen'd min-aggregations (see [[minHashLsh]] for why not the lambda
+    * form).
+    */
+  def bandRows(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 16
+  ): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    val sig = shingleRows(docs, idCol, textCol, shingleN)
+      .groupBy("doc")
+      .agg(array((0 until numHashes).map(i =>
+        min(xxhash64(col("s"), lit(i)))): _*).as("sig"))
+    sig.select(
+      col("doc"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)
+        )
+      ).as(Seq("band", "band_hash")))
+  }
+
   def minHashCandidates(
       docs: DataFrame,
       idCol: String,
@@ -385,20 +414,7 @@ object Dedup {
       bands: Int = 16,
       maxBucket: Int = 0
   ): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    val sig = shingleRows(docs, idCol, textCol, shingleN)
-      .groupBy("doc")
-      .agg(array((0 until numHashes).map(i =>
-        min(xxhash64(col("s"), lit(i)))): _*).as("sig"))
-    val banded = sig.select(
-      col("doc"),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)
-        )
-      ).as(Seq("band", "band_hash")))
+    val banded = bandRows(docs, idCol, textCol, shingleN, numHashes, bands)
     val pruned =
       if (maxBucket <= 0) banded
       else {
@@ -411,6 +427,118 @@ object Dedup {
       .join(pruned.as("b"), Seq("band", "band_hash"))
       .where(col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
+  }
+
+  /** Persist the LSH band index of a corpus, partitioned by band — the
+    * "write the signature table once and join against it" form every
+    * in-plan recompute comment points at. At 100 TB the corpus is indexed
+    * ONCE; each new ingest batch joins against this table instead of
+    * re-pairing the whole corpus (see [[candidatesAgainstIndex]]).
+    *
+    * Layout: batch writes land in `path/batch`, the streaming writer in
+    * `path/stream` — SEPARATE segment dirs because a streaming file sink's
+    * `_spark_metadata` log claims its whole directory: a reader of a mixed
+    * dir would silently see only the stream-committed files. Readers union
+    * whichever segments exist.
+    */
+  def writeBandIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      shingleN: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 16
+  ): Unit =
+    bandRows(docs, idCol, textCol, shingleN, numHashes, bands)
+      .write.mode("append").partitionBy("band").parquet(s"$path/batch")
+
+  /** Streaming maintenance of the band index: documents arriving on a
+    * stream land band-partitioned, same layout as [[writeBandIndex]] (the
+    * dedup twin of [[Similarity.ivfStreamWriter]]). The signature here is
+    * the PER-ROW lambda form — a streaming aggregate would need watermarks
+    * and the arriving micro-batches are small by definition; min over a
+    * multiset ignores duplicates, so it equals the batch path's
+    * distinct-shingle aggregation exactly (asserted in StreamDedupSpec).
+    */
+  def bandIndexStreamWriter(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      checkpoint: String,
+      shingleN: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 16
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    val sig = minHashSignature(shingles(col(textCol), shingleN), numHashes)
+    docs.select(
+        col(idCol).as("doc"),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), b)
+          )
+        ).as(Seq("band", "band_hash")))
+      .writeStream.format("parquet")
+      .option("path", s"$path/stream") // segment dir — see writeBandIndex
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("band")
+      .outputMode("append")
+      .start()
+  }
+
+  /** Incremental near-dup candidates: a NEW batch of documents against the
+    * persisted band index — the 100 TB ingest pattern (cost ∝ batch ×
+    * matching buckets, never corpus²). Returns normalized (id_a < id_b)
+    * pairs where at least one side is a new doc; batch-internal pairs are
+    * included (the new docs' bands join themselves through the index iff
+    * the index already contains them — pass an index that does, or union).
+    *
+    * @param maxBucket cap applied to INDEX bucket sizes (aggregate over
+    *                  the index scan + broadcast anti-join, same guard as
+    *                  [[minHashCandidates]])
+    */
+  def candidatesAgainstIndex(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      shingleN: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      maxBucket: Int = 0
+  ): DataFrame = {
+    val spark = newDocs.sparkSession
+    // union whichever segments exist (batch-indexed corpus + streamed tail)
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segments = Seq(s"$indexPath/batch", s"$indexPath/stream")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    require(segments.nonEmpty, s"no band-index segments under $indexPath")
+    // one read per segment root (a multi-root partitioned read trips
+    // partition discovery), unioned — same partition pruning per leg
+    val idx0 = segments
+      .map(p => spark.read.parquet(p)
+        .select(col("doc"), col("band"), col("band_hash")))
+      .reduce(_ unionByName _)
+    val idx =
+      if (maxBucket <= 0) idx0
+      else {
+        val hot = idx0.groupBy("band", "band_hash")
+          .agg(count(lit(1)).as("__bn"))
+          .where(col("__bn") > maxBucket).select("band", "band_hash")
+        idx0.join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
+      }
+    bandRows(newDocs, idCol, textCol, shingleN, numHashes, bands)
+      .select(col("doc").as("__new"), col("band"), col("band_hash"))
+      .join(idx, Seq("band", "band_hash"))
+      .where(col("__new") =!= col("doc"))
+      .select(least(col("__new"), col("doc")).as("id_a"),
+        greatest(col("__new"), col("doc")).as("id_b"))
       .distinct()
   }
 
