@@ -157,6 +157,55 @@ object TextOps {
         col("n_boiler").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** Intra-document repetition signals (the Gopher/MassiveText corpus-
+    * cleaning family): duplicate-word ratio, most-frequent-word fraction,
+    * duplicate-bigram ratio. High values flag templated/spammy documents
+    * for the quality filter.
+    *
+    * Shape at scale: explode → (doc, term) counts → per-doc roll-up — two
+    * map-side-combinable aggregations, shuffling (doc, term) keys once; no
+    * interpreted per-row lambdas. Docs with fewer than two words have no
+    * bigrams; their `dup_bigram_ratio` is 0 (left join + coalesce).
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = docs.select(col(idCol),
+      explode(split(col(textCol), " ")).as("w"))
+    val wc = ws.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+    val wordAgg = wc.groupBy(col(idCol)).agg(
+      sum(col("c")).as("n_words"),
+      count(lit(1)).as("n_distinct"),
+      max(col("c")).as("top_c"))
+    val bg = Dedup.shingleRows(docs, idCol, textCol, n = 2, distinct = false)
+      .groupBy(col("doc").as(idCol), col("s")).agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(
+        sum(col("c")).as("n_bi"),
+        count(lit(1)).as("n_bi_distinct"))
+    wordAgg.join(bg, Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_words").cast("long").as("n_words"),
+        ((col("n_words") - col("n_distinct")).cast("double") /
+          col("n_words").cast("double")).as("dup_word_ratio"),
+        (col("top_c").cast("double") / col("n_words").cast("double"))
+          .as("top_word_frac"),
+        coalesce((col("n_bi") - col("n_bi_distinct")).cast("double") /
+          col("n_bi").cast("double"), lit(0.0)).as("dup_bigram_ratio"))
+  }
+
+  /** Pattern-occurrence counts per document — the extraction face of PII /
+    * boilerplate screening (emails, URLs, digit runs). Pure per-row
+    * regexp_extract_all counts at scan speed; patterns are kept to the
+    * regex subset whose semantics agree across engines (the DuckDB oracle
+    * runs RE2, Spark runs java.util.regex).
+    */
+  def patternStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def n(pat: String) =
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long")
+    docs.select(col(idCol),
+      n("[a-z0-9]+@[a-z0-9]+\\.[a-z]+").as("n_emails"),
+      n("https?://[a-zA-Z0-9./]+").as("n_urls"),
+      n("[0-9]+").as("n_numbers"))
+  }
+
   /** Composite quality score in [0,1]: penalize extreme lengths, extreme
     * stopword ratios and single-char word floods. Weights are heuristic but
     * fixed — the operator shape (cheap per-row scoring feeding a filter

@@ -154,6 +154,19 @@ object PipelineQueries {
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
     },
+    // Gopher-style intra-doc repetition signals (dup-word / top-word /
+    // dup-bigram fractions) — the templated-spam screen of corpus cleaning
+    "text_repetition" -> { (s, d) =>
+      TextOps.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    // pattern-occurrence counts (emails/URLs/digit runs) over the JSON
+    // props payload — the PII/extraction screen; props carries digit runs
+    // so the values vary (documents text is digit-free)
+    "pattern_stats" -> { (s, d) =>
+      TextOps.patternStats(Tables.events(s, d), "event_id", "props")
+        .orderBy("event_id")
+    },
     // composite quality score
     "quality_score" -> { (s, d) =>
       TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text")
@@ -352,6 +365,34 @@ object PipelineQueries {
         | CAST(sum(CASE WHEN df.df >= 5 THEN 1 ELSE 0 END) AS DOUBLE) /
         |   CAST(count(*) AS DOUBLE) AS boiler_ratio
         |FROM sh JOIN df USING (s) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+        |wa AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,
+        |        max(c) AS top_c FROM wc GROUP BY 1),
+        |sp AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bgr AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |        i -> concat_ws(' ', ws[i], ws[i+1]))) AS s FROM sp),
+        |bc AS (SELECT doc_id, s, count(*) AS c FROM bgr GROUP BY 1, 2),
+        |ba AS (SELECT doc_id, sum(c) AS n_bi, count(*) AS n_bi_distinct
+        |       FROM bc GROUP BY 1)
+        |SELECT wa.doc_id, CAST(n_words AS BIGINT) AS n_words,
+        | CAST(n_words - n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE)
+        |  AS dup_word_ratio,
+        | CAST(top_c AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac,
+        | coalesce(CAST(n_bi - n_bi_distinct AS DOUBLE) /
+        |  CAST(n_bi AS DOUBLE), CAST(0.0 AS DOUBLE)) AS dup_bigram_ratio
+        |FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id
+        |ORDER BY wa.doc_id""".stripMargin,
+    "pattern_stats" ->
+      """SELECT event_id,
+        | CAST(len(regexp_extract_all(props, '[a-z0-9]+@[a-z0-9]+\.[a-z]+'))
+        |  AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(props, 'https?://[a-zA-Z0-9./]+'))
+        |  AS BIGINT) AS n_urls,
+        | CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_numbers
+        |FROM events ORDER BY event_id""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang, rk FROM (
         | SELECT doc_id, lang,

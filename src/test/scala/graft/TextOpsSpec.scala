@@ -96,6 +96,36 @@ class TextOpsSpec extends SparkSpec {
     assert(r == Map(1L -> 2L, 2L -> 3L, 3L -> 2L, 4L -> 3L))
   }
 
+  test("repetition stats: hand-checked duplicate/top/bigram fractions") {
+    // doc 1 "a a a b": 4 words, 2 distinct → dup_word_ratio 0.5; top "a"
+    // 3/4; bigrams [a a, a a, a b]: 3 total, 2 distinct → dup 1/3
+    // doc 2 "x y": no repetition anywhere
+    // doc 3 one word: no bigrams → dup_bigram_ratio 0 by contract
+    val df = Seq((1L, "a a a b"), (2L, "x y"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val r = TextOps.repetitionStats(df, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_words"), x.getAs[Double]("dup_word_ratio"),
+          x.getAs[Double]("top_word_frac"),
+          x.getAs[Double]("dup_bigram_ratio"))).toMap
+    assert(r(1L) == ((4L, 0.5, 0.75, 1.0 / 3)))
+    assert(r(2L) == ((2L, 0.0, 0.5, 0.0)))
+    assert(r(3L) == ((1L, 0.0, 1.0, 0.0)))
+  }
+
+  test("pattern stats count emails, urls and digit runs") {
+    val df = Seq(
+      (1L, "contact bob@example.com or visit https://example.com/page 42 times in 2024"),
+      (2L, "no patterns here at all")
+    ).toDF("doc_id", "text")
+    val r = TextOps.patternStats(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getAs[Long]("n_emails"), x.getAs[Long]("n_urls"),
+          x.getAs[Long]("n_numbers"))).toMap
+    assert(r(1L) == ((1L, 1L, 2L)))
+    assert(r(2L) == ((0L, 0L, 0L)))
+  }
+
   test("boilerplate stats flag shingles shared across enough docs") {
     // the 4-word prefix "spark shuffles data fast" yields 2 shared 3-gram
     // shingles present in all 3 docs; each doc's tail shingles are unique
