@@ -744,6 +744,42 @@ object Dedup {
       .select(col("node"), least(col("mn"), col("node")).as("label"))
   }
 
+  /** Train/eval contamination check — the decontamination step of an LLM
+    * data pipeline: for each EVAL document, the fraction of its distinct
+    * n-gram shingles that appear anywhere in the TRAIN corpus. Ratios near
+    * 1 mean the eval doc leaks into training data.
+    *
+    * Scale shape (train is the 100 TB side): the train leg is a RAW
+    * shingle scan — no corpus-wide distinct, no train-side shuffle. The
+    * (small) eval shingle set broadcasts into the join; only the matched
+    * (eval doc, shingle) pairs — bounded by the eval corpus size — are
+    * deduplicated and aggregated.
+    *
+    * @return (idCol, n_shingles, n_matched, contamination_ratio) — one row
+    *         per eval document, 0 ratio when nothing matches
+    */
+  def contamination(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3
+  ): DataFrame = {
+    val ev = shingleRows(evalDocs, idCol, textCol, shingleN) // distinct (doc,s)
+    val evCounts = ev.groupBy("doc").agg(count(lit(1)).as("n_shingles"))
+    val matched = shingleRows(train, idCol, textCol, shingleN, distinct = false)
+      .select("s")
+      .join(broadcast(ev), Seq("s"))
+      .select("doc", "s").distinct()
+      .groupBy("doc").agg(count(lit(1)).as("n_matched"))
+    evCounts.join(matched, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        col("n_shingles"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        (coalesce(col("n_matched"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double")).as("contamination_ratio"))
+  }
+
   /** Embedding near-dup: pairs of vectors with cosine ≥ threshold, candidate-
     * limited to shared LSH buckets (see [[Similarity.lshBucketed]]).
     */

@@ -167,6 +167,16 @@ object PipelineQueries {
       TextOps.patternStats(Tables.events(s, d), "event_id", "props")
         .orderBy("event_id")
     },
+    // train/eval contamination: every 10th doc plays the eval set, the
+    // rest the training corpus — the decontamination screen
+    "contamination" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.contamination(
+          docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+          docs.where(pmod(col("doc_id"), lit(10)) === 0),
+          "doc_id", "text", shingleN = 3)
+        .orderBy("doc_id")
+    },
     // composite quality score
     "quality_score" -> { (s, d) =>
       TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text")
@@ -365,6 +375,21 @@ object PipelineQueries {
         | CAST(sum(CASE WHEN df.df >= 5 THEN 1 ELSE 0 END) AS DOUBLE) /
         |   CAST(count(*) AS DOUBLE) AS boiler_ratio
         |FROM sh JOIN df USING (s) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "contamination" ->
+      """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+        |        i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS s FROM sp),
+        |ev AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+        |tr AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 <> 0),
+        |n AS (SELECT doc_id, count(*) AS n_shingles FROM ev GROUP BY 1),
+        |m AS (SELECT doc_id, count(*) AS n_matched FROM ev
+        |      WHERE s IN (SELECT s FROM tr) GROUP BY 1)
+        |SELECT n.doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+        | CAST(coalesce(n_matched, 0) AS BIGINT) AS n_matched,
+        | CAST(coalesce(n_matched, 0) AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+        |  AS contamination_ratio
+        |FROM n LEFT JOIN m ON n.doc_id = m.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
     "text_repetition" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
         |  FROM documents),

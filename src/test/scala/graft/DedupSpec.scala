@@ -171,6 +171,26 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty) // the corpus plants near-dups — no vacuous pass
   }
 
+  test("contamination: leaked eval doc scores 1, clean doc scores 0") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different training words about spark and shuffles")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"), // leak
+      (101L, "unique evaluation text that shares nothing with training"),
+      (102L, "completely different training words but then it diverges here")
+    ).toDF("doc_id", "text")
+    val r = Dedup.contamination(train, eval, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getAs[Long]("n_matched"), x.getAs[Double]("contamination_ratio")))
+      .toMap
+    assert(r(100L)._2 == 1.0)
+    assert(r(101L) == ((0L, 0.0)))
+    // partial overlap: shares the leading trigrams only
+    assert(r(102L)._1 > 0 && r(102L)._2 < 1.0)
+  }
+
   test("embedding near-dup finds the planted duplicate vector") {
     val v = (0 until 64).map(i => math.sin(i).toFloat)
     val v2 = v.updated(0, v(0) + 0.001f) // near-identical
