@@ -76,6 +76,9 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             failed += name
+            // a query that crashed on ANY rep must not read as a healthy
+            // measurement — drop earlier reps' times too
+            best.remove(name)
           }
           val dt = (System.nanoTime() - t0) / 1e9
           // defensive, outside the timed window: drop any DataFrame caches
@@ -101,7 +104,11 @@ object Bench {
     // failures are carried IN the emitted line — a crashing query must not
     // read as a faster, healthy run
     val fail = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fail,"reps":$reps,"steal_pct":${f"$stealPct%.2f"},"busy_pct":${f"$busyPct%.2f"},"sf":"$sfDir"}""")
+    // Locale.ROOT: the f-interpolator is locale-sensitive and a comma
+    // decimal separator would make the emitted line invalid JSON
+    def p2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fail,"reps":$reps,"steal_pct":${p2(stealPct)},"busy_pct":${p2(busyPct)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,6 +25,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** The shared skew guard: drop rows whose `keys` group holds more than
+    * `cap` rows. One map-side-combined aggregate builds the over-cap key
+    * list (tiny by construction — ≤ rows/cap entries), broadcast into a
+    * LEFT ANTI join; never a window, which would re-shuffle the probe side
+    * and land every row of a hot key on one task. Callers decide whether
+    * to checkpoint the result (consumer-count dependent).
+    */
+  private def dropHotKeys(df: DataFrame, keys: Seq[String], cap: Long): DataFrame = {
+    val hot = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .where(col("__n") > cap).select(keys.map(col): _*)
+    df.join(broadcast(hot), keys, "left_anti")
+  }
+
   /** Exact dedup: group by sha256(text); keeper = min(id).
     * Returns (text_hash, n_dups, keeper).
     */
@@ -36,17 +49,21 @@ object Dedup {
   /** Word n-gram shingles of a text column, as a deduplicated array.
     * Per-row Column form — convenient for composition; for the hot paths
     * use [[shingleRows]], which stays inside whole-stage codegen.
+    *
+    * Same slice-zip construction as [[shingleRows]] (NOT element_at): under
+    * ANSI mode (the Spark 4 default) element_at past the array end throws,
+    * so the old index-based form killed whole jobs on any document shorter
+    * than `n` words. This form yields an empty array for short docs — the
+    * per-row twin of shingleRows emitting zero rows.
     */
   def shingles(textCol: Column, n: Int): Column = {
     val words = split(textCol, " ")
+    val nShingles = greatest(size(words) - (n - 1), lit(0))
+    val parts = (0 until n).map(j => slice(words, lit(j + 1), nShingles))
     array_distinct(
       transform(
-        sequence(lit(0), greatest(size(words) - n, lit(0))),
-        i =>
-          concat_ws(
-            " ",
-            (0 until n).map(j => element_at(words, i + j + 1)): _*
-          )
+        arrays_zip(parts: _*),
+        z => concat_ws(" ", (0 until n).map(j => z.getField(s"$j")): _*)
       )
     )
   }
@@ -153,17 +170,13 @@ object Dedup {
     // one task — the exact straggler the cap exists to prevent.
     val pruned =
       if (maxBucket <= 0) banded
-      else {
-        val hot = banded.groupBy("band", "band_hash")
-          .agg(count(lit(1)).as("__bn"))
-          .where(col("__bn") > maxBucket).select("band", "band_hash")
+      else
         // lazy checkpoint for the same reason as cappedShingleRows: with
         // the cap on, both join legs would recompute the signature
         // pipeline AND the hot-list aggregate (sig subtree ×3); one shared
         // RDD measured dedup_minhash 2.2→1.2 s at sf0.1
-        banded.join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
+        dropHotKeys(banded, Seq("band", "band_hash"), maxBucket)
           .localCheckpoint(false)
-      }
 
     val a = pruned.select(col("band"), col("band_hash"),
       col("doc").as("id_a"), col("sig").as("sig_a"))
@@ -273,9 +286,7 @@ object Dedup {
       shingleN: Int, maxDf: Long): DataFrame = {
     val sh = shingleRows(docs, idCol, textCol, shingleN)
     if (maxDf <= 0) sh
-    else {
-      val hot = sh.groupBy("s").agg(count(lit(1)).as("__df"))
-        .where(col("__df") > maxDf).select("s")
+    else
       // LAZY local checkpoint: with the cap on, every consumer (counts +
       // both self-join legs) would otherwise recompute BOTH the shingle
       // subtree and the hot-list aggregate — 6 evaluations instead of 1.
@@ -284,8 +295,7 @@ object Dedup {
       // 4.8→1.9 s, edit_distance 4.4→1.9 s, dedup_cluster 4.4→2.7 s).
       // The uncapped path keeps pure recompute, which measured FASTER
       // than caching there (fewer consumers of a cheaper subtree).
-      sh.join(broadcast(hot), Seq("s"), "left_anti").localCheckpoint(false)
-    }
+      dropHotKeys(sh, Seq("s"), maxDf).localCheckpoint(false)
   }
 
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
@@ -367,15 +377,6 @@ object Dedup {
           (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
   }
 
-  /** LSH candidate pairs WITHOUT the signature/estimate columns — the lean
-    * generator for the tiered pipeline, where exact verification follows
-    * anyway. Dropping `sig` before the self-join means the join moves
-    * three narrow columns instead of a 32-long array per banded row
-    * (measured: routing dedup_cluster through this instead of
-    * [[minHashLsh]] saved ~1.8 s at sf0.1). Pure recompute on both legs —
-    * the skinny subtree is cheaper to re-run than to materialize (unlike
-    * the fat banded table in [[minHashLsh]], which checkpoints).
-    */
   /** The banded signature rows of a corpus — (doc, band, band_hash), the
     * storable/joinable form of the LSH index. Batch path: explode +
     * codegen'd min-aggregations (see [[minHashLsh]] for why not the lambda
@@ -405,6 +406,15 @@ object Dedup {
       ).as(Seq("band", "band_hash")))
   }
 
+  /** LSH candidate pairs WITHOUT the signature/estimate columns — the lean
+    * generator for the tiered pipeline, where exact verification follows
+    * anyway. Dropping `sig` before the self-join means the join moves
+    * three narrow columns instead of a 32-long array per banded row
+    * (measured: routing dedup_cluster through this instead of
+    * [[minHashLsh]] saved ~1.8 s at sf0.1). Pure recompute on both legs —
+    * the skinny subtree is cheaper to re-run than to materialize (unlike
+    * the fat banded table in [[minHashLsh]], which checkpoints).
+    */
   def minHashCandidates(
       docs: DataFrame,
       idCol: String,
@@ -415,14 +425,11 @@ object Dedup {
       maxBucket: Int = 0
   ): DataFrame = {
     val banded = bandRows(docs, idCol, textCol, shingleN, numHashes, bands)
+    // pure recompute on both legs — the skinny subtree is cheaper to re-run
+    // than to materialize (unlike minHashLsh's fat banded table)
     val pruned =
       if (maxBucket <= 0) banded
-      else {
-        val hot = banded.groupBy("band", "band_hash")
-          .agg(count(lit(1)).as("__bn"))
-          .where(col("__bn") > maxBucket).select("band", "band_hash")
-        banded.join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
-      }
+      else dropHotKeys(banded, Seq("band", "band_hash"), maxBucket)
     pruned.as("a")
       .join(pruned.as("b"), Seq("band", "band_hash"))
       .where(col("a.doc") < col("b.doc"))
@@ -475,7 +482,12 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
     val sig = minHashSignature(shingles(col(textCol), shingleN), numHashes)
-    docs.select(
+    docs
+      // docs shorter than shingleN words have no shingles: the batch path
+      // emits zero rows for them (groupBy over nothing) — mirror that
+      // instead of emitting a null-signature row
+      .where(size(split(col(textCol), " ")) >= shingleN)
+      .select(
         col(idCol).as("doc"),
         posexplode(
           transform(
@@ -527,12 +539,7 @@ object Dedup {
       .reduce(_ unionByName _)
     val idx =
       if (maxBucket <= 0) idx0
-      else {
-        val hot = idx0.groupBy("band", "band_hash")
-          .agg(count(lit(1)).as("__bn"))
-          .where(col("__bn") > maxBucket).select("band", "band_hash")
-        idx0.join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
-      }
+      else dropHotKeys(idx0, Seq("band", "band_hash"), maxBucket)
     bandRows(newDocs, idCol, textCol, shingleN, numHashes, bands)
       .select(col("doc").as("__new"), col("band"), col("band_hash"))
       .join(idx, Seq("band", "band_hash"))
@@ -772,12 +779,18 @@ object Dedup {
       .join(broadcast(ev), Seq("s"))
       .select("doc", "s").distinct()
       .groupBy("doc").agg(count(lit(1)).as("n_matched"))
-    evCounts.join(matched, Seq("doc"), "left")
+    // anchor on the eval DOC set, not the shingle counts: a doc shorter
+    // than shingleN words has no shingles and would otherwise vanish from
+    // the report — it must appear with n_shingles = 0, ratio 0
+    evalDocs.select(col(idCol).cast("long").as("doc")).distinct()
+      .join(evCounts, Seq("doc"), "left")
+      .join(matched, Seq("doc"), "left")
       .select(col("doc").as(idCol),
-        col("n_shingles"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
         coalesce(col("n_matched"), lit(0L)).as("n_matched"),
-        (coalesce(col("n_matched"), lit(0L)).cast("double") /
-          col("n_shingles").cast("double")).as("contamination_ratio"))
+        when(coalesce(col("n_shingles"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(coalesce(col("n_matched"), lit(0L)).cast("double") /
+            col("n_shingles").cast("double")).as("contamination_ratio"))
   }
 
   /** Embedding near-dup: pairs of vectors with cosine ≥ threshold, candidate-

@@ -109,7 +109,10 @@ object Abi {
       case UintN(n) if n.toInt <= 64 => wordU64(data, off)
       case "uint128" | "uint256" | "int256" =>
         lower(hex(data.substr(off + lit(1L), lit(32L))))
-      case BytesN(n) => // static bytesN is LEFT-aligned in its slot
+      // static bytesN is LEFT-aligned in its slot; only bytes1..bytes32
+      // exist in the ABI — a wider N would silently slice into the NEXT
+      // field's slot, so reject it at decode-compile time
+      case BytesN(n) if n.toInt >= 1 && n.toInt <= 32 =>
         lower(hex(data.substr(off + lit(1L), lit(n.toLong))))
       case other => throw new IllegalArgumentException(
         s"unsupported ABI type: $other")
@@ -163,8 +166,12 @@ object Abi {
         case "address" => word.substr(lit(25), lit(40))
         case UintN(n) if n.toInt <= 64 =>
           conv(word.substr(lit(49), lit(16)), 16, 10).cast("long")
-        case BytesN(n) => word.substr(lit(1), lit(n.toInt * 2))
-        case _ => word // uint256/int256 + hashed dynamic types: raw 64-hex
+        case BytesN(n) if n.toInt >= 1 && n.toInt <= 32 =>
+          word.substr(lit(1), lit(n.toInt * 2))
+        // uint256/int256 + hashed dynamic types: the raw 64-hex word
+        case "uint128" | "uint256" | "int256" | "bytes" | "string" => word
+        case other => throw new IllegalArgumentException(
+          s"unsupported ABI type: $other")
       }
       c.as(f.name)
     }

@@ -35,6 +35,14 @@ final case class Log(
   * defaulting nil to 0) — carried here for checkpoint parity. BigInt like
   * the reference's `big.Int` (chain difficulty exceeds uint64); Spark
   * encodes it as Decimal(38,0), ample for any real chain.
+  *
+  * Compatibility note: this type participates in STREAMING STATE
+  * (EventStream.Backlog / ReorgProcessor), so adding the field changed the
+  * state schema — a stream restarted from a checkpoint written before the
+  * field existed fails the state-schema check and needs a fresh checkpoint
+  * (one-time migration). The KV checkpoint strings ARE backward-compatible
+  * (Syncer.parseHeader defaults missing difficulty to 0, like the
+  * reference's nil → 0).
   */
 final case class BlockHeader(
     number: Long,

@@ -379,17 +379,21 @@ object PipelineQueries {
       """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
         |        i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS s FROM sp),
+        |base AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 = 0),
         |ev AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
         |tr AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 <> 0),
         |n AS (SELECT doc_id, count(*) AS n_shingles FROM ev GROUP BY 1),
         |m AS (SELECT doc_id, count(*) AS n_matched FROM ev
         |      WHERE s IN (SELECT s FROM tr) GROUP BY 1)
-        |SELECT n.doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+        |SELECT base.doc_id,
+        | CAST(coalesce(n_shingles, 0) AS BIGINT) AS n_shingles,
         | CAST(coalesce(n_matched, 0) AS BIGINT) AS n_matched,
-        | CAST(coalesce(n_matched, 0) AS DOUBLE) / CAST(n_shingles AS DOUBLE)
-        |  AS contamination_ratio
-        |FROM n LEFT JOIN m ON n.doc_id = m.doc_id
-        |ORDER BY n.doc_id""".stripMargin,
+        | CASE WHEN coalesce(n_shingles, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+        |  ELSE CAST(coalesce(n_matched, 0) AS DOUBLE) /
+        |   CAST(n_shingles AS DOUBLE) END AS contamination_ratio
+        |FROM base LEFT JOIN n ON base.doc_id = n.doc_id
+        | LEFT JOIN m ON base.doc_id = m.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
     "text_repetition" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
         |  FROM documents),

@@ -182,6 +182,12 @@ class AbiSpec extends SparkSpec {
     // unknown types surface at decode compile time, not as bad data
     intercept[IllegalArgumentException](
       Abi.decode(lit(Array.emptyByteArray), "E(dragon x)"))
+    // bytesN outside 1..32 does not exist in the ABI — rejecting it beats
+    // silently slicing into the next field's slot
+    intercept[IllegalArgumentException](
+      Abi.decode(lit(Array.emptyByteArray), "E(bytes33 x, uint64 y)"))
+    intercept[IllegalArgumentException](
+      Abi.decode(lit(Array.emptyByteArray), "E(bytes0 x)"))
     intercept[IllegalArgumentException](
       Abi.decode(lit(Array.emptyByteArray),
         "E(uint64 indexed a)")) // nothing left in data

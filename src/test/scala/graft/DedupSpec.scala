@@ -179,7 +179,8 @@ class DedupSpec extends SparkSpec {
     val eval = Seq(
       (100L, "the quick brown fox jumps over the lazy dog tonight"), // leak
       (101L, "unique evaluation text that shares nothing with training"),
-      (102L, "completely different training words but then it diverges here")
+      (102L, "completely different training words but then it diverges here"),
+      (103L, "too short") // < shingleN words: must still appear, ratio 0
     ).toDF("doc_id", "text")
     val r = Dedup.contamination(train, eval, "doc_id", "text")
       .collect().map(x => x.getLong(0) ->
@@ -189,6 +190,8 @@ class DedupSpec extends SparkSpec {
     assert(r(101L) == ((0L, 0.0)))
     // partial overlap: shares the leading trigrams only
     assert(r(102L)._1 > 0 && r(102L)._2 < 1.0)
+    // shingle-less doc is reported, not dropped
+    assert(r(103L) == ((0L, 0.0)))
   }
 
   test("embedding near-dup finds the planted duplicate vector") {
