@@ -96,6 +96,46 @@ object Similarity {
   def lshBucketed(corpus: DataFrame, vecCol: String, dim: Int, nbits: Int): DataFrame =
     corpus.withColumn("lsh_bucket", lshSignature(col(vecCol), dim, nbits))
 
+  /** Approximate k-nearest-neighbour SELF-join: for every vector, its `k`
+    * most cosine-similar neighbours among vectors sharing its LSH bucket —
+    * the all-pairs companion of [[annTopK]] (one query) used for diversity
+    * sampling, curriculum ordering and cluster seeding over a whole corpus.
+    *
+    * Scale shape: candidate pairs exist only within buckets (the only
+    * quadratic step is per-bucket, same cost envelope as
+    * [[Dedup.embeddingNearDup]]); norms are computed once per vector
+    * before the join; ranking is a window PARTITIONED by the query id —
+    * parallel per vector, no global sort. Neighbours outside the bucket
+    * are invisible (that's the approximation) — recall vs exact top-k is
+    * measured in SimilaritySpec.
+    *
+    * @return (id, neighbor, rnk, cosine), rnk = 1..k per id
+    */
+  def knnJoin(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nbits: Int,
+      k: Int
+  ): DataFrame = {
+    val bucketed = lshBucketed(embs, vecCol, dim, nbits)
+      .withColumn("__norm", sqrt(norm2(col(vecCol))))
+    val a = bucketed.select(col("lsh_bucket"), col(idCol).as("id"),
+      col(vecCol).as("__va"), col("__norm").as("__na"))
+    val b = bucketed.select(col("lsh_bucket"), col(idCol).as("neighbor"),
+      col(vecCol).as("__vb"), col("__norm").as("__nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("cosine").desc, col("neighbor"))
+    a.join(b, Seq("lsh_bucket"))
+      .where(col("id") =!= col("neighbor"))
+      .select(col("id"), col("neighbor"),
+        (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+          .as("cosine"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
   /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
     * vector to its nearest centroid; a query probes only the `nprobe`
     * closest cells and exact-ranks within them. The standard FAISS-style

@@ -56,6 +56,36 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("knnJoin: per-vector neighbours rank correctly with usable recall") {
+    // same clustered fixture as the ANN test — neighbours should be
+    // overwhelmingly same-cluster
+    val rnd = new scala.util.Random(11)
+    val centers = (0 until 5).map(_ => Array.fill(16)(rnd.nextGaussian()))
+    val vecs = (0 until 100).map { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.map(x => (x + 0.1 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding").cache()
+    val knn = Similarity.knnJoin(df, "vec_id", "embedding",
+      dim = 16, nbits = 3, k = 5).collect()
+    val byId = knn.groupBy(_.getLong(0))
+    // every covered vector gets ≤ k ranked neighbours, rnk dense from 1,
+    // cosines descending per id
+    byId.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq == (1L to sorted.length).toSeq)
+      val cos = sorted.map(_.getDouble(2)).toSeq
+      assert(cos.zip(cos.tail).forall { case (x, y) => x >= y })
+      assert(rows.length <= 5)
+    }
+    // recall vs exact neighbours for vector 0 (same-cluster bucketing)
+    val exact = Similarity.cosineTopK(df, df.where(col("vec_id") === 0),
+      "vec_id", "embedding", k = 6).collect().map(_.getLong(0)).toSet - 0L
+    val approx = byId(0L).map(_.getLong(1)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"knn recall $recall too low")
+  }
+
   test("IVF: probing more cells increases recall to 1.0 at nprobe=nlist") {
     val rnd = new scala.util.Random(11)
     val centers = (0 until 4).map(_ => Array.fill(16)(rnd.nextGaussian()))
