@@ -16,17 +16,29 @@ object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.drop(1).toSeq else headline
+    // AQE wraps everything in AdaptiveSparkPlan, under which CodegenMode
+    // reports "0 subtrees" — turn it off for the codegen audit only
+    val aqe = (sys.env.getOrElse("SPARK_GRAFT_PLAN_MODE", "simple")
+      != "codegen").toString
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_PLAN_MODE=codegen prints WholeStageCodegen subtree counts
+    // + generated code (audits that big projections haven't bailed out of
+    // codegen); default stays the compact simple plan
+    val mode = sys.env.getOrElse("SPARK_GRAFT_PLAN_MODE", "simple") match {
+      case "codegen" => org.apache.spark.sql.execution.CodegenMode
+      case "formatted" => org.apache.spark.sql.execution.FormattedMode
+      case _ => org.apache.spark.sql.execution.SimpleMode
+    }
     names.foreach { q =>
       println(s"## $q\n")
       println("```")
       println(SparkEntry.queries(q)(spark, sfDir).queryExecution
-        .explainString(org.apache.spark.sql.execution.SimpleMode).trim)
+        .explainString(mode).trim)
       println("```\n")
     }
     spark.stop()
