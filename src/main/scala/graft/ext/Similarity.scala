@@ -136,6 +136,46 @@ object Similarity {
       .where(col("rnk") <= k)
   }
 
+  /** EXACT k-nearest-neighbour self-join, blocked by `blockCol`: for every
+    * vector, its `k` most cosine-similar neighbours among vectors sharing
+    * its block (e.g. a class label, a shard, an IVF cell) — the exact
+    * companion / recall baseline of the LSH-bucketed [[knnJoin]].
+    *
+    * Scale shape: the pair join is quadratic PER BLOCK, never corpus-wide —
+    * cost is Σ|block|², bounded by the largest block, and each block's
+    * pairs are generated shuffle-local after one hash partition on the
+    * block key. Use this as the verification tier over bounded blocks
+    * (classes, cells); [[knnJoin]] is the 100 TB path for unblocked
+    * corpora. Norms are computed once per vector before the join; ranking
+    * is a window partitioned by the query id (parallel per vector, no
+    * global sort). Arithmetic is the same bit-deterministic double fold as
+    * [[cosineTopK]], so a sequential-fold SQL oracle matches exactly.
+    *
+    * @return (id, neighbor, cosine, rnk), rnk = 1..k per id
+    */
+  def knnJoinExact(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: String,
+      k: Int
+  ): DataFrame = {
+    val n = embs.withColumn("__norm", sqrt(norm2(col(vecCol))))
+    val a = n.select(col(blockCol).as("__blk"), col(idCol).as("id"),
+      col(vecCol).as("__va"), col("__norm").as("__na"))
+    val b = n.select(col(blockCol).as("__blk"), col(idCol).as("neighbor"),
+      col(vecCol).as("__vb"), col("__norm").as("__nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("cosine").desc, col("neighbor"))
+    a.join(b, Seq("__blk"))
+      .where(col("id") =!= col("neighbor"))
+      .select(col("id"), col("neighbor"),
+        (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+          .as("cosine"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
   /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
     * vector to its nearest centroid; a query probes only the `nprobe`
     * closest cells and exact-ranks within them. The standard FAISS-style

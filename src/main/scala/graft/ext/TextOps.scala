@@ -224,4 +224,52 @@ object TextOps {
       ((lenScore * 0.4) + (stopScore * 0.3) + (shortScore * 0.3))
         .as("quality"))
   }
+
+  /** Fixed-size sliding-window chunking: split each document into
+    * `size`-char chunks starting every `stride` chars (overlap =
+    * size - stride) — the context-window preparation step of an LLM
+    * training pipeline (tokenizer-based splitting composes the same plan
+    * with a token-offset array in place of char offsets).
+    *
+    * Narrow per-row explode — no shuffle; output size is
+    * ceil(len/stride) rows per doc. Empty documents yield no chunks.
+    *
+    * @return (idCol, chunk_idx, chunk) — chunk_idx = 0-based window index
+    */
+  def chunkFixed(docs: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    require(size >= stride, s"size ($size) < stride ($stride) drops text")
+    docs
+      .where(length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol),
+        posexplode(sequence(lit(0), length(col(textCol)) - 1, lit(stride)))
+          .as(Seq("chunk_idx", "off")))
+      .select(col(idCol), col("chunk_idx").cast("long"),
+        col(textCol).substr(col("off") + 1, lit(size)).as("chunk"))
+  }
+
+  /** PII scrubbing: redact email addresses and long digit runs (ids, phone
+    * numbers) with typed placeholder tokens — the redaction counterpart of
+    * [[patternStats]] (same engine-portable regex subset). Emails are
+    * replaced first so their digit-bearing local parts don't leak into the
+    * digit pass. Pure per-row regexp_replace at scan speed.
+    *
+    * @return (idCol, scrubbed, n_redacted) — n_redacted counts replaced
+    *         spans, for an audit/quality gate downstream
+    */
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String,
+      minDigitRun: Int = 6): DataFrame = {
+    require(minDigitRun >= 1, s"minDigitRun must be >= 1, got $minDigitRun")
+    val email = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+    val digits = s"[0-9]{$minDigitRun,}"
+    // digit runs are counted on the email-scrubbed text: a run inside an
+    // email's local part is consumed by the email pass, not the digit pass
+    val deEmailed = regexp_replace(col(textCol), email, "<EMAIL>")
+    docs.select(col(idCol),
+      regexp_replace(deEmailed, digits, "<NUM>").as("scrubbed"),
+      (size(regexp_extract_all(col(textCol), lit(email), lit(0))) +
+        size(regexp_extract_all(deEmailed, lit(digits), lit(0))))
+        .cast("long").as("n_redacted"))
+  }
 }

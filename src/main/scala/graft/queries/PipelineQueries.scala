@@ -302,6 +302,38 @@ object PipelineQueries {
           dec.getField("flag").as("flag"),
           dec.getField("memo").as("memo"))
         .orderBy("event_id")
+    },
+    // approximate knn SELF-join: per-vector cosine top-k within LSH
+    // buckets — the all-pairs corpus op behind diversity sampling /
+    // cluster seeding. No SQL oracle (the plane-hash bucketing has no
+    // DuckDB twin); recall vs the exact tier is measured in SimilaritySpec.
+    "knn_join" -> { (s, d) =>
+      Similarity.knnJoin(Tables.embeddings(s, d), "vec_id", "embedding",
+          dim = 64, nbits = 4, k = 5)
+        .orderBy("id", "rnk")
+    },
+    // EXACT knn self-join blocked by class label — quadratic per block,
+    // never corpus-wide (the verification tier; knn_join is the scale path)
+    "knn_exact" -> { (s, d) =>
+      Similarity.knnJoinExact(Tables.embeddings(s, d), "vec_id", "embedding",
+          blockCol = "label", k = 5)
+        .orderBy("id", "rnk")
+    },
+    // fixed-size sliding-window chunking (200-char windows every 150) —
+    // the LLM context-window preparation step; narrow explode, no shuffle
+    "doc_chunk" -> { (s, d) =>
+      TextOps.chunkFixed(Tables.documents(s, d), "doc_id", "text",
+          size = 200, stride = 150)
+        .orderBy("doc_id", "chunk_idx")
+    },
+    // PII redaction (emails, digit runs) + audit count — the scrubbing
+    // counterpart of pattern_stats. minDigitRun=1 so the op demonstrably
+    // fires on this corpus (props carries only short numbers); the
+    // PII-default threshold (6, ids/phones) is value-checked in TextOpsSpec
+    "pii_scrub" -> { (s, d) =>
+      TextOps.piiScrub(Tables.events(s, d), "event_id", "props",
+          minDigitRun = 1)
+        .orderBy("event_id")
     }
   )
 
@@ -589,6 +621,45 @@ object PipelineQueries {
         |   w -> w = 'the' OR w = 'a' OR w = 'of' OR w = 'and' OR w = 'in')) AS n_stop,
         |  len(list_filter(string_split(text, ' '), w -> length(w) <= 1)) AS n_short
         | FROM documents)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // exact knn self-join: same ordered-fold dot product as sim_search,
+    // pair-joined within label blocks, ranked per query id
+    "knn_exact" ->
+      """WITH n AS (
+        | SELECT vec_id, label, embedding,
+        |  sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |   (a, b) -> a + b)) AS nrm
+        | FROM embeddings),
+        |p AS (
+        | SELECT a.vec_id AS id, b.vec_id AS neighbor,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(range(1, len(a.embedding) + 1),
+        |     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+        |   (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+        | FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id)
+        |SELECT id, neighbor, cosine, rnk FROM (
+        | SELECT id, neighbor, cosine,
+        |  CAST(row_number() OVER (PARTITION BY id
+        |   ORDER BY cosine DESC, neighbor) AS BIGINT) AS rnk
+        | FROM p)
+        |WHERE rnk <= 5 ORDER BY id, rnk""".stripMargin,
+    "doc_chunk" ->
+      """SELECT doc_id, CAST(off // 150 AS BIGINT) AS chunk_idx,
+        | substring(text, CAST(off + 1 AS INT), 200) AS chunk
+        |FROM (SELECT doc_id, text,
+        |  unnest(range(0, CAST(length(text) AS BIGINT), 150)) AS off
+        | FROM documents WHERE length(text) > 0)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "pii_scrub" ->
+      """SELECT event_id,
+        | regexp_replace(regexp_replace(props,
+        |   '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+        |  '[0-9]{1,}', '<NUM>', 'g') AS scrubbed,
+        | CAST(len(regexp_extract_all(props, '[a-z0-9]+@[a-z0-9]+\.[a-z]+'))
+        |  + len(regexp_extract_all(regexp_replace(props,
+        |     '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+        |    '[0-9]{1,}')) AS BIGINT) AS n_redacted
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

@@ -48,6 +48,27 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each left event pairs with right events
+    * of the same key whose `ts` falls in [l.ts - lower, l.ts + upper].
+    * Watermarks on BOTH sides plus the two-sided time bound let Spark
+    * evict join state once the watermark passes an event's join window —
+    * without them a stream-stream join buffers both streams forever.
+    * Both inputs need (keyCol, ts) columns.
+    *
+    * @return (keyCol, l_ts, r_ts) — one row per qualifying pair
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      watermark: String, lower: String, upper: String): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+        col(s"l.$keyCol") === col(s"r.$keyCol") &&
+          col("r.ts") >= col("l.ts") - expr(s"INTERVAL $lower") &&
+          col("r.ts") <= col("l.ts") + expr(s"INTERVAL $upper"))
+      .select(col(s"l.$keyCol").as(keyCol),
+        col("l.ts").as("l_ts"), col("r.ts").as("r_ts"))
+  }
+
   // ── reorg-aware tail (T4/T5) ───────────────────────────────────────────
 
   /** Incoming header observation for [[reorgTail]]: one head-of-chain

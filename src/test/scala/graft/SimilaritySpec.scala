@@ -86,6 +86,37 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"knn recall $recall too low")
   }
 
+  test("knnJoinExact: block-local exact neighbours match a driver recomputation") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, i % 3, Seq.fill(8)(rnd.nextGaussian().toFloat))
+    }
+    val df = vecs.toDF("vec_id", "label", "embedding")
+    val got = Similarity.knnJoinExact(df, "vec_id", "embedding",
+      blockCol = "label", k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    def dot(x: Seq[Float], y: Seq[Float]): Double =
+      x.zip(y).foldLeft(0.0) { case (a, (p, q)) => a + p.toDouble * q.toDouble }
+    def cos(a: Seq[Float], b: Seq[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val expect = vecs.flatMap { case (id, lb, v) =>
+      vecs.filter(o => o._2 == lb && o._1 != id)
+        .map(o => (o._1, cos(v, o._3)))
+        .sortBy { case (nid, c) => (-c, nid) }
+        .take(3).zipWithIndex
+        .map { case ((nid, _), i) => (id, nid, i + 1L) }
+    }.toSet
+    assert(got.map(t => (t._1, t._2, t._4)).toSet == expect)
+    // dense ranks 1..k per id, cosines descending
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to rows.length).toSeq)
+      val cs = sorted.map(_._3).toSeq
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y })
+      assert(rows.length == 3) // 20 per block, so k is always reachable
+    }
+  }
+
   test("IVF: probing more cells increases recall to 1.0 at nprobe=nlist") {
     val rnd = new scala.util.Random(11)
     val centers = (0 until 4).map(_ => Array.fill(16)(rnd.nextGaussian()))

@@ -86,6 +86,28 @@ class StreamSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("stream-stream interval join pairs events within the time bound") {
+    implicit val sql = spark.sqlContext
+    val lin = MemoryStream[(Long, Timestamp)]
+    val rin = MemoryStream[(Long, Timestamp)]
+    val left = lin.toDF.toDF("user_id", "ts")
+    val right = rin.toDF.toDF("user_id", "ts")
+    val q = EventStream.intervalJoin(left, right, "user_id",
+        watermark = "10 minutes", lower = "0 minutes", upper = "5 minutes")
+      .writeStream.format("memory").queryName("ijoin")
+      .outputMode("append").start()
+    lin.addData((1L, ts(10)), (2L, ts(10)))
+    rin.addData((1L, ts(12)), (1L, ts(20)), (2L, ts(30)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ijoin").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString)).toSet
+    // only (1, 10:12) lands inside its left event's [10:10, 10:15] window
+    assert(rows == Set((1L, "2024-01-01 10:10:00.0",
+      "2024-01-01 10:12:00.0")))
+  }
+
   test("session window groups by gap") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]

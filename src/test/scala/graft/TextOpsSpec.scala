@@ -153,4 +153,42 @@ class TextOpsSpec extends SparkSpec {
     assert(q1 > q2)
     assert(math.abs(q1 - 1.0) < 1e-9)
   }
+
+  test("chunkFixed: windows tile the text with the declared overlap") {
+    val text = "abcdefghijklmnopqrstuvwxyz" // 26 chars
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val r = TextOps.chunkFixed(df, "doc_id", "text", size = 10, stride = 6)
+      .orderBy("chunk_idx").collect()
+    // offsets 0,6,12,18,24 — the final windows are short, never dropped
+    assert(r.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(r.map(_.getString(2)).toSeq == Seq(
+      "abcdefghij", "ghijklmnop", "mnopqrstuv", "stuvwxyz", "yz"))
+    // stride = size ⇒ an exact partition that reassembles the text
+    val parts = TextOps.chunkFixed(df, "doc_id", "text", size = 6, stride = 6)
+      .orderBy("chunk_idx").collect().map(_.getString(2))
+    assert(parts.mkString == text)
+    // empty docs yield no chunks
+    val e = TextOps.chunkFixed(Seq((2L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", size = 10, stride = 6)
+    assert(e.count() == 0)
+  }
+
+  test("piiScrub: emails and long digit runs are redacted and counted") {
+    val df = Seq(
+      (1L, "contact bob123@mail.com or 123456789 ok 42"),
+      (2L, "no pii here 123")
+    ).toDF("id", "text")
+    val r = TextOps.piiScrub(df, "id", "text").orderBy("id").collect()
+    // the email's embedded digits are consumed by the email pass; the
+    // 9-digit run by the digit pass; "42" is below the default threshold
+    assert(r(0).getString(1) == "contact <EMAIL> or <NUM> ok 42")
+    assert(r(0).getLong(2) == 2)
+    assert(r(1).getString(1) == "no pii here 123")
+    assert(r(1).getLong(2) == 0)
+    // minDigitRun = 1 scrubs every number (the telemetry-scrub setting)
+    val all = TextOps.piiScrub(df, "id", "text", minDigitRun = 1)
+      .orderBy("id").collect()
+    assert(all(1).getString(1) == "no pii here <NUM>")
+    assert(all(1).getLong(2) == 1)
+  }
 }
