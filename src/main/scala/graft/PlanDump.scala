@@ -11,7 +11,7 @@ object PlanDump {
   private val headline = Seq("scan_range", "join_hash", "agg_group",
     "sort_topk", "join_asof", "sim_search", "sim_search_pq", "dedup_minhash",
     "dedup_cluster", "window_rank", "zorder_key", "append_index",
-    "decode_abi")
+    "decode_abi", "funnel_steps", "dedup_purge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

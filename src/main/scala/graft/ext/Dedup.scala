@@ -341,6 +341,43 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Exact n-gram CONTAINMENT for all pairs sharing ≥1 retained shingle:
+    * C(A⊆B) = |A∩B| / |A| — the asymmetric twin of [[ngramJaccard]] that
+    * catches subset duplication (a doc embedded verbatim inside a longer
+    * one scores near 1 here while its Jaccard can be arbitrarily low).
+    * Same plan shape and `maxDf` hot-shingle guard as the Jaccard tier;
+    * the extra columns are free (the counts join already carries n_a/n_b).
+    *
+    * @param minContainment keep pairs whose LARGER direction
+    *                       (inter / min(n_a, n_b)) reaches this threshold
+    * @return (id_a, id_b, inter, n_a, n_b, cont_a, cont_b, containment)
+    *         with cont_x = inter/n_x and containment = max(cont_a, cont_b)
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      minContainment: Double = 0.0,
+      maxDf: Long = 0L
+  ): DataFrame = {
+    val sh = cappedShingleRows(docs, idCol, textCol, shingleN, maxDf)
+    val counts = sh.groupBy("doc").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("x")
+      .join(sh.as("y"), col("x.s") === col("y.s") &&
+        col("x.doc") < col("y.doc"))
+      .groupBy(col("x.doc").as("id_a"), col("y.doc").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(counts.select(col("doc").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(counts.select(col("doc").as("id_b"), col("n").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"),
+        (col("inter").cast("double") / col("n_a")).as("cont_a"),
+        (col("inter").cast("double") / col("n_b")).as("cont_b"))
+      .withColumn("containment", greatest(col("cont_a"), col("cont_b")))
+      .where(col("containment") >= minContainment)
+  }
+
   /** Exact n-gram Jaccard for a GIVEN candidate-pair list — the verify
     * stage of the tiered pipeline (LSH proposes, exact verifies). Unlike
     * [[ngramJaccard]] this never self-joins the corpus: cost is linear in
@@ -578,6 +615,41 @@ object Dedup {
     verifyJaccard(cand, docs, idCol, textCol, shingleN, maxDf)
       .where(col("jaccard") >= minJaccard)
       .select("id_a", "id_b")
+  }
+
+  /** End-to-end corpus deduplication — the operation every tier above is a
+    * stage of: tiered near-dup pairs ([[nearDupPairs]]: LSH proposes, exact
+    * Jaccard verifies), connected components ([[connectedComponents]]), keep
+    * the minimum id per cluster, return the SURVIVING rows of `docs` with
+    * the size of the cluster each survivor represents (`n_members` = 1 for
+    * docs with no near-dup).
+    *
+    * Scale shape: pair generation is banded + skew-capped (never corpus²),
+    * the component solve runs on the pair graph (orders of magnitude
+    * smaller than the corpus), and the final keep is one join of the corpus
+    * against the (small) survivor-label table — the corpus itself is
+    * scanned, never self-joined.
+    */
+  def dedupCorpus(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      minJaccard: Double = 0.5,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      maxBucket: Int = 0,
+      maxDf: Long = 0L
+  ): DataFrame = {
+    val pairs = nearDupPairs(docs, idCol, textCol, shingleN, minJaccard,
+      numHashes, bands, maxBucket, maxDf)
+    val cc = connectedComponents(pairs, docs.select(idCol), idCol)
+    val sizes = cc.groupBy("label").agg(count(lit(1)).as("n_members"))
+    val keepers = cc.where(col("node") === col("label"))
+      .join(sizes, "label")
+      .select(col("node").as("__keep"), col("n_members"))
+    docs.join(keepers, docs(idCol).cast("long") === col("__keep"))
+      .drop("__keep")
   }
 
   /** Connected components over near-dup pairs: the step that turns pairwise

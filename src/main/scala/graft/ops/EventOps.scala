@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over the tracked log/event table — the
+  * behavioral-query layer a reference user runs against the store the
+  * tracker fills (the reference externalizes all querying to its stores,
+  * `store/postgresql/postgresql_store.go:226-239`; these are the standard
+  * product-analytics shapes over that table).
+  *
+  * Scale discipline: every operator here shuffles on the entity key ONLY —
+  * per-entity state is a fixed number of timestamps (funnel) or one
+  * timestamp (cohort), never a collected event list, so state per key is
+  * O(steps), not O(events). Consecutive joins share the entity-key
+  * partitioning, so AQE plans them shuffle-reuse; nothing is collected to
+  * the driver.
+  */
+object EventOps {
+
+  /** Ordered funnel: for each entity, the earliest time it completed each
+    * step, where step k must occur STRICTLY AFTER the entity's step-k−1
+    * completion (the standard "signup → click → purchase" progression).
+    * Entities that never performed `steps.head` are not in the funnel;
+    * later steps are null once progression stops.
+    *
+    * Plan: one filtered min-aggregate per step — step k's aggregate joins
+    * events (filtered to step k's type) against the step-k−1 completion
+    * times, all keyed on the entity. No windows, no per-entity event
+    * collection; cost is `steps.length` co-partitioned shuffles over
+    * progressively smaller frames.
+    *
+    * @param steps  event-type values in funnel order (≥ 1)
+    * @param maxGap when set, step k must also fall within `maxGap` time
+    *               units of step k−1 (the conversion window: "purchase
+    *               within 7 days of signup")
+    * @return (entityCol, t_1 .. t_n, n_steps) — t_k = min completion time
+    *         of step k (null if never reached), n_steps = deepest step
+    *         completed, 1..n
+    */
+  def funnel(events: DataFrame, entityCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String],
+      maxGap: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxGap.forall(_ > 0), s"maxGap must be positive, got $maxGap")
+    var acc = events.where(col(typeCol) === steps.head)
+      .groupBy(col(entityCol))
+      .agg(min(col(tsCol)).as("t_1"))
+    steps.tail.zipWithIndex.foreach { case (st, i) =>
+      val prev = s"t_${i + 1}"
+      val cur = s"t_${i + 2}"
+      // each iteration consumes acc TWICE (the step filter's join build and
+      // the left join below); without materialization the acc subtree
+      // doubles per step — 2^steps scans for a deep funnel. The lazy local
+      // checkpoint collapses it to one small per-entity RDD per step, so
+      // the corpus is scanned exactly once per step (pushed-filtered to
+      // that step's type).
+      val accM = acc.localCheckpoint(false)
+      val inWindow = maxGap.map(g => col(tsCol) <= col(prev) + g)
+        .getOrElse(lit(true))
+      val stepMin = events.where(col(typeCol) === st)
+        .join(accM.select(col(entityCol), col(prev)), Seq(entityCol))
+        .where(col(tsCol) > col(prev) && inWindow)
+        .groupBy(col(entityCol))
+        .agg(min(col(tsCol)).as(cur))
+      acc = accM.join(stepMin, Seq(entityCol), "left")
+    }
+    val nSteps = (2 to steps.length).foldLeft(lit(1L)) { (n, k) =>
+      n + when(col(s"t_$k").isNotNull, 1L).otherwise(0L)
+    }
+    acc.withColumn("n_steps", nSteps)
+  }
+
+  /** Cohort retention: entities are grouped by the time-bucket of their
+    * FIRST event (the cohort); for each (cohort, bucket-offset) the number
+    * of distinct entities active in that bucket. The classic retention
+    * triangle, on integer bucket arithmetic so any engine reproduces it
+    * exactly.
+    *
+    * Plan: one min-aggregate for first-seen (entity-key shuffle), one join
+    * back to events on the same key, one distinct-count on (cohort,
+    * offset). The distinct is the only second shuffle — its key space is
+    * bounded by cohorts × offsets, tiny at any corpus size.
+    *
+    * @param tsCol integer event time (any unit)
+    * @param width bucket width in `tsCol` units (e.g. 86400e6 µs = day)
+    * @return (cohort, offset, n_active) — cohort = first-event bucket
+    *         index, offset ≥ 0 buckets since the cohort bucket
+    */
+  def cohortRetention(events: DataFrame, entityCol: String, tsCol: String,
+      width: Long): DataFrame = {
+    require(width > 0, s"bucket width must be positive, got $width")
+    // floor division in exact integer arithmetic (subtract-pmod, never a
+    // double divide: a µs timestamp near a bucket boundary sits within one
+    // double ulp of the boundary, so floor(ts/width) on doubles can land in
+    // the WRONG bucket; the subtracted numerator divides exactly, making
+    // the IEEE quotient exact). pmod ≥ 0 ⇒ floor (not truncate) semantics,
+    // matching SQL `//` for any sign of ts.
+    val bucket = ((col(tsCol) - pmod(col(tsCol), lit(width))) / width)
+      .cast("long")
+    val first = events.groupBy(col(entityCol))
+      .agg(min(bucket).as("cohort"))
+    events.select(col(entityCol), bucket.as("__b"))
+      .join(first, Seq(entityCol))
+      .groupBy(col("cohort"), (col("__b") - col("cohort")).as("offset"))
+      .agg(count_distinct(col(entityCol)).as("n_active"))
+  }
+}

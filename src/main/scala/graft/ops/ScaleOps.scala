@@ -52,6 +52,47 @@ object ScaleOps {
       .agg(approx_count_distinct(valueCol, rsd).as("approx_nd"),
         count(lit(1)).as("n"))
 
+  /** Bloom-pruned equi-join: build a Bloom filter over the (selective) dim
+    * side's keys, prune fact rows that cannot match BEFORE the join
+    * shuffle, then join exactly. Result-identical to `fact.join(dim,
+    * Seq(key))` (inner) — Bloom filters have no false negatives; false
+    * positives just survive to the exact join.
+    *
+    * This is the manual form of Spark's own `InjectRuntimeFilter` (the
+    * same XxHash64 → BloomFilterAggregate / BloomFilterMightContain pair),
+    * for when the optimizer's heuristics decline to fire — e.g. the dim
+    * side is the output of a computation rather than a filtered scan. The
+    * sketch is built in one aggregate job and shipped as a literal (MB-ish
+    * at `expectedDimKeys` up to ~10⁷); the fact side then sheds non-joining
+    * rows at scan speed instead of shuffling them.
+    *
+    * Cost model: pays one extra pass over dim + one driver round-trip;
+    * wins when fact ≫ dim-matched-fact (the shuffle avoided dwarfs the
+    * sketch pass). For broadcast-sized dims just broadcast.
+    */
+  def bloomPrunedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      expectedDimKeys: Long = 1000000L
+  ): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    require(expectedDimKeys > 0)
+    val agg = new BloomFilterAggregate(
+      Bridge.expression(xxhash64(dim(key))), expectedDimKeys)
+      .toAggregateExpression()
+    val bloom = dim.select(Bridge.column(agg)).head().getAs[Array[Byte]](0)
+    // a dim side with zero rows yields a null sketch — nothing can join
+    if (bloom == null) return fact.join(dim, Seq(key)).where(lit(false))
+    val mightContain = Bridge.column(new BloomFilterMightContain(
+      Literal(bloom, BinaryType),
+      Bridge.expression(xxhash64(fact(key)))))
+    fact.where(mightContain).join(dim, Seq(key))
+  }
+
   /** Write both sides bucketed by the join key so the subsequent join is
     * shuffle-free (co-located scan). Requires a catalog table (bucketing
     * metadata lives in the catalog, not the files).

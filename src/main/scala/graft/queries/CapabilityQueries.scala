@@ -363,6 +363,54 @@ object CapabilityQueries {
         .select(unix_millis(col("window.start")).as("hour_ms"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("hour_ms", "event_type")
+    },
+    // ordered funnel (signup → click → purchase): per-user earliest
+    // completion per step, each strictly after the previous — one filtered
+    // min-aggregate per step, all keyed on user_id (no windows, no
+    // per-user event collection). Time is compared in integer µs on both
+    // engines: DuckDB truncates parquet NANOS to µs, so a ns-precision
+    // strict comparison could disagree across a sub-µs tie.
+    "funnel_steps" -> { (s, d) =>
+      import graft.ops.EventOps
+      EventOps.funnel(
+          Tables.events(s, d).withColumn("tsu", expr("ts div 1000")),
+          "user_id", "tsu", "event_type",
+          Seq("signup", "click", "purchase"))
+        .select(col("user_id"),
+          expr("t_1 div 1000").as("t1_ms"),
+          expr("t_2 div 1000").as("t2_ms"),
+          expr("t_3 div 1000").as("t3_ms"),
+          col("n_steps"))
+        .orderBy("user_id")
+    },
+    // bloom-pruned join: the fact side sheds non-joining rows BEFORE the
+    // shuffle via a dim-side Bloom sketch (manual InjectRuntimeFilter —
+    // same XxHash64/BloomFilterAggregate pair). Result-identical to the
+    // plain join, so the oracle is the plain join.
+    "join_bloom" -> { (s, d) =>
+      import graft.ops.ScaleOps
+      val li = Tables.lineitem(s, d)
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+      val sel = Tables.orders(s, d)
+        .where(col("o_totalprice") > 400000.0)
+        .select("o_orderkey", "o_orderpriority")
+      ScaleOps.bloomPrunedJoin(li, sel, "o_orderkey",
+          expectedDimKeys = 100000L)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(38,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("o_orderpriority")
+    },
+    // cohort retention triangle: users bucketed by first-seen day, distinct
+    // active users per (cohort, day-offset) — integer bucket arithmetic
+    // (exact on both engines), two key-shuffles total
+    "cohort_retention" -> { (s, d) =>
+      import graft.ops.EventOps
+      EventOps.cohortRetention(
+          Tables.events(s, d).withColumn("tsu", expr("ts div 1000")),
+          "user_id", "tsu", width = 86400000000L)
+        .orderBy("cohort", "offset")
     }
   )
 
@@ -578,6 +626,38 @@ object CapabilityQueries {
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
         | CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // integer-µs time on both sides (epoch_us ↔ Spark's `ts div 1000`);
+    // each step's min is taken strictly after the previous step's min
+    "funnel_steps" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+        |s1 AS (SELECT user_id, min(tu) AS t1 FROM ev
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT ev.user_id, min(tu) AS t2 FROM ev JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND tu > t1 GROUP BY 1),
+        |s3 AS (SELECT ev.user_id, min(tu) AS t3 FROM ev JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND tu > t2 GROUP BY 1)
+        |SELECT s1.user_id,
+        | CAST(t1 // 1000 AS BIGINT) AS t1_ms,
+        | CAST(t2 // 1000 AS BIGINT) AS t2_ms,
+        | CAST(t3 // 1000 AS BIGINT) AS t3_ms,
+        | CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+        |        + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_steps
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY s1.user_id""".stripMargin,
+    "join_bloom" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cohort_retention" ->
+      """WITH b AS (SELECT user_id, epoch_us(ts) // 86400000000 AS bkt
+        |           FROM events),
+        |f AS (SELECT user_id, min(bkt) AS cohort FROM b GROUP BY 1)
+        |SELECT cohort, CAST(bkt - cohort AS BIGINT) AS "offset",
+        | CAST(count(DISTINCT b.user_id) AS BIGINT) AS n_active
+        |FROM b JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -334,6 +334,24 @@ object PipelineQueries {
       TextOps.piiScrub(Tables.events(s, d), "event_id", "props",
           minDigitRun = 1)
         .orderBy("event_id")
+    },
+    // asymmetric n-gram containment — subset-duplication detection (a doc
+    // embedded verbatim in a longer one scores ~1 here while its Jaccard
+    // stays low); same maxDf hot-shingle guard as the Jaccard tier
+    "dedup_containment" -> { (s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+          shingleN = 3, minContainment = 0.5, maxDf = 1000L)
+        .orderBy("id_a", "id_b")
+    },
+    // end-to-end corpus dedup: tiered LSH→exact pairs → connected
+    // components → keep min id per cluster; the SURVIVING corpus with the
+    // size of the cluster each keeper represents
+    "dedup_purge" -> { (s, d) =>
+      Dedup.dedupCorpus(Tables.documents(s, d), "doc_id", "text",
+          shingleN = 3, minJaccard = 0.3, numHashes = 32, bands = 16,
+          maxBucket = 1000, maxDf = 1000L)
+        .select("doc_id", "lang", "source", "n_members")
+        .orderBy("doc_id")
     }
   )
 
@@ -660,6 +678,58 @@ object PipelineQueries {
         |  + len(regexp_extract_all(regexp_replace(props,
         |     '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
         |    '[0-9]{1,}')) AS BIGINT) AS n_redacted
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    // same shingle/cap construction as dedup_ngram; containment divisions
+    // are single IEEE ops on identical integer operands
+    "dedup_containment" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+        |        i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS s FROM w),
+        |sh AS (SELECT doc_id, s FROM sh0
+        |       QUALIFY count(*) OVER (PARTITION BY s) <= 1000),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id_a, id_b, inter,
+        | CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+        | CAST(inter AS DOUBLE) / CAST(na.n AS DOUBLE) AS cont_a,
+        | CAST(inter AS DOUBLE) / CAST(nb.n AS DOUBLE) AS cont_b,
+        | greatest(CAST(inter AS DOUBLE) / CAST(na.n AS DOUBLE),
+        |          CAST(inter AS DOUBLE) / CAST(nb.n AS DOUBLE)) AS containment
+        |FROM p JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+        |WHERE greatest(CAST(inter AS DOUBLE) / CAST(na.n AS DOUBLE),
+        |               CAST(inter AS DOUBLE) / CAST(nb.n AS DOUBLE)) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    // the dedup_cluster recursive-CTE oracle, restricted to cluster
+    // representatives (node = min label) and joined back to the corpus
+    "dedup_purge" ->
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+        |        i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS s FROM w),
+        |sh AS (SELECT doc_id, s FROM sh0
+        |       QUALIFY count(*) OVER (PARTITION BY s) <= 1000),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |cand AS (SELECT id_a, id_b FROM p
+        |  JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.3),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM cand
+        |      UNION ALL SELECT id_b, id_a FROM cand),
+        |reach(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.node),
+        |lab AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY 1),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+        |       FROM lab GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.source, sz.n_members
+        |FROM lab JOIN sz USING (cluster_id)
+        |JOIN documents d ON d.doc_id = lab.node
+        |WHERE lab.node = lab.cluster_id
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -171,6 +171,36 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty) // the corpus plants near-dups — no vacuous pass
   }
 
+  test("containment flags a doc embedded in a longer one that jaccard misses") {
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = short + " plus many extra words that dilute the union " +
+      "so the jaccard similarity of the embedded pair stays very low indeed"
+    val docs = Seq((0L, short), (1L, long),
+      (2L, "entirely unrelated text about walruses and carpenters by the sea"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text",
+      shingleN = 3, minContainment = 0.9).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Double]("cont_a"), r.getAs[Double]("containment"))).toMap
+    // every shingle of the short doc appears in the long one
+    assert(cont((0L, 1L))._1 == 1.0 && cont((0L, 1L))._2 == 1.0)
+    assert(cont.size == 1)
+    // ...while the symmetric tier scores the same pair well under 0.5
+    val j = Dedup.ngramJaccard(docs, "doc_id", "text", shingleN = 3)
+      .where($"id_a" === 0L && $"id_b" === 1L)
+      .head().getAs[Double]("jaccard")
+    assert(j < 0.5, s"jaccard $j unexpectedly high")
+  }
+
+  test("dedupCorpus keeps min id per cluster and every non-dup doc") {
+    val r = Dedup.dedupCorpus(corpus, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.3, numHashes = 32, bands = 16)
+      .collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("n_members")).toMap
+    // {0,1,2} cluster → keeper 0 with 3 members; {3,4} → keeper 3; 5 solo
+    assert(r == Map(0L -> 3L, 3L -> 2L, 5L -> 1L))
+  }
+
   test("contamination: leaked eval doc scores 1, clean doc scores 0") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),

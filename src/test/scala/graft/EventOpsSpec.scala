@@ -1,0 +1,74 @@
+package graft
+
+import graft.ops.EventOps
+
+/** Value-level verification of the event-sequence analytics (funnel, cohort
+  * retention) on hand-computable fixtures; the declared queries are
+  * additionally DuckDB-oracle-checked by the driver.
+  */
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (user, ts, type) — user 1 completes the full funnel in order; user 2
+  // performs step 2 BEFORE step 1 (must not count) and again after; user 3
+  // stops after step 1; user 4 never enters (no signup)
+  private def events = Seq(
+    (1L, 100L, "signup"), (1L, 200L, "click"), (1L, 300L, "purchase"),
+    (2L, 50L, "click"), (2L, 150L, "signup"), (2L, 250L, "click"),
+    (3L, 10L, "signup"), (3L, 5L, "purchase"), // purchase precedes: no click
+    (4L, 999L, "click")
+  ).toDF("user_id", "ts", "event_type")
+
+  test("funnel: strict step ordering, nulls after progression stops") {
+    val r = EventOps.funnel(events, "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"))
+      .collect()
+      .map(x => x.getAs[Long]("user_id") ->
+        ((Option(x.get(1)), Option(x.get(2)), Option(x.get(3))),
+          x.getAs[Long]("n_steps"))).toMap
+    assert(r.keySet == Set(1L, 2L, 3L)) // user 4 never signed up
+    assert(r(1L) == (((Some(100L), Some(200L), Some(300L)), 3L)))
+    // user 2's pre-signup click is ignored; the later one counts
+    assert(r(2L) == (((Some(150L), Some(250L), None), 2L)))
+    // user 3's purchase precedes signup — funnel stops at step 1
+    assert(r(3L) == (((Some(10L), None, None), 1L)))
+  }
+
+  test("funnel: ties are strict (same-timestamp next step does not count)") {
+    val tied = Seq((1L, 100L, "signup"), (1L, 100L, "click"))
+      .toDF("user_id", "ts", "event_type")
+    val r = EventOps.funnel(tied, "user_id", "ts", "event_type",
+      Seq("signup", "click")).head()
+    assert(r.isNullAt(r.fieldIndex("t_2")))
+    assert(r.getAs[Long]("n_steps") == 1L)
+  }
+
+  test("funnel: maxGap enforces the conversion window") {
+    // user 1 clicks 100 units after signup; gap 50 rejects, gap 100 admits
+    val ev = Seq((1L, 0L, "signup"), (1L, 100L, "click"))
+      .toDF("user_id", "ts", "event_type")
+    val tight = EventOps.funnel(ev, "user_id", "ts", "event_type",
+      Seq("signup", "click"), maxGap = Some(50L)).head()
+    assert(tight.isNullAt(tight.fieldIndex("t_2")))
+    val wide = EventOps.funnel(ev, "user_id", "ts", "event_type",
+      Seq("signup", "click"), maxGap = Some(100L)).head()
+    assert(wide.getAs[Long]("t_2") == 100L)
+  }
+
+  test("cohort retention counts distinct actives per (cohort, offset)") {
+    // bucket width 100: user 1 first in bucket 0, active in 0 and 2;
+    // user 2 first in bucket 0, active in 0 twice (distinct-counted once);
+    // user 3 first in bucket 1, active in 1 and 2
+    val ev = Seq(
+      (1L, 10L), (1L, 250L),
+      (2L, 20L), (2L, 30L),
+      (3L, 110L), (3L, 290L)
+    ).toDF("user_id", "ts")
+    val r = EventOps.cohortRetention(ev, "user_id", "ts", width = 100L)
+      .collect()
+      .map(x => (x.getAs[Long]("cohort"), x.getAs[Long]("offset")) ->
+        x.getAs[Long]("n_active")).toMap
+    assert(r == Map((0L, 0L) -> 2L, (0L, 2L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L))
+  }
+}

@@ -30,6 +30,34 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salts == 8L)
   }
 
+  test("bloom-pruned join is result-identical and actually prunes") {
+    val fact = (1L to 5000L).map(i => (i % 100, s"v$i")).toDF("k", "payload")
+    val dim = Seq((7L, "a"), (13L, "b"), (42L, "c")).toDF("k", "attr")
+    val plain = fact.join(dim, Seq("k"))
+      .select("k", "payload", "attr").collect().map(_.toSeq).sortBy(_.toString)
+    val pruned = ScaleOps.bloomPrunedJoin(fact, dim, "k", expectedDimKeys = 100L)
+      .select("k", "payload", "attr").collect().map(_.toSeq).sortBy(_.toString)
+    assert(pruned.sameElements(plain) && plain.length == 150)
+    // the pre-join filter itself sheds most of the fact side (false
+    // positives allowed, false negatives not: ≥ matched, well under total)
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    val bloom = dim.select(Bridge.column(new BloomFilterAggregate(
+        Bridge.expression(xxhash64(dim("k"))), 100L).toAggregateExpression()))
+      .head().getAs[Array[Byte]](0)
+    val kept = fact.where(Bridge.column(new BloomFilterMightContain(
+        Literal(bloom, org.apache.spark.sql.types.BinaryType),
+        Bridge.expression(xxhash64(fact("k")))))).count()
+    assert(kept >= 150 && kept < 1000, s"bloom kept $kept of 5000")
+  }
+
+  test("bloom-pruned join with an empty dim yields an empty result") {
+    val fact = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "payload")
+    val dim = Seq.empty[(Long, String)].toDF("k", "attr")
+    assert(ScaleOps.bloomPrunedJoin(fact, dim, "k").isEmpty)
+  }
+
   test("approx distinct tracks exact within rsd bounds") {
     val df = Tables.lineitem(spark, "/root/testdata/sf0.001")
     val r = ScaleOps.approxDistinct(df, "l_returnflag", "l_partkey")
