@@ -258,6 +258,26 @@ object PipelineQueries {
         .where(col("rk") <= 20)
         .orderBy("lang", "rk")
     },
+    // deterministic language-rebalanced sampling — the data-mixing step of
+    // a training pipeline (keep en, halve de/fr, quarter es/zh). Keep
+    // decision = salted content-stable hash vs an INTEGER threshold
+    // (rate·2⁶⁰), so it reproduces bit-exactly across engines, runs and
+    // cluster sizes — no RNG, no per-partition state; pure scan-speed
+    // filter
+    "sample_weighted" -> { (s, d) =>
+      val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("mix1"))), 1, 15), 16, 10).cast("long")
+      val rates = Seq("en" -> 1.0, "de" -> 0.5, "fr" -> 0.5,
+        "es" -> 0.25, "zh" -> 0.25)
+      val thr = rates.foldLeft(lit(0L)) { case (e, (k, v)) =>
+        when(col("lang") === k,
+          lit((v * math.pow(2, 60)).toLong)).otherwise(e)
+      }
+      Tables.documents(s, d)
+        .where(u < thr)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
     // per-vector L2 norm — the normalization pass before cosine ops
     "embed_norm" -> { (s, d) =>
       Tables.embeddings(s, d)
@@ -679,6 +699,19 @@ object PipelineQueries {
         |     '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
         |    '[0-9]{1,}')) AS BIGINT) AS n_redacted
         |FROM events ORDER BY event_id""".stripMargin,
+    // same salted-md5 uniform and the same integer thresholds (rate·2⁶⁰)
+    "sample_weighted" ->
+      """SELECT doc_id, lang, source FROM (
+        | SELECT doc_id, lang, source,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix1'), 1, 15))::BIGINT AS u
+        | FROM documents)
+        |WHERE u < CASE lang WHEN 'en' THEN 1152921504606846976
+        |                    WHEN 'de' THEN 576460752303423488
+        |                    WHEN 'fr' THEN 576460752303423488
+        |                    WHEN 'es' THEN 288230376151711744
+        |                    WHEN 'zh' THEN 288230376151711744
+        |                    ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
     // same shingle/cap construction as dedup_ngram; containment divisions
     // are single IEEE ops on identical integer operands
     "dedup_containment" ->

@@ -69,6 +69,72 @@ object EventStream {
         col("l.ts").as("l_ts"), col("r.ts").as("r_ts"))
   }
 
+  /** Input row for [[funnelTail]]: one event per entity. */
+  final case class FunnelEvent(entity: Long, ts: Long, eventType: String)
+
+  /** Emitted whenever an entity advances one funnel step: `step` is
+    * 1-based, `ts` the completing event's time.
+    */
+  final case class FunnelProgress(entity: Long, step: Int, ts: Long)
+
+  /** Per-entity funnel state: completion times of the steps reached so
+    * far, oldest first — bounded at `steps.length` longs, and removed
+    * outright once the funnel completes.
+    */
+  final case class FunnelState(times: List[Long])
+
+  /** Streaming form of [[graft.ops.EventOps.funnel]]: per entity, advance a
+    * step whenever an event of the next step's type arrives strictly after
+    * (and, with `maxGap`, within the conversion window of) the previous
+    * completion. Emits one [[FunnelProgress]] row per advance — the
+    * real-time conversion feed; aggregate downstream for live funnel
+    * counts.
+    *
+    * State is O(steps) longs per in-flight entity and is REMOVED when the
+    * last step completes, so only entities mid-funnel occupy memory.
+    * Within a micro-batch events are re-ordered by `ts` (shuffle scrambles
+    * row order); ACROSS batches the source must deliver each entity's
+    * events in event-time order for the result to match the batch operator
+    * — the same in-order-per-key contract as [[reorgTail]]'s sequenced
+    * heads. An event-time-ordered replay of any prefix therefore yields
+    * exactly the batch funnel's (t_1..t_k) for every entity (asserted in
+    * StreamSpec).
+    */
+  def funnelTail(
+      events: Dataset[FunnelEvent],
+      steps: Seq[String],
+      maxGap: Option[Long] = None
+  ): Dataset[FunnelProgress] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import events.sparkSession.implicits._
+    def advance(
+        key: Long,
+        it: Iterator[FunnelEvent],
+        state: GroupState[FunnelState]
+    ): Iterator[FunnelProgress] = {
+      var times = state.getOption.map(_.times).getOrElse(Nil)
+      val out = scala.collection.mutable.ArrayBuffer.empty[FunnelProgress]
+      it.toSeq.sortBy(_.ts).foreach { ev =>
+        val k = times.length // completed steps; next wanted: steps(k)
+        if (k < steps.length && ev.eventType == steps(k)) {
+          val afterPrev = times.lastOption.forall(t =>
+            ev.ts > t && maxGap.forall(g => ev.ts <= t + g))
+          if (afterPrev) {
+            times = times :+ ev.ts
+            out += FunnelProgress(key, times.length, ev.ts)
+          }
+        }
+      }
+      if (times.length == steps.length) state.remove()
+      else if (times.nonEmpty) state.update(FunnelState(times))
+      out.iterator
+    }
+    events
+      .groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(advance)
+  }
+
   // ── reorg-aware tail (T4/T5) ───────────────────────────────────────────
 
   /** Incoming header observation for [[reorgTail]]: one head-of-chain

@@ -59,6 +59,45 @@ class StreamSpec extends SparkSpec {
     assert(spark.table("dedup").count() == 2)
   }
 
+  test("streaming funnel matches the batch funnel on an in-order replay") {
+    implicit val sql = spark.sqlContext
+    import graft.stream.EventStream.FunnelEvent
+    val in = MemoryStream[FunnelEvent]
+    val q = EventStream.funnelTail(in.toDS(),
+        Seq("signup", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("append").start()
+    // batch 1: user 1 signs up then clicks; user 2's click precedes signup
+    in.addData(FunnelEvent(1L, 100L, "signup"), FunnelEvent(1L, 200L, "click"),
+      FunnelEvent(2L, 50L, "click"), FunnelEvent(2L, 150L, "signup"))
+    q.processAllAvailable()
+    // batch 2: user 1 completes (state evicted); user 2 clicks post-signup
+    in.addData(FunnelEvent(1L, 300L, "purchase"),
+      FunnelEvent(2L, 250L, "click"))
+    q.processAllAvailable()
+    // batch 3: a SECOND purchase by user 1 must not re-emit (funnel done,
+    // state removed — re-entry would need a fresh state machine)
+    in.addData(FunnelEvent(1L, 400L, "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("funnel").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1, 100L), (1L, 2, 200L), (1L, 3, 300L),
+      (2L, 1, 150L), (2L, 2, 250L)))
+    // cross-check: the batch operator on the same replay agrees
+    val ev = Seq((1L, 100L, "signup"), (1L, 200L, "click"),
+      (2L, 50L, "click"), (2L, 150L, "signup"), (1L, 300L, "purchase"),
+      (2L, 250L, "click"), (1L, 400L, "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val batch = graft.ops.EventOps.funnel(ev, "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase")).collect()
+      .flatMap { r =>
+        (1 to 3).flatMap(k => if (r.isNullAt(k)) None
+          else Some((r.getLong(0), k, r.getLong(k))))
+      }.toSet
+    assert(batch == got)
+  }
+
   test("reorg tail end-to-end: fork retracts then applies (T4)") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[HeadObservation]
