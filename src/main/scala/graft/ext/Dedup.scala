@@ -348,6 +348,14 @@ object Dedup {
     * Same plan shape and `maxDf` hot-shingle guard as the Jaccard tier;
     * the extra columns are free (the counts join already carries n_a/n_b).
     *
+    * Scale note: unlike the Jaccard tier, containment pairs CANNOT be
+    * pre-filtered through [[minHashCandidates]] — a short doc inside a
+    * long one has low Jaccard, exactly the pairs MinHash-LSH is built to
+    * skip. The shingle-partitioned join with the `maxDf` cap IS the scale
+    * path here (cost ∝ Σ df² over retained shingles, bounded by the cap);
+    * at corpus scale raise `shingleN` so fewer shingles collide, or
+    * restrict `docs` to a suspect slice first.
+    *
     * @param minContainment keep pairs whose LARGER direction
     *                       (inter / min(n_a, n_b)) reaches this threshold
     * @return (id_a, id_b, inter, n_a, n_b, cont_a, cont_b, containment)

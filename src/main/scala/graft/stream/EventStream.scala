@@ -91,7 +91,12 @@ object EventStream {
     * counts.
     *
     * State is O(steps) longs per in-flight entity and is REMOVED when the
-    * last step completes, so only entities mid-funnel occupy memory.
+    * last step completes, so only entities mid-funnel occupy memory; with
+    * `idleTimeout` set, entities that stall mid-funnel are also evicted
+    * after that much processing-time inactivity (an unbounded stream of
+    * one-step visitors would otherwise grow state forever — the funnel
+    * twin of the reorg tail's bounded backlog). An evicted entity that
+    * re-appears starts a fresh funnel from step 1.
     * Within a micro-batch events are re-ordered by `ts` (shuffle scrambles
     * row order); ACROSS batches the source must deliver each entity's
     * events in event-time order for the result to match the batch operator
@@ -103,36 +108,56 @@ object EventStream {
   def funnelTail(
       events: Dataset[FunnelEvent],
       steps: Seq[String],
-      maxGap: Option[Long] = None
+      maxGap: Option[Long] = None,
+      idleTimeout: Option[String] = None
   ): Dataset[FunnelProgress] = {
     require(steps.nonEmpty, "funnel needs at least one step")
     import events.sparkSession.implicits._
-    def advance(
-        key: Long,
-        it: Iterator[FunnelEvent],
-        state: GroupState[FunnelState]
-    ): Iterator[FunnelProgress] = {
-      var times = state.getOption.map(_.times).getOrElse(Nil)
-      val out = scala.collection.mutable.ArrayBuffer.empty[FunnelProgress]
-      it.toSeq.sortBy(_.ts).foreach { ev =>
-        val k = times.length // completed steps; next wanted: steps(k)
-        if (k < steps.length && ev.eventType == steps(k)) {
-          val afterPrev = times.lastOption.forall(t =>
-            ev.ts > t && maxGap.forall(g => ev.ts <= t + g))
-          if (afterPrev) {
-            times = times :+ ev.ts
-            out += FunnelProgress(key, times.length, ev.ts)
-          }
-        }
-      }
-      if (times.length == steps.length) state.remove()
-      else if (times.nonEmpty) state.update(FunnelState(times))
-      out.iterator
-    }
     events
       .groupByKey(_.entity)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(advance)
+        idleTimeout.map(_ => GroupStateTimeout.ProcessingTimeTimeout)
+          .getOrElse(GroupStateTimeout.NoTimeout))(
+        funnelAdvance(steps, maxGap, idleTimeout))
+  }
+
+  /** The funnel state function (public, like [[reconcileHead]], so the
+    * timeout path is unit-testable via `TestGroupState` — a
+    * processing-time timeout cannot be driven deterministically through a
+    * real streaming query).
+    */
+  def funnelAdvance(
+      steps: Seq[String],
+      maxGap: Option[Long],
+      idleTimeout: Option[String]
+  )(
+      key: Long,
+      it: Iterator[FunnelEvent],
+      state: GroupState[FunnelState]
+  ): Iterator[FunnelProgress] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    var times = state.getOption.map(_.times).getOrElse(Nil)
+    val out = scala.collection.mutable.ArrayBuffer.empty[FunnelProgress]
+    it.toSeq.sortBy(_.ts).foreach { ev =>
+      val k = times.length // completed steps; next wanted: steps(k)
+      if (k < steps.length && ev.eventType == steps(k)) {
+        val afterPrev = times.lastOption.forall(t =>
+          ev.ts > t && maxGap.forall(g => ev.ts <= t + g))
+        if (afterPrev) {
+          times = times :+ ev.ts
+          out += FunnelProgress(key, times.length, ev.ts)
+        }
+      }
+    }
+    if (times.length == steps.length) state.remove()
+    else if (times.nonEmpty) {
+      state.update(FunnelState(times))
+      idleTimeout.foreach(state.setTimeoutDuration)
+    }
+    out.iterator
   }
 
   // ── reorg-aware tail (T4/T5) ───────────────────────────────────────────

@@ -98,6 +98,35 @@ class StreamSpec extends SparkSpec {
     assert(batch == got)
   }
 
+  test("streaming funnel evicts stalled entities on idle timeout") {
+    import graft.stream.EventStream.{FunnelEvent, FunnelState}
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val fn = EventStream.funnelAdvance(Seq("signup", "click"),
+      maxGap = None, idleTimeout = Some("200 milliseconds")) _
+    // a first event creates state and arms the timeout
+    val s1 = TestGroupState.create[FunnelState](Optional.empty(),
+      GroupStateTimeout.ProcessingTimeTimeout, batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = Optional.empty(), hasTimedOut = false)
+    val out1 = fn(1L, Iterator(FunnelEvent(1L, 100L, "signup")), s1).toSeq
+    assert(out1.map(p => (p.step, p.ts)) == Seq((1, 100L)))
+    assert(s1.get.times == List(100L))
+    assert(s1.getTimeoutTimestampMs.isPresent) // idle timeout is armed
+    // the timeout fires: state is removed, nothing emitted
+    val s2 = TestGroupState.create[FunnelState](
+      Optional.of(FunnelState(List(100L))),
+      GroupStateTimeout.ProcessingTimeTimeout, batchProcessingTimeMs = 2000L,
+      eventTimeWatermarkMs = Optional.empty(), hasTimedOut = true)
+    assert(fn(1L, Iterator.empty, s2).isEmpty)
+    assert(s2.isRemoved)
+    // the entity re-appears after eviction: a fresh funnel from step 1
+    val s3 = TestGroupState.create[FunnelState](Optional.empty(),
+      GroupStateTimeout.ProcessingTimeTimeout, batchProcessingTimeMs = 3000L,
+      eventTimeWatermarkMs = Optional.empty(), hasTimedOut = false)
+    val out3 = fn(1L, Iterator(FunnelEvent(1L, 900L, "signup")), s3).toSeq
+    assert(out3.map(p => (p.step, p.ts)) == Seq((1, 900L)))
+  }
+
   test("reorg tail end-to-end: fork retracts then applies (T4)") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[HeadObservation]
