@@ -307,6 +307,34 @@ object Dedup {
     *              uncapped self-join is quadratic in the hottest shingle's
     *              document frequency.
     */
+  /** The shared pair-generation tier of the exact text-similarity ops:
+    * distinct capped shingles → per-doc counts → shingle-equality self-join
+    * → (id_a, id_b, inter, n_a, n_b), id_a < id_b, one row per doc pair
+    * sharing ≥1 retained shingle. [[ngramJaccard]] and [[containmentPairs]]
+    * are one `select` each on top.
+    *
+    * Three consumers (counts + both self-join sides) each recompute the
+    * shingle subtree — column pruning specializes each leg, so
+    * ReuseExchange never matches (the plan shows four Scan→Generate→
+    * Aggregate chains). Measured FASTER than .cache() at sf0.1 (3.6s vs
+    * 5.2s): codegen'd recompute beats InMemoryRelation materialization,
+    * and caching hides broadcast-size stats. At cluster scale, materialize
+    * the shingle table once, then join. (With maxDf > 0 the capped table
+    * IS shared — cappedShingleRows lazily checkpoints.)
+    */
+  private def pairCounts(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, maxDf: Long): DataFrame = {
+    val sh = cappedShingleRows(docs, idCol, textCol, shingleN, maxDf)
+    val counts = sh.groupBy("doc").agg(count(lit(1)).as("n"))
+    sh.as("x")
+      .join(sh.as("y"), col("x.s") === col("y.s") &&
+        col("x.doc") < col("y.doc"))
+      .groupBy(col("x.doc").as("id_a"), col("y.doc").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(counts.select(col("doc").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(counts.select(col("doc").as("id_b"), col("n").as("n_b")), "id_b")
+  }
+
   def ngramJaccard(
       docs: DataFrame,
       idCol: String,
@@ -314,32 +342,13 @@ object Dedup {
       shingleN: Int = 3,
       minJaccard: Double = 0.0,
       maxDf: Long = 0L
-  ): DataFrame = {
-    // Three consumers (counts + both self-join sides) each recompute the
-    // shingle subtree — column pruning specializes each leg, so
-    // ReuseExchange never matches (the plan shows four Scan→Generate→
-    // Aggregate chains). Measured FASTER than .cache() at sf0.1 (3.6s vs
-    // 5.2s): codegen'd recompute beats InMemoryRelation materialization,
-    // and caching hides broadcast-size stats. At cluster scale, materialize
-    // the shingle table once, then join.
-    val sh = cappedShingleRows(docs, idCol, textCol, shingleN, maxDf)
-    val counts = sh.groupBy("doc").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("x")
-      .join(sh.as("y"), col("x.s") === col("y.s") &&
-        col("x.doc") < col("y.doc"))
-      .groupBy(col("x.doc").as("id_a"), col("y.doc").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(counts.withColumnRenamed("doc", "id_a")
-        .withColumnRenamed("n", "n_a"), "id_a")
-      .join(counts.withColumnRenamed("doc", "id_b")
-        .withColumnRenamed("n", "n_b"), "id_b")
+  ): DataFrame =
+    pairCounts(docs, idCol, textCol, shingleN, maxDf)
       .select(col("id_a"), col("id_b"), col("inter"),
         (col("n_a") + col("n_b") - col("inter")).as("union"),
         (col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
-  }
 
   /** Exact n-gram CONTAINMENT for all pairs sharing ≥1 retained shingle:
     * C(A⊆B) = |A∩B| / |A| — the asymmetric twin of [[ngramJaccard]] that
@@ -368,23 +377,13 @@ object Dedup {
       shingleN: Int = 3,
       minContainment: Double = 0.0,
       maxDf: Long = 0L
-  ): DataFrame = {
-    val sh = cappedShingleRows(docs, idCol, textCol, shingleN, maxDf)
-    val counts = sh.groupBy("doc").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("x")
-      .join(sh.as("y"), col("x.s") === col("y.s") &&
-        col("x.doc") < col("y.doc"))
-      .groupBy(col("x.doc").as("id_a"), col("y.doc").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(counts.select(col("doc").as("id_a"), col("n").as("n_a")), "id_a")
-      .join(counts.select(col("doc").as("id_b"), col("n").as("n_b")), "id_b")
+  ): DataFrame =
+    pairCounts(docs, idCol, textCol, shingleN, maxDf)
       .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"),
         (col("inter").cast("double") / col("n_a")).as("cont_a"),
         (col("inter").cast("double") / col("n_b")).as("cont_b"))
       .withColumn("containment", greatest(col("cont_a"), col("cont_b")))
       .where(col("containment") >= minContainment)
-  }
 
   /** Exact n-gram Jaccard for a GIVEN candidate-pair list — the verify
     * stage of the tiered pipeline (LSH proposes, exact verifies). Unlike

@@ -33,7 +33,15 @@ object EventOps {
     * @param steps  event-type values in funnel order (≥ 1)
     * @param maxGap when set, step k must also fall within `maxGap` time
     *               units of step k−1 (the conversion window: "purchase
-    *               within 7 days of signup")
+    *               within 7 days of signup"). Semantics are ANCHORED-FIRST:
+    *               each step's completion is the earliest qualifying event
+    *               after the PREVIOUS completion, with t_1 = the entity's
+    *               first step-1 event. A chain that would only complete
+    *               when anchored at a LATER step-1 occurrence is not
+    *               counted — deliberate: any-anchor semantics need every
+    *               step-1 timestamp retained per entity (unbounded state),
+    *               while this form keeps one timestamp per step and is
+    *               deterministic for the oracle
     * @return (entityCol, t_1 .. t_n, n_steps) — t_k = min completion time
     *         of step k (null if never reached), n_steps = deepest step
     *         completed, 1..n
@@ -90,14 +98,16 @@ object EventOps {
   def cohortRetention(events: DataFrame, entityCol: String, tsCol: String,
       width: Long): DataFrame = {
     require(width > 0, s"bucket width must be positive, got $width")
-    // floor division in exact integer arithmetic (subtract-pmod, never a
-    // double divide: a µs timestamp near a bucket boundary sits within one
-    // double ulp of the boundary, so floor(ts/width) on doubles can land in
-    // the WRONG bucket; the subtracted numerator divides exactly, making
-    // the IEEE quotient exact). pmod ≥ 0 ⇒ floor (not truncate) semantics,
-    // matching SQL `//` for any sign of ts.
-    val bucket = ((col(tsCol) - pmod(col(tsCol), lit(width))) / width)
-      .cast("long")
+    // floor division in exact INTEGER arithmetic end-to-end: the subtract-
+    // pmod numerator is an exact multiple of width, and `div` (integral
+    // division) keeps the whole computation in longs — a double divide
+    // would round the numerator for |ts| > 2^53 (raw nanosecond
+    // timestamps are ~1.7e18) and could land a boundary value in the
+    // wrong bucket. pmod ≥ 0 ⇒ floor (not truncate) semantics for any
+    // sign of ts, matching SQL `//`; truncation vs floor is moot after
+    // the subtraction since the numerator divides exactly.
+    val bucket =
+      expr(s"(`$tsCol` - pmod(`$tsCol`, ${width}L)) div ${width}L")
     val first = events.groupBy(col(entityCol))
       .agg(min(bucket).as("cohort"))
     events.select(col(entityCol), bucket.as("__b"))

@@ -90,6 +90,14 @@ object EventStream {
     * real-time conversion feed; aggregate downstream for live funnel
     * counts.
     *
+    * Completion RESETS the state machine: a later first-step event starts
+    * a new funnel (repeat-conversion tracking), and the reset behaves
+    * identically whether the re-entry event shares the completing
+    * micro-batch or arrives later. The FIRST completion's step times equal
+    * the batch operator's (t_1..t_n); re-entries are additional progress
+    * rows the batch form (which reports first conversions only) does not
+    * produce.
+    *
     * State is O(steps) longs per in-flight entity and is REMOVED when the
     * last step completes, so only entities mid-funnel occupy memory; with
     * `idleTimeout` set, entities that stall mid-funnel are also evicted
@@ -102,8 +110,8 @@ object EventStream {
     * events in event-time order for the result to match the batch operator
     * — the same in-order-per-key contract as [[reorgTail]]'s sequenced
     * heads. An event-time-ordered replay of any prefix therefore yields
-    * exactly the batch funnel's (t_1..t_k) for every entity (asserted in
-    * StreamSpec).
+    * exactly the batch funnel's (t_1..t_k) as every entity's first
+    * completion sequence (asserted in StreamSpec).
     */
   def funnelTail(
       events: Dataset[FunnelEvent],
@@ -142,8 +150,15 @@ object EventStream {
     var times = state.getOption.map(_.times).getOrElse(Nil)
     val out = scala.collection.mutable.ArrayBuffer.empty[FunnelProgress]
     it.toSeq.sortBy(_.ts).foreach { ev =>
+      // a COMPLETED funnel resets on the next event: re-entry starts a
+      // fresh state machine. Doing the reset here (not only via the
+      // end-of-batch state removal) makes re-entry independent of where
+      // the micro-batch boundary falls — a post-completion step-1 event
+      // behaves identically whether it shares the completing batch or
+      // arrives in a later one.
+      if (times.length == steps.length) times = Nil
       val k = times.length // completed steps; next wanted: steps(k)
-      if (k < steps.length && ev.eventType == steps(k)) {
+      if (ev.eventType == steps(k)) {
         val afterPrev = times.lastOption.forall(t =>
           ev.ts > t && maxGap.forall(g => ev.ts <= t + g))
         if (afterPrev) {

@@ -71,4 +71,19 @@ class EventOpsSpec extends SparkSpec {
     assert(r == Map((0L, 0L) -> 2L, (0L, 2L) -> 1L,
       (1L, 0L) -> 1L, (1L, 1L) -> 1L))
   }
+
+  test("cohort buckets are exact for nanosecond-scale timestamps") {
+    // ts magnitudes ~1.7e18 exceed double's 2^53 integer range: a double
+    // divide rounds k*width - 1 UP to the k*width boundary and misbuckets.
+    // The integer `div` path must put it in bucket k-1.
+    val width = 86400000000000L // one day in ns
+    val k = 20000L
+    val ev = Seq((1L, k * width - 1), (1L, k * width))
+      .toDF("user_id", "ts")
+    val r = EventOps.cohortRetention(ev, "user_id", "ts", width)
+      .collect()
+      .map(x => (x.getAs[Long]("cohort"), x.getAs[Long]("offset")) ->
+        x.getAs[Long]("n_active")).toMap
+    assert(r == Map((k - 1, 0L) -> 1L, (k - 1, 1L) -> 1L))
+  }
 }

@@ -75,19 +75,27 @@ class StreamSpec extends SparkSpec {
     in.addData(FunnelEvent(1L, 300L, "purchase"),
       FunnelEvent(2L, 250L, "click"))
     q.processAllAvailable()
-    // batch 3: a SECOND purchase by user 1 must not re-emit (funnel done,
-    // state removed — re-entry would need a fresh state machine)
-    in.addData(FunnelEvent(1L, 400L, "purchase"))
+    // batch 3: a SECOND purchase by user 1 is ignored (post-completion,
+    // not a first step); user 1 RE-ENTERS cross-batch via a new signup;
+    // user 2 completes and re-enters WITHIN the same batch — both re-entry
+    // paths must behave identically (the completion reset is batch-
+    // boundary-independent)
+    in.addData(FunnelEvent(1L, 400L, "purchase"), FunnelEvent(1L, 500L, "signup"),
+      FunnelEvent(2L, 300L, "purchase"), FunnelEvent(2L, 350L, "signup"))
     q.processAllAvailable()
     q.stop()
     val got = spark.table("funnel").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-    assert(got == Set((1L, 1, 100L), (1L, 2, 200L), (1L, 3, 300L),
-      (2L, 1, 150L), (2L, 2, 250L)))
-    // cross-check: the batch operator on the same replay agrees
+    val firstCompletions = Set((1L, 1, 100L), (1L, 2, 200L), (1L, 3, 300L),
+      (2L, 1, 150L), (2L, 2, 250L), (2L, 3, 300L))
+    val reEntries = Set((1L, 1, 500L), (2L, 1, 350L))
+    assert(got == firstCompletions ++ reEntries)
+    // cross-check: the batch operator (first conversions only) on the same
+    // replay produces exactly the first-completion rows
     val ev = Seq((1L, 100L, "signup"), (1L, 200L, "click"),
       (2L, 50L, "click"), (2L, 150L, "signup"), (1L, 300L, "purchase"),
-      (2L, 250L, "click"), (1L, 400L, "purchase"))
+      (2L, 250L, "click"), (1L, 400L, "purchase"), (1L, 500L, "signup"),
+      (2L, 300L, "purchase"), (2L, 350L, "signup"))
       .toDF("user_id", "ts", "event_type")
     val batch = graft.ops.EventOps.funnel(ev, "user_id", "ts", "event_type",
         Seq("signup", "click", "purchase")).collect()
@@ -95,7 +103,7 @@ class StreamSpec extends SparkSpec {
         (1 to 3).flatMap(k => if (r.isNullAt(k)) None
           else Some((r.getLong(0), k, r.getLong(k))))
       }.toSet
-    assert(batch == got)
+    assert(batch == firstCompletions)
   }
 
   test("streaming funnel evicts stalled entities on idle timeout") {
