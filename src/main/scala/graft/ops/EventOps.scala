@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-sequence analytics over the tracked log/event table — the
@@ -114,5 +115,36 @@ object EventOps {
       .join(first, Seq(entityCol))
       .groupBy(col("cohort"), (col("__b") - col("cohort")).as("offset"))
       .agg(count_distinct(col(entityCol)).as("n_active"))
+  }
+
+  /** Path n-grams: the corpus-wide frequency of every length-`n` run of
+    * consecutive event types within an entity's timeline ("user journey"
+    * mining — which sequences actually happen, the exploratory complement
+    * of [[funnel]]'s fixed hypothesis).
+    *
+    * Plan: one entity-key window (shuffle + per-entity sort) generates the
+    * runs via `lead` — no per-entity collection, state is n−1 lookahead
+    * rows; the closing count is map-side combined and the path key space
+    * is bounded by |event types|^n, tiny at any corpus size.
+    *
+    * @param tieCols extra ordering columns breaking `tsCol` ties so the
+    *                sequence (and thus the counts) is total-order
+    *                deterministic — pass the event's unique id
+    * @return (path, n) — path = ">"-joined type sequence
+    */
+  def pathNgrams(events: DataFrame, entityCol: String, tsCol: String,
+      typeCol: String, n: Int, tieCols: Seq[String] = Nil): DataFrame = {
+    require(n >= 2, s"a path needs at least 2 steps, got $n")
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy((col(tsCol) +: tieCols.map(col)): _*)
+    val nexts: Seq[Column] =
+      (1 until n).map(i => lead(col(typeCol), i).over(w).as(s"__e$i"))
+    events
+      .select((col(typeCol) +: nexts): _*)
+      .where((1 until n).map(i => col(s"__e$i").isNotNull).reduce(_ && _))
+      .select(concat_ws(">",
+        (col(typeCol) +: (1 until n).map(i => col(s"__e$i"))): _*).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"))
   }
 }

@@ -383,6 +383,18 @@ object CapabilityQueries {
           col("n_steps"))
         .orderBy("user_id")
     },
+    // top event-type trigrams across user timelines ("user journey"
+    // mining) — one entity-key window + a map-side-combined count over a
+    // path key space bounded by |event types|^3; time ordered in integer
+    // µs on both engines (see funnel_steps), event_id breaking ties
+    "path_ngrams" -> { (s, d) =>
+      import graft.ops.EventOps
+      EventOps.pathNgrams(
+          Tables.events(s, d).withColumn("tsu", expr("ts div 1000")),
+          "user_id", "tsu", "event_type", n = 3, tieCols = Seq("event_id"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
+    },
     // bloom-pruned join: the fact side sheds non-joining rows BEFORE the
     // shuffle via a dim-side Bloom sketch (manual InjectRuntimeFilter —
     // same XxHash64/BloomFilterAggregate pair). Result-identical to the
@@ -645,6 +657,17 @@ object CapabilityQueries {
         |        + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_steps
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY s1.user_id""".stripMargin,
+    "path_ngrams" ->
+      """WITH o AS (
+        | SELECT user_id, event_type,
+        |  lead(event_type, 1) OVER w AS e2,
+        |  lead(event_type, 2) OVER w AS e3
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT concat_ws('>', event_type, e2, e3) AS path,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM o WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
     "join_bloom" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
         | CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty

@@ -72,6 +72,17 @@ class EventOpsSpec extends SparkSpec {
       (1L, 0L) -> 1L, (1L, 1L) -> 1L))
   }
 
+  test("path ngrams count consecutive type runs per entity") {
+    // user 1: a>b>c, b>c>a; user 2: a>b>c — runs never cross entities
+    val ev = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "a"),
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "c")
+    ).toDF("user_id", "ts", "event_type")
+    val r = EventOps.pathNgrams(ev, "user_id", "ts", "event_type", n = 3)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("a>b>c" -> 2L, "b>c>a" -> 1L))
+  }
+
   test("cohort buckets are exact for nanosecond-scale timestamps") {
     // ts magnitudes ~1.7e18 exceed double's 2^53 integer range: a double
     // divide rounds k*width - 1 UP to the k*width boundary and misbuckets.
