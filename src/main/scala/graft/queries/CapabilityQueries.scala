@@ -77,15 +77,26 @@ object CapabilityQueries {
     // TPC-H Q1 shape: multi-measure grouped agg with derived expressions
     "agg_group" -> { (s, d) =>
       val l = Tables.lineitem(s, d)
-      val discPrice = col("l_extendedprice") * (lit(1) - col("l_discount"))
-      val charge = discPrice * (lit(1) + col("l_tax"))
+      // decimal-FIRST arithmetic: only the raw 2-decimal inputs are cast
+      // from double (their doubles sit ~1e-15 from the exact 2-decimal
+      // value, never near a scale-2 rounding boundary); the products are
+      // then EXACT decimal multiplications on both engines. Casting the
+      // double PRODUCT instead (the old form) rounds at scale 6/8, where
+      // Spark rounds the double's shortest decimal string but DuckDB
+      // rounds its full binary expansion — at sf0.1 row counts some row
+      // lands inside that half-ulp window and the sums diverge.
+      val priceD = col("l_extendedprice").cast("decimal(12,2)")
+      val discPrice = priceD *
+        (lit(1) - col("l_discount").cast("decimal(4,2)")) // (18,4), exact
+      val charge = discPrice *
+        (lit(1) + col("l_tax").cast("decimal(4,2)"))      // (24,6), exact
       l.where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum(col("l_quantity").cast("decimal(38,2)")).cast("double").as("sum_qty"),
           sum(col("l_extendedprice").cast("decimal(38,2)")).cast("double").as("sum_base_price"),
-          sum(discPrice.cast("decimal(38,6)")).cast("double").as("sum_disc_price"),
-          sum(charge.cast("decimal(38,8)")).cast("double").as("sum_charge"),
+          sum(discPrice).cast("double").as("sum_disc_price"),
+          sum(charge).cast("double").as("sum_charge"),
           (sum(col("l_quantity").cast("decimal(38,2)")).cast("double") /
             count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
@@ -459,8 +470,11 @@ object CapabilityQueries {
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_base_price,
-        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
-        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,8))) AS DOUBLE) AS sum_charge,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |   * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |   * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |   * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
         | CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) / CAST(count(*) AS BIGINT) AS avg_qty,
         | CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem
