@@ -394,6 +394,20 @@ object CapabilityQueries {
           col("n_steps"))
         .orderBy("user_id")
     },
+    // trailing-hour rolling aggregate per user — a RANGE-frame window
+    // (value-based bounds over event time), distinct from the row-frame
+    // running sum of window_running; integer-µs time on both engines
+    "window_range_time" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("tsu"))
+        .rangeBetween(-3600000000L, 0L) // trailing hour, µs
+      Tables.events(s, d)
+        .withColumn("tsu", expr("ts div 1000"))
+        .select(col("event_id"), col("user_id"), col("tsu"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value").cast("decimal(38,2)")).over(w).cast("double")
+            .as("sum_1h"))
+        .orderBy("event_id")
+    },
     // top event-type trigrams across user timelines ("user journey"
     // mining) — one entity-key window + a map-side-combined count over a
     // path key space bounded by |event types|^3; time ordered in integer
@@ -671,6 +685,14 @@ object CapabilityQueries {
         |        + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_steps
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY s1.user_id""".stripMargin,
+    "window_range_time" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS tsu,
+        | CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        | CAST(sum(CAST(value AS DECIMAL(38,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "path_ngrams" ->
       """WITH o AS (
         | SELECT user_id, event_type,
