@@ -25,7 +25,10 @@ object PlanDump {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    // OFF, not ERROR: localCheckpoint cleanup logs benign "non-existent
+    // accumulator" DAGScheduler errors that would otherwise flood the
+    // regenerated PLANS.md with stack traces
+    spark.sparkContext.setLogLevel("OFF")
     // SPARK_GRAFT_PLAN_MODE=codegen prints WholeStageCodegen subtree counts
     // + generated code (audits that big projections haven't bailed out of
     // codegen); default stays the compact simple plan

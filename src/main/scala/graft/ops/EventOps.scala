@@ -107,8 +107,15 @@ object EventOps {
     // wrong bucket. pmod ≥ 0 ⇒ floor (not truncate) semantics for any
     // sign of ts, matching SQL `//`; truncation vs floor is moot after
     // the subtraction since the numerator divides exactly.
-    val bucket =
-      expr(s"(`$tsCol` - pmod(`$tsCol`, ${width}L)) div ${width}L")
+    val bucket = {
+      import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+      import org.apache.spark.sql.graftbridge.Bridge
+      val numer = col(tsCol) - pmod(col(tsCol), lit(width))
+      // Column-level IntegralDivide (no SQL-string round-trip, so nested
+      // fields and exotic column names resolve like everywhere else)
+      Bridge.column(new IntegralDivide(
+        Bridge.expression(numer), Bridge.expression(lit(width))))
+    }
     val first = events.groupBy(col(entityCol))
       .agg(min(bucket).as("cohort"))
     events.select(col(entityCol), bucket.as("__b"))
@@ -130,7 +137,11 @@ object EventOps {
     * @param tieCols extra ordering columns breaking `tsCol` ties so the
     *                sequence (and thus the counts) is total-order
     *                deterministic — pass the event's unique id
-    * @return (path, n) — path = ">"-joined type sequence
+    * @return (path, n) — path = ">"-joined type sequence. Null-typed
+    *         events are excluded up front (a null would silently vanish
+    *         inside concat_ws, mislabeling a run as a shorter one); type
+    *         values must not themselves contain ">" or distinct journeys
+    *         collide under one key
     */
   def pathNgrams(events: DataFrame, entityCol: String, tsCol: String,
       typeCol: String, n: Int, tieCols: Seq[String] = Nil): DataFrame = {
@@ -140,6 +151,7 @@ object EventOps {
     val nexts: Seq[Column] =
       (1 until n).map(i => lead(col(typeCol), i).over(w).as(s"__e$i"))
     events
+      .where(col(typeCol).isNotNull)
       .select((col(typeCol) +: nexts): _*)
       .where((1 until n).map(i => col(s"__e$i").isNotNull).reduce(_ && _))
       .select(concat_ws(">",

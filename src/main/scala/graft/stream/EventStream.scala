@@ -171,6 +171,12 @@ object EventStream {
     else if (times.nonEmpty) {
       state.update(FunnelState(times))
       idleTimeout.foreach(state.setTimeoutDuration)
+    } else if (state.exists) {
+      // completion followed by a non-step-1 event reset `times` to empty:
+      // without this remove, the PRE-completion state written by an
+      // earlier batch would survive and a later final-step event would
+      // re-fire the funnel without any re-entry
+      state.remove()
     }
     out.iterator
   }

@@ -135,6 +135,32 @@ class StreamSpec extends SparkSpec {
     assert(out3.map(p => (p.step, p.ts)) == Seq((1, 900L)))
   }
 
+  test("funnel completion followed by a non-entry event still clears state") {
+    // regression: complete the funnel and, in the SAME batch, see one more
+    // event that is NOT a step-1 re-entry. The in-loop reset empties the
+    // working times; state must be REMOVED, not silently left at its
+    // pre-completion value — a later final-step event would otherwise
+    // re-fire the funnel with no intervening re-entry.
+    import graft.stream.EventStream.{FunnelEvent, FunnelState}
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val fn = EventStream.funnelAdvance(Seq("signup", "click", "purchase"),
+      maxGap = None, idleTimeout = None) _
+    val s = TestGroupState.create[FunnelState](
+      Optional.of(FunnelState(List(100L, 200L))), // signup+click from before
+      GroupStateTimeout.NoTimeout, batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = Optional.empty(), hasTimedOut = false)
+    val out = fn(1L, Iterator(FunnelEvent(1L, 300L, "purchase"),
+      FunnelEvent(1L, 400L, "click")), s).toSeq
+    assert(out.map(p => (p.step, p.ts)) == Seq((3, 300L))) // click ignored
+    assert(s.isRemoved) // stale [100,200] must not survive the batch
+    // and a later purchase on fresh state emits nothing
+    val s2 = TestGroupState.create[FunnelState](Optional.empty(),
+      GroupStateTimeout.NoTimeout, batchProcessingTimeMs = 2000L,
+      eventTimeWatermarkMs = Optional.empty(), hasTimedOut = false)
+    assert(fn(1L, Iterator(FunnelEvent(1L, 500L, "purchase")), s2).isEmpty)
+  }
+
   test("reorg tail end-to-end: fork retracts then applies (T4)") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[HeadObservation]
