@@ -33,29 +33,8 @@ class ReorgProcessor(maxBacklog: Int)
   ): Iterator[HeaderAction] = {
     // share the exact reconcile semantics with the v1 implementation —
     // one body, two state APIs
-    val state = new WrappedState(backlogState)
+    val state = new ValueGroupState(backlogState)
     EventStream.reconcileHead(maxBacklog)(key, inputRows, state)
-  }
-  /** Minimal GroupState adapter over a v2 ValueState — only the members
-    * reconcileHead touches.
-    */
-  private final class WrappedState(
-      vs: org.apache.spark.sql.streaming.ValueState[Backlog])
-      extends org.apache.spark.sql.streaming.GroupState[Backlog] {
-    override def exists: Boolean = vs.exists()
-    override def get: Backlog = vs.get()
-    override def getOption: Option[Backlog] = Option(vs.get())
-    override def update(s: Backlog): Unit = vs.update(s)
-    override def remove(): Unit = vs.clear()
-    override def hasTimedOut: Boolean = false
-    override def setTimeoutDuration(durationMs: Long): Unit = ()
-    override def setTimeoutDuration(duration: String): Unit = ()
-    override def setTimeoutTimestamp(t: Long): Unit = ()
-    override def setTimeoutTimestamp(t: Long, additionalDuration: String): Unit = ()
-    override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
-    override def setTimeoutTimestamp(t: java.sql.Date, additionalDuration: String): Unit = ()
-    override def getCurrentWatermarkMs(): Long = 0L
-    override def getCurrentProcessingTimeMs(): Long = 0L
   }
 }
 

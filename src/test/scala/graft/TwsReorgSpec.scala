@@ -42,4 +42,38 @@ class TwsReorgSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("state-v2 funnel matches the fMGWS form on the same replay") {
+    import graft.stream.EventStream.FunnelEvent
+    import graft.stream.FunnelProcessor
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sql = spark.sqlContext
+      val in = MemoryStream[FunnelEvent]
+      val q = FunnelProcessor.funnelTailV2(in.toDS(),
+          Seq("signup", "click", "purchase"))
+        .writeStream.format("memory").queryName("tws_funnel")
+        .outputMode("append").start()
+      // same replay as StreamSpec's fMGWS test, including both re-entry
+      // paths (cross-batch for user 1, same-batch for user 2)
+      in.addData(FunnelEvent(1L, 100L, "signup"), FunnelEvent(1L, 200L, "click"),
+        FunnelEvent(2L, 50L, "click"), FunnelEvent(2L, 150L, "signup"))
+      q.processAllAvailable()
+      in.addData(FunnelEvent(1L, 300L, "purchase"),
+        FunnelEvent(2L, 250L, "click"))
+      q.processAllAvailable()
+      in.addData(FunnelEvent(1L, 400L, "purchase"), FunnelEvent(1L, 500L, "signup"),
+        FunnelEvent(2L, 300L, "purchase"), FunnelEvent(2L, 350L, "signup"))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("tws_funnel").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got == Set((1L, 1, 100L), (1L, 2, 200L), (1L, 3, 300L),
+        (2L, 1, 150L), (2L, 2, 250L), (2L, 3, 300L),
+        (1L, 1, 500L), (2L, 1, 350L)))
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
