@@ -394,6 +394,40 @@ object CapabilityQueries {
           col("n_steps"))
         .orderBy("user_id")
     },
+    // conversion-latency distribution over the funnel output: exact
+    // percentiles of step-2 and total conversion time across entities —
+    // the "how fast do users convert" readout on top of funnel_steps.
+    // Cost beyond the funnel itself: one single-group sort-based
+    // percentile over ≤|entities| rows
+    "funnel_latency" -> { (s, d) =>
+      import graft.ops.EventOps
+      val f = EventOps.funnel(
+        Tables.events(s, d).withColumn("tsu", expr("ts div 1000")),
+        "user_id", "tsu", "event_type", Seq("signup", "click", "purchase"))
+      f.agg(
+        count(lit(1)).as("n_entered"),
+        count(col("t_2")).as("n_step2"),
+        count(col("t_3")).as("n_completed"),
+        percentile((col("t_2") - col("t_1")).cast("double"), lit(0.5))
+          .as("p50_step2_us"),
+        percentile((col("t_3") - col("t_1")).cast("double"), lit(0.5))
+          .as("p50_total_us"),
+        percentile((col("t_3") - col("t_1")).cast("double"), lit(0.9))
+          .as("p90_total_us"))
+    },
+    // fixed-width histogram of the value distribution — the numeric
+    // profiling pass; bin arithmetic is a single IEEE divide+floor on
+    // identical operands, so the oracle matches exactly
+    "agg_histogram" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(floor(col("value") / 25.0).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(38,2)")).cast("double")
+            .as("sum_value"))
+        .withColumn("lo", (col("bin") * 25.0))
+        .select("bin", "lo", "n", "sum_value")
+        .orderBy("bin")
+    },
     // trailing-hour rolling aggregate per user — a RANGE-frame window
     // (value-based bounds over event time), distinct from the row-frame
     // running sum of window_running; integer-µs time on both engines
@@ -685,6 +719,29 @@ object CapabilityQueries {
         |        + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_steps
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY s1.user_id""".stripMargin,
+    // same funnel CTE as funnel_steps; quantile_cont ↔ percentile (both
+    // linear-interpolation on doubles, nulls ignored)
+    "funnel_latency" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+        |s1 AS (SELECT user_id, min(tu) AS t1 FROM ev
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT ev.user_id, min(tu) AS t2 FROM ev JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND tu > t1 GROUP BY 1),
+        |s3 AS (SELECT ev.user_id, min(tu) AS t3 FROM ev JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND tu > t2 GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_entered,
+        | CAST(count(t2) AS BIGINT) AS n_step2,
+        | CAST(count(t3) AS BIGINT) AS n_completed,
+        | quantile_cont(CAST(t2 - t1 AS DOUBLE), 0.5) AS p50_step2_us,
+        | quantile_cont(CAST(t3 - t1 AS DOUBLE), 0.5) AS p50_total_us,
+        | quantile_cont(CAST(t3 - t1 AS DOUBLE), 0.9) AS p90_total_us
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+    "agg_histogram" ->
+      """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+        | CAST(floor(value / 25.0) AS BIGINT) * 25.0 AS lo,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "window_range_time" ->
       """SELECT event_id, user_id, epoch_us(ts) AS tsu,
         | CAST(count(*) OVER w AS BIGINT) AS n_1h,
