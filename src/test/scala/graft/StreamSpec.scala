@@ -135,6 +135,58 @@ class StreamSpec extends SparkSpec {
     assert(out3.map(p => (p.step, p.ts)) == Seq((1, 900L)))
   }
 
+  test("funnel output is invariant to micro-batch boundaries (fuzz)") {
+    // THE property both review rounds found bugs against: the same
+    // event-time-ordered replay must emit the same progress rows no
+    // matter where the micro-batch boundaries fall. Random event streams,
+    // random contiguous splits, compared against the single-batch run;
+    // first-completion rows additionally cross-checked vs the batch
+    // operator.
+    implicit val sql = spark.sqlContext
+    import graft.stream.EventStream.FunnelEvent
+    val rnd = new scala.util.Random(42)
+    val types = Vector("signup", "click", "purchase", "view")
+    val steps = Seq("signup", "click", "purchase")
+    def run(events: Seq[FunnelEvent], splits: Seq[Int], name: String) = {
+      val in = MemoryStream[FunnelEvent]
+      val q = EventStream.funnelTail(in.toDS(), steps)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      val batches = splits.zip(splits.tail :+ events.length).map {
+        case (a, b) => events.slice(a, b)
+      }
+      batches.filter(_.nonEmpty).foreach { b =>
+        in.addData(b: _*); q.processAllAvailable()
+      }
+      q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    }
+    for (round <- 0 until 3) {
+      // per-entity event-time-ordered stream (the cross-batch contract)
+      val events = (0 until 120).map { i =>
+        FunnelEvent(rnd.nextInt(5).toLong, i.toLong * 10,
+          types(rnd.nextInt(types.length)))
+      }
+      val cuts = (0 +: Seq.fill(rnd.nextInt(6) + 2)(rnd.nextInt(events.length)))
+        .distinct.sorted
+      val whole = run(events, Seq(0), s"fz_whole_$round")
+      val split = run(events, cuts, s"fz_split_$round")
+      assert(split == whole, s"round $round: split-batch output diverged")
+      // batch operator agrees on every entity's FIRST completion sequence
+      val ev = events.map(e => (e.entity, e.ts, e.eventType))
+        .toDF("user_id", "ts", "event_type")
+      val batchRows = graft.ops.EventOps.funnel(ev, "user_id", "ts",
+          "event_type", steps).collect()
+        .flatMap { r =>
+          (1 to 3).flatMap(k => if (r.isNullAt(k)) None
+            else Some((r.getLong(0), k, r.getLong(k))))
+        }.toSet
+      assert(batchRows.subsetOf(whole),
+        s"round $round: batch first-completions missing from stream output")
+    }
+  }
+
   test("funnel completion followed by a non-entry event still clears state") {
     // regression: complete the funnel and, in the SAME batch, see one more
     // event that is NOT a step-1 re-entry. The in-loop reset empties the
