@@ -55,6 +55,40 @@ class EventOpsSpec extends SparkSpec {
     assert(wide.getAs[Long]("t_2") == 100L)
   }
 
+  test("funnel matches a driver-side reference fold on random data (fuzz)") {
+    // anchored-first semantics, with and without the conversion window:
+    // t_k = earliest event of steps(k) strictly after t_{k-1} (and within
+    // maxGap of it). The reference fold recomputes that directly from the
+    // sorted per-entity timeline.
+    val rnd = new scala.util.Random(7)
+    val types = Vector("signup", "click", "purchase", "view")
+    val steps = Seq("signup", "click", "purchase")
+    def reference(evs: Seq[(Long, Long, String)], gap: Option[Long]) =
+      evs.groupBy(_._1).flatMap { case (u, es) =>
+        val sorted = es.sortBy(_._2)
+        val times = scala.collection.mutable.ArrayBuffer.empty[Long]
+        sorted.foreach { case (_, t, ty) =>
+          val k = times.length
+          if (k < steps.length && ty == steps(k) &&
+            times.lastOption.forall(p => t > p && gap.forall(g => t <= p + g)))
+            times += t
+        }
+        if (times.isEmpty) None else Some(u -> times.toList)
+      }
+    for (gap <- Seq(None, Some(40L), Some(120L))) {
+      val evs = (0 until 150).map(i =>
+        (rnd.nextInt(6).toLong, i.toLong * 7, types(rnd.nextInt(types.length))))
+      val got = EventOps.funnel(evs.toDF("user_id", "ts", "event_type"),
+          "user_id", "ts", "event_type", steps, maxGap = gap)
+        .collect()
+        .map { r =>
+          r.getLong(0) -> (1 to 3).flatMap(k =>
+            if (r.isNullAt(k)) None else Some(r.getLong(k))).toList
+        }.toMap
+      assert(got == reference(evs, gap), s"gap=$gap diverged")
+    }
+  }
+
   test("cohort retention counts distinct actives per (cohort, offset)") {
     // bucket width 100: user 1 first in bucket 0, active in 0 and 2;
     // user 2 first in bucket 0, active in 0 twice (distinct-counted once);
