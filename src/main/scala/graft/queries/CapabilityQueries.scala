@@ -420,7 +420,7 @@ object CapabilityQueries {
     // identical operands, so the oracle matches exactly
     "agg_histogram" -> { (s, d) =>
       Tables.events(s, d)
-        .groupBy(floor(col("value") / 25.0).cast("long").as("bin"))
+        .groupBy(floor(col("value") / 25.0).as("bin")) // floor is LongType
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(38,2)")).cast("double")
             .as("sum_value"))

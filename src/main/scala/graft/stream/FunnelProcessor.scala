@@ -52,6 +52,7 @@ object FunnelProcessor {
       maxGap: Option[Long] = None,
       idleTtlMs: Long = -1L
   ): Dataset[FunnelProgress] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
     import events.sparkSession.implicits._
     val timeMode =
       if (idleTtlMs > 0) TimeMode.ProcessingTime() else TimeMode.None()

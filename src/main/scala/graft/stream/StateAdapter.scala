@@ -11,7 +11,11 @@ import org.apache.spark.sql.streaming.{GroupState, ValueState}
 private[stream] final class ValueGroupState[S](vs: ValueState[S])
     extends GroupState[S] {
   override def exists: Boolean = vs.exists()
-  override def get: S = vs.get()
+  // GroupState.get contracts a NoSuchElementException when absent; a bare
+  // vs.get() would return null here and surface as a distant NPE only
+  // under the v2 path
+  override def get: S = getOption.getOrElse(
+    throw new NoSuchElementException("State is either not defined or has already been removed"))
   override def getOption: Option[S] = Option(vs.get())
   override def update(s: S): Unit = vs.update(s)
   override def remove(): Unit = vs.clear()

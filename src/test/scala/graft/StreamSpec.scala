@@ -159,8 +159,10 @@ class StreamSpec extends SparkSpec {
         in.addData(b: _*); q.processAllAvailable()
       }
       q.stop()
+      // MULTISET compare (sorted seq, not a set): a duplicate emission of
+      // the same progress row must fail the property, not vanish
       spark.table(name).collect()
-        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
     }
     for (round <- 0 until 3) {
       // per-entity event-time-ordered stream (the cross-batch contract)
@@ -182,7 +184,7 @@ class StreamSpec extends SparkSpec {
           (1 to 3).flatMap(k => if (r.isNullAt(k)) None
             else Some((r.getLong(0), k, r.getLong(k))))
         }.toSet
-      assert(batchRows.subsetOf(whole),
+      assert(batchRows.subsetOf(whole.toSet),
         s"round $round: batch first-completions missing from stream output")
     }
   }

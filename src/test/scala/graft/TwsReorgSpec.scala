@@ -76,4 +76,47 @@ class TwsReorgSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("state-v2 funnel TTL evicts stalled entities") {
+    import graft.stream.EventStream.FunnelEvent
+    import graft.stream.FunnelProcessor
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sql = spark.sqlContext
+      val in = MemoryStream[FunnelEvent]
+      val q = FunnelProcessor.funnelTailV2(in.toDS(), Seq("signup", "click"),
+          idleTtlMs = 300L)
+        .writeStream.format("memory").queryName("tws_funnel_ttl")
+        .outputMode("append").start()
+      // TimeMode.ProcessingTime keeps the query perpetually "busy", so
+      // processAllAvailable never quiesces (same class of hang as fMGWS
+      // ProcessingTimeTimeout) — poll the sink for expected row counts
+      // instead; the default trigger picks new MemoryStream data up on
+      // its own
+      def awaitRows(n: Int): Unit = {
+        val deadline = System.currentTimeMillis + 60000
+        while (spark.table("tws_funnel_ttl").count() < n &&
+          System.currentTimeMillis < deadline) Thread.sleep(100)
+        assert(spark.table("tws_funnel_ttl").count() >= n,
+          s"timed out waiting for $n rows")
+      }
+      in.addData(FunnelEvent(1L, 100L, "signup"))
+      awaitRows(1)
+      Thread.sleep(1500) // let the store TTL expire the mid-funnel state
+      // expired state is invisible: a second signup is a fresh step-1
+      // entry and re-emits (with live state it would be a duplicate-
+      // ignored repeat and the row count would stay at 1). Progression
+      // within the TTL window is covered by the no-TTL replay test —
+      // asserting it here would race the (deliberately tiny) TTL.
+      in.addData(FunnelEvent(1L, 900L, "signup"))
+      awaitRows(2)
+      q.stop()
+      val got = spark.table("tws_funnel_ttl").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+      assert(got == Seq((1L, 1, 100L), (1L, 1, 900L)))
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
