@@ -32,7 +32,7 @@ object Dedup {
     * and land every row of a hot key on one task. Callers decide whether
     * to checkpoint the result (consumer-count dependent).
     */
-  private def dropHotKeys(df: DataFrame, keys: Seq[String], cap: Long): DataFrame = {
+  private[ext] def dropHotKeys(df: DataFrame, keys: Seq[String], cap: Long): DataFrame = {
     val hot = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
       .where(col("__n") > cap).select(keys.map(col): _*)
     df.join(broadcast(hot), keys, "left_anti")
@@ -874,6 +874,12 @@ object Dedup {
 
   /** Embedding near-dup: pairs of vectors with cosine ≥ threshold, candidate-
     * limited to shared LSH buckets (see [[Similarity.lshBucketed]]).
+    *
+    * `maxBucket` > 0 engages the [[Similarity.lshBucketedCapped]] skew
+    * guard (hot buckets split with fresh hyperplane bits; degenerate
+    * residue dropped) — same role as this file's MinHash `maxBucket` /
+    * n-gram `maxDf` caps, bounding the within-bucket quadratic on
+    * anisotropic corpora.
     */
   def embeddingNearDup(
       embs: DataFrame,
@@ -881,13 +887,14 @@ object Dedup {
       vecCol: String,
       dim: Int,
       nbits: Int,
-      minCosine: Double
+      minCosine: Double,
+      maxBucket: Long = 0L
   ): DataFrame = {
     // norms once per vector BEFORE the pair join (each vector appears in
     // many pairs; computing norm2 per pair tripled the per-pair work). The
     // join then needs only one dot product per pair. Both join sides
     // recompute it — cheaper than caching here (see minHashLsh note).
-    val bucketed = Similarity.lshBucketed(embs, vecCol, dim, nbits)
+    val bucketed = Similarity.lshBucketedCapped(embs, vecCol, dim, nbits, maxBucket)
       .withColumn("__norm", sqrt(Similarity.norm2(col(vecCol))))
     val a = bucketed.select(col("lsh_bucket"), col(idCol).as("id_a"),
       col(vecCol).as("v_a"), col("__norm").as("n_a"))

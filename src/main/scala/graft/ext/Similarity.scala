@@ -79,14 +79,20 @@ object Similarity {
     if (((mixed ^ (mixed >>> 13)) & 1L) == 0L) 1.0 else -1.0
   }
 
-  /** nbits-bit LSH bucket signature for a float-array column. */
-  def lshSignature(vecCol: Column, dim: Int, nbits: Int): Column = {
-    val bitCols = (0 until nbits).map { j =>
-      val plane = array((0 until dim).map(i => lit(planeSign(i, j))): _*)
+  /** Signature of `nbits` hyperplane sign bits starting at plane index
+    * `fromPlane` — the building block for both the base bucket key and the
+    * extra refinement bits of [[lshBucketedCapped]] (which must come from
+    * planes the base signature has NOT consumed).
+    */
+  private def signatureBits(vecCol: Column, dim: Int, fromPlane: Int, nbits: Int): Column =
+    (0 until nbits).map { j =>
+      val plane = array((0 until dim).map(i => lit(planeSign(i, fromPlane + j))): _*)
       when(dot(vecCol, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _).as("lsh_bucket")
-  }
+    }.reduce(_ + _)
+
+  /** nbits-bit LSH bucket signature for a float-array column. */
+  def lshSignature(vecCol: Column, dim: Int, nbits: Int): Column =
+    signatureBits(vecCol, dim, 0, nbits).as("lsh_bucket")
 
   /** Bucket the corpus by LSH signature; ANN search = probe the query's
     * bucket only, then exact-cosine rank within it. Returns the corpus with
@@ -95,6 +101,76 @@ object Similarity {
     */
   def lshBucketed(corpus: DataFrame, vecCol: String, dim: Int, nbits: Int): DataFrame =
     corpus.withColumn("lsh_bucket", lshSignature(col(vecCol), dim, nbits))
+
+  /** [[lshBucketed]] with a hot-bucket skew guard, for consumers that pair-
+    * join within buckets ([[knnJoin]], [[Dedup.embeddingNearDup]]). Real
+    * embedding corpora are anisotropic — a dominant direction can put a
+    * large fraction of vectors on the same side of every hyperplane, and a
+    * within-bucket self-join then goes quadratic in that one bucket no
+    * matter how many bits the signature has.
+    *
+    * Two-stage guard, mirroring the text tiers' `maxBucket`/`maxDf` caps:
+    *  1. REFINE — buckets over `maxBucket` rows get `ceil(log2(n/cap))`
+    *     extra sign bits (capped at `maxExtraBits`) from FRESH hyperplanes
+    *     (plane indices ≥ nbits), splitting the hot bucket into expected
+    *     ≤ cap sub-buckets. Unlike a drop, nearby vectors keep colliding in
+    *     the refined key, so recall degrades gracefully.
+    *  2. BACKSTOP — sub-buckets still over cap after refinement (a pile of
+    *     near-identical vectors agrees on every extra bit too) are dropped
+    *     outright via the same broadcast anti-join as the MinHash tier:
+    *     a hard upper bound on per-bucket pair count, at the cost of
+    *     losing pairs inside that degenerate pile.
+    *
+    * The bucket-size aggregate is map-side combinable and the over-cap key
+    * list is tiny by construction (≤ rows/cap entries, broadcast). The
+    * refined key is `base + extra << nbits` — injective, so unrefined
+    * buckets keep their original key and the cap is a provable no-op when
+    * nothing exceeds it (SimilaritySpec asserts identical output).
+    *
+    * The result is localCheckpointed when the cap is active: every consumer
+    * self-joins it (two legs), and each leg would otherwise recompute the
+    * signature pipeline AND both aggregates (same measured pathology as the
+    * MinHash band table).
+    */
+  def lshBucketedCapped(
+      corpus: DataFrame,
+      vecCol: String,
+      dim: Int,
+      nbits: Int,
+      maxBucket: Long,
+      maxExtraBits: Int = 16
+  ): DataFrame = {
+    val base = lshBucketed(corpus, vecCol, dim, nbits)
+    if (maxBucket <= 0) base
+    else {
+      val hot = base.groupBy("lsh_bucket").agg(count(lit(1)).as("__n"))
+        .where(col("__n") > maxBucket)
+      // extra bits sized from the PARENT bucket's row count, so every row of
+      // a hot bucket derives the same bit width (the refined key must be a
+      // pure row-function given the broadcast size map). +2 safety bits:
+      // the refinement planes share the corpus's directional bias, so an
+      // exactly-sized split stays skewed and feeds the drop backstop;
+      // over-splitting 4× keeps sub-buckets under cap (rows survive) at a
+      // mild per-bit recall cost
+      val extraBits = least(
+        lit(maxExtraBits),
+        ceil(log(2.0, col("__n").cast("double") / maxBucket.toDouble)) + 2L
+      ).cast("int")
+      // CaseWhen codegen only evaluates the matched branch, so cold rows
+      // (the common case) never pay the maxExtraBits extra dot products
+      val extraSig = when(
+        col("__n").isNotNull,
+        signatureBits(col(vecCol), dim, nbits, maxExtraBits)
+          .bitwiseAND(pow(lit(2.0), extraBits).cast("long") - 1L)
+      ).otherwise(lit(0L))
+      val refined = base
+        .join(broadcast(hot), Seq("lsh_bucket"), "left")
+        .withColumn("lsh_bucket", col("lsh_bucket") + extraSig * lit(1L << nbits))
+        .drop("__n")
+      Dedup.dropHotKeys(refined, Seq("lsh_bucket"), maxBucket)
+        .localCheckpoint(false)
+    }
+  }
 
   /** Approximate k-nearest-neighbour SELF-join: for every vector, its `k`
     * most cosine-similar neighbours among vectors sharing its LSH bucket —
@@ -109,6 +185,11 @@ object Similarity {
     * are invisible (that's the approximation) — recall vs exact top-k is
     * measured in SimilaritySpec.
     *
+    * `maxBucket` > 0 engages the [[lshBucketedCapped]] skew guard: hot
+    * buckets are split with fresh hyperplane bits (degenerate residue
+    * dropped), bounding the per-bucket quadratic at Σ min(|bucket|, cap)².
+    * Pass 0 only for corpora known to be isotropic.
+    *
     * @return (id, neighbor, rnk, cosine), rnk = 1..k per id
     */
   def knnJoin(
@@ -117,9 +198,10 @@ object Similarity {
       vecCol: String,
       dim: Int,
       nbits: Int,
-      k: Int
+      k: Int,
+      maxBucket: Long = 0L
   ): DataFrame = {
-    val bucketed = lshBucketed(embs, vecCol, dim, nbits)
+    val bucketed = lshBucketedCapped(embs, vecCol, dim, nbits, maxBucket)
       .withColumn("__norm", sqrt(norm2(col(vecCol))))
     val a = bucketed.select(col("lsh_bucket"), col(idCol).as("id"),
       col(vecCol).as("__va"), col("__norm").as("__na"))

@@ -47,10 +47,12 @@ object PipelineQueries {
           maxDist = 6)
         .orderBy("id_a", "id_b")
     },
-    // embedding cosine near-dup via LSH buckets (no SQL oracle)
+    // embedding cosine near-dup via LSH buckets (no SQL oracle); maxBucket
+    // engages the hot-bucket refine+drop guard — a no-op at this corpus
+    // size, the anisotropy insurance at 100 TB (see lshBucketedCapped)
     "dedup_embedding" -> { (s, d) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
-          dim = 64, nbits = 4, minCosine = 0.3)
+          dim = 64, nbits = 4, minCosine = 0.3, maxBucket = 1000)
         .orderBy("id_a", "id_b")
     },
     // brute-force exact cosine top-k vs the vec_id=0 query vector
@@ -329,7 +331,7 @@ object PipelineQueries {
     // DuckDB twin); recall vs the exact tier is measured in SimilaritySpec.
     "knn_join" -> { (s, d) =>
       Similarity.knnJoin(Tables.embeddings(s, d), "vec_id", "embedding",
-          dim = 64, nbits = 4, k = 5)
+          dim = 64, nbits = 4, k = 5, maxBucket = 1000)
         .orderBy("id", "rnk")
     },
     // EXACT knn self-join blocked by class label — quadratic per block,

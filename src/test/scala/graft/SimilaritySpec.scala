@@ -205,6 +205,71 @@ class SimilaritySpec extends SparkSpec {
     assert(er(3L) == ((Some(11.0), Some(11.0))))
   }
 
+  test("lshBucketedCapped is a no-op when no bucket exceeds the cap") {
+    val vecs = (0 until 80).map(i =>
+      (i.toLong, (0 until 16).map(j => math.sin(i * 17 + j).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val plain = Similarity.lshBucketed(df, "embedding", 16, 4)
+      .select("vec_id", "lsh_bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val capped = Similarity.lshBucketedCapped(df, "embedding", 16, 4,
+        maxBucket = 1000)
+      .select("vec_id", "lsh_bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == plain)
+  }
+
+  test("capped bucketing splits an anisotropic corpus; no bucket exceeds the cap") {
+    // dominant first coordinate: every base hyperplane's sign is biased the
+    // same way, concentrating a large fraction of the corpus in one bucket —
+    // the skew shape real (anisotropic) embedding spaces produce
+    val rnd = new scala.util.Random(23)
+    val vecs = (0 until 200).map { i =>
+      val v = (2.0 +: Seq.fill(15)(rnd.nextGaussian()))
+        .map(_.toFloat)
+      (i.toLong, v)
+    }
+    val df = vecs.toDF("vec_id", "embedding").cache()
+    val cap = 20L
+    def bucketSizes(b: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      b.groupBy("lsh_bucket").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val uncapped = bucketSizes(Similarity.lshBucketed(df, "embedding", 16, 4))
+    assert(uncapped.values.max > cap, "fixture must actually be skewed")
+    val capped = bucketSizes(
+      Similarity.lshBucketedCapped(df, "embedding", 16, 4, maxBucket = cap))
+    // the hard invariant the 100 TB path depends on: per-bucket pair count
+    // is bounded, no bucket in the join input exceeds the cap
+    assert(capped.values.max <= cap,
+      s"capped max bucket ${capped.values.max} > $cap")
+    // refinement (not the drop backstop) must do most of the work: the
+    // corpus is noisy, so fresh hyperplanes can split the hot buckets
+    val survived = capped.values.sum
+    assert(survived >= 150, s"only $survived/200 rows survived the cap")
+    // pair-count actually shrank vs the uncapped quadratic
+    def pairs(m: Map[Long, Long]) = m.values.map(n => n * (n - 1) / 2).sum
+    assert(pairs(capped) < pairs(uncapped))
+  }
+
+  test("degenerate pile (identical direction) is hard-dropped, not quadratic") {
+    // all vectors point the same way: refinement bits agree too, so the
+    // backstop is the only defense — the pile is dropped outright and the
+    // pair join sees zero candidates instead of n²/2
+    val vecs = (0 until 100).map { i =>
+      (i.toLong, (50f +: Seq.fill(15)(0.001f * (i % 7))).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val capped = Similarity.lshBucketedCapped(df, "embedding", 16, 4,
+      maxBucket = 10)
+    val sizes = capped.groupBy("lsh_bucket").agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    assert(sizes.isEmpty || sizes.max <= 10)
+    // knnJoin with the cap terminates with bounded work and no crash
+    val knn = Similarity.knnJoin(df, "vec_id", "embedding",
+      dim = 16, nbits = 4, k = 3, maxBucket = 10)
+    assert(knn.count() <= 100 * 3)
+  }
+
   test("lsh bucket is deterministic across evaluations") {
     val vecs = (0 until 50).map(i =>
       (i.toLong, (0 until 16).map(j => math.sin(i * 17 + j).toFloat)))
