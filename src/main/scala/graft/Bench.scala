@@ -109,6 +109,10 @@ object Bench {
     def p2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fail,"reps":$reps,"steal_pct":${p2(stealPct)},"busy_pct":${p2(busyPct)},"sf":"$sfDir"}""")
+    // the per-query line above can be very long and tail-truncated by log
+    // capture (it happened two rounds running); repeat the headline in one
+    // short final line so the end of any capture keeps it
+    println(s"""{"summary":"bench","total_s":${p2(total)},"n":${results.size},"failed":${failed.size},"reps":$reps,"steal_pct":${p2(stealPct)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

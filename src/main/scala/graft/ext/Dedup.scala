@@ -38,6 +38,18 @@ object Dedup {
     df.join(broadcast(hot), keys, "left_anti")
   }
 
+  /** True iff `idCol` is an integral type that casts to long losslessly —
+    * the id contract of the cluster/purge pipeline (labels are longs).
+    */
+  private def integralId(df: DataFrame, idCol: String): Boolean =
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
   /** Exact dedup: group by sha256(text); keeper = min(id).
     * Returns (text_hash, n_dups, keeper).
     */
@@ -648,6 +660,12 @@ object Dedup {
       maxBucket: Int = 0,
       maxDf: Long = 0L
   ): DataFrame = {
+    // same integral-id contract as connectedComponents: a non-numeric
+    // string id would cast to null in the keeper join below and silently
+    // return an empty corpus instead of failing
+    require(integralId(docs, idCol),
+      s"dedupCorpus needs an integral (long-castable) id column; " +
+        s"'$idCol' is ${docs.schema(idCol).dataType.simpleString}")
     val pairs = nearDupPairs(docs, idCol, textCol, shingleN, minJaccard,
       numHashes, bands, maxBucket, maxDf)
     val cc = connectedComponents(pairs, docs.select(idCol), idCol)

@@ -69,6 +69,12 @@ object ScaleOps {
     * Cost model: pays one extra pass over dim + one driver round-trip;
     * wins when fact ≫ dim-matched-fact (the shuffle avoided dwarfs the
     * sketch pass). For broadcast-sized dims just broadcast.
+    *
+    * CONTRACT: `dim` must be deterministic — it is evaluated twice (once
+    * for the sketch, once in the join), and a nondeterministic dim (a
+    * sample, a rand() filter) can produce join keys on the second
+    * evaluation that the sketch never saw, silently dropping matches.
+    * `localCheckpoint`/persist such a dim before calling.
     */
   def bloomPrunedJoin(
       fact: DataFrame,

@@ -86,10 +86,14 @@ object CapabilityQueries {
       // rounds its full binary expansion — at sf0.1 row counts some row
       // lands inside that half-ulp window and the sums diverge.
       val priceD = col("l_extendedprice").cast("decimal(12,2)")
+      // inferred types: discPrice decimal(26,4); charge decimal(38,6) —
+      // precision-adjusted down from 40, relying on Spark's precision-loss
+      // scale floor (MINIMUM_ADJUSTED_SCALE = 6) staying ≥ the true scale
+      // 6, so both products remain EXACT at these magnitudes
       val discPrice = priceD *
-        (lit(1) - col("l_discount").cast("decimal(4,2)")) // (18,4), exact
+        (lit(1) - col("l_discount").cast("decimal(4,2)"))
       val charge = discPrice *
-        (lit(1) + col("l_tax").cast("decimal(4,2)"))      // (24,6), exact
+        (lit(1) + col("l_tax").cast("decimal(4,2)"))
       l.where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(

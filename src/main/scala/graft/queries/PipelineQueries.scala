@@ -367,7 +367,15 @@ object PipelineQueries {
     },
     // end-to-end corpus dedup: tiered LSH→exact pairs → connected
     // components → keep min id per cluster; the SURVIVING corpus with the
-    // size of the cluster each keeper represents
+    // size of the cluster each keeper represents.
+    // RECALL ASSUMPTION (shared with dedup_cluster): the Spark side
+    // generates candidates via MinHash-LSH (32 hashes / 16 bands ⇒ ~78%
+    // collision probability at jaccard exactly 0.3) while the DuckDB
+    // oracle computes exact all-pairs Jaccard. The comparison passes
+    // because the current corpus has no pair close enough to 0.3 for LSH
+    // to miss; if testdata is ever regenerated and this row alone goes
+    // red, suspect a borderline pair (est. vs exact Jaccard near the
+    // threshold), not the clustering.
     "dedup_purge" -> { (s, d) =>
       Dedup.dedupCorpus(Tables.documents(s, d), "doc_id", "text",
           shingleN = 3, minJaccard = 0.3, numHashes = 32, bands = 16,

@@ -149,7 +149,12 @@ object EventStream {
     }
     var times = state.getOption.map(_.times).getOrElse(Nil)
     val out = scala.collection.mutable.ArrayBuffer.empty[FunnelProgress]
-    it.toSeq.sortBy(_.ts).foreach { ev =>
+    // (ts, eventType) — a ts-only sort leaves equal-timestamp events of
+    // different types in nondeterministic shuffle order, and e.g. a
+    // funnel-completing event vs a step-1 re-entry at the same ts would
+    // emit or drop the re-entry depending on arrival order, breaking
+    // batch-boundary independence for ties
+    it.toSeq.sortBy(e => (e.ts, e.eventType)).foreach { ev =>
       // a COMPLETED funnel resets on the next event: re-entry starts a
       // fresh state machine. Doing the reset here (not only via the
       // end-of-batch state removal) makes re-entry independent of where

@@ -201,6 +201,17 @@ class DedupSpec extends SparkSpec {
     assert(r == Map(0L -> 3L, 3L -> 2L, 5L -> 1L))
   }
 
+  test("dedupCorpus rejects a non-integral id column instead of returning empty") {
+    // a string id would cast to null in the keeper join and silently drop
+    // the whole corpus — the contract check must fail loudly instead
+    val strDocs = Seq(("a", "some text here"), ("b", "other text there"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupCorpus(strDocs, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("contamination: leaked eval doc scores 1, clean doc scores 0") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
