@@ -8,10 +8,15 @@ import org.apache.spark.sql.functions._
   * batches.
   *
   * The Spark-side plumbing here is real and tested — schema, typed Datasets,
-  * batch shape, partitioning — while the actual codec calls are STUBBED
-  * behind [[Codecs]] with deterministic fakes (this container has no
-  * image/audio libraries). Swapping in a real decoder is a one-function
-  * change; nothing in the pipeline shape moves.
+  * batch shape, partitioning. Codec depth is tiered:
+  *  - REAL header decoding for PNG/JPEG (JDK ImageIO, header-only — the
+  *    raster is never materialized) and WAV (RIFF chunk walk) via
+  *    [[Codecs.decodeImageMeta]] / [[Codecs.decodeWavMeta]], surfaced by
+  *    [[probeAll]] with a null-safe fallback for undecodable bytes.
+  *  - STUBBED model-dependent steps (featurize, re-encode, keyframe
+  *    extraction) behind [[Codecs]] with deterministic fakes — those need
+  *    ML models / video codecs this container doesn't ship. Swapping one
+  *    in is a one-function change; nothing in the pipeline shape moves.
   *
   * Scale design: media blobs are large and must never be shuffled casually —
   * every operator below is a narrow `mapPartitions` (the Scala analog of
@@ -44,13 +49,88 @@ object Multimodal {
 
   final case class Frame(media_id: Long, frame_no: Int, content: Array[Byte])
 
-  /** The codec boundary — STUBS. Each fake is deterministic in the input
-    * bytes so tests are stable; a production build replaces these bodies
-    * with real decoders (e.g. via JNI/javacpp) without touching the
-    * pipeline.
+  /** Real container metadata, from actually parsing the payload bytes. */
+  final case class ImageMeta(format: String, width: Int, height: Int,
+      channels: Int)
+  final case class WavMeta(channels: Int, sample_rate: Int,
+      bits_per_sample: Int, duration_ms: Long)
+
+  /** Probe result: real metadata where the bytes decode, the blob's own
+    * declared metadata where they don't (`decoded` says which).
+    */
+  final case class MediaProbe(media_id: Long, kind: String, format: String,
+      width: Int, height: Int, channels: Int, sample_rate: Int,
+      duration_ms: Long, decoded: Boolean)
+
+  /** The codec boundary. [[decodeImageMeta]]/[[decodeWavMeta]] are REAL
+    * (JDK-only, executor-safe); the model-shaped calls below them are
+    * deterministic STUBS a production build replaces (e.g. via JNI/javacpp)
+    * without touching the pipeline.
     */
   object Codecs {
     val FeatureDim = 8
+
+    /** Decode real image container metadata (PNG/JPEG/GIF/BMP — whatever
+      * the JDK's ImageIO plugins recognise) without materializing the
+      * raster: the reader is asked for dimensions and the raw image type
+      * only, so cost is header-bytes, not pixels. Returns None for bytes no
+      * installed reader claims — the null-safe fallback path.
+      */
+    def decodeImageMeta(content: Array[Byte]): Option[ImageMeta] = {
+      import javax.imageio.ImageIO
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, true, true)
+            val types = r.getImageTypes(0)
+            val channels =
+              if (types.hasNext) types.next().getNumComponents else -1
+            Some(ImageMeta(r.getFormatName.toLowerCase(java.util.Locale.ROOT),
+              r.getWidth(0), r.getHeight(0), channels))
+          } finally r.dispose()
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally iis.close()
+    }
+
+    /** Parse a RIFF/WAVE header: channels, sample rate, bit depth, and
+      * duration derived from the data-chunk size over the byte rate. A
+      * chunk walk (not a fixed 44-byte offset) so files with extra chunks
+      * (LIST/fact) before `data` still parse; malformed sizes abort to
+      * None rather than over-read.
+      */
+    def decodeWavMeta(content: Array[Byte]): Option[WavMeta] = {
+      def ascii(off: Int, n: Int) = new String(content, off, n, "US-ASCII")
+      def le16(o: Int): Int = (content(o) & 0xff) | ((content(o + 1) & 0xff) << 8)
+      def le32(o: Int): Long =
+        (content(o) & 0xffL) | ((content(o + 1) & 0xffL) << 8) |
+          ((content(o + 2) & 0xffL) << 16) | ((content(o + 3) & 0xffL) << 24)
+      if (content.length < 44 || ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE")
+        return None
+      var off = 12
+      var fmt: Option[(Int, Long, Long, Int)] = None // (ch, rate, byteRate, bits)
+      var dataSize = -1L
+      while (off + 8 <= content.length && (fmt.isEmpty || dataSize < 0)) {
+        val id = ascii(off, 4)
+        val size = le32(off + 4)
+        if (id == "fmt " && size >= 16 && off + 8 + 16 <= content.length)
+          fmt = Some((le16(off + 10), le32(off + 12), le32(off + 16),
+            le16(off + 22)))
+        else if (id == "data") dataSize = size
+        // chunks are word-aligned; a bogus size would loop or over-read
+        if (size < 0 || size > Int.MaxValue - 9) return None
+        off += 8 + size.toInt + (size.toInt & 1)
+      }
+      fmt.collect {
+        case (ch, rate, byteRate, bits) if dataSize >= 0 && byteRate > 0 =>
+          WavMeta(ch, rate.toInt, bits, dataSize * 1000L / byteRate)
+      }
+    }
 
     /** STUB decode+featurize: derives a fixed-dim float vector from content
       * bytes (stands in for decode → model forward pass).
@@ -102,6 +182,33 @@ object Multimodal {
         val bytes = text.getBytes("UTF-8")
         MediaBlob(id, kind, bytes, s"$kind/fake", 64, 64, -1L)
       }
+  }
+
+  /** Probe real container metadata for every blob: image formats first
+    * (magic-byte dispatch is the readers' own `canDecode`), then WAV; bytes
+    * nothing recognises fall back to the blob's declared metadata with
+    * `decoded = false` — a corrupt or exotic payload degrades to the stub
+    * path instead of failing the partition. Narrow mapPartitions, payload
+    * never shuffled; output rows are small and join-friendly.
+    */
+  def probeAll(media: Dataset[MediaBlob]): Dataset[MediaProbe] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      Codecs.decodeImageMeta(m.content) match {
+        case Some(im) =>
+          MediaProbe(m.media_id, m.kind, im.format, im.width, im.height,
+            im.channels, -1, -1L, decoded = true)
+        case None => Codecs.decodeWavMeta(m.content) match {
+          case Some(w) =>
+            MediaProbe(m.media_id, m.kind, "wav", -1, -1, w.channels,
+              w.sample_rate, w.duration_ms, decoded = true)
+          case None =>
+            MediaProbe(m.media_id, m.kind, "unknown", m.width, m.height,
+              -1, -1, m.duration_ms, decoded = false)
+        }
+      }
+    })
   }
 
   /** Feature extraction: one batched pass per partition; output rows are

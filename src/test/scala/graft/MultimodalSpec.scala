@@ -45,6 +45,82 @@ class MultimodalSpec extends SparkSpec {
     assert(byId(1L).map(_.frame_no).sorted.toSeq == Seq(0, 1, 2, 3))
   }
 
+  // real fixtures, generated in-process: ImageIO writes genuine PNG/JPEG
+  // containers; the WAV is the canonical 44-byte header + PCM silence
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff8800)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  private def wavBytes(channels: Int, rate: Int, bits: Int,
+      nFrames: Int): Array[Byte] = {
+    val blockAlign = channels * bits / 8
+    val byteRate = rate * blockAlign
+    val dataSize = nFrames * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate).putInt(byteRate)
+      .putShort(blockAlign.toShort).putShort(bits.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    bb.array()
+  }
+
+  test("decodeImageMeta reads real PNG and JPEG headers") {
+    val png = Multimodal.Codecs.decodeImageMeta(pngBytes(7, 5))
+    assert(png.exists(m => m.format == "png" && m.width == 7 &&
+      m.height == 5 && m.channels == 3))
+    val jpg = Multimodal.Codecs.decodeImageMeta(jpegBytes(12, 4))
+    assert(jpg.exists(m => m.format.startsWith("jp") && m.width == 12 &&
+      m.height == 4))
+    assert(Multimodal.Codecs.decodeImageMeta("not an image".getBytes).isEmpty)
+    assert(Multimodal.Codecs.decodeImageMeta(Array.empty[Byte]).isEmpty)
+  }
+
+  test("decodeWavMeta parses the RIFF header and derives duration") {
+    // 16 kHz stereo 16-bit, 8000 frames = 500 ms
+    val w = Multimodal.Codecs.decodeWavMeta(wavBytes(2, 16000, 16, 8000))
+    assert(w.contains(Multimodal.WavMeta(2, 16000, 16, 500L)))
+    // truncated / non-RIFF bytes refuse to parse
+    assert(Multimodal.Codecs.decodeWavMeta(wavBytes(2, 16000, 16, 8000)
+      .take(20)).isEmpty)
+    assert(Multimodal.Codecs.decodeWavMeta("RIFFxxxxJUNK".getBytes ++
+      new Array[Byte](40)).isEmpty)
+  }
+
+  test("probeAll decodes real payloads and falls back for opaque bytes") {
+    val blobs = Seq(
+      Multimodal.MediaBlob(1L, "image", pngBytes(9, 3), "image/png",
+        -1, -1, -1L),
+      Multimodal.MediaBlob(2L, "audio", wavBytes(1, 8000, 16, 4000),
+        "audio/wav", -1, -1, -1L),
+      Multimodal.MediaBlob(3L, "image", "just text bytes".getBytes,
+        "image/fake", 64, 64, -1L)
+    ).toDS()
+    val probes = Multimodal.probeAll(blobs).collect().sortBy(_.media_id)
+    assert(probes(0).decoded && probes(0).format == "png" &&
+      probes(0).width == 9 && probes(0).height == 3 && probes(0).channels == 3)
+    assert(probes(1).decoded && probes(1).format == "wav" &&
+      probes(1).sample_rate == 8000 && probes(1).duration_ms == 500L)
+    // undecodable: keeps the blob's declared metadata, flagged
+    assert(!probes(2).decoded && probes(2).width == 64 &&
+      probes(2).format == "unknown")
+  }
+
   test("features join back to metadata without shuffling payloads") {
     val media = Multimodal.fromText(docs, "doc_id", "text")
     val joined = Multimodal.featureTable(media)
