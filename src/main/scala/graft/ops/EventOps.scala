@@ -80,6 +80,71 @@ object EventOps {
     acc.withColumn("n_steps", nSteps)
   }
 
+  /** Any-anchor funnel: like [[funnel]], but an entity's chain may start at
+    * ANY of its earliest `maxAnchors` step-1 events, not only the first —
+    * the re-entrant-user fix for conversion windows. Under anchored-first
+    * semantics a user whose first signup expires the `maxGap` window but
+    * who re-enters and then converts reads as n_steps = 1; here the
+    * re-entry's chain is evaluated too and the best chain wins.
+    *
+    * BOUNDED STATE, by construction: only the earliest `maxAnchors` step-1
+    * timestamps per entity are considered (the documented bound — a
+    * conversion whose successful anchor is beyond the m-th step-1 event is
+    * still missed; raise `maxAnchors` to trade memory for recall). The
+    * streaming twin would keep a sliding window of the LAST m anchors; the
+    * batch form keeps the FIRST m so results are deterministic and
+    * oracle-checkable.
+    *
+    * Plan: one entity-key window ranks the anchors (row_number ≤ m), then
+    * the same per-step filtered min-aggregates as [[funnel]] keyed on
+    * (entity, anchor) — per-entity state is m × steps timestamps, never an
+    * event list; each step's join fans events out at most m-fold. The
+    * closing best-chain pick is a window over ≤ m rows per entity.
+    *
+    * Chain choice is deterministic in VALUES: max n_steps, then smallest
+    * t_1 — two anchors with identical (n_steps, t_1) necessarily carry
+    * identical chains, so the emitted row is unique even when the anchor
+    * INDEX assignment between equal timestamps is not.
+    *
+    * @return (entityCol, t_1 .. t_n, n_steps) — same shape as [[funnel]]
+    */
+  def funnelAnyAnchor(events: DataFrame, entityCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], maxGap: Option[Long] = None,
+      maxAnchors: Int = 4): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxGap.forall(_ > 0), s"maxGap must be positive, got $maxGap")
+    require(maxAnchors >= 1, s"maxAnchors must be >= 1, got $maxAnchors")
+    val aw = Window.partitionBy(col(entityCol)).orderBy(col("t_1"))
+    var acc = events.where(col(typeCol) === steps.head)
+      .select(col(entityCol), col(tsCol).as("t_1"))
+      .withColumn("__anchor", row_number().over(aw))
+      .where(col("__anchor") <= maxAnchors)
+    steps.tail.zipWithIndex.foreach { case (st, i) =>
+      val prev = s"t_${i + 1}"
+      val cur = s"t_${i + 2}"
+      // same double-consumption shape as funnel — checkpoint per step
+      val accM = acc.localCheckpoint(false)
+      val inWindow = maxGap.map(g => col(tsCol) <= col(prev) + g)
+        .getOrElse(lit(true))
+      val stepMin = events.where(col(typeCol) === st)
+        .join(accM.select(col(entityCol), col("__anchor"), col(prev)),
+          Seq(entityCol))
+        .where(col(tsCol) > col(prev) && inWindow)
+        .groupBy(col(entityCol), col("__anchor"))
+        .agg(min(col(tsCol)).as(cur))
+      acc = accM.join(stepMin, Seq(entityCol, "__anchor"), "left")
+    }
+    val nSteps = (2 to steps.length).foldLeft(lit(1L)) { (n, k) =>
+      n + when(col(s"t_$k").isNotNull, 1L).otherwise(0L)
+    }
+    val best = Window.partitionBy(col(entityCol))
+      .orderBy(col("n_steps").desc, col("t_1"))
+    acc.withColumn("n_steps", nSteps)
+      .withColumn("__rk", row_number().over(best))
+      .where(col("__rk") === 1)
+      .drop("__rk", "__anchor")
+  }
+
   /** Cohort retention: entities are grouped by the time-bucket of their
     * FIRST event (the cohort); for each (cohort, bucket-offset) the number
     * of distinct entities active in that bucket. The classic retention

@@ -352,6 +352,25 @@ object CapabilityQueries {
             .as("price_p50"))
         .orderBy("l_returnflag")
     },
+    // the 100 TB tier of agg_quantiles: one-pass mergeable KLL-style
+    // sketch (Spark's percentile_approx) instead of a per-group sort —
+    // map-side combinable, bounded memory at any cardinality. No SQL
+    // oracle (sketch-dependent); rank error vs the exact tier is bounded
+    // and asserted at sf0.1 in ApproxQuantileSpec
+    "agg_quantiles_approx" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_quantity").cast("double"),
+            lit(0.25), lit(10000)).as("q25"),
+          percentile_approx(col("l_quantity").cast("double"),
+            lit(0.5), lit(10000)).as("q50"),
+          percentile_approx(col("l_quantity").cast("double"),
+            lit(0.75), lit(10000)).as("q75"),
+          percentile_approx(col("l_extendedprice").cast("double"),
+            lit(0.5), lit(10000)).as("price_p50"))
+        .orderBy("l_returnflag")
+    },
     // sessionization: gap-based session windows per user (batch twin of
     // stream_session; Spark's session_window vs a gaps-and-islands oracle)
     "agg_session" -> { (s, d) =>
@@ -418,6 +437,25 @@ object CapabilityQueries {
           .as("p50_total_us"),
         percentile((col("t_3") - col("t_1")).cast("double"), lit(0.9))
           .as("p90_total_us"))
+    },
+    // any-anchor funnel under a 1-hour conversion window: a user whose
+    // first signup times out but who re-enters and converts counts here
+    // (anchored-first funnel_steps reads them as n_steps = 1). Bounded by
+    // construction: the earliest 3 anchors per user, state m × steps
+    // timestamps (see EventOps.funnelAnyAnchor)
+    "funnel_any" -> { (s, d) =>
+      import graft.ops.EventOps
+      EventOps.funnelAnyAnchor(
+          Tables.events(s, d).withColumn("tsu", expr("ts div 1000")),
+          "user_id", "tsu", "event_type",
+          Seq("signup", "click", "purchase"),
+          maxGap = Some(3600000000L), maxAnchors = 3)
+        .select(col("user_id"),
+          expr("t_1 div 1000").as("t1_ms"),
+          expr("t_2 div 1000").as("t2_ms"),
+          expr("t_3 div 1000").as("t3_ms"),
+          col("n_steps"))
+        .orderBy("user_id")
     },
     // fixed-width histogram of the value distribution — the numeric
     // profiling pass; bin arithmetic is a single IEEE divide+floor on
@@ -740,6 +778,36 @@ object CapabilityQueries {
         | quantile_cont(CAST(t3 - t1 AS DOUBLE), 0.5) AS p50_total_us,
         | quantile_cont(CAST(t3 - t1 AS DOUBLE), 0.9) AS p90_total_us
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+    // per-(user, anchor) greedy chains over the earliest 3 signup anchors,
+    // best chain per user by (n_steps DESC, t1); time in integer µs on
+    // both engines like funnel_steps
+    "funnel_any" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+        |a AS (SELECT user_id, tu AS t1,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY tu) AS anchor
+        |      FROM ev WHERE event_type = 'signup' QUALIFY anchor <= 3),
+        |s2 AS (SELECT a.user_id, a.anchor, min(tu) AS t2
+        |       FROM ev JOIN a USING (user_id)
+        |       WHERE event_type = 'click' AND tu > t1
+        |         AND tu <= t1 + 3600000000 GROUP BY 1, 2),
+        |s3 AS (SELECT s2.user_id, s2.anchor, min(tu) AS t3
+        |       FROM ev JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND tu > t2
+        |         AND tu <= t2 + 3600000000 GROUP BY 1, 2),
+        |c AS (SELECT a.user_id, t1, t2, t3,
+        |        1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+        |          + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS n_steps
+        |      FROM a LEFT JOIN s2 USING (user_id, anchor)
+        |             LEFT JOIN s3 USING (user_id, anchor))
+        |SELECT user_id,
+        | CAST(t1 // 1000 AS BIGINT) AS t1_ms,
+        | CAST(t2 // 1000 AS BIGINT) AS t2_ms,
+        | CAST(t3 // 1000 AS BIGINT) AS t3_ms,
+        | CAST(n_steps AS BIGINT) AS n_steps
+        |FROM c
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY n_steps DESC, t1) = 1
+        |ORDER BY user_id""".stripMargin,
     "agg_histogram" ->
       """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
         | CAST(floor(value / 25.0) AS BIGINT) * 25.0 AS lo,

@@ -89,6 +89,97 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("any-anchor funnel finds the re-entrant conversion anchored-first misses") {
+    // first signup's window (gap 100) expires before the click; the second
+    // signup's chain completes. Anchored-first: n_steps = 1. Any-anchor:
+    // the anchor-2 chain (200, 250, 280) wins.
+    val ev = Seq(
+      (1L, 0L, "signup"), (1L, 200L, "signup"),
+      (1L, 250L, "click"), (1L, 280L, "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val steps = Seq("signup", "click", "purchase")
+    val first = EventOps.funnel(ev, "user_id", "ts", "event_type",
+      steps, maxGap = Some(100L)).head()
+    assert(first.getAs[Long]("n_steps") == 1L)
+    val any = EventOps.funnelAnyAnchor(ev, "user_id", "ts", "event_type",
+      steps, maxGap = Some(100L), maxAnchors = 3).head()
+    assert(any.getAs[Long]("n_steps") == 3L)
+    assert((any.getLong(1), any.getLong(2), any.getLong(3)) ==
+      ((200L, 250L, 280L)))
+  }
+
+  test("any-anchor funnel's maxAnchors is a real bound (documented recall trade)") {
+    // only the THIRD signup's chain completes; m = 2 must miss it, m = 3
+    // must find it
+    val ev = Seq(
+      (1L, 0L, "signup"), (1L, 10L, "signup"), (1L, 500L, "signup"),
+      (1L, 510L, "click"), (1L, 520L, "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val steps = Seq("signup", "click", "purchase")
+    def run(m: Int) = EventOps.funnelAnyAnchor(ev, "user_id", "ts",
+      "event_type", steps, maxGap = Some(50L), maxAnchors = m)
+      .head().getAs[Long]("n_steps")
+    assert(run(2) == 1L)
+    assert(run(3) == 3L)
+  }
+
+  test("any-anchor funnel matches a driver-side reference fold on random data (fuzz)") {
+    // reference: per entity, greedy chain from each of the earliest m
+    // step-1 events; best chain by (n_steps desc, t1 asc)
+    val rnd = new scala.util.Random(19)
+    val types = Vector("signup", "click", "purchase", "view")
+    val steps = Seq("signup", "click", "purchase")
+    def chain(sorted: Seq[(Long, String)], t1: Long,
+        gap: Option[Long]): List[Long] = {
+      val times = scala.collection.mutable.ArrayBuffer(t1)
+      steps.tail.foreach { st =>
+        val prev = times.last
+        // only extend while progression is unbroken
+        if (times.length == steps.indexOf(st)) {
+          sorted.collectFirst {
+            case (t, ty) if ty == st && t > prev &&
+              gap.forall(g => t <= prev + g) => t
+          }.foreach(times += _)
+        }
+      }
+      times.toList
+    }
+    def reference(evs: Seq[(Long, Long, String)], gap: Option[Long], m: Int) =
+      evs.groupBy(_._1).flatMap { case (u, es) =>
+        val sorted = es.map(e => (e._2, e._3)).sortBy(_._1)
+        val anchors = sorted.collect { case (t, "signup") => t }.take(m)
+        if (anchors.isEmpty) None
+        else {
+          val chains = anchors.map(a => chain(sorted, a, gap))
+          Some(u -> chains.maxBy(c => (c.length, -c.head)))
+        }
+      }
+    for (gap <- Seq(None, Some(40L), Some(120L)); m <- Seq(1, 2, 4)) {
+      val evs = (0 until 200).map(i =>
+        (rnd.nextInt(6).toLong, i.toLong * 7, types(rnd.nextInt(types.length))))
+      val got = EventOps.funnelAnyAnchor(
+          evs.toDF("user_id", "ts", "event_type"),
+          "user_id", "ts", "event_type", steps, maxGap = gap, maxAnchors = m)
+        .collect()
+        .map { r =>
+          r.getLong(0) -> (1 to 3).flatMap(k =>
+            if (r.isNullAt(k)) None else Some(r.getLong(k))).toList
+        }.toMap
+      assert(got == reference(evs, gap, m), s"gap=$gap m=$m diverged")
+      // m = 1 degenerates to anchored-first exactly
+      if (m == 1) {
+        val af = EventOps.funnel(evs.toDF("user_id", "ts", "event_type"),
+            "user_id", "ts", "event_type", steps, maxGap = gap)
+          .collect()
+          .map { r =>
+            r.getLong(0) -> (1 to 3).flatMap(k =>
+              if (r.isNullAt(k)) None else Some(r.getLong(k))).toList
+          }.toMap
+        assert(got == af, s"gap=$gap m=1 != anchored-first")
+      }
+    }
+  }
+
   test("cohort retention counts distinct actives per (cohort, offset)") {
     // bucket width 100: user 1 first in bucket 0, active in 0 and 2;
     // user 2 first in bucket 0, active in 0 twice (distinct-counted once);
