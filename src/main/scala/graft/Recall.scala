@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Similarity}
+
+/** Recall measurement for the hash/sketch tiers at bench scale (sf0.1) —
+  * the quality evidence behind the rows-only CORRECTNESS entries
+  * (`sim_search_lsh/ivf/pq`, `dedup_minhash`, `dedup_embedding`): each
+  * approximate tier is scored against its exact twin on the full corpus
+  * and the numbers are written to RECALL.md (referenced from SURVEY §8).
+  *
+  * Gates (`require`) sit slightly under the measured values so a
+  * regression in the hash tiers fails this main loudly instead of
+  * silently shipping a worse index; they are calibrated to THIS synthetic
+  * corpus, not universal ANN truths.
+  *
+  * Usage: `sbt "runMain graft.Recall [sfDir] [outFile]"`.
+  */
+object Recall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outFile = if (args.length > 1) args(1) else "RECALL.md"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val e = Tables.embeddings(spark, sfDir).cache()
+    val nVec = e.count()
+    val k = 20
+    val nQueries = 20
+
+    // ── ANN tiers: mean recall@20 over the first `nQueries` vectors, each
+    // vs the exact brute-force top-k (the sim_search configuration) ──────
+    val queryIds = (0L until nQueries.toLong)
+    def exactTop(qid: Long): Set[Long] =
+      Similarity.cosineTopK(e, e.where(col("vec_id") === qid),
+        "vec_id", "embedding", k).collect().map(_.getLong(0)).toSet
+
+    val exact = queryIds.map(q => q -> exactTop(q)).toMap
+
+    def meanRecall(top: Long => Set[Long]): Double =
+      queryIds.map { q =>
+        val t = top(q)
+        exact(q).intersect(t).size.toDouble / exact(q).size
+      }.sum / nQueries
+
+    // LSH: the sim_search_lsh configuration (nbits = 4, Hamming-1
+    // multiprobe), plus the single-bucket probe for context
+    def lshAt(probe: Int): Double = meanRecall { q =>
+      Similarity.annTopK(e, e.where(col("vec_id") === q).select("embedding"),
+        "vec_id", "embedding", dim = 64, nbits = 4, k = k,
+        probeHamming = probe)
+        .collect().map(_.getLong(0)).toSet
+    }
+    val lshRecall = lshAt(1)
+    val lshRecall0 = lshAt(0)
+
+    // IVF: the sim_search_ivf configuration (nlist = 16, nprobe = 4);
+    // index built once, probed per query
+    val (indexed, centroids) =
+      Similarity.ivfIndex(e, "vec_id", "embedding", nlist = 16)
+    val indexedC = indexed.cache()
+    def qv(q: Long): Array[Float] =
+      e.where(col("vec_id") === q).select("embedding")
+        .head().getSeq[Float](0).toArray
+    val ivfRecall = meanRecall { q =>
+      Similarity.ivfTopK(indexedC, centroids, qv(q), "vec_id", "embedding",
+        nprobe = 4, k = k).collect().map(_.getLong(0)).toSet
+    }
+
+    // PQ: the sim_search_pq configuration (m = 8, k = 16, rerank = 100)
+    val (encoded, codebooks) =
+      Similarity.pqIndex(e, "vec_id", "embedding", m = 8, k = 16)
+    val encodedC = encoded.cache()
+    val pqRecall = meanRecall { q =>
+      Similarity.pqTopK(encodedC, codebooks, qv(q), "vec_id", "embedding",
+        k = k, rerank = 100).collect().map(_.getLong(0)).toSet
+    }
+
+    // ── MinHash LSH: candidate recall vs the exact n-gram Jaccard tier
+    // (the dedup_minhash / dedup_ngram configurations) ────────────────────
+    val docs = Tables.documents(spark, sfDir).cache()
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = pairSet(Dedup.ngramJaccard(docs, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.3, maxDf = 1000L))
+    val minhashPairs = pairSet(Dedup.minHashLsh(docs, "doc_id", "text",
+      maxBucket = 1000))
+    val minhashRecall =
+      exactPairs.intersect(minhashPairs).size.toDouble / exactPairs.size
+
+    // ── Embedding near-dup: pair recall vs exact all-pairs cosine ≥ 0.3
+    // (the dedup_embedding configuration, skew cap engaged) ───────────────
+    val withNorm = e.withColumn("__n", sqrt(Similarity.norm2(col("embedding"))))
+    val a = withNorm.select(col("vec_id").as("id_a"),
+      col("embedding").as("va"), col("__n").as("na"))
+    val b = withNorm.select(col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("__n").as("nb"))
+    val exactEmb = a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .where(Similarity.dot(col("va"), col("vb")) /
+        (col("na") * col("nb")) >= 0.3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def embAt(tables: Int): Double = {
+      val got = pairSet(Dedup.embeddingNearDup(e, "vec_id", "embedding",
+        dim = 64, nbits = 4, minCosine = 0.3, maxBucket = 1000,
+        tables = tables))
+      exactEmb.intersect(got).size.toDouble / exactEmb.size
+    }
+    val embRecall = embAt(8)  // the declared dedup_embedding config
+    val embRecall1 = embAt(1) // single-table, for context
+
+    val report =
+      s"""# Recall at bench scale (generated by `graft.Recall`)
+         |
+         |Corpus: `$sfDir` — $nVec vectors (dim 64), ${docs.count()} documents.
+         |Each approximate tier is measured in its DECLARED query
+         |configuration against its exact twin on the same corpus.
+         |
+         || tier | declared query | config | metric | recall |
+         ||---|---|---|---|---|
+         || hyperplane LSH top-k | `sim_search_lsh` | nbits=4, Hamming-1 multiprobe (5/16 buckets) | mean recall@$k over $nQueries queries vs `sim_search` | ${f"$lshRecall%.3f"} |
+         || — single-bucket probe |  | nbits=4, 1/16 buckets | (context: what the multiprobe buys) | ${f"$lshRecall0%.3f"} |
+         || IVF top-k | `sim_search_ivf` | nlist=16, nprobe=4 | mean recall@$k over $nQueries queries vs `sim_search` | ${f"$ivfRecall%.3f"} |
+         || PQ ADC top-k | `sim_search_pq` | m=8, k=16, rerank=100 | mean recall@$k over $nQueries queries vs `sim_search` | ${f"$pqRecall%.3f"} |
+         || MinHash LSH candidates | `dedup_minhash` | 32 hashes / 16 bands, maxBucket=1000 | pair recall vs exact Jaccard ≥ 0.3 (`dedup_ngram`, ${exactPairs.size} pairs) | ${f"$minhashRecall%.3f"} |
+         || embedding LSH near-dup | `dedup_embedding` | 8×4-bit OR-amplified tables, maxBucket=1000 | pair recall vs exact all-pairs cosine ≥ 0.3 (${exactEmb.size} pairs) | ${f"$embRecall%.3f"} |
+         || — single table |  | nbits=4, 1 table | (context: what the banding buys) | ${f"$embRecall1%.3f"} |
+         |
+         |Notes: cosine ≥ 0.3 (θ ≈ 72°) is a HARD regime for hyperplane
+         |LSH — per-table collision is (1−θ/π)^4 ≈ 0.13, which is why the
+         |declared tier OR-amplifies across 8 independent tables
+         |(1−(1−p)^8). LSH/IVF probe a slice of the corpus (5 of 16
+         |buckets / 4 of 16 cells), so their recall is the price of
+         |scanning a fraction of the data; PQ re-ranks exact over a
+         |100-candidate shortlist. The gates in `Recall.main` sit just
+         |below these measurements to catch regressions; they are
+         |corpus-calibrated, not universal.
+         |""".stripMargin
+
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), report)
+    println(report)
+
+    // regression gates — calibrated just below the measured values
+    require(minhashRecall >= 0.95,
+      f"minhash candidate recall regressed: $minhashRecall%.3f")
+    require(embRecall >= 0.6,
+      f"embedding near-dup recall regressed: $embRecall%.3f")
+    require(lshRecall >= 0.4, f"lsh recall regressed: $lshRecall%.3f")
+    require(ivfRecall >= 0.5, f"ivf recall regressed: $ivfRecall%.3f")
+    require(pqRecall >= 0.5, f"pq recall regressed: $pqRecall%.3f")
+    spark.stop()
+  }
+}

@@ -893,11 +893,18 @@ object Dedup {
   /** Embedding near-dup: pairs of vectors with cosine ≥ threshold, candidate-
     * limited to shared LSH buckets (see [[Similarity.lshBucketed]]).
     *
-    * `maxBucket` > 0 engages the [[Similarity.lshBucketedCapped]] skew
+    * `maxBucket` > 0 engages the [[Similarity.lshBandedCapped]] skew
     * guard (hot buckets split with fresh hyperplane bits; degenerate
     * residue dropped) — same role as this file's MinHash `maxBucket` /
     * n-gram `maxDf` caps, bounding the within-bucket quadratic on
     * anisotropic corpora.
+    *
+    * `tables` > 1 OR-amplifies like the MinHash bands: a pair colliding in
+    * ANY of the independent hyperplane tables is a candidate, recall
+    * 1−(1−p)^L for per-table collision probability p = (1−θ/π)^nbits.
+    * Low cosine thresholds (large θ) make single-table recall poor —
+    * measured 0.14 at minCosine 0.3 / nbits 4 (`graft.Recall`) — so pick
+    * `tables` from the threshold, not taste.
     */
   def embeddingNearDup(
       embs: DataFrame,
@@ -906,19 +913,21 @@ object Dedup {
       dim: Int,
       nbits: Int,
       minCosine: Double,
-      maxBucket: Long = 0L
+      maxBucket: Long = 0L,
+      tables: Int = 1
   ): DataFrame = {
     // norms once per vector BEFORE the pair join (each vector appears in
     // many pairs; computing norm2 per pair tripled the per-pair work). The
     // join then needs only one dot product per pair. Both join sides
     // recompute it — cheaper than caching here (see minHashLsh note).
-    val bucketed = Similarity.lshBucketedCapped(embs, vecCol, dim, nbits, maxBucket)
+    val bucketed = Similarity.lshBandedCapped(embs, vecCol, dim, nbits,
+        tables, maxBucket)
       .withColumn("__norm", sqrt(Similarity.norm2(col(vecCol))))
-    val a = bucketed.select(col("lsh_bucket"), col(idCol).as("id_a"),
+    val a = bucketed.select(col("tbl"), col("lsh_bucket"), col(idCol).as("id_a"),
       col(vecCol).as("v_a"), col("__norm").as("n_a"))
-    val b = bucketed.select(col("lsh_bucket"), col(idCol).as("id_b"),
+    val b = bucketed.select(col("tbl"), col("lsh_bucket"), col(idCol).as("id_b"),
       col(vecCol).as("v_b"), col("__norm").as("n_b"))
-    a.join(b, Seq("lsh_bucket"))
+    a.join(b, Seq("tbl", "lsh_bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (Similarity.dot(col("v_a"), col("v_b")) /

@@ -139,11 +139,49 @@ object Similarity {
       nbits: Int,
       maxBucket: Long,
       maxExtraBits: Int = 16
+  ): DataFrame =
+    lshBandedCapped(corpus, vecCol, dim, nbits, tables = 1, maxBucket,
+      maxExtraBits).drop("tbl")
+
+  /** Multi-table ([[https://dl.acm.org/doi/10.1145/276698.276876 OR-amplified]])
+    * capped LSH bucketing: `tables` INDEPENDENT nbits-bit signatures per
+    * vector (table t uses planes `t*nbits ..< (t+1)*nbits`), exploded to
+    * one row per (vector, table). Pair-join consumers match in ANY table,
+    * lifting pair recall from p to 1−(1−p)^L at L× the join cost — the
+    * hyperplane analog of the MinHash band trick, and the dial that makes
+    * low-threshold cosine dedup (a hard regime for a single hyperplane
+    * table) usable. Per-table collision probability for angle θ is
+    * p = (1−θ/π)^nbits; choose (nbits, tables) from the target threshold.
+    *
+    * The skew guard runs per (table, bucket): hot buckets get
+    * `ceil(log2(n/cap)) + 2` fresh sign bits (planes beyond every table's
+    * base range, shared across tables — independence from the OWN table's
+    * base bits is what the split needs), and still-hot residue is dropped
+    * via the broadcast anti-join backstop. See the single-table doc above
+    * for why refine-then-drop.
+    *
+    * Output: corpus columns + (`tbl`, `lsh_bucket`); join consumers key on
+    * BOTH. localCheckpointed when the cap is active (self-join consumers
+    * would recompute signatures and both aggregates per leg).
+    */
+  def lshBandedCapped(
+      corpus: DataFrame,
+      vecCol: String,
+      dim: Int,
+      nbits: Int,
+      tables: Int,
+      maxBucket: Long,
+      maxExtraBits: Int = 16
   ): DataFrame = {
-    val base = lshBucketed(corpus, vecCol, dim, nbits)
+    require(tables >= 1, s"tables must be >= 1, got $tables")
+    val sigArr = array((0 until tables).map(t =>
+      signatureBits(col(vecCol), dim, t * nbits, nbits)): _*)
+    val base = corpus.select(col("*") +:
+      Seq(posexplode(sigArr).as(Seq("tbl", "lsh_bucket"))): _*)
     if (maxBucket <= 0) base
     else {
-      val hot = base.groupBy("lsh_bucket").agg(count(lit(1)).as("__n"))
+      val hot = base.groupBy("tbl", "lsh_bucket")
+        .agg(count(lit(1)).as("__n"))
         .where(col("__n") > maxBucket)
       // extra bits sized from the PARENT bucket's row count, so every row of
       // a hot bucket derives the same bit width (the refined key must be a
@@ -160,14 +198,14 @@ object Similarity {
       // (the common case) never pay the maxExtraBits extra dot products
       val extraSig = when(
         col("__n").isNotNull,
-        signatureBits(col(vecCol), dim, nbits, maxExtraBits)
+        signatureBits(col(vecCol), dim, tables * nbits, maxExtraBits)
           .bitwiseAND(pow(lit(2.0), extraBits).cast("long") - 1L)
       ).otherwise(lit(0L))
       val refined = base
-        .join(broadcast(hot), Seq("lsh_bucket"), "left")
+        .join(broadcast(hot), Seq("tbl", "lsh_bucket"), "left")
         .withColumn("lsh_bucket", col("lsh_bucket") + extraSig * lit(1L << nbits))
         .drop("__n")
-      Dedup.dropHotKeys(refined, Seq("lsh_bucket"), maxBucket)
+      Dedup.dropHotKeys(refined, Seq("tbl", "lsh_bucket"), maxBucket)
         .localCheckpoint(false)
     }
   }
@@ -185,10 +223,13 @@ object Similarity {
     * are invisible (that's the approximation) — recall vs exact top-k is
     * measured in SimilaritySpec.
     *
-    * `maxBucket` > 0 engages the [[lshBucketedCapped]] skew guard: hot
+    * `maxBucket` > 0 engages the [[lshBandedCapped]] skew guard: hot
     * buckets are split with fresh hyperplane bits (degenerate residue
     * dropped), bounding the per-bucket quadratic at Σ min(|bucket|, cap)².
-    * Pass 0 only for corpora known to be isotropic.
+    * Pass 0 only for corpora known to be isotropic. `tables` > 1
+    * OR-amplifies: neighbours colliding in ANY of the independent tables
+    * are candidates (recall 1−(1−p)^L at L× join cost) — the knob for
+    * recall-critical corpora.
     *
     * @return (id, neighbor, rnk, cosine), rnk = 1..k per id
     */
@@ -199,21 +240,26 @@ object Similarity {
       dim: Int,
       nbits: Int,
       k: Int,
-      maxBucket: Long = 0L
+      maxBucket: Long = 0L,
+      tables: Int = 1
   ): DataFrame = {
-    val bucketed = lshBucketedCapped(embs, vecCol, dim, nbits, maxBucket)
+    val bucketed = lshBandedCapped(embs, vecCol, dim, nbits, tables, maxBucket)
       .withColumn("__norm", sqrt(norm2(col(vecCol))))
-    val a = bucketed.select(col("lsh_bucket"), col(idCol).as("id"),
+    val a = bucketed.select(col("tbl"), col("lsh_bucket"), col(idCol).as("id"),
       col(vecCol).as("__va"), col("__norm").as("__na"))
-    val b = bucketed.select(col("lsh_bucket"), col(idCol).as("neighbor"),
+    val b = bucketed.select(col("tbl"), col("lsh_bucket"), col(idCol).as("neighbor"),
       col(vecCol).as("__vb"), col("__norm").as("__nb"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("cosine").desc, col("neighbor"))
-    a.join(b, Seq("lsh_bucket"))
+    val pairs = a.join(b, Seq("tbl", "lsh_bucket"))
       .where(col("id") =!= col("neighbor"))
       .select(col("id"), col("neighbor"),
         (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
           .as("cosine"))
+    // multi-table candidates repeat per colliding table; dedup before the
+    // rank window or duplicates would consume rnk slots. Single-table
+    // pairs are unique by construction — skip the extra shuffle.
+    (if (tables > 1) pairs.distinct() else pairs)
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
   }
@@ -560,7 +606,14 @@ object Similarity {
 
   /** ANN top-k: exact cosine restricted to the query's LSH bucket.
     * Recall < 1 by construction; ScalaTest measures it against
-    * [[cosineTopK]] (SimilaritySpec).
+    * [[cosineTopK]] (SimilaritySpec) and `graft.Recall` records it at
+    * bench scale.
+    *
+    * `probeHamming = 1` multiprobes: the query also scans the nbits
+    * buckets at Hamming distance 1 from its own (a near neighbour that
+    * disagrees on exactly one plane lands there — the most likely miss).
+    * Scans (nbits+1)/2^nbits of the corpus instead of 1/2^nbits; at rest
+    * the probes are partition-pruned reads, never a full pass.
     */
   def annTopK(
       corpus: DataFrame,
@@ -569,13 +622,21 @@ object Similarity {
       vecCol: String,
       dim: Int,
       nbits: Int,
-      k: Int
+      k: Int,
+      probeHamming: Int = 0
   ): DataFrame = {
     val bucketed = lshBucketed(corpus, vecCol, dim, nbits)
     val q = lshBucketed(query.select(col(vecCol).as(vecCol)), vecCol, dim, nbits)
       .select(col(vecCol).as("__q"), col("lsh_bucket").as("__qb"))
+    val probeSet =
+      if (probeHamming <= 0) array(col("__qb"))
+      else array((col("__qb") +: (0 until nbits).map(j =>
+        col("__qb").bitwiseXOR(lit(1L << j)))): _*)
+    val probes = q.select(col("__q"), explode(probeSet).as("__qb"))
+    // buckets are disjoint, so a corpus row matches at most one probe —
+    // no dedup needed before the ranking
     bucketed
-      .join(broadcast(q), col("lsh_bucket") === col("__qb"))
+      .join(broadcast(probes), col("lsh_bucket") === col("__qb"))
       .select(col(idCol), cosine(col(vecCol), col("__q")).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)

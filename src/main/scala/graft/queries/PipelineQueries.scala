@@ -47,12 +47,15 @@ object PipelineQueries {
           maxDist = 6)
         .orderBy("id_a", "id_b")
     },
-    // embedding cosine near-dup via LSH buckets (no SQL oracle); maxBucket
-    // engages the hot-bucket refine+drop guard — a no-op at this corpus
-    // size, the anisotropy insurance at 100 TB (see lshBucketedCapped)
+    // embedding cosine near-dup via OR-amplified LSH (8 independent 4-bit
+    // hyperplane tables — single-table recall at cosine 0.3 is ~0.14, the
+    // banding lifts it to ~0.7, see RECALL.md); maxBucket engages the
+    // per-(table,bucket) refine+drop skew guard — a no-op at this corpus
+    // size, the anisotropy insurance at 100 TB (see lshBandedCapped)
     "dedup_embedding" -> { (s, d) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
-          dim = 64, nbits = 4, minCosine = 0.3, maxBucket = 1000)
+          dim = 64, nbits = 4, minCosine = 0.3, maxBucket = 1000,
+          tables = 8)
         .orderBy("id_a", "id_b")
     },
     // brute-force exact cosine top-k vs the vec_id=0 query vector
@@ -66,7 +69,8 @@ object PipelineQueries {
     "sim_search_lsh" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
       Similarity.annTopK(e, e.where(col("vec_id") === 0L).select("embedding"),
-        "vec_id", "embedding", dim = 64, nbits = 4, k = 20)
+        "vec_id", "embedding", dim = 64, nbits = 4, k = 20,
+        probeHamming = 1) // 5 of 16 buckets — recall ~3× the 1-bucket probe
     },
     // ANN: IVF (KMeans coarse quantizer + nprobe cells) — rows-only; recall
     // vs exact verified in SimilaritySpec
@@ -331,7 +335,7 @@ object PipelineQueries {
     // DuckDB twin); recall vs the exact tier is measured in SimilaritySpec.
     "knn_join" -> { (s, d) =>
       Similarity.knnJoin(Tables.embeddings(s, d), "vec_id", "embedding",
-          dim = 64, nbits = 4, k = 5, maxBucket = 1000)
+          dim = 64, nbits = 4, k = 5, maxBucket = 1000, tables = 4)
         .orderBy("id", "rnk")
     },
     // EXACT knn self-join blocked by class label — quadratic per block,
