@@ -186,6 +186,98 @@ object EventStream {
     out.iterator
   }
 
+  /** Per-entity state of [[funnelAnyTail]]: one in-flight chain per step-1
+    * anchor, oldest anchor first — bounded at `maxAnchors × steps.length`
+    * longs, removed once any chain completes.
+    */
+  final case class FunnelAnyState(chains: Seq[Seq[Long]])
+
+  /** Streaming form of [[graft.ops.EventOps.funnelAnyAnchor]]: chains run
+    * from each of the FIRST `maxAnchors` step-1 events (the batch
+    * operator's bound, so the two agree; a sliding last-m variant is a
+    * one-line eviction change), and a [[FunnelProgress]] row is emitted
+    * whenever the entity's DEEPEST chain reaches a new depth — the ts is
+    * the first time ANY chain achieved that depth. Note the deliberate
+    * semantic split vs batch: the batch form reports one best chain's own
+    * timestamps; the stream reports first-achievement times across chains
+    * (the live-dashboard reading). Final depth equals the batch n_steps
+    * for the same events (both are max over the same chain set).
+    *
+    * Completion resets like [[funnelTail]] (re-entry starts fresh); state
+    * is bounded, removed on completion, and evictable via `idleTimeout`.
+    * Same per-batch (ts, eventType) ordering and in-order-across-batches
+    * contract as [[funnelAdvance]]; batch-boundary invariance is fuzzed in
+    * StreamSpec.
+    */
+  def funnelAnyTail(
+      events: Dataset[FunnelEvent],
+      steps: Seq[String],
+      maxGap: Option[Long] = None,
+      maxAnchors: Int = 4,
+      idleTimeout: Option[String] = None
+  ): Dataset[FunnelProgress] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxAnchors >= 1, s"maxAnchors must be >= 1, got $maxAnchors")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append,
+        idleTimeout.map(_ => GroupStateTimeout.ProcessingTimeTimeout)
+          .getOrElse(GroupStateTimeout.NoTimeout))(
+        funnelAnyAdvance(steps, maxGap, maxAnchors, idleTimeout))
+  }
+
+  /** The any-anchor state function (public for TestGroupState drills,
+    * like [[funnelAdvance]]).
+    */
+  def funnelAnyAdvance(
+      steps: Seq[String],
+      maxGap: Option[Long],
+      maxAnchors: Int,
+      idleTimeout: Option[String]
+  )(
+      key: Long,
+      it: Iterator[FunnelEvent],
+      state: GroupState[FunnelAnyState]
+  ): Iterator[FunnelProgress] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    var chains = state.getOption.map(_.chains).getOrElse(Nil)
+    val out = scala.collection.mutable.ArrayBuffer.empty[FunnelProgress]
+    it.toSeq.sortBy(e => (e.ts, e.eventType)).foreach { ev =>
+      // completed → reset on the next event (same batch-boundary-
+      // independent re-entry as funnelAdvance)
+      if (chains.exists(_.length == steps.length)) chains = Nil
+      val prevMax = if (chains.isEmpty) 0 else chains.map(_.length).max
+      // advance every chain whose next expected step matches — an event
+      // can extend several anchors' chains at once
+      chains = chains.map { c =>
+        val k = c.length
+        if (k < steps.length && ev.eventType == steps(k) &&
+          ev.ts > c.last && maxGap.forall(g => ev.ts <= c.last + g))
+          c :+ ev.ts
+        else c
+      }
+      // a step-1 event opens a new chain while anchor slots remain (the
+      // SAME event may also have extended an older chain above — distinct
+      // roles, distinct chains)
+      if (ev.eventType == steps.head && chains.length < maxAnchors)
+        chains = chains :+ Seq(ev.ts)
+      val newMax = if (chains.isEmpty) 0 else chains.map(_.length).max
+      if (newMax > prevMax) out += FunnelProgress(key, newMax, ev.ts)
+    }
+    if (chains.exists(_.length == steps.length)) state.remove()
+    else if (chains.nonEmpty) {
+      state.update(FunnelAnyState(chains))
+      idleTimeout.foreach(state.setTimeoutDuration)
+    } else if (state.exists) {
+      state.remove()
+    }
+    out.iterator
+  }
+
   // ── reorg-aware tail (T4/T5) ───────────────────────────────────────────
 
   /** Incoming header observation for [[reorgTail]]: one head-of-chain

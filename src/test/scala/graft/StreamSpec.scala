@@ -189,6 +189,87 @@ class StreamSpec extends SparkSpec {
     }
   }
 
+  test("any-anchor streaming funnel emits the re-entrant conversion the anchored form misses") {
+    import graft.stream.EventStream.{FunnelAnyState, FunnelEvent, FunnelState}
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val steps = Seq("signup", "click", "purchase")
+    val events = Seq(
+      FunnelEvent(1L, 0L, "signup"), FunnelEvent(1L, 200L, "signup"),
+      FunnelEvent(1L, 250L, "click"), FunnelEvent(1L, 280L, "purchase"))
+    // anchored-first: the t=0 anchor's window (gap 100) expires — only the
+    // step-1 row ever emits
+    val anchored = TestGroupState.create[FunnelState](Optional.empty(),
+      GroupStateTimeout.NoTimeout, batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = Optional.empty(), hasTimedOut = false)
+    val outA = EventStream.funnelAdvance(steps, Some(100L), None)(
+      1L, events.iterator, anchored).toSeq
+    assert(outA.map(p => (p.step, p.ts)) == Seq((1, 0L)))
+    // any-anchor: the t=200 anchor's chain completes
+    val any = TestGroupState.create[FunnelAnyState](Optional.empty(),
+      GroupStateTimeout.NoTimeout, batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = Optional.empty(), hasTimedOut = false)
+    val outB = EventStream.funnelAnyAdvance(steps, Some(100L), 2, None)(
+      1L, events.iterator, any).toSeq
+    assert(outB.map(p => (p.step, p.ts)) == Seq((1, 0L), (2, 250L), (3, 280L)))
+    assert(any.isRemoved) // completion clears the bounded chain state
+    // anchor slots are a real bound: m = 1 keeps only the expired anchor
+    val one = TestGroupState.create[FunnelAnyState](Optional.empty(),
+      GroupStateTimeout.NoTimeout, batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = Optional.empty(), hasTimedOut = false)
+    val outC = EventStream.funnelAnyAdvance(steps, Some(100L), 1, None)(
+      1L, events.iterator, one).toSeq
+    assert(outC.map(p => (p.step, p.ts)) == Seq((1, 0L)))
+  }
+
+  test("any-anchor streaming funnel is invariant to micro-batch boundaries (fuzz)") {
+    // same harness as the anchored fuzz; additionally, every entity's max
+    // emitted depth must equal the batch funnelAnyAnchor's n_steps (the
+    // two operators run the same first-m chain set)
+    implicit val sql = spark.sqlContext
+    import graft.stream.EventStream.FunnelEvent
+    val rnd = new scala.util.Random(77)
+    val types = Vector("signup", "click", "purchase", "view")
+    val steps = Seq("signup", "click", "purchase")
+    val m = 3
+    val gap = Some(400L)
+    def run(events: Seq[FunnelEvent], splits: Seq[Int], name: String) = {
+      val in = MemoryStream[FunnelEvent]
+      val q = EventStream.funnelAnyTail(in.toDS(), steps, gap, m)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      val batches = splits.zip(splits.tail :+ events.length).map {
+        case (a, b) => events.slice(a, b)
+      }
+      batches.filter(_.nonEmpty).foreach { b =>
+        in.addData(b: _*); q.processAllAvailable()
+      }
+      q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    }
+    for (round <- 0 until 3) {
+      val events = (0 until 120).map { i =>
+        FunnelEvent(rnd.nextInt(5).toLong, i.toLong * 10,
+          types(rnd.nextInt(types.length)))
+      }
+      val cuts = (0 +: Seq.fill(rnd.nextInt(6) + 2)(rnd.nextInt(events.length)))
+        .distinct.sorted
+      val whole = run(events, Seq(0), s"fza_whole_$round")
+      val split = run(events, cuts, s"fza_split_$round")
+      assert(split == whole, s"round $round: split-batch output diverged")
+      val streamMax = whole.groupBy(_._1).map { case (u, rows) =>
+        u -> rows.map(_._2).max.toLong }
+      val ev = events.map(e => (e.entity, e.ts, e.eventType))
+        .toDF("user_id", "ts", "event_type")
+      val batchMax = graft.ops.EventOps.funnelAnyAnchor(ev, "user_id", "ts",
+          "event_type", steps, maxGap = gap, maxAnchors = m).collect()
+        .map(r => r.getLong(0) -> r.getAs[Long]("n_steps")).toMap
+      assert(streamMax == batchMax,
+        s"round $round: stream max depth != batch n_steps")
+    }
+  }
+
   test("funnel completion followed by a non-entry event still clears state") {
     // regression: complete the funnel and, in the SAME batch, see one more
     // event that is NOT a step-1 re-entry. The in-loop reset empties the
