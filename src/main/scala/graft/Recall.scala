@@ -84,6 +84,33 @@ object Recall {
         k = k, rerank = 100).collect().map(_.getLong(0)).toSet
     }
 
+    // ── knn_join: per-id neighbour recall vs exact global top-k, in the
+    // declared configuration (4 OR-amplified tables, skew cap) ───────────
+    val knnK = 5
+    val exactKnn = {
+      val withNorm = e.withColumn("__n",
+        sqrt(Similarity.norm2(col("embedding"))))
+      val qa = withNorm.select(col("vec_id").as("id"),
+        col("embedding").as("va"), col("__n").as("na"))
+      val qb = withNorm.select(col("vec_id").as("neighbor"),
+        col("embedding").as("vb"), col("__n").as("nb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("cosine").desc, col("neighbor"))
+      qa.crossJoin(qb).where(col("id") =!= col("neighbor"))
+        .select(col("id"), col("neighbor"),
+          (Similarity.dot(col("va"), col("vb")) /
+            (col("na") * col("nb"))).as("cosine"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= knnK)
+        .select("id", "neighbor").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val approxKnn = Similarity.knnJoin(e, "vec_id", "embedding",
+        dim = 64, nbits = 4, k = knnK, maxBucket = 1000, tables = 8)
+      .select("id", "neighbor").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val knnRecall = exactKnn.intersect(approxKnn).size.toDouble / exactKnn.size
+
     // ── MinHash LSH: candidate recall vs the exact n-gram Jaccard tier
     // (the dedup_minhash / dedup_ngram configurations) ────────────────────
     val docs = Tables.documents(spark, sfDir).cache()
@@ -96,6 +123,13 @@ object Recall {
       maxBucket = 1000))
     val minhashRecall =
       exactPairs.intersect(minhashPairs).size.toDouble / exactPairs.size
+    // SimHash: candidate recall vs the same exact tier (its Hamming-ball
+    // blocking approximates a different similarity, so this reads as "how
+    // much of the Jaccard truth does the cheap fingerprint tier see")
+    val simhashPairs = pairSet(Dedup.simHashPairs(docs, "doc_id", "text",
+      maxDist = 6))
+    val simhashRecall =
+      exactPairs.intersect(simhashPairs).size.toDouble / exactPairs.size
 
     // ── Embedding near-dup: pair recall vs exact all-pairs cosine ≥ 0.3
     // (the dedup_embedding configuration, skew cap engaged) ───────────────
@@ -131,7 +165,9 @@ object Recall {
          || — single-bucket probe |  | nbits=4, 1/16 buckets | (context: what the multiprobe buys) | ${f"$lshRecall0%.3f"} |
          || IVF top-k | `sim_search_ivf` | nlist=16, nprobe=4 | mean recall@$k over $nQueries queries vs `sim_search` | ${f"$ivfRecall%.3f"} |
          || PQ ADC top-k | `sim_search_pq` | m=8, k=16, rerank=100 | mean recall@$k over $nQueries queries vs `sim_search` | ${f"$pqRecall%.3f"} |
+         || LSH knn self-join | `knn_join` | nbits=4, 8 tables, maxBucket=1000 | neighbour recall vs exact global top-$knnK (${exactKnn.size} edges) | ${f"$knnRecall%.3f"} |
          || MinHash LSH candidates | `dedup_minhash` | 32 hashes / 16 bands, maxBucket=1000 | pair recall vs exact Jaccard ≥ 0.3 (`dedup_ngram`, ${exactPairs.size} pairs) | ${f"$minhashRecall%.3f"} |
+         || SimHash candidates | `dedup_simhash` | 64-bit, Hamming ≤ 6 | pair recall vs the same exact Jaccard tier | ${f"$simhashRecall%.3f"} |
          || embedding LSH near-dup | `dedup_embedding` | 8×4-bit OR-amplified tables, maxBucket=1000 | pair recall vs exact all-pairs cosine ≥ 0.3 (${exactEmb.size} pairs) | ${f"$embRecall%.3f"} |
          || — single table |  | nbits=4, 1 table | (context: what the banding buys) | ${f"$embRecall1%.3f"} |
          |
@@ -152,6 +188,7 @@ object Recall {
     // regression gates — calibrated just below the measured values
     require(minhashRecall >= 0.95,
       f"minhash candidate recall regressed: $minhashRecall%.3f")
+    require(knnRecall >= 0.65, f"knn_join recall regressed: $knnRecall%.3f")
     require(embRecall >= 0.6,
       f"embedding near-dup recall regressed: $embRecall%.3f")
     require(lshRecall >= 0.4, f"lsh recall regressed: $lshRecall%.3f")

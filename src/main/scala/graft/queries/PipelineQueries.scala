@@ -335,7 +335,7 @@ object PipelineQueries {
     // DuckDB twin); recall vs the exact tier is measured in SimilaritySpec.
     "knn_join" -> { (s, d) =>
       Similarity.knnJoin(Tables.embeddings(s, d), "vec_id", "embedding",
-          dim = 64, nbits = 4, k = 5, maxBucket = 1000, tables = 4)
+          dim = 64, nbits = 4, k = 5, maxBucket = 1000, tables = 8)
         .orderBy("id", "rnk")
     },
     // EXACT knn self-join blocked by class label — quadratic per block,
