@@ -123,6 +123,22 @@ class EventOpsSpec extends SparkSpec {
     assert(run(3) == 3L)
   }
 
+  test("any-anchor funnel: duplicate anchor timestamps yield one deterministic row") {
+    // two signups at the SAME ts: the anchor-index assignment between them
+    // is tie-arbitrary, but both chains are value-identical, so the best-
+    // chain output must be the same single row either way
+    val ev = Seq(
+      (1L, 100L, "signup"), (1L, 100L, "signup"),
+      (1L, 150L, "click"), (1L, 180L, "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val r = EventOps.funnelAnyAnchor(ev, "user_id", "ts", "event_type",
+      Seq("signup", "click", "purchase"), maxGap = Some(100L),
+      maxAnchors = 2).collect()
+    assert(r.length == 1)
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3),
+      r(0).getAs[Long]("n_steps")) == ((100L, 150L, 180L, 3L)))
+  }
+
   test("any-anchor funnel matches a driver-side reference fold on random data (fuzz)") {
     // reference: per entity, greedy chain from each of the earliest m
     // step-1 events; best chain by (n_steps desc, t1 asc)
