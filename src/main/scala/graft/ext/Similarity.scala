@@ -604,6 +604,96 @@ object Similarity {
       codebooks, queryVec, idCol, vecCol, k, rerank)
   }
 
+  /** One index row per (vector, table): id, payload vector, precomputed
+    * norm (saves a fused-loop dot per probe pair), and the banded LSH key.
+    */
+  private def embIndexRows(embs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nbits: Int, tables: Int): DataFrame = {
+    val sigArr = array((0 until tables).map(t =>
+      signatureBits(col(vecCol), dim, t * nbits, nbits)): _*)
+    embs.select(
+      col(idCol).as("id"), col(vecCol).as("vec"),
+      sqrt(norm2(col(vecCol))).as("norm"),
+      posexplode(sigArr).as(Seq("tbl", "lsh_bucket")))
+  }
+
+  /** Persist the banded hyperplane-LSH index of an embedding corpus,
+    * partitioned by (table, bucket) — the embedding twin of
+    * [[Dedup.writeBandIndex]]. At 100 TB the corpus is indexed ONCE; each
+    * ingest batch probes only its own (table, bucket) partitions
+    * ([[candidatesAgainstEmbIndex]]) instead of re-pairing the corpus.
+    * Same segment-dir split as the text index (`path/batch` vs
+    * `path/stream`) because a streaming sink's `_spark_metadata` claims
+    * its whole directory.
+    */
+  def writeEmbBandIndex(embs: DataFrame, idCol: String, vecCol: String,
+      path: String, dim: Int, nbits: Int, tables: Int): Unit =
+    embIndexRows(embs, idCol, vecCol, dim, nbits, tables)
+      .write.mode("append").partitionBy("tbl", "lsh_bucket")
+      .parquet(s"$path/batch")
+
+  /** Streaming maintenance of the embedding band index (the dedup twin of
+    * [[ivfStreamWriter]]): arriving vectors land (table, bucket)-
+    * partitioned, identical layout and signatures to the batch writer.
+    */
+  def embBandIndexStreamWriter(embs: DataFrame, idCol: String,
+      vecCol: String, path: String, checkpoint: String, dim: Int,
+      nbits: Int, tables: Int): org.apache.spark.sql.streaming.StreamingQuery =
+    embIndexRows(embs, idCol, vecCol, dim, nbits, tables)
+      .writeStream.format("parquet")
+      .option("path", s"$path/stream")
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("tbl", "lsh_bucket")
+      .outputMode("append")
+      .start()
+
+  /** Incremental embedding near-dup: a NEW batch of vectors against the
+    * persisted band index — cost ∝ batch × matching buckets, never
+    * corpus². Pairs collide in ANY table (the same OR-amplified recall as
+    * [[Dedup.embeddingNearDup]] with the same (nbits, tables)); the skew
+    * cap applies to INDEX bucket sizes like [[Dedup.candidatesAgainstIndex]].
+    * Returns normalized (id_a < id_b, cosine ≥ minCosine) pairs where one
+    * side is a new vector (plus new↔new pairs iff the index already
+    * contains the batch).
+    */
+  def candidatesAgainstEmbIndex(
+      newEmbs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexPath: String,
+      dim: Int,
+      nbits: Int,
+      tables: Int,
+      minCosine: Double,
+      maxBucket: Long = 0L
+  ): DataFrame = {
+    val spark = newEmbs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segments = Seq(s"$indexPath/batch", s"$indexPath/stream")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    require(segments.nonEmpty, s"no emb-band-index segments under $indexPath")
+    val idx0 = segments
+      .map(p => spark.read.parquet(p)
+        .select(col("id"), col("vec"), col("norm"), col("tbl"),
+          col("lsh_bucket")))
+      .reduce(_ unionByName _)
+    val idx =
+      if (maxBucket <= 0) idx0
+      else Dedup.dropHotKeys(idx0, Seq("tbl", "lsh_bucket"), maxBucket)
+    embIndexRows(newEmbs, idCol, vecCol, dim, nbits, tables)
+      .select(col("id").as("__nid"), col("vec").as("__nvec"),
+        col("norm").as("__nnorm"), col("tbl"), col("lsh_bucket"))
+      .join(idx, Seq("tbl", "lsh_bucket"))
+      .where(col("__nid") =!= col("id"))
+      .select(least(col("__nid"), col("id")).as("id_a"),
+        greatest(col("__nid"), col("id")).as("id_b"),
+        (dot(col("__nvec"), col("vec")) /
+          (col("__nnorm") * col("norm"))).as("cosine"))
+      .where(col("cosine") >= minCosine)
+      .distinct()
+  }
+
   /** ANN top-k: exact cosine restricted to the query's LSH bucket.
     * Recall < 1 by construction; ScalaTest measures it against
     * [[cosineTopK]] (SimilaritySpec) and `graft.Recall` records it at

@@ -99,4 +99,63 @@ class StreamAnnSpec extends SparkSpec {
     val recall = exact.intersect(got).size.toDouble / exact.size
     assert(recall >= 0.6, s"IVF-PQ recall $recall too low")
   }
+
+  test("embedding band index: incremental probe equals the one-shot pair join") {
+    val rnd = new scala.util.Random(29)
+    val centers = (0 until 4).map(_ => Array.fill(16)(rnd.nextGaussian()))
+    def vec(i: Int): Seq[Float] =
+      centers(i % 4).map(x => (x + 0.2 * rnd.nextGaussian()).toFloat).toSeq
+    val old = (0 until 60).map(i => (i.toLong, vec(i)))
+    val fresh = (100 until 120).map(i => (i.toLong, vec(i)))
+    val path = tmpDir("embband")
+
+    Similarity.writeEmbBandIndex(old.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path, dim = 16, nbits = 4, tables = 4)
+    val got = Similarity.candidatesAgainstEmbIndex(
+        fresh.toDF("vec_id", "embedding"), "vec_id", "embedding", path,
+        dim = 16, nbits = 4, tables = 4, minCosine = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // oracle: the one-shot banded pair join over the union, restricted to
+    // cross (old, new) pairs — same planes, same tables, same threshold
+    val expected = graft.ext.Dedup.embeddingNearDup(
+        (old ++ fresh).toDF("vec_id", "embedding"), "vec_id", "embedding",
+        dim = 16, nbits = 4, minCosine = 0.3, tables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a < 100) != (b < 100) }.toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture produced no cross near-dup pairs")
+  }
+
+  test("embedding band index: streamed segment is probed together with the batch segment") {
+    implicit val sql = spark.sqlContext
+    val rnd = new scala.util.Random(31)
+    val base = Array.fill(16)(rnd.nextGaussian())
+    def near(i: Int): Seq[Float] =
+      base.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq
+    val path = tmpDir("embband2")
+    val ckpt = tmpDir("embband2-ckpt")
+    // batch segment: ids 0..9; stream segment: ids 50..59 — all near `base`
+    Similarity.writeEmbBandIndex(
+      (0 until 10).map(i => (i.toLong, near(i))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path, dim = 16, nbits = 4, tables = 4)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Similarity.embBandIndexStreamWriter(
+      in.toDF.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      path, ckpt, dim = 16, nbits = 4, tables = 4)
+    in.addData((50 until 60).map(i => (i.toLong, near(i))))
+    q.processAllAvailable()
+    q.stop()
+    // the index is (tbl, bucket)-partitioned on disk
+    val dirs = new java.io.File(s"$path/batch").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("tbl=")))
+    // a probe batch near `base` must pair with BOTH segments' vectors
+    val got = Similarity.candidatesAgainstEmbIndex(
+        Seq((200L, near(200))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", path,
+        dim = 16, nbits = 4, tables = 4, minCosine = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert((got.intersect((0L until 10L).toSet)).nonEmpty)
+    assert((got.intersect((50L until 60L).toSet)).nonEmpty)
+  }
 }
