@@ -295,6 +295,32 @@ class HttpSyncSpec extends SparkSpec {
     }
   }
 
+  test("offline reorg over HTTP: checkpoint re-check triggers retraction + resync") {
+    // the chain reorganizes while the tracker is down; on restart the
+    // checkpointed hash no longer matches the live block at that height —
+    // the whole reconcile (ancestor within backlog, truncate, retract,
+    // resync forward) runs through real wire calls
+    val chain1 = MockChain.linear(30, _ => 1)
+    withServer(chain1) { srv =>
+      val p = new HttpRpcProvider(spark, srv.endpoint)
+      val root = tmpDir("httpreorg")
+      new Syncer(spark, p, root, FilterConfig(),
+        batchSize = 10L, maxBlockBacklog = 5).sync()
+      srv.chain = MockChain.fork(chain1, depth = 3, extend = 4)
+      val s2 = new Syncer(spark, p, root, FilterConfig(),
+        batchSize = 10L, maxBlockBacklog = 5)
+      val r = s2.sync()
+      assert(r.removed == 3L) // 3 orphaned blocks × 1 log retracted
+      assert(r.headNumber == 33L)
+      // post-state oracle: stored logs == the forked chain's canonical set
+      val stored = s2.table.read.select("tx_hash").collect()
+        .map(_.getString(0)).sorted
+      val canonical = new MockProvider(spark, srv.chain).allLogs
+        .select("tx_hash").collect().map(_.getString(0)).sorted
+      assert(stored.sameElements(canonical))
+    }
+  }
+
   test("Etherscan REST locator: min-first-block over addresses, wired into fastTrack") {
     // no logs before block 18 at all
     val chain = MockChain.linear(30, n => if (n >= 18) 1 else 0)

@@ -251,6 +251,31 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs(capped) < pairs(uncapped))
   }
 
+  test("banded capped bucketing: no (table, bucket) group exceeds the cap (fuzz)") {
+    // the invariant the per-bucket pair joins depend on, across corpus
+    // shapes: isotropic, anisotropic (dominant direction), degenerate
+    // (near-identical vectors — backstop territory)
+    val rnd = new scala.util.Random(43)
+    for (round <- 0 until 3) {
+      val n = 150 + rnd.nextInt(100)
+      val vecs = (0 until n).map { i =>
+        val v: Seq[Float] = round % 3 match {
+          case 0 => Seq.fill(12)(rnd.nextGaussian().toFloat)
+          case 1 => (3.0 +: Seq.fill(11)(rnd.nextGaussian())).map(_.toFloat)
+          case _ => 50f +: Seq.fill(11)(0.01f * rnd.nextInt(3))
+        }
+        (i.toLong, v)
+      }
+      val capped = Similarity.lshBandedCapped(
+        vecs.toDF("vec_id", "embedding"), "embedding",
+        dim = 12, nbits = 3, tables = 3, maxBucket = 12)
+      val sizes = capped.groupBy("tbl", "lsh_bucket")
+        .agg(count(lit(1)).as("n")).collect().map(_.getLong(2))
+      assert(sizes.maxOption.forall(_ <= 12),
+        s"round $round: bucket of ${sizes.maxOption} exceeds cap 12")
+    }
+  }
+
   test("degenerate pile (identical direction) is hard-dropped, not quadratic") {
     // all vectors point the same way: refinement bits agree too, so the
     // backstop is the only defense — the pile is dropped outright and the
