@@ -117,6 +117,45 @@ object TextOps {
       ceil(length(col(textCol)) / 4.0).cast("long").as("est_tokens")
     )
 
+  /** Contiguous sequence packing — the "concatenate in corpus order and cut
+    * every `budget` tokens" step that turns documents into fixed-length
+    * training contexts. Per document: the pack its first token lands in,
+    * the offset inside that pack, and whether the document straddles a cut
+    * (real pipelines split those at the boundary).
+    *
+    * Scale shape: packing is inherently order-dependent, so the running
+    * sum is computed per `shardCol` partition (language, source shard, …) —
+    * each shard packs independently, exactly how multi-shard training
+    * corpora are prepared, and no task ever sees more than one shard. A
+    * single global pack order would be the 100 TB anti-pattern (one
+    * worldwide sort partition).
+    *
+    * Arithmetic is integral end-to-end (IntegralDivide + pmod, the
+    * [[graft.ops.EventOps.cohortRetention]] discipline), so any engine
+    * reproduces the assignment exactly.
+    *
+    * @return input columns + (pack_id, pack_offset, spans_cut 0/1)
+    */
+  def packContiguous(docs: DataFrame, idCol: String, tokensCol: String,
+      shardCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"pack budget must be positive, got $budget")
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftbridge.Bridge
+    def intDiv(a: Column, b: Column): Column =
+      Bridge.column(new IntegralDivide(
+        Bridge.expression(a), Bridge.expression(b)))
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+    val endSum = sum(col(tokensCol)).over(w) // inclusive running total
+    val start = endSum - col(tokensCol)      // this doc's first-token offset
+    docs.select(col("*"),
+      intDiv(start, lit(budget)).as("pack_id"),
+      pmod(start, lit(budget)).as("pack_offset"),
+      when(col(tokensCol) > 0 &&
+          intDiv(endSum - 1, lit(budget)) > intDiv(start, lit(budget)),
+        lit(1L)).otherwise(lit(0L)).as("spans_cut"))
+  }
+
   /** Rolling polynomial fingerprint over words, mod 1e9+7 — a deterministic
     * content signature cheap enough to compute at scan speed; collision
     * probability ~n²/2p. Left fold, so the DuckDB `list_reduce` oracle

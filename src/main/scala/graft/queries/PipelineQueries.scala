@@ -345,6 +345,19 @@ object PipelineQueries {
           blockCol = "label", k = 5)
         .orderBy("id", "rnk")
     },
+    // contiguous sequence packing: concatenate each language shard in
+    // doc order, cut every 512 tokens — the doc→training-context
+    // assignment. Shard-partitioned window (no global sort); integral
+    // arithmetic end-to-end so the oracle is exact
+    "doc_pack" -> { (s, d) =>
+      TextOps.packContiguous(
+          Tables.documents(s, d)
+            .withColumn("n_tokens",
+              size(split(col("text"), "\\s+")).cast("long"))
+            .select("doc_id", "lang", "n_tokens"),
+          "doc_id", "n_tokens", "lang", budget = 512L)
+        .orderBy("doc_id")
+    },
     // fixed-size sliding-window chunking (200-char windows every 150) —
     // the LLM context-window preparation step; narrow explode, no shuffle
     "doc_chunk" -> { (s, d) =>
@@ -645,6 +658,22 @@ object PipelineQueries {
         | FROM s)
         |SELECT doc_id, lang, guess, guess = lang AS agree
         |FROM g ORDER BY doc_id""".stripMargin,
+    // same ws-token expression as token_count; per-lang running sums with
+    // the default RANGE frame (doc_id unique ⇒ identical), integral div/mod
+    "doc_pack" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |c AS (SELECT doc_id, lang, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS endsum
+        | FROM t)
+        |SELECT doc_id, lang, n_tokens,
+        | (endsum - n_tokens) // 512 AS pack_id,
+        | (endsum - n_tokens) % 512 AS pack_offset,
+        | CAST(CASE WHEN n_tokens > 0
+        |            AND (endsum - 1) // 512 > (endsum - n_tokens) // 512
+        |           THEN 1 ELSE 0 END AS BIGINT) AS spans_cut
+        |FROM c ORDER BY doc_id""".stripMargin,
     "token_count" ->
       """SELECT doc_id,
         | CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS ws_tokens,

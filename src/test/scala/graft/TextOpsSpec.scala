@@ -191,4 +191,22 @@ class TextOpsSpec extends SparkSpec {
     assert(all(1).getString(1) == "no pii here <NUM>")
     assert(all(1).getLong(2) == 1)
   }
+
+  test("contiguous packing assigns packs, offsets and cut flags per shard") {
+    // shard a: 300 + 300 + 500 + 0 tokens; shard b: 600 — budget 512
+    val docs = Seq(
+      (1L, "a", 300L), (2L, "a", 300L), (3L, "a", 500L),
+      (4L, "b", 600L), (5L, "a", 0L)
+    ).toDF("doc_id", "lang", "n_tokens")
+    val r = TextOps.packContiguous(docs, "doc_id", "n_tokens", "lang",
+        budget = 512L).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getAs[Long]("pack_id"), x.getAs[Long]("pack_offset"),
+          x.getAs[Long]("spans_cut")))).toMap
+    assert(r(1L) == ((0L, 0L, 0L)))   // fits pack 0 whole
+    assert(r(2L) == ((0L, 300L, 1L))) // starts at 300, crosses the 512 cut
+    assert(r(3L) == ((1L, 88L, 1L)))  // starts at 600 = pack 1 offset 88
+    assert(r(5L) == ((2L, 76L, 0L)))  // zero-token doc: placed, never cut
+    assert(r(4L) == ((0L, 0L, 1L)))   // shard b packs independently
+  }
 }
