@@ -270,6 +270,29 @@ object PipelineQueries {
     // (rate·2⁶⁰), so it reproduces bit-exactly across engines, runs and
     // cluster sizes — no RNG, no per-partition state; pure scan-speed
     // filter
+    // temperature-based source mixing (multilingual-training rebalance):
+    // per-language keep rate (c_min/c_lang)^(1-α) — at α=0.5 the smallest
+    // language keeps everything and large ones are downsampled toward
+    // equal share. α=0.5 deliberately: the rate is then sqrt(c_min/c),
+    // and IEEE sqrt/divide are correctly rounded, so the per-language
+    // threshold is bit-identical on any engine (pow is not). Counts come
+    // from one map-side-combined aggregate, broadcast back; membership is
+    // the same salted-hash draw as sample_weighted — deterministic, no RNG
+    "sample_temperature" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("temp1"))), 1, 15), 16, 10).cast("long")
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("__c"))
+      val thr = counts
+        .crossJoin(broadcast(counts.agg(min(col("__c")).as("__cmin"))))
+        .select(col("lang"),
+          floor(sqrt(col("__cmin").cast("double") / col("__c")) *
+            lit(1152921504606846976.0)).as("__thr")) // 2^60, exact double
+      docs.join(broadcast(thr), Seq("lang"))
+        .where(u < col("__thr"))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
     "sample_weighted" -> { (s, d) =>
       val u = conv(substring(md5(concat(col("doc_id").cast("string"),
         lit("mix1"))), 1, 15), 16, 10).cast("long")
@@ -743,6 +766,22 @@ object PipelineQueries {
         |    '[0-9]{1,}')) AS BIGINT) AS n_redacted
         |FROM events ORDER BY event_id""".stripMargin,
     // same salted-md5 uniform and the same integer thresholds (rate·2⁶⁰)
+    // sqrt/divide are IEEE-correctly-rounded, so the computed per-lang
+    // threshold matches Spark's bit-for-bit; floor before the BIGINT cast
+    // (DuckDB CAST rounds, Spark truncates)
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+        |m AS (SELECT min(cnt) AS cmin FROM c),
+        |t AS (SELECT lang,
+        |  CAST(floor(sqrt(CAST(cmin AS DOUBLE) / cnt) *
+        |             1152921504606846976.0) AS BIGINT) AS thr
+        | FROM c, m)
+        |SELECT doc_id, lang, source FROM (
+        | SELECT doc_id, lang, source,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'temp1'), 1, 15))::BIGINT AS u
+        | FROM documents) JOIN t USING (lang)
+        |WHERE u < thr
+        |ORDER BY doc_id""".stripMargin,
     "sample_weighted" ->
       """SELECT doc_id, lang, source FROM (
         | SELECT doc_id, lang, source,
