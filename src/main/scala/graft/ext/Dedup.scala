@@ -935,4 +935,87 @@ object Dedup {
       .where(col("cosine") >= minCosine)
       .distinct()
   }
+
+  // ───────────────────────── substring-level dedup ──────────────────────
+
+  /** Every k-gram occurrence site as (doc, pos, g): one row per POSITION,
+    * not per distinct gram — span analysis needs each site, including a
+    * gram repeating inside one document. `pos` is the 0-based index of the
+    * gram's first token. Same zipped-slice construction as [[shingleRows]]
+    * (plain expressions, narrow generator, no shuffle); `posexplode` keeps
+    * the position that a window-`lead` form would have bought with a
+    * shuffle+sort.
+    */
+  def spanSites(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val words = split(col(textCol), " ")
+    val nGrams = greatest(size(words) - (k - 1), lit(0))
+    val parts = (0 until k).map(j => slice(words, lit(j + 1), nGrams))
+    docs
+      .select(col(idCol).as("doc"),
+        posexplode(arrays_zip(parts: _*)).as(Seq("pos", "z")))
+      .select(col("doc"), col("pos"),
+        concat_ws(" ", (0 until k).map(j => col(s"z.$j")): _*).as("g"))
+  }
+
+  /** Per-document duplicated-span statistics — the substring tier of dedup
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): document-level tiers miss the license header or nav bar
+    * pasted into thousands of otherwise-unique pages. A position is
+    * duplicated when its word k-gram occurs at ≥ `minSites` sites anywhere
+    * in the corpus (another document or elsewhere in the same one).
+    * Returns (idCol, n_grams, n_dup, dup_frac) per document with ≥1 gram.
+    *
+    * Shape at 100 TB: one map-side-combinable aggregate keyed on the gram
+    * and one join back — both shuffle on the gram key; swap the string for
+    * xxhash64(g) to move 8-byte keys instead of text (collision-tolerant
+    * for counting). Never a per-gram window: a hot boilerplate gram would
+    * land its whole partition on one task. The sites table is evaluated by
+    * both branches — persist/checkpoint it when the corpus scan dominates.
+    */
+  def duplicateSpanStats(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minSites: Long = 2L): DataFrame = {
+    val sites = spanSites(docs, idCol, textCol, k)
+    val cnt = sites.groupBy("g").agg(count(lit(1)).as("__sites"))
+    sites.join(cnt, "g")
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__sites") >= minSites, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        col("n_dup").cast("double") / col("n_grams").cast("double"))
+      .withColumnRenamed("doc", idCol)
+  }
+
+  /** The scrub form: cut every token covered by a duplicated k-gram and
+    * re-join the survivors with single spaces. Overlapping spans merge
+    * naturally (a token survives iff NO duplicated gram covers it).
+    * Returns (idCol, clean_text, n_cut); documents with nothing duplicated
+    * pass through verbatim via the left join.
+    *
+    * The per-token membership test is `exists` over the document's own
+    * duplicated-position list — O(tokens · dup-positions) per document,
+    * driver-free and fine while dup positions are sparse; a boilerplate-
+    * saturated corpus should run [[duplicateSpanStats]] first and route
+    * high-`dup_frac` docs to drop rather than scrub.
+    */
+  def scrubDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minSites: Long = 2L): DataFrame = {
+    val sites = spanSites(docs, idCol, textCol, k)
+    val cnt = sites.groupBy("g").agg(count(lit(1)).as("__sites"))
+    val dupPos = sites.join(cnt, "g")
+      .where(col("__sites") >= minSites)
+      .groupBy("doc")
+      .agg(sort_array(collect_list(col("pos"))).as("__dp"))
+    docs
+      .join(dupPos, docs(idCol) === dupPos("doc"), "left")
+      .withColumn("__dp",
+        coalesce(col("__dp"), array().cast("array<int>")))
+      .withColumn("__ws", split(col(textCol), " "))
+      .withColumn("__kept",
+        filter(col("__ws"), (_, i) =>
+          !exists(col("__dp"), p => i >= p && i < p + lit(k))))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("clean_text"),
+        (size(col("__ws")) - size(col("__kept"))).cast("long").as("n_cut"))
+  }
 }

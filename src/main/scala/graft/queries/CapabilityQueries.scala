@@ -371,6 +371,20 @@ object CapabilityQueries {
             lit(0.5), lit(10000)).as("price_p50"))
         .orderBy("l_returnflag")
     },
+    // the 100 TB tier of agg_distinct: HyperLogLog++ (approx_count_
+    // distinct) instead of an exact distinct — one map-side-combinable
+    // sketch per group vs the exact form's two-shuffle distinct+count.
+    // No SQL oracle (sketch-dependent); relative error vs the exact tier
+    // is asserted at sf0.1 in ApproxDistinctSpec
+    "agg_approx_distinct" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id"), rsd = 0.01)
+            .as("approx_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    },
     // sessionization: gap-based session windows per user (batch twin of
     // stream_session; Spark's session_window vs a gaps-and-islands oracle)
     "agg_session" -> { (s, d) =>

@@ -32,6 +32,17 @@ object PipelineQueries {
           shingleN = 3, minJaccard = 0.3, maxDf = 1000L)
         .orderBy("id_a", "id_b")
     },
+    // substring-level dedup stats (Lee et al. 2022): a position is
+    // duplicated when its word 5-gram occurs at ≥2 sites anywhere in the
+    // corpus — catches the pasted license header / nav bar the document-
+    // level tiers miss. One gram-keyed aggregate + join-back (no per-gram
+    // window; see Dedup.duplicateSpanStats for the 100 TB notes); the
+    // scrub form (Dedup.scrubDuplicateSpans) rewrites the text itself
+    "dedup_span" -> { (s, d) =>
+      Dedup.duplicateSpanStats(Tables.documents(s, d), "doc_id", "text",
+          k = 5)
+        .orderBy("doc_id")
+    },
     // MinHash+LSH near-dup candidates (no SQL oracle: xxhash64-based),
     // declared WITH the hot-bucket skew cap — the shape that survives a
     // boilerplate flood at corpus scale (no-op on this corpus: the largest
@@ -291,6 +302,44 @@ object PipelineQueries {
       docs.join(broadcast(thr), Seq("lang"))
         .where(u < col("__thr"))
         .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+    // deterministic global corpus shuffle — the delivery step before
+    // packing (doc_pack): shard = salted-hash mod 8, order within shard by
+    // the hash. NOT a global orderBy: at 100 TB a total sort is one
+    // range-partitioned stage with a sampling pass; hash-shard + in-shard
+    // sort is one shuffle keyed on the shard and each shard sorts
+    // independently — shard count = output file count, readers stream
+    // shards in parallel, and the permutation is reproducible bit-for-bit
+    // from (doc_id, salt) alone on any engine or cluster size
+    "shuffle_global" -> { (s, d) =>
+      val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("shuf1"))), 1, 15), 16, 10).cast("long")
+      val w = Window.partitionBy("shard").orderBy("u", "doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), u.as("u"))
+        .withColumn("shard", pmod(col("u"), lit(8L)))
+        .withColumn("ord", row_number().over(w).cast("long"))
+        .select("doc_id", "lang", "shard", "ord")
+        .orderBy("doc_id")
+    },
+    // per-source quota (RefinedWeb-style host-level cap): keep at most 15
+    // docs per source, chosen by the stable salted-hash order rather than
+    // doc_id order — an id-ordered cap would keep whatever was crawled
+    // first; the hash makes it an unbiased fixed-size sample per source.
+    // row_number is per-source — the window shuffles on the capped key,
+    // never globally; a hot source still lands on one task, so at real
+    // scale pre-trim each source to ~cap via a capped salted top-k before
+    // the exact window (same two-tier shape as sort_topk)
+    "source_cap" -> { (s, d) =>
+      val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("cap1"))), 1, 15), 16, 10).cast("long")
+      val w = Window.partitionBy("source").orderBy("u", "doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), u.as("u"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 15)
+        .select("doc_id", "source", "rk")
         .orderBy("doc_id")
     },
     "sample_weighted" -> { (s, d) =>
@@ -610,6 +659,23 @@ object PipelineQueries {
       """SELECT sha256(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_dups,
         | min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // one row per gram SITE (unnest of the position range — no DISTINCT,
+    // unlike the shingle CTEs): a gram repeating inside one doc is two
+    // sites. range(1, len-3) = 1-based starts of the len-4 5-grams; empty
+    // for docs under 5 words, which therefore drop out of the output on
+    // both engines
+    "dedup_span" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |gr AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3),
+        |        i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4]))) AS g
+        |       FROM w),
+        |c AS (SELECT g, count(*) AS sites FROM gr GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        | CAST(sum(CASE WHEN sites >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        | CAST(sum(CASE WHEN sites >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |  CAST(count(*) AS DOUBLE) AS dup_frac
+        |FROM gr JOIN c USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_ngram" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
@@ -782,6 +848,28 @@ object PipelineQueries {
         | FROM documents) JOIN t USING (lang)
         |WHERE u < thr
         |ORDER BY doc_id""".stripMargin,
+    // u is 15 hex chars (< 2^60, non-negative), so DuckDB's % and Spark's
+    // pmod agree; ties in the hash order are broken by doc_id on both sides
+    "shuffle_global" ->
+      """SELECT doc_id, lang, shard,
+        | CAST(row_number() OVER (PARTITION BY shard ORDER BY u, doc_id)
+        |   AS BIGINT) AS ord
+        |FROM (
+        | SELECT doc_id, lang,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'shuf1'), 1, 15))::BIGINT AS u,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'shuf1'), 1, 15))::BIGINT % 8 AS shard
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "source_cap" ->
+      """SELECT doc_id, source, rk FROM (
+        | SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY u, doc_id)
+        |    AS BIGINT) AS rk
+        | FROM (
+        |  SELECT doc_id, source,
+        |   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'cap1'), 1, 15))::BIGINT AS u
+        |  FROM documents))
+        |WHERE rk <= 15 ORDER BY doc_id""".stripMargin,
     "sample_weighted" ->
       """SELECT doc_id, lang, source FROM (
         | SELECT doc_id, lang, source,

@@ -246,4 +246,64 @@ class DedupSpec extends SparkSpec {
     assert(r.map(x => (x.getLong(0), x.getLong(1))).contains((0L, 1L)))
     assert(r.length == 1)
   }
+
+  // substring tier: a shared 5-word header pasted into otherwise-unique
+  // docs. Doc 10/11 share "alpha beta gamma delta epsilon" (positions 0-4
+  // in both ⇒ grams at pos 0 duplicated); their tails are unique. Doc 12
+  // is all-unique. Doc 13 repeats a 5-gram WITHIN itself.
+  private def spanCorpus = Seq(
+    (10L, "alpha beta gamma delta epsilon unique tail one here now"),
+    (11L, "alpha beta gamma delta epsilon other ending words go there"),
+    (12L, "totally fresh content with no shared spans anywhere at all"),
+    (13L, "x1 x2 x3 x4 x5 filler x1 x2 x3 x4 x5")
+  ).toDF("doc_id", "text")
+
+  test("duplicateSpanStats counts per-site duplication incl. within-doc repeats") {
+    val r = Dedup.duplicateSpanStats(spanCorpus, "doc_id", "text", k = 5)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_grams"), x.getAs[Long]("n_dup")))).toMap
+    // 10 words ⇒ 6 grams; only the gram starting at pos 0 is shared
+    assert(r(10L) == ((6L, 1L)))
+    assert(r(11L) == ((6L, 1L)))
+    assert(r(12L) == ((6L, 0L)))
+    // 11 words ⇒ 7 grams; "x1..x5" at pos 0 and 6 are two sites of the
+    // same gram — both duplicated with no other doc involved
+    assert(r(13L) == ((7L, 2L)))
+  }
+
+  test("scrubDuplicateSpans cuts exactly the covered tokens, merges overlaps") {
+    val r = Dedup.scrubDuplicateSpans(spanCorpus, "doc_id", "text", k = 5)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[String]("clean_text"), x.getAs[Long]("n_cut")))).toMap
+    assert(r(10L) == (("unique tail one here now", 5L)))
+    assert(r(11L) == (("other ending words go there", 5L)))
+    assert(r(12L)._2 == 0L)
+    assert(r(12L)._1 == "totally fresh content with no shared spans anywhere at all")
+    // both sites cut; "filler" survives between them
+    assert(r(13L) == (("filler", 10L)))
+  }
+
+  test("span stats agree with a driver-side reference fold under fuzz") {
+    val rnd = new scala.util.Random(77)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docs = (0L until 40L).map { i =>
+      (i, Seq.fill(4 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val k = 3
+    // reference: count every k-gram site across the corpus
+    val sites = docs.flatMap { case (id, t) =>
+      t.split(" ").sliding(k).filter(_.length == k).zipWithIndex
+        .map { case (g, p) => (id, p, g.mkString(" ")) }
+    }
+    val freq = sites.groupBy(_._3).map { case (g, xs) => g -> xs.size }
+    val expect = sites.groupBy(_._1).map { case (id, xs) =>
+      id -> ((xs.size.toLong, xs.count(s => freq(s._3) >= 2).toLong))
+    }
+    val got = Dedup.duplicateSpanStats(docs.toDF("doc_id", "text"), "doc_id",
+        "text", k = k)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_grams"), x.getAs[Long]("n_dup")))).toMap
+    assert(got == expect)
+  }
 }
