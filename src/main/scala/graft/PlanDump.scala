@@ -9,9 +9,11 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDump {
   private val headline = Seq("scan_range", "join_hash", "agg_group",
-    "sort_topk", "join_asof", "sim_search", "sim_search_pq", "dedup_minhash",
-    "dedup_cluster", "window_rank", "zorder_key", "append_index",
-    "decode_abi", "funnel_steps", "dedup_purge")
+    "sort_topk", "join_asof", "sim_search", "sim_search_pq", "sim_search_lsh",
+    "dedup_minhash", "dedup_cluster", "dedup_embedding", "knn_join",
+    "window_rank", "zorder_key", "append_index", "decode_abi",
+    "funnel_steps", "funnel_any", "agg_quantiles_approx", "dedup_purge",
+    "dedup_span", "source_cap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

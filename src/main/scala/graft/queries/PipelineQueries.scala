@@ -328,9 +328,10 @@ object PipelineQueries {
     // doc_id order — an id-ordered cap would keep whatever was crawled
     // first; the hash makes it an unbiased fixed-size sample per source.
     // row_number is per-source — the window shuffles on the capped key,
-    // never globally; a hot source still lands on one task, so at real
-    // scale pre-trim each source to ~cap via a capped salted top-k before
-    // the exact window (same two-tier shape as sort_topk)
+    // never globally; and because the predicate is rank ≤ cap, Spark
+    // plants WindowGroupLimit Partial BEFORE the exchange (see PLANS.md),
+    // so each map task forwards at most cap rows per source — a hot
+    // source costs its cap, not its size
     "source_cap" -> { (s, d) =>
       val u = conv(substring(md5(concat(col("doc_id").cast("string"),
         lit("cap1"))), 1, 15), 16, 10).cast("long")
