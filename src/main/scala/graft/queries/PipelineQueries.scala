@@ -304,6 +304,23 @@ object PipelineQueries {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     },
+    // top-10 tokens per language — the vocabulary/stopword-list
+    // construction pass of a corpus pipeline. Two shuffles, both benign at
+    // any scale: the (lang, token) count is map-side combinable (the
+    // shuffle moves one row per distinct token per map task, not per
+    // occurrence), and the per-language top-k gets WindowGroupLimit
+    // Partial ahead of its exchange — each task forwards ≤ k rows per
+    // language, so token-frequency skew (Zipf) never concentrates
+    "vocab_topk" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("tok"))
+      toks.groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 10)
+        .select("lang", "tok", "n", "rk")
+        .orderBy("lang", "rk")
+    },
     // deterministic global corpus shuffle — the delivery step before
     // packing (doc_pack): shard = salted-hash mod 8, order within shard by
     // the hash. NOT a global orderBy: at 100 TB a total sort is one
@@ -849,6 +866,17 @@ object PipelineQueries {
         | FROM documents) JOIN t USING (lang)
         |WHERE u < thr
         |ORDER BY doc_id""".stripMargin,
+    "vocab_topk" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+        |      FROM t GROUP BY 1, 2)
+        |SELECT lang, tok, n, rk FROM (
+        | SELECT lang, tok, n,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok)
+        |    AS BIGINT) AS rk
+        | FROM c)
+        |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
     // u is 15 hex chars (< 2^60, non-negative), so DuckDB's % and Spark's
     // pmod agree; ties in the hash order are broken by doc_id on both sides
     "shuffle_global" ->
