@@ -250,8 +250,14 @@ object TextOps {
     * fixed — the operator shape (cheap per-row scoring feeding a filter
     * threshold) is what matters for pipeline use.
     */
-  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = words(col(textCol))
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), qualityExpr(col(textCol)).as("quality"))
+
+  /** The score of [[qualityScore]] as a composable Column — lets pipeline
+    * stages (CorpusPipeline) filter on quality without a join back.
+    */
+  def qualityExpr(textCol: Column): Column = {
+    val ws = words(textCol)
     val nTok = size(ws).cast("double")
     val nStop = size(filter(ws, isStop _)).cast("double")
     val nShort = size(filter(ws, w => length(w) <= 1)).cast("double")
@@ -259,9 +265,7 @@ object TextOps {
     val stopScore = when((nStop / nTok).between(0.01, 0.6), lit(1.0))
       .otherwise(lit(0.5))
     val shortScore = when(nShort / nTok <= 0.3, lit(1.0)).otherwise(lit(0.4))
-    docs.select(col(idCol),
-      ((lenScore * 0.4) + (stopScore * 0.3) + (shortScore * 0.3))
-        .as("quality"))
+    (lenScore * 0.4) + (stopScore * 0.3) + (shortScore * 0.3)
   }
 
   /** Fixed-size sliding-window chunking: split each document into
