@@ -304,6 +304,63 @@ object Similarity {
       .where(col("rnk") <= k)
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the corpus with a coarse KMeans quantizer
+    * (the [[ivfIndex]] cells), then run EXACT cosine pairs within each
+    * cell and keep those at or above `minCosine`. The clustering turns the
+    * corpus-wide quadratic into Σ|cell|² — the standard scale shape for
+    * embedding-level dedup where LSH recall at moderate thresholds is poor
+    * (cf. RECALL.md); pairs in different cells are invisible by design
+    * (the SemDeDup approximation — near-dups land in the same cell with
+    * high probability because they are near the same centroid).
+    *
+    * Skew guard: cells above `maxCell` rows are hash-split into
+    * `ceil(n/maxCell)` sub-cells by a salted id hash, bounding per-cell
+    * pair work at ~maxCell²; pairs straddling sub-cells of one hot cell
+    * are sacrificed (documented recall trade, same drop-vs-blowup call as
+    * the text tiers' maxBucket). The split is a pure row function of
+    * (id, cell size), deterministic across runs and executors.
+    *
+    * At 100 TB: nlist scales with corpus size (cells of a few thousand
+    * rows), the centroid fit stays a driver-local constant-size job, cell
+    * assignment is one narrow codegen'd pass, and the pair join shuffles
+    * once on the (cell, sub) key.
+    *
+    * @return (id_a, id_b, cosine) with id_a < id_b, exact doubles
+    */
+  def semanticPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      minCosine: Double,
+      maxCell: Long = 1000L
+  ): DataFrame = {
+    require(maxCell > 0, s"maxCell must be > 0, got $maxCell")
+    val (indexed, _) = ivfIndex(corpus, idCol, vecCol, nlist)
+    val sizes = indexed.groupBy("ivf_cell").agg(count(lit(1)).as("__n"))
+      .where(col("__n") > maxCell)
+    // sub-cell = salted hash mod ceil(n/maxCell); cold cells (no match in
+    // the broadcast hot list) keep sub 0 and are untouched
+    val cells = indexed.join(broadcast(sizes), Seq("ivf_cell"), "left")
+      .withColumn("__sub",
+        when(col("__n").isNotNull,
+          pmod(xxhash64(col(idCol), lit("semsub")),
+            ceil(col("__n").cast("double") / maxCell.toDouble).cast("long")))
+          .otherwise(lit(0L)))
+      .withColumn("__norm", sqrt(norm2(col(vecCol))))
+    val a = cells.select(col("ivf_cell"), col("__sub"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"), col("__norm").as("__na"))
+    val b = cells.select(col("ivf_cell"), col("__sub"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"), col("__norm").as("__nb"))
+    a.join(b, Seq("ivf_cell", "__sub"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+          .as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+
   /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
     * vector to its nearest centroid; a query probes only the `nprobe`
     * closest cells and exact-ranks within them. The standard FAISS-style

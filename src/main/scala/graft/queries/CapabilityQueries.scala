@@ -514,6 +514,25 @@ object CapabilityQueries {
     // shuffle via a dim-side Bloom sketch (manual InjectRuntimeFilter —
     // same XxHash64/BloomFilterAggregate pair). Result-identical to the
     // plain join, so the oracle is the plain join.
+    // skew-salted join declared as a query: the fact side's hot supplier
+    // keys spread over 8 salt lanes (dim replicated ×8), then the exact
+    // aggregate — result-identical to the plain join (the oracle IS the
+    // plain join), only the shuffle shape differs. The knob a 1000-executor
+    // run turns when one key holds 10% of the fact table and AQE's
+    // partition-splitting can't help (a single hot KEY still hashes to one
+    // task without the salt)
+    "join_salted" -> { (s, d) =>
+      import graft.ops.ScaleOps
+      val li = Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("s_suppkey"), col("l_quantity"))
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      ScaleOps.saltedJoin(li, sup, "s_suppkey", saltFactor = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(38,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("s_nationkey")
+    },
     "join_bloom" -> { (s, d) =>
       import graft.ops.ScaleOps
       val li = Tables.lineitem(s, d)
@@ -542,6 +561,12 @@ object CapabilityQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the plain join — salting must be invisible in the result
+    "join_salted" ->
+      """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_items,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_hash" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total_price

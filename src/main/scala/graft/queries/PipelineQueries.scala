@@ -69,6 +69,14 @@ object PipelineQueries {
           tables = 8)
         .orderBy("id_a", "id_b")
     },
+    // SemDeDup semantic near-dup pairs: KMeans cells → exact within-cell
+    // cosine (no SQL oracle: centroid-dependent; pair exactness, subset-of-
+    // exact and nlist=1 completeness are verified in SimilaritySpec)
+    "dedup_semantic" -> { (s, d) =>
+      Similarity.semanticPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+          nlist = 16, minCosine = 0.3, maxCell = 1000L)
+        .orderBy("id_a", "id_b")
+    },
     // brute-force exact cosine top-k vs the vec_id=0 query vector
     "sim_search" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
@@ -471,6 +479,136 @@ object PipelineQueries {
       Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
           shingleN = 3, minContainment = 0.5, maxDf = 1000L)
         .orderBy("id_a", "id_b")
+    },
+    // C4/Gopher-style composite quality FILTER: each doc gets a keep/drop
+    // verdict plus the first failing rule (the audit trail a curation run
+    // ships with). All signals are single-pass narrow expressions; the
+    // double comparisons are divisions of small exact integers vs literal
+    // thresholds, so the verdict is bit-stable across engines
+    "quality_filter" -> { (s, d) =>
+      val ws = split(col("text"), " ")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(ws).cast("long").as("n_tokens"),
+          (size(filter(ws, w => w.isin("the", "a", "of", "and", "in")))
+            .cast("double") / size(ws).cast("double")).as("stop_ratio"),
+          ((size(ws) - size(array_distinct(ws))).cast("double") /
+            size(ws).cast("double")).as("dup_ratio"))
+        .withColumn("reason",
+          when(col("n_tokens") < 25, "too_short")
+            .when(col("stop_ratio") < 0.02, "low_stopword")
+            .when(col("dup_ratio") > 0.65, "repetitive")
+            .otherwise("keep"))
+        .withColumn("keep", col("reason") === "keep")
+        .orderBy("doc_id")
+    },
+    // unigram-LM surprisal proxy (perplexity stand-in): mean inverse corpus
+    // probability of the doc's tokens. Deliberately ln-free — ln is not
+    // guaranteed bit-identical across math libraries, the N/c(w) ratio is
+    // one correctly-rounded IEEE division; the per-doc sum runs as an
+    // id-ordered fold (sort_array + aggregate ↔ DuckDB list(ORDER BY) +
+    // list_reduce), the same oracle-exact device as embed_centroid
+    "rarity_score" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val words = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val cw = words.groupBy("w").agg(count(lit(1)).as("cw"))
+      val tot = words.agg(count(lit(1)).cast("double").as("__n"))
+      tf.join(cw, "w").crossJoin(broadcast(tot))
+        .withColumn("val",
+          col("tf").cast("double") * (col("__n") / col("cw").cast("double")))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("w"), col("val")))).as("xs"),
+          sum(col("tf")).as("nt"))
+        .select(col("doc_id"), col("nt").cast("long").as("n_tokens"),
+          (aggregate(transform(col("xs"), r => r.getField("val")),
+            lit(0.0), (a, b) => a + b) / col("nt").cast("double")).as("rarity"))
+        .orderBy("doc_id")
+    },
+    // normalized-text exact dedup (RefinedWeb-style): lowercase, strip
+    // non-alphanumerics, collapse whitespace, THEN hash — catches the
+    // formatting-only near-copies content-hash dedup misses, at the same
+    // one-shuffle cost as dedup_exact
+    "dedup_normalized" -> { (s, d) =>
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "\\s+", " "))
+      Tables.documents(s, d)
+        .select(col("doc_id"), sha2(norm, 256).as("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keeper"))
+        .orderBy("norm_hash")
+    },
+    // inverted index build: token → (doc, occurrence count, position list)
+    // postings — the retrieval-index construction pass. One map-side-
+    // combinable shuffle on (token, doc); positions serialize as a CSV
+    // string so the oracle hash-compare stays engine-neutral
+    "inverted_index" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .groupBy("w", "doc_id")
+        .agg(count(lit(1)).as("n_occ"),
+          sort_array(collect_list(col("pos").cast("long"))).as("ps"))
+        .select(col("w").as("token"), col("doc_id"), col("n_occ"),
+          concat_ws(",", transform(col("ps"), _.cast("string")))
+            .as("positions"))
+        .orderBy("token", "doc_id")
+    },
+    // BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed 3-term query —
+    // the mining/retrieval counterpart of tfidf. idf uses the raw
+    // (N-df+0.5)/(df+0.5) ratio (no ln — cross-engine bit-exactness); the
+    // corpus stats (N, Σdl, df) are integral-valued doubles, so their sums
+    // are exact in any order; per-term scores add in fixed textual order
+    "bm25" -> { (s, d) =>
+      val terms = Seq("join", "hash", "scan")
+      val ws = split(col("text"), " ")
+      val base = Tables.documents(s, d).select(
+        col("doc_id") +: size(ws).cast("double").as("dl") +:
+          terms.map(t =>
+            size(filter(ws, w => w === t)).cast("double").as(s"tf_$t")): _*)
+      val stats = base.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("dl")).as("sumdl") +:
+          terms.map(t =>
+            sum(when(col(s"tf_$t") > 0.0, 1.0).otherwise(0.0))
+              .as(s"df_$t")): _*)
+      def termScore(t: String) = {
+        val idf = (col("n") - col(s"df_$t") + lit(0.5)) /
+          (col(s"df_$t") + lit(0.5))
+        idf * (col(s"tf_$t") * lit(2.2)) /
+          (col(s"tf_$t") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("dl") / (col("sumdl") / col("n")))))
+      }
+      base.crossJoin(broadcast(stats))
+        .select(col("doc_id") +:
+          terms.map(t => col(s"tf_$t").cast("long").as(s"tf_$t")) :+
+          terms.map(termScore).reduce(_ + _).as("score"): _*)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    },
+    // int8 scalar quantization of the embedding corpus (per-dimension
+    // min/max codebook, 4× compression): reports the per-vector max
+    // reconstruction error + saturated-code count. min/max/count are
+    // order-independent aggregates, so no fold gymnastics needed; the
+    // dequantize arithmetic is the same IEEE op sequence on both engines
+    "embed_quantize" -> { (s, d) =>
+      val pe = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x0")))
+        .select(col("vec_id"), col("pos"), col("x0").cast("double").as("x"))
+      val rng = pe.groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
+      pe.join(broadcast(rng), "pos")
+        .withColumn("scale", (col("hi") - col("lo")) / lit(255.0))
+        .withColumn("code", least(
+          when(col("scale") > 0.0,
+            floor((col("x") - col("lo")) / col("scale"))).otherwise(lit(0.0)),
+          lit(255.0)))
+        .withColumn("err",
+          abs(col("x") - (col("lo") + col("code") * col("scale"))))
+        .groupBy("vec_id")
+        .agg(max("err").as("max_abs_err"),
+          sum(when(col("code") === 255.0, 1L).otherwise(0L)).as("n_sat"))
+        .orderBy("vec_id")
     },
     // end-to-end corpus dedup: tiered LSH→exact pairs → connected
     // components → keep min id per cluster; the SURVIVING corpus with the
@@ -933,6 +1071,98 @@ object PipelineQueries {
         |WHERE greatest(CAST(inter AS DOUBLE) / CAST(na.n AS DOUBLE),
         |               CAST(inter AS DOUBLE) / CAST(nb.n AS DOUBLE)) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "quality_filter" ->
+      """SELECT doc_id, n_tokens, stop_ratio, dup_ratio, reason,
+        | reason = 'keep' AS keep
+        |FROM (
+        | SELECT doc_id, n_tokens, stop_ratio, dup_ratio,
+        |  CASE WHEN n_tokens < 25 THEN 'too_short'
+        |       WHEN stop_ratio < 0.02 THEN 'low_stopword'
+        |       WHEN dup_ratio > 0.65 THEN 'repetitive'
+        |       ELSE 'keep' END AS reason
+        | FROM (
+        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |   CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','in')))
+        |     AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS stop_ratio,
+        |   CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) /
+        |     CAST(len(ws) AS DOUBLE) AS dup_ratio
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)))
+        |ORDER BY doc_id""".stripMargin,
+    // same ordered-fold device as embed_centroid: list(val ORDER BY w) +
+    // list_reduce ↔ Spark's sort_array(collect_list(struct(w,val))) fold
+    "rarity_score" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM w GROUP BY 1, 2),
+        |cw AS (SELECT w, count(*) AS cw FROM w GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM w),
+        |v AS (SELECT doc_id, w, tf,
+        |  CAST(tf AS DOUBLE) * (n.n / CAST(cw AS DOUBLE)) AS val
+        | FROM tf JOIN cw USING (w), n)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        | list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(val ORDER BY w)),
+        |   (a, b) -> a + b) / CAST(sum(tf) AS DOUBLE) AS rarity
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_normalized" ->
+      """SELECT sha256(trim(regexp_replace(regexp_replace(lower(text),
+        |   '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g'))) AS norm_hash,
+        | CAST(count(*) AS BIGINT) AS n_dups, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "inverted_index" ->
+      """WITH p AS (
+        | SELECT doc_id, u.s.i AS pos, u.s.w AS w
+        | FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |  unnest(list_transform(range(1, len(ws) + 1),
+        |    i -> struct_pack(i := i - 1, w := ws[i]))) AS u(s))
+        |SELECT w AS token, doc_id, CAST(count(*) AS BIGINT) AS n_occ,
+        | array_to_string(list(CAST(pos AS VARCHAR) ORDER BY pos), ',')
+        |   AS positions
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the same expression shapes as the Spark side: idf ratio, one division
+    // for avgdl, per-term scores summed left-to-right (join + hash + scan)
+    "bm25" ->
+      """WITH b AS (
+        | SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+        |  CAST(len(list_filter(ws, w -> w = 'join')) AS DOUBLE) AS tf_join,
+        |  CAST(len(list_filter(ws, w -> w = 'hash')) AS DOUBLE) AS tf_hash,
+        |  CAST(len(list_filter(ws, w -> w = 'scan')) AS DOUBLE) AS tf_scan
+        | FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |st AS (
+        | SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl,
+        |  sum(CASE WHEN tf_join > 0.0 THEN 1.0 ELSE 0.0 END) AS df_join,
+        |  sum(CASE WHEN tf_hash > 0.0 THEN 1.0 ELSE 0.0 END) AS df_hash,
+        |  sum(CASE WHEN tf_scan > 0.0 THEN 1.0 ELSE 0.0 END) AS df_scan
+        | FROM b)
+        |SELECT doc_id,
+        | CAST(tf_join AS BIGINT) AS tf_join,
+        | CAST(tf_hash AS BIGINT) AS tf_hash,
+        | CAST(tf_scan AS BIGINT) AS tf_scan,
+        | (((n - df_join + 0.5) / (df_join + 0.5)) * (tf_join * 2.2) /
+        |   (tf_join + 1.2 * (0.25 + 0.75 * (dl / (sumdl / n))))) +
+        | (((n - df_hash + 0.5) / (df_hash + 0.5)) * (tf_hash * 2.2) /
+        |   (tf_hash + 1.2 * (0.25 + 0.75 * (dl / (sumdl / n))))) +
+        | (((n - df_scan + 0.5) / (df_scan + 0.5)) * (tf_scan * 2.2) /
+        |   (tf_scan + 1.2 * (0.25 + 0.75 * (dl / (sumdl / n))))) AS score
+        |FROM b, st ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "embed_quantize" ->
+      """WITH pe AS (
+        | SELECT vec_id, u.s.pos AS pos, u.s.x AS x
+        | FROM embeddings,
+        |  unnest(list_transform(range(1, len(embedding) + 1),
+        |    i -> struct_pack(pos := i - 1,
+        |      x := CAST(embedding[i] AS DOUBLE)))) AS u(s)),
+        |rng AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM pe GROUP BY 1),
+        |q AS (
+        | SELECT vec_id, x, lo, (hi - lo) / 255.0 AS scale,
+        |  least(CASE WHEN (hi - lo) / 255.0 > 0.0
+        |    THEN floor((x - lo) / ((hi - lo) / 255.0))
+        |    ELSE 0.0 END, 255.0) AS code
+        | FROM pe JOIN rng USING (pos))
+        |SELECT vec_id,
+        | max(abs(x - (lo + code * scale))) AS max_abs_err,
+        | CAST(sum(CASE WHEN code = 255.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_sat
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
     // the dedup_cluster recursive-CTE oracle, restricted to cluster
     // representatives (node = min label) and joined back to the corpus
     "dedup_purge" ->

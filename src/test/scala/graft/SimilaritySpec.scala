@@ -117,6 +117,70 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticPairs: exact within cells, subset of all-pairs, complete at nlist=1") {
+    val rnd = new scala.util.Random(17)
+    val centers = (0 until 4).map(_ => Array.fill(16)(rnd.nextGaussian()))
+    val vecs = (0 until 80).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding").cache()
+    def dot(x: Seq[Float], y: Seq[Float]): Double =
+      x.zip(y).foldLeft(0.0) { case (a, (p, q)) => a + p.toDouble * q.toDouble }
+    def cos(a: Seq[Float], b: Seq[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val exactPairs = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib && cos(va, vb) >= 0.8
+    } yield (ia, ib)).toSet
+
+    val got = Similarity.semanticPairs(df, "vec_id", "embedding",
+      nlist = 4, minCosine = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every emitted pair is a true near-dup with the exact cosine value
+    val byVec = vecs.toMap
+    got.foreach { case (a, b, c) =>
+      assert(a < b)
+      assert(math.abs(c - cos(byVec(a), byVec(b))) < 1e-12)
+      assert(c >= 0.8)
+    }
+    assert(got.map(t => (t._1, t._2)).toSet.subsetOf(exactPairs))
+    // tight clusters: the cell partition should find nearly everything
+    assert(got.length.toDouble / exactPairs.size >= 0.9,
+      s"semantic recall ${got.length.toDouble / exactPairs.size} too low")
+
+    // nlist=1 = one cell = the exact all-pairs set, bit-for-bit
+    val all = Similarity.semanticPairs(df, "vec_id", "embedding",
+      nlist = 1, minCosine = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == exactPairs)
+  }
+
+  test("semanticPairs: hot-cell hash split bounds pair work and stays a subset") {
+    // all vectors in one tight cluster → one hot cell; maxCell forces a
+    // split, results must remain exact-valued pairs (recall may drop)
+    val rnd = new scala.util.Random(19)
+    val base = Array.fill(8)(rnd.nextGaussian())
+    val vecs = (0 until 90).map { i =>
+      (i.toLong, base.map(x => (x + 0.01 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding").cache()
+    val got = Similarity.semanticPairs(df, "vec_id", "embedding",
+      nlist = 2, minCosine = 0.9, maxCell = 30L).collect()
+    // split into ≥3 sub-cells of ≤30: pair count far below the 90² blowup
+    assert(got.nonEmpty)
+    assert(got.length <= 3 * 30 * 29 / 2,
+      s"${got.length} pairs — hot-cell split did not bound the quadratic")
+    def dot(x: Seq[Float], y: Seq[Float]): Double =
+      x.zip(y).foldLeft(0.0) { case (a, (p, q)) => a + p.toDouble * q.toDouble }
+    val byVec = vecs.toMap
+    got.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (va, vb) = (byVec(a), byVec(b))
+      val c = dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb)))
+      assert(math.abs(r.getDouble(2) - c) < 1e-12 && c >= 0.9)
+    }
+  }
+
   test("IVF: probing more cells increases recall to 1.0 at nprobe=nlist") {
     val rnd = new scala.util.Random(11)
     val centers = (0 until 4).map(_ => Array.fill(16)(rnd.nextGaussian()))
