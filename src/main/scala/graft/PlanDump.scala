@@ -13,7 +13,8 @@ object PlanDump {
     "dedup_minhash", "dedup_cluster", "dedup_embedding", "knn_join",
     "window_rank", "zorder_key", "append_index", "decode_abi",
     "funnel_steps", "funnel_any", "agg_quantiles_approx", "dedup_purge",
-    "dedup_span", "source_cap")
+    "dedup_span", "source_cap", "bm25", "inverted_index", "quality_filter",
+    "rarity_score", "dedup_semantic", "embed_quantize", "join_salted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
