@@ -788,4 +788,151 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
+
+  /** PCA fit over the embedding corpus — the dimensionality-reduction /
+    * whitening pass that precedes ANN indexing and SemDeDup clustering
+    * (FAISS's OPQ/PCA pre-transform, Abbas et al.'s normalized-embedding
+    * prep).
+    *
+    * Scale shape: ONE distributed pass accumulates the d-vector of sums
+    * and the d×d upper-triangle of products per partition (a genuine
+    * per-partition imperative fold — the documented RDD exception), then
+    * `treeAggregate` merges ~numPartitions fixed-size matrices in O(log n)
+    * levels; nothing proportional to the corpus ever reaches the driver.
+    * The d×d eigendecomposition (cyclic Jacobi, deterministic sweep order)
+    * is driver-local and instant for embedding-sized d. Cross-partition
+    * double addition makes the covariance bit-order-dependent across
+    * cluster layouts — fine for a spectral method (eigenvectors are stable
+    * to 1e-12 perturbations); nothing downstream hash-compares it.
+    *
+    * @return (mean, components, eigenvalues): `components(j)` is the j-th
+    *         principal axis (orthonormal rows, eigenvalue-descending),
+    *         `eigenvalues(j)` its variance share numerator
+    */
+  def pcaFit(
+      corpus: DataFrame,
+      vecCol: String,
+      dim: Int,
+      k: Int
+  ): (Array[Double], Array[Array[Double]], Array[Double]) = {
+    require(k >= 1 && k <= dim, s"k must be in [1, $dim], got $k")
+    // (count, sum(d), upper-triangle product sums packed d*(d+1)/2)
+    val zero = (0L, new Array[Double](dim), new Array[Double](dim * (dim + 1) / 2))
+    val (n, sums, prods) = corpus.select(col(vecCol)).rdd.treeAggregate(zero)(
+      seqOp = { case ((c, s, p), row) =>
+        val v = row.getSeq[Float](0)
+        var i = 0
+        var t = 0
+        while (i < dim) {
+          val vi = v(i).toDouble
+          s(i) += vi
+          var j = i
+          while (j < dim) { p(t) += vi * v(j).toDouble; j += 1; t += 1 }
+          i += 1
+        }
+        (c + 1L, s, p)
+      },
+      combOp = { case ((c1, s1, p1), (c2, s2, p2)) =>
+        var i = 0
+        while (i < dim) { s1(i) += s2(i); i += 1 }
+        i = 0
+        while (i < p1.length) { p1(i) += p2(i); i += 1 }
+        (c1 + c2, s1, p1)
+      })
+    require(n > 1, s"PCA needs at least 2 vectors, got $n")
+    val mean = sums.map(_ / n)
+    // covariance = E[xxᵀ] − μμᵀ (population form; the spec only relies on
+    // ratios, which the 1/n vs 1/(n−1) choice cancels out of)
+    val cov = Array.ofDim[Double](dim, dim)
+    var t = 0
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val c = prods(t) / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        j += 1; t += 1
+      }
+      i += 1
+    }
+    val (eigVals, eigVecs) = jacobiEigen(cov)
+    val order = eigVals.indices.sortBy(ix => -eigVals(ix)).take(k)
+    (mean,
+      order.map(ix => eigVecs.map(row => row(ix))).toArray,
+      order.map(eigVals).toArray)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: fixed sweep
+    * order, fixed sweep count ⇒ deterministic for a given input. Returns
+    * (eigenvalues, eigenvector matrix with eigenvectors as COLUMNS),
+    * unsorted. O(sweeps·d³) — microseconds at embedding dims.
+    */
+  private[ext] def jacobiEigen(
+      m: Array[Array[Double]], sweeps: Int = 30): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < sweeps && off > 1e-14) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          off = math.max(off, math.abs(apq))
+          if (math.abs(apq) > 1e-18) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val tt = math.signum(theta) match {
+              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              case s => s / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(tt * tt + 1.0)
+            val s = tt * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** Project the corpus onto fitted principal axes: `pc(j) = (x − μ)·cⱼ`,
+    * computed as `x·cⱼ − μ·cⱼ` so each component is ONE codegen'd dot
+    * product against a literal axis plus a constant — a narrow map stage,
+    * no shuffle, no UDF.
+    */
+  def pcaProject(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      mean: Array[Double],
+      components: Array[Array[Double]]
+  ): DataFrame = {
+    val pcs = components.zipWithIndex.map { case (comp, j) =>
+      val mDotC = comp.zip(mean).map { case (c, mu) => c * mu }.sum
+      (dot(col(vecCol), lit(comp)) - lit(mDotC)).as(s"pc${j + 1}")
+    }
+    corpus.select(col(idCol) +: pcs.toIndexedSeq: _*)
+  }
 }

@@ -382,6 +382,18 @@ object PipelineQueries {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     },
+    // PCA projection (top-4 axes): the dimensionality-reduction /
+    // whitening pass before ANN indexing. One treeAggregate covariance
+    // pass + driver-local Jacobi eigensolve + codegen'd literal-axis dots
+    // (no SQL oracle: eigenvector sign/rotation is solver-dependent;
+    // orthonormality, variance ordering and reconstruction are verified
+    // in SimilaritySpec)
+    "embed_pca" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val (mean, comps, _) = Similarity.pcaFit(e, "embedding", dim = 64, k = 4)
+      Similarity.pcaProject(e, "vec_id", "embedding", mean, comps)
+        .orderBy("vec_id")
+    },
     // per-vector L2 norm — the normalization pass before cosine ops
     "embed_norm" -> { (s, d) =>
       Tables.embeddings(s, d)

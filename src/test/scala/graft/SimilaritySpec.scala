@@ -181,6 +181,57 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PCA: orthonormal axes, descending variance, recovers a planted rank-2 structure") {
+    // rank-2 data in 8 dims: x = a·u + b·w + tiny noise
+    val rnd = new scala.util.Random(23)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val u = unit(Array.fill(8)(rnd.nextGaussian()))
+    // Gram-Schmidt w ⊥ u
+    val w0 = Array.fill(8)(rnd.nextGaussian())
+    val uw = u.zip(w0).map { case (a, b) => a * b }.sum
+    val w = unit(w0.zip(u).map { case (x, ui) => x - uw * ui })
+    val vecs = (0 until 200).map { i =>
+      val a = 3.0 * rnd.nextGaussian(); val b = 1.0 * rnd.nextGaussian()
+      (i.toLong, (0 until 8).map(j =>
+        (a * u(j) + b * w(j) + 1e-4 * rnd.nextGaussian()).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding").cache()
+    val (mean, comps, eig) = Similarity.pcaFit(df, "embedding", dim = 8, k = 3)
+    // orthonormal rows
+    for (i <- comps.indices; j <- comps.indices) {
+      val d = comps(i).zip(comps(j)).map { case (a, b) => a * b }.sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - want) < 1e-8, s"comp ${i}.${j} = $d")
+    }
+    // eigenvalues descending, top-2 carry essentially all the variance
+    assert(eig.zip(eig.tail).forall { case (a, b) => a >= b })
+    assert(eig(0) > eig(1) && eig(1) > 100 * eig(2),
+      s"expected rank-2 spectrum, got ${eig.toSeq}")
+    // top axis aligns with the dominant planted direction (sign-free)
+    val align = math.abs(comps(0).zip(u).map { case (a, b) => a * b }.sum)
+    assert(align > 0.999, s"pc1·u = $align")
+    // projections reproduce the data: sample variance of pc1 ≈ eig(0)
+    val pcs = Similarity.pcaProject(df, "vec_id", "embedding", mean, comps)
+      .orderBy("vec_id").collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val n = pcs.length
+    val v1 = pcs.map(_._1).map(x => x * x).sum / n -
+      math.pow(pcs.map(_._1).sum / n, 2)
+    assert(math.abs(v1 - eig(0)) / eig(0) < 1e-6,
+      s"pc1 variance $v1 vs eigenvalue ${eig(0)}")
+    // per-row reconstruction from 2 components matches to noise level
+    val byId = vecs.toMap
+    pcs.zipWithIndex.take(20).foreach { case ((p1, p2), i) =>
+      val rec = (0 until 8).map(j =>
+        mean(j) + p1 * comps(0)(j) + p2 * comps(1)(j))
+      val orig = byId(i.toLong)
+      val err = math.sqrt((0 until 8)
+        .map(j => math.pow(orig(j) - rec(j), 2)).sum)
+      assert(err < 1e-2, s"vec $i reconstruction error $err")
+    }
+  }
+
   test("IVF: probing more cells increases recall to 1.0 at nprobe=nlist") {
     val rnd = new scala.util.Random(11)
     val centers = (0 until 4).map(_ => Array.fill(16)(rnd.nextGaussian()))
