@@ -268,6 +268,28 @@ object TextOps {
     (lenScore * 0.4) + (stopScore * 0.3) + (shortScore * 0.3)
   }
 
+  /** C4/Gopher-style keep/drop verdict: the FIRST failing rule as a string
+    * (`keep` when none fails) — too_short (< 25 tokens), low_stopword
+    * (stopword ratio < 2%), repetitive (duplicate-word ratio > 65%).
+    * Shared by the `quality_filter` query and the streaming curation
+    * ingest ([[graft.stream.CurationStream]]) so the two cannot drift.
+    * All signals are narrow single-pass expressions; the comparisons are
+    * divisions of small exact integers vs literals, bit-stable anywhere.
+    */
+  def qualityVerdict(textCol: Column): Column = {
+    val ws = words(textCol)
+    val nTok = size(ws)
+    val stopRatio = size(filter(ws, w =>
+      w.isin("the", "a", "of", "and", "in"))).cast("double") /
+      nTok.cast("double")
+    val dupRatio = (nTok - size(array_distinct(ws))).cast("double") /
+      nTok.cast("double")
+    when(nTok < 25, "too_short")
+      .when(stopRatio < 0.02, "low_stopword")
+      .when(dupRatio > 0.65, "repetitive")
+      .otherwise("keep")
+  }
+
   /** Fixed-size sliding-window chunking: split each document into
     * `size`-char chunks starting every `stride` chars (overlap =
     * size - stride) — the context-window preparation step of an LLM

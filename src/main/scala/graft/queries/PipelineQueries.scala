@@ -505,12 +505,10 @@ object PipelineQueries {
           (size(filter(ws, w => w.isin("the", "a", "of", "and", "in")))
             .cast("double") / size(ws).cast("double")).as("stop_ratio"),
           ((size(ws) - size(array_distinct(ws))).cast("double") /
-            size(ws).cast("double")).as("dup_ratio"))
-        .withColumn("reason",
-          when(col("n_tokens") < 25, "too_short")
-            .when(col("stop_ratio") < 0.02, "low_stopword")
-            .when(col("dup_ratio") > 0.65, "repetitive")
-            .otherwise("keep"))
+            size(ws).cast("double")).as("dup_ratio"),
+          // shared with the streaming curation ingest — same rule order,
+          // same thresholds (CSE folds the repeated sub-signals)
+          TextOps.qualityVerdict(col("text")).as("reason"))
         .withColumn("keep", col("reason") === "keep")
         .orderBy("doc_id")
     },
