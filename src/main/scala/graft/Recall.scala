@@ -152,6 +152,13 @@ object Recall {
     val embRecall = embAt(8)  // the declared dedup_embedding config
     val embRecall1 = embAt(1) // single-table, for context
 
+    // ── SemDeDup: within-cell exact pairs vs the same all-pairs truth
+    // (precision is 1 by construction — every emitted pair is exact-
+    // verified; recall is what the cell partition costs) ─────────────────
+    val semPairs = pairSet(Similarity.semanticPairs(e, "vec_id", "embedding",
+      nlist = 16, minCosine = 0.3, maxCell = 1000L))
+    val semRecall = exactEmb.intersect(semPairs).size.toDouble / exactEmb.size
+
     val report =
       s"""# Recall at bench scale (generated by `graft.Recall`)
          |
@@ -170,6 +177,7 @@ object Recall {
          || SimHash candidates | `dedup_simhash` | 64-bit, Hamming ≤ 6 | pair recall vs the same exact Jaccard tier | ${f"$simhashRecall%.3f"} |
          || embedding LSH near-dup | `dedup_embedding` | 8×4-bit OR-amplified tables, maxBucket=1000 | pair recall vs exact all-pairs cosine ≥ 0.3 (${exactEmb.size} pairs) | ${f"$embRecall%.3f"} |
          || — single table |  | nbits=4, 1 table | (context: what the banding buys) | ${f"$embRecall1%.3f"} |
+         || SemDeDup within-cell pairs | `dedup_semantic` | nlist=16, maxCell=1000 | pair recall vs the same exact cosine truth (precision 1 by construction) | ${f"$semRecall%.3f"} |
          |
          |Notes: cosine ≥ 0.3 (θ ≈ 72°) is a HARD regime for hyperplane
          |LSH — per-table collision is (1−θ/π)^4 ≈ 0.13, which is why the
@@ -180,6 +188,15 @@ object Recall {
          |100-candidate shortlist. The gates in `Recall.main` sit just
          |below these measurements to catch regressions; they are
          |corpus-calibrated, not universal.
+         |
+         |SemDeDup reads low here by design: a 16-cell partition only sees
+         |same-cell pairs, and cosine 0.3 pairs are FAR pairs — this corpus
+         |has zero pairs above cosine 0.6, so the declared query runs at
+         |the far threshold shared with `dedup_embedding`. The operator's
+         |design point (near-identical pairs, cosine ≥ 0.8) is measured in
+         |SimilaritySpec's planted-cluster case at recall ≥ 0.9 with
+         |precision 1; at the far threshold the OR-amplified
+         |`dedup_embedding` tier is the right tool (0.69 above).
          |""".stripMargin
 
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), report)
@@ -191,6 +208,8 @@ object Recall {
     require(knnRecall >= 0.65, f"knn_join recall regressed: $knnRecall%.3f")
     require(embRecall >= 0.6,
       f"embedding near-dup recall regressed: $embRecall%.3f")
+    require(semRecall >= 0.15,
+      f"dedup_semantic far-threshold recall regressed: $semRecall%.3f")
     require(lshRecall >= 0.4, f"lsh recall regressed: $lshRecall%.3f")
     require(ivfRecall >= 0.5, f"ivf recall regressed: $ivfRecall%.3f")
     require(pqRecall >= 0.5, f"pq recall regressed: $pqRecall%.3f")
