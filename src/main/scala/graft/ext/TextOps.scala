@@ -268,6 +268,49 @@ object TextOps {
     (lenScore * 0.4) + (stopScore * 0.3) + (shortScore * 0.3)
   }
 
+  /** BM25 retrieval scoring of every document against a fixed term set
+    * (Robertson–Spärck Jones; k1/b are the classic defaults in the
+    * declared query). The idf uses the raw `(N−df+0.5)/(df+0.5)` ratio
+    * rather than its ln — ln is not guaranteed bit-identical across math
+    * libraries and the ratio preserves the ranking (ln is monotone), which
+    * is what lets the DuckDB oracle hash-match scores exactly.
+    *
+    * Scale shape: per-document term counts are narrow expressions over the
+    * token array (no explode, no shuffle); the corpus statistics (N, Σdl,
+    * per-term df) reduce to ONE map-side-combinable aggregate row that
+    * crosses the plan as a broadcast — the fact side never shuffles. The
+    * corpus stats are integral-valued doubles, so their sums are exact in
+    * any accumulation order; per-term scores add in fixed term order.
+    *
+    * @return one row per doc: (idCol, tf_<term>..., score)
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val ws = words(col(textCol))
+    val base = docs.select(
+      col(idCol) +: size(ws).cast("double").as("dl") +:
+        terms.map(t =>
+          size(filter(ws, w => w === t)).cast("double").as(s"tf_$t")): _*)
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("dl")).as("sumdl") +:
+        terms.map(t =>
+          sum(when(col(s"tf_$t") > 0.0, 1.0).otherwise(0.0))
+            .as(s"df_$t")): _*)
+    def termScore(t: String) = {
+      val idf = (col("n") - col(s"df_$t") + lit(0.5)) /
+        (col(s"df_$t") + lit(0.5))
+      idf * (col(s"tf_$t") * lit(k1 + 1.0)) /
+        (col(s"tf_$t") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * (col("dl") / (col("sumdl") / col("n")))))
+    }
+    base.crossJoin(broadcast(stats))
+      .select(col(idCol) +:
+        terms.map(t => col(s"tf_$t").cast("long").as(s"tf_$t")) :+
+        terms.map(termScore).reduce(_ + _).as("score"): _*)
+  }
+
   /** C4/Gopher-style keep/drop verdict: the FIRST failing rule as a string
     * (`keep` when none fails) — too_short (< 25 tokens), low_stopword
     * (stopword ratio < 2%), repetitive (duplicate-word ratio > 65%).

@@ -571,29 +571,8 @@ object PipelineQueries {
     // corpus stats (N, Σdl, df) are integral-valued doubles, so their sums
     // are exact in any order; per-term scores add in fixed textual order
     "bm25" -> { (s, d) =>
-      val terms = Seq("join", "hash", "scan")
-      val ws = split(col("text"), " ")
-      val base = Tables.documents(s, d).select(
-        col("doc_id") +: size(ws).cast("double").as("dl") +:
-          terms.map(t =>
-            size(filter(ws, w => w === t)).cast("double").as(s"tf_$t")): _*)
-      val stats = base.agg(
-        count(lit(1)).cast("double").as("n"),
-        sum(col("dl")).as("sumdl") +:
-          terms.map(t =>
-            sum(when(col(s"tf_$t") > 0.0, 1.0).otherwise(0.0))
-              .as(s"df_$t")): _*)
-      def termScore(t: String) = {
-        val idf = (col("n") - col(s"df_$t") + lit(0.5)) /
-          (col(s"df_$t") + lit(0.5))
-        idf * (col(s"tf_$t") * lit(2.2)) /
-          (col(s"tf_$t") + lit(1.2) *
-            (lit(0.25) + lit(0.75) * (col("dl") / (col("sumdl") / col("n")))))
-      }
-      base.crossJoin(broadcast(stats))
-        .select(col("doc_id") +:
-          terms.map(t => col(s"tf_$t").cast("long").as(s"tf_$t")) :+
-          terms.map(termScore).reduce(_ + _).as("score"): _*)
+      TextOps.bm25(Tables.documents(s, d), "doc_id", "text",
+          terms = Seq("join", "hash", "scan"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(20)
     },
