@@ -301,9 +301,14 @@ object TextOps {
     def termScore(t: String) = {
       val idf = (col("n") - col(s"df_$t") + lit(0.5)) /
         (col(s"df_$t") + lit(0.5))
-      idf * (col(s"tf_$t") * lit(k1 + 1.0)) /
-        (col(s"tf_$t") + lit(k1) *
-          (lit(1.0 - b) + lit(b) * (col("dl") / (col("sumdl") / col("n")))))
+      // tf = 0 scores 0 by definition; guarding (rather than relying on a
+      // zero numerator) keeps k1 = 0 ANSI-safe, where the denominator
+      // degenerates to tf itself
+      when(col(s"tf_$t") > 0.0,
+        idf * (col(s"tf_$t") * lit(k1 + 1.0)) /
+          (col(s"tf_$t") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * (col("dl") / (col("sumdl") / col("n"))))))
+        .otherwise(lit(0.0))
     }
     base.crossJoin(broadcast(stats))
       .select(col(idCol) +:

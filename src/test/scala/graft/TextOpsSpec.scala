@@ -209,4 +209,37 @@ class TextOpsSpec extends SparkSpec {
     assert(r(5L) == ((2L, 76L, 0L)))  // zero-token doc: placed, never cut
     assert(r(4L) == ((0L, 0L, 1L)))   // shard b packs independently
   }
+
+  test("bm25: parameter semantics — k1=0 is set-membership, b=0 drops length norm") {
+    // doc 1: one 'cat'; doc 2: many 'cat's, longer; doc 3: same tf vector
+    // as doc 1 but much longer; doc 4: no query terms
+    val df = Seq(
+      (1L, "cat sits here quietly today"),
+      (2L, "cat cat cat cat sits sits here here now then"),
+      (3L, "cat sits here quietly today with lots of extra trailing words" +
+        " padding the document far beyond the first one"),
+      (4L, "nothing relevant at all appears inside this one")
+    ).toDF("doc_id", "text")
+    def scores(k1: Double, b: Double): Map[Long, Double] =
+      TextOps.bm25(df, "doc_id", "text", Seq("cat", "sits"), k1, b)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score"))
+        .toMap
+
+    // k1 = 0: tf and length cancel — any doc containing both terms scores
+    // exactly the same; a doc with neither scores 0
+    val s0 = scores(k1 = 0.0, b = 0.75)
+    assert(s0(1L) == s0(2L) && s0(2L) == s0(3L))
+    assert(s0(4L) == 0.0)
+
+    // b = 0: no length normalization — docs 1 and 3 (identical tf, very
+    // different lengths) tie exactly; doc 2's higher tf wins
+    val sb = scores(k1 = 1.2, b = 0.0)
+    assert(sb(1L) == sb(3L))
+    assert(sb(2L) > sb(1L))
+
+    // defaults: length normalization separates 1 from 3 (3 is longer, so
+    // its per-term score deflates)
+    val sd = scores(k1 = 1.2, b = 0.75)
+    assert(sd(1L) > sd(3L))
+  }
 }
