@@ -388,6 +388,36 @@ object Similarity {
       .where(col("cosine") >= minCosine)
   }
 
+  /** End-to-end SemDeDup corpus purge — the embedding twin of
+    * [[Dedup.dedupCorpus]]: [[semanticPairs]] proposes exact within-cell
+    * near-dup pairs, [[Dedup.connectedComponents]] groups them, and the
+    * minimum id per cluster survives, annotated with the cluster size it
+    * represents (`n_members` = 1 for vectors with no semantic dup).
+    *
+    * Same integral-id contract as `dedupCorpus` (the keeper join casts the
+    * id to long). Scale shape inherits from the stages: one coarse-
+    * quantizer pass, Σ|cell|² bounded pair work, O(diameter) CC rounds on
+    * pairs only.
+    */
+  def semanticDedupCorpus(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      minCosine: Double,
+      maxCell: Long = 1000L
+  ): DataFrame = {
+    val pairs = semanticPairs(corpus, idCol, vecCol, nlist, minCosine,
+      maxCell).select("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, corpus.select(idCol), idCol)
+    val sizes = cc.groupBy("label").agg(count(lit(1)).as("n_members"))
+    val keepers = cc.where(col("node") === col("label"))
+      .join(sizes, "label")
+      .select(col("node").as("__keep"), col("n_members"))
+    corpus.join(keepers, corpus(idCol).cast("long") === col("__keep"))
+      .drop("__keep")
+  }
+
   /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
     * vector to its nearest centroid; a query probes only the `nprobe`
     * closest cells and exact-ranks within them. The standard FAISS-style

@@ -77,6 +77,15 @@ object PipelineQueries {
           nlist = 16, minCosine = 0.3, maxCell = 1000L)
         .orderBy("id_a", "id_b")
     },
+    // end-to-end SemDeDup purge: semantic pairs → connected components →
+    // keep min id per cluster (rows-only: centroid-dependent; cluster
+    // correctness verified in SimilaritySpec against planted structure)
+    "dedup_semantic_purge" -> { (s, d) =>
+      Similarity.semanticDedupCorpus(Tables.embeddings(s, d), "vec_id",
+          "embedding", nlist = 16, minCosine = 0.3, maxCell = 1000L)
+        .select("vec_id", "label", "n_members")
+        .orderBy("vec_id")
+    },
     // brute-force exact cosine top-k vs the vec_id=0 query vector
     "sim_search" -> { (s, d) =>
       val e = Tables.embeddings(s, d)

@@ -181,6 +181,42 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticDedupCorpus: min id survives per planted cluster with the right size") {
+    // 3 tight clusters of 5 + 10 isolated vectors; at cosine ≥ 0.9 the
+    // clusters collapse to their min id and the isolated all survive
+    val rnd = new scala.util.Random(29)
+    val centers = (0 until 3).map(_ => Array.fill(12)(rnd.nextGaussian()))
+    val clustered = (0 until 15).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => (x + 0.005 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val isolated = (100 until 110).map { i =>
+      (i.toLong, Seq.fill(12)(rnd.nextGaussian().toFloat))
+    }
+    val df = (clustered ++ isolated).toDF("vec_id", "embedding").cache()
+    val survivors = Similarity.semanticDedupCorpus(df, "vec_id", "embedding",
+      nlist = 3, minCosine = 0.9).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("n_members")).toMap
+    // isolated vectors could by chance be near-dups of something; verify
+    // against the exact pair truth instead of assuming independence
+    def dot(x: Seq[Float], y: Seq[Float]): Double =
+      x.zip(y).foldLeft(0.0) { case (a, (p, q)) => a + p.toDouble * q.toDouble }
+    def cos(a: Seq[Float], b: Seq[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val all = clustered ++ isolated
+    val dupOf = all.map { case (id, v) =>
+      id -> all.filter(o => o._1 != id && cos(v, o._2) >= 0.9).map(_._1)
+    }.toMap
+    // the three cluster minima survive with n_members = 5
+    assert(survivors(0L) == 5 && survivors(1L) == 5 && survivors(2L) == 5)
+    // every isolated vector with no true near-dup survives as a singleton
+    isolated.map(_._1).filter(dupOf(_).isEmpty).foreach { id =>
+      assert(survivors(id) == 1L, s"isolated $id missing or grouped")
+    }
+    // no clustered non-minimum survives
+    (3L until 15L).foreach(id => assert(!survivors.contains(id)))
+  }
+
   test("PCA: orthonormal axes, descending variance, recovers a planted rank-2 structure") {
     // rank-2 data in 8 dims: x = a·u + b·w + tiny noise
     val rnd = new scala.util.Random(23)
