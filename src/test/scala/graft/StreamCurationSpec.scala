@@ -69,6 +69,58 @@ class StreamCurationSpec extends SparkSpec {
     assert(byBatch == Map(1L -> 0, 2L -> 0, 7L -> 1, 8L -> 1, 11L -> 2))
   }
 
+  test("fuzz: arbitrary batch splits keep the accepted corpus clean, unique and complete") {
+    // ground truth: clean unique docs (all must survive), exact-dup groups
+    // (exactly one survivor each), near-dup groups (exactly one each —
+    // J ≈ 0.9, where 16-band MinHash recall is ~1 and the seeds are fixed,
+    // so the outcome is deterministic), junk (none survive). The BATCH
+    // SPLIT is random: the invariants must hold no matter how arrival
+    // carves the corpus.
+    val rnd = new scala.util.Random(31)
+    for (iter <- 0 until 3) {
+      val clean = (0 until 12).map(i => (100L + i, good(i)))
+      val exactGroups = (0 until 3).map { g =>
+        val base = good(50 + g)
+        (0 until 2 + rnd.nextInt(2)).map(j =>
+          (300L + 10 * g + j, if (j == 0) base else base.toUpperCase + " !"))
+      }
+      val nearGroups = (0 until 3).map { g =>
+        val base = good(80 + g)
+        Seq((500L + 10 * g, base), (500L + 10 * g + 1, nearDup(base)))
+      }
+      val junk = (0 until 4).map(i => (700L + i, s"junk $i"))
+      val all = rnd.shuffle(
+        clean ++ exactGroups.flatten ++ nearGroups.flatten ++ junk)
+
+      // carve into 1..5 ordered batches
+      val nBatches = 1 + rnd.nextInt(5)
+      val batches = all.zipWithIndex
+        .groupBy { case (_, ix) => ix % nBatches }
+        .toSeq.sortBy(_._1).map(_._2.map(_._1))
+
+      val accepted = tmpDir(s"cur-fz$iter") + "/corpus"
+      val index = tmpDir(s"cur-fzi$iter") + "/index"
+      batches.zipWithIndex.foreach { case (b, id) =>
+        CurationStream.ingestBatch(b.toDF("doc_id", "text"), id.toLong,
+          "doc_id", "text", accepted, index)
+      }
+      val ids = CurationStream.accepted(spark, accepted)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+
+      clean.foreach { case (id, _) =>
+        assert(ids.contains(id), s"iter $iter: clean doc $id dropped")
+      }
+      junk.foreach { case (id, _) =>
+        assert(!ids.contains(id), s"iter $iter: junk $id accepted")
+      }
+      (exactGroups ++ nearGroups).foreach { group =>
+        val got = group.map(_._1).count(ids.contains)
+        assert(got == 1,
+          s"iter $iter: group ${group.map(_._1)} kept $got, want exactly 1")
+      }
+    }
+  }
+
   test("streaming end-to-end: micro-batches dedup against everything accepted before them") {
     implicit val sql = spark.sqlContext
     val accepted = tmpDir("cur-acc2") + "/corpus"
