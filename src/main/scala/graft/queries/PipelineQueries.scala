@@ -911,8 +911,8 @@ object PipelineQueries {
         |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS endsum
         | FROM t)
         |SELECT doc_id, lang, n_tokens,
-        | (endsum - n_tokens) // 512 AS pack_id,
-        | (endsum - n_tokens) % 512 AS pack_offset,
+        | CAST((endsum - n_tokens) // 512 AS BIGINT) AS pack_id,
+        | CAST((endsum - n_tokens) % 512 AS BIGINT) AS pack_offset,
         | CAST(CASE WHEN n_tokens > 0
         |            AND (endsum - 1) // 512 > (endsum - n_tokens) // 512
         |           THEN 1 ELSE 0 END AS BIGINT) AS spans_cut

@@ -48,12 +48,27 @@ def main():
                 if hasattr(v, "tolist"):
                     v = v.tolist()
                 if isinstance(v, list):
-                    return tuple(v)
+                    return tuple(norm(x) for x in v)
                 return v
+            def same(a, b):
+                # Driver-strict: the driver hashes rendered values, so
+                # 5.0 (float) vs 5 (int) must NOT compare equal. Require
+                # identical Python types after numpy->python conversion,
+                # recursively through array values.
+                if a is None or b is None:
+                    return a is None and b is None
+                if isinstance(a, float) and isinstance(b, float):
+                    return a == b or (a != a and b != b)
+                if type(a) is not type(b):
+                    return False
+                if isinstance(a, tuple):
+                    return len(a) == len(b) and all(
+                        same(x, y) for x, y in zip(a, b))
+                return a == b
             for c in gcols:
                 gv, ev = [norm(x) for x in g[c]], [norm(x) for x in e[c]]
                 bad = [(i, a, b) for i, (a, b) in enumerate(zip(gv, ev))
-                       if a != b and not (a != a and b != b)]
+                       if not same(a, b)]
                 if bad:
                     i, a, b = bad[0]
                     print(f"FAIL {name}: col {c} differs at row {i}: "
@@ -61,7 +76,15 @@ def main():
                           f"{len(bad)}/{len(gv)} rows differ")
                     ok = False
                     break
-                # dtype check (schema strictness)
+                # dtype check: int-kind vs float-kind divergence is how the
+                # doc_pack HUGEINT->float64 bug shipped; fail, don't warn.
+                gk, ek = g[c].dtype.kind, e[c].dtype.kind
+                if gk != ek and {gk, ek} <= {"i", "u", "f"} and not (
+                        {gk, ek} <= {"i", "u"}):
+                    print(f"FAIL {name}: col {c} dtype kind {g[c].dtype} vs "
+                          f"{e[c].dtype} (int/float divergence)")
+                    ok = False
+                    break
                 if str(g[c].dtype) != str(e[c].dtype):
                     print(f"WARN {name}: col {c} dtype {g[c].dtype} vs {e[c].dtype}")
         if ok:
