@@ -51,18 +51,19 @@ object Recall {
         exact(q).intersect(t).size.toDouble / exact(q).size
       }.sum / nQueries
 
-    // LSH: the sim_search_lsh configuration (nbits = 4, Hamming-1
-    // multiprobe), plus the single-bucket probe for context
+    // LSH: the sim_search_lsh configuration (nbits = 4, Hamming-2
+    // multiprobe), plus the shallower probes for context
     def lshAt(probe: Int): Double = meanRecall { q =>
       Similarity.annTopK(e, e.where(col("vec_id") === q).select("embedding"),
         "vec_id", "embedding", dim = 64, nbits = 4, k = k,
         probeHamming = probe)
         .collect().map(_.getLong(0)).toSet
     }
-    val lshRecall = lshAt(1)
+    val lshRecall = lshAt(2)
+    val lshRecall1 = lshAt(1)
     val lshRecall0 = lshAt(0)
 
-    // IVF: the sim_search_ivf configuration (nlist = 16, nprobe = 4);
+    // IVF: the sim_search_ivf configuration (nlist = 16, nprobe = 8);
     // index built once, probed per query
     val (indexed, centroids) =
       Similarity.ivfIndex(e, "vec_id", "embedding", nlist = 16)
@@ -72,16 +73,16 @@ object Recall {
         .head().getSeq[Float](0).toArray
     val ivfRecall = meanRecall { q =>
       Similarity.ivfTopK(indexedC, centroids, qv(q), "vec_id", "embedding",
-        nprobe = 4, k = k).collect().map(_.getLong(0)).toSet
+        nprobe = 8, k = k).collect().map(_.getLong(0)).toSet
     }
 
-    // PQ: the sim_search_pq configuration (m = 8, k = 16, rerank = 100)
+    // PQ: the sim_search_pq configuration (m = 8, k = 16, rerank = 400)
     val (encoded, codebooks) =
       Similarity.pqIndex(e, "vec_id", "embedding", m = 8, k = 16)
     val encodedC = encoded.cache()
     val pqRecall = meanRecall { q =>
       Similarity.pqTopK(encodedC, codebooks, qv(q), "vec_id", "embedding",
-        k = k, rerank = 100).collect().map(_.getLong(0)).toSet
+        k = k, rerank = 400).collect().map(_.getLong(0)).toSet
     }
 
     // ── knn_join: per-id neighbour recall vs exact global top-k, in the
@@ -105,11 +106,15 @@ object Recall {
         .select("id", "neighbor").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     }
-    val approxKnn = Similarity.knnJoin(e, "vec_id", "embedding",
-        dim = 64, nbits = 4, k = knnK, maxBucket = 1000, tables = 8)
-      .select("id", "neighbor").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val knnRecall = exactKnn.intersect(approxKnn).size.toDouble / exactKnn.size
+    def knnAt(tables: Int): Double = {
+      val approx = Similarity.knnJoin(e, "vec_id", "embedding",
+          dim = 64, nbits = 4, k = knnK, maxBucket = 1000, tables = tables)
+        .select("id", "neighbor").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      exactKnn.intersect(approx).size.toDouble / exactKnn.size
+    }
+    val knnRecall = knnAt(8)  // the declared knn_join config
+    val knnRecall6 = knnAt(6) // cost-trim context (VERDICT r4 item 8)
 
     // ── MinHash LSH: candidate recall vs the exact n-gram Jaccard tier
     // (the dedup_minhash / dedup_ngram configurations) ────────────────────
@@ -152,12 +157,34 @@ object Recall {
     val embRecall = embAt(8)  // the declared dedup_embedding config
     val embRecall1 = embAt(1) // single-table, for context
 
-    // ── SemDeDup: within-cell exact pairs vs the same all-pairs truth
-    // (precision is 1 by construction — every emitted pair is exact-
-    // verified; recall is what the cell partition costs) ─────────────────
-    val semPairs = pairSet(Similarity.semanticPairs(e, "vec_id", "embedding",
-      nlist = 16, minCosine = 0.3, maxCell = 1000L))
-    val semRecall = exactEmb.intersect(semPairs).size.toDouble / exactEmb.size
+    // ── SemDeDup at its DESIGN POINT (the declared dedup_semantic config):
+    // the planted-near-dup corpus (every 4th vector + a cosine≈0.99 copy,
+    // see PipelineQueries.plantedNearDups), threshold 0.8. Truth = exact
+    // all-pairs cosine ≥ 0.8 over the same corpus; precision is 1 by
+    // construction (every emitted pair is exact-verified), measured anyway;
+    // recall is what the KMeans cell partition costs (a planted pair is
+    // missed only when source and copy straddle a cell boundary) ─────────
+    val semCorpus = graft.queries.PipelineQueries
+      .plantedNearDups(e).cache()
+    val semTruth = {
+      val wn = semCorpus.withColumn("__n",
+        sqrt(Similarity.norm2(col("embedding"))))
+      val sa = wn.select(col("vec_id").as("id_a"),
+        col("embedding").as("va"), col("__n").as("na"))
+      val sb = wn.select(col("vec_id").as("id_b"),
+        col("embedding").as("vb"), col("__n").as("nb"))
+      sa.crossJoin(sb).where(col("id_a") < col("id_b"))
+        .where(Similarity.dot(col("va"), col("vb")) /
+          (col("na") * col("nb")) >= 0.8)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val semPairs = pairSet(Similarity.semanticPairs(semCorpus, "vec_id",
+      "embedding", nlist = 16, minCosine = 0.8, maxCell = 1000L))
+    val semRecall = semTruth.intersect(semPairs).size.toDouble / semTruth.size
+    val semPrecision =
+      if (semPairs.isEmpty) 1.0
+      else semTruth.intersect(semPairs).size.toDouble / semPairs.size
 
     val report =
       s"""# Recall at bench scale (generated by `graft.Recall`)
@@ -168,35 +195,43 @@ object Recall {
          |
          || tier | declared query | config | metric | recall |
          ||---|---|---|---|---|
-         || hyperplane LSH top-k | `sim_search_lsh` | nbits=4, Hamming-1 multiprobe (5/16 buckets) | mean recall@$k over $nQueries queries vs `sim_search` | ${f"$lshRecall%.3f"} |
+         || hyperplane LSH top-k | `sim_search_lsh` | nbits=4, Hamming-2 multiprobe (11/16 buckets) | mean recall@$k over $nQueries queries vs `sim_search` | ${f"$lshRecall%.3f"} |
+         || — Hamming-1 probe |  | nbits=4, 5/16 buckets | (context: the round-4 declared depth) | ${f"$lshRecall1%.3f"} |
          || — single-bucket probe |  | nbits=4, 1/16 buckets | (context: what the multiprobe buys) | ${f"$lshRecall0%.3f"} |
-         || IVF top-k | `sim_search_ivf` | nlist=16, nprobe=4 | mean recall@$k over $nQueries queries vs `sim_search` | ${f"$ivfRecall%.3f"} |
-         || PQ ADC top-k | `sim_search_pq` | m=8, k=16, rerank=100 | mean recall@$k over $nQueries queries vs `sim_search` | ${f"$pqRecall%.3f"} |
+         || IVF top-k | `sim_search_ivf` | nlist=16, nprobe=8 | mean recall@$k over $nQueries queries vs `sim_search` | ${f"$ivfRecall%.3f"} |
+         || PQ ADC top-k | `sim_search_pq` | m=8, k=16, rerank=400 | mean recall@$k over $nQueries queries vs `sim_search` | ${f"$pqRecall%.3f"} |
          || LSH knn self-join | `knn_join` | nbits=4, 8 tables, maxBucket=1000 | neighbour recall vs exact global top-$knnK (${exactKnn.size} edges) | ${f"$knnRecall%.3f"} |
+         || — 6 tables |  | nbits=4, 6 tables | (context: the cost-trim candidate) | ${f"$knnRecall6%.3f"} |
          || MinHash LSH candidates | `dedup_minhash` | 32 hashes / 16 bands, maxBucket=1000 | pair recall vs exact Jaccard ≥ 0.3 (`dedup_ngram`, ${exactPairs.size} pairs) | ${f"$minhashRecall%.3f"} |
          || SimHash candidates | `dedup_simhash` | 64-bit, Hamming ≤ 6 | pair recall vs the same exact Jaccard tier | ${f"$simhashRecall%.3f"} |
          || embedding LSH near-dup | `dedup_embedding` | 8×4-bit OR-amplified tables, maxBucket=1000 | pair recall vs exact all-pairs cosine ≥ 0.3 (${exactEmb.size} pairs) | ${f"$embRecall%.3f"} |
          || — single table |  | nbits=4, 1 table | (context: what the banding buys) | ${f"$embRecall1%.3f"} |
-         || SemDeDup within-cell pairs | `dedup_semantic` | nlist=16, maxCell=1000 | pair recall vs the same exact cosine truth (precision 1 by construction) | ${f"$semRecall%.3f"} |
+         || SemDeDup design point | `dedup_semantic` | planted-near-dup corpus, nlist=16, cosine ≥ 0.8, maxCell=1000 | pair recall vs exact all-pairs cosine ≥ 0.8 (${semTruth.size} planted pairs); precision ${f"$semPrecision%.3f"} | ${f"$semRecall%.3f"} |
          |
          |Notes: cosine ≥ 0.3 (θ ≈ 72°) is a HARD regime for hyperplane
          |LSH — per-table collision is (1−θ/π)^4 ≈ 0.13, which is why the
          |declared tier OR-amplifies across 8 independent tables
-         |(1−(1−p)^8). LSH/IVF probe a slice of the corpus (5 of 16
-         |buckets / 4 of 16 cells), so their recall is the price of
+         |(1−(1−p)^8). LSH/IVF probe a slice of the corpus (11 of 16
+         |buckets / 8 of 16 cells), so their recall is the price of
          |scanning a fraction of the data; PQ re-ranks exact over a
-         |100-candidate shortlist. The gates in `Recall.main` sit just
+         |400-candidate shortlist. The gates in `Recall.main` sit just
          |below these measurements to catch regressions; they are
          |corpus-calibrated, not universal.
          |
-         |SemDeDup reads low here by design: a 16-cell partition only sees
-         |same-cell pairs, and cosine 0.3 pairs are FAR pairs — this corpus
-         |has zero pairs above cosine 0.6, so the declared query runs at
-         |the far threshold shared with `dedup_embedding`. The operator's
-         |design point (near-identical pairs, cosine ≥ 0.8) is measured in
-         |SimilaritySpec's planted-cluster case at recall ≥ 0.9 with
-         |precision 1; at the far threshold the OR-amplified
-         |`dedup_embedding` tier is the right tool (0.69 above).
+         |`knn_join` keeps 8 OR-tables: the 6-table trim measured above
+         |costs ~0.10 recall (0.72 → 0.62), five times the 0.02 budget the
+         |round-4 advice allowed for the cost cut — the signature base is
+         |already localCheckpointed, so table count is the only lever left
+         |and it is not worth the recall.
+         |
+         |`dedup_semantic` is declared — and measured — at the SemDeDup
+         |design point: near-identical pairs (cosine ≥ 0.8) over the
+         |planted-near-dup corpus (`PipelineQueries.plantedNearDups`: every
+         |4th vector gets a cosine≈0.99 copy; the raw synthetic corpus has
+         |no pair above 0.6, so it cannot demonstrate the operator). A
+         |planted pair is missed only when source and copy straddle a
+         |KMeans cell boundary. Far-threshold (0.3) pair mining is
+         |`dedup_embedding`'s regime (0.69 above, OR-amplified).
          |""".stripMargin
 
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), report)
@@ -208,11 +243,13 @@ object Recall {
     require(knnRecall >= 0.65, f"knn_join recall regressed: $knnRecall%.3f")
     require(embRecall >= 0.6,
       f"embedding near-dup recall regressed: $embRecall%.3f")
-    require(semRecall >= 0.15,
-      f"dedup_semantic far-threshold recall regressed: $semRecall%.3f")
-    require(lshRecall >= 0.4, f"lsh recall regressed: $lshRecall%.3f")
-    require(ivfRecall >= 0.5, f"ivf recall regressed: $ivfRecall%.3f")
-    require(pqRecall >= 0.5, f"pq recall regressed: $pqRecall%.3f")
+    require(semRecall >= 0.9,
+      f"dedup_semantic design-point recall regressed: $semRecall%.3f")
+    require(semPrecision >= 0.999,
+      f"dedup_semantic precision regressed: $semPrecision%.3f")
+    require(lshRecall >= 0.8, f"lsh recall regressed: $lshRecall%.3f")
+    require(ivfRecall >= 0.75, f"ivf recall regressed: $ivfRecall%.3f")
+    require(pqRecall >= 0.8, f"pq recall regressed: $pqRecall%.3f")
     spark.stop()
   }
 }

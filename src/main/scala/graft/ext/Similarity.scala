@@ -813,11 +813,13 @@ object Similarity {
     * [[cosineTopK]] (SimilaritySpec) and `graft.Recall` records it at
     * bench scale.
     *
-    * `probeHamming = 1` multiprobes: the query also scans the nbits
-    * buckets at Hamming distance 1 from its own (a near neighbour that
-    * disagrees on exactly one plane lands there — the most likely miss).
-    * Scans (nbits+1)/2^nbits of the corpus instead of 1/2^nbits; at rest
-    * the probes are partition-pruned reads, never a full pass.
+    * `probeHamming ≥ 1` multiprobes: the query also scans every bucket
+    * within that Hamming distance of its own (a near neighbour that
+    * disagrees on one — or, at distance 2, two — planes lands there; the
+    * most likely misses in probability order). Distance 1 scans
+    * (1+nbits)/2^nbits of the corpus, distance 2 adds C(nbits,2) more
+    * buckets (11/16 at nbits=4); at rest the probes are partition-pruned
+    * reads, never a full pass.
     */
   def annTopK(
       corpus: DataFrame,
@@ -832,10 +834,15 @@ object Similarity {
     val bucketed = lshBucketed(corpus, vecCol, dim, nbits)
     val q = lshBucketed(query.select(col(vecCol).as(vecCol)), vecCol, dim, nbits)
       .select(col(vecCol).as("__q"), col("lsh_bucket").as("__qb"))
+    val flips =
+      (if (probeHamming >= 1) (0 until nbits).map(j => 1L << j) else Seq.empty) ++
+        (if (probeHamming >= 2)
+          for { i <- 0 until nbits; j <- i + 1 until nbits }
+            yield (1L << i) | (1L << j)
+        else Seq.empty)
     val probeSet =
-      if (probeHamming <= 0) array(col("__qb"))
-      else array((col("__qb") +: (0 until nbits).map(j =>
-        col("__qb").bitwiseXOR(lit(1L << j)))): _*)
+      array((col("__qb") +: flips.map(m =>
+        col("__qb").bitwiseXOR(lit(m)))): _*)
     val probes = q.select(col("__q"), explode(probeSet).as("__qb"))
     // buckets are disjoint, so a corpus row matches at most one probe —
     // no dedup needed before the ranking
