@@ -70,15 +70,16 @@ object ScaleOps {
     * wins when fact ≫ dim-matched-fact (the shuffle avoided dwarfs the
     * sketch pass). For broadcast-sized dims just broadcast.
     *
-    * CONTRACT: `dim` must be deterministic — it is evaluated twice (once
-    * for the sketch, once in the join), and a nondeterministic dim (a
-    * sample, a rand() filter) can produce join keys on the second
-    * evaluation that the sketch never saw, silently dropping matches.
-    * `localCheckpoint`/persist such a dim before calling.
+    * `dim` is evaluated twice (once for the sketch, once in the join), so
+    * a nondeterministic dim (a sample, a rand() filter) could produce join
+    * keys on the second evaluation that the sketch never saw, silently
+    * dropping matches. ENFORCED: if the dim's analyzed plan carries any
+    * nondeterministic expression it is pinned with an eager
+    * `localCheckpoint` first, so both evaluations read the same snapshot.
     */
   def bloomPrunedJoin(
       fact: DataFrame,
-      dim: DataFrame,
+      dim0: DataFrame,
       key: String,
       expectedDimKeys: Long = 1000000L
   ): DataFrame = {
@@ -87,6 +88,11 @@ object ScaleOps {
     import org.apache.spark.sql.graftbridge.Bridge
     import org.apache.spark.sql.types.BinaryType
     require(expectedDimKeys > 0)
+    val dim =
+      if (dim0.queryExecution.analyzed.exists(
+          _.expressions.exists(_.exists(!_.deterministic))))
+        dim0.localCheckpoint(true)
+      else dim0
     val agg = new BloomFilterAggregate(
       Bridge.expression(xxhash64(dim(key))), expectedDimKeys)
       .toAggregateExpression()

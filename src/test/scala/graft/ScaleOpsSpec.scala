@@ -52,6 +52,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(kept >= 150 && kept < 1000, s"bloom kept $kept of 5000")
   }
 
+  test("bloom-pruned join pins a nondeterministic dim before double-eval") {
+    val fact = (1L to 500L).map(i => (i % 50, s"v$i")).toDF("k", "payload")
+    val dimDet = Seq((7L, "a"), (13L, "b")).toDF("k", "attr")
+    val dimRand = dimDet.where(rand() >= 0.0) // always-true but nondeterministic
+    // deterministic dim: no checkpoint (plan still reads the local relation)
+    val plannedDet = ScaleOps.bloomPrunedJoin(fact, dimDet, "k")
+    assert(!plannedDet.queryExecution.analyzed.toString.contains("LogicalRDD"),
+      "deterministic dim should not be checkpointed")
+    // nondeterministic dim: pinned to a snapshot (LogicalRDD), and since
+    // the predicate is always-true the result still equals the plain join
+    val plannedRand = ScaleOps.bloomPrunedJoin(fact, dimRand, "k")
+    assert(plannedRand.queryExecution.analyzed.toString.contains("LogicalRDD"),
+      "nondeterministic dim must be localCheckpoint-pinned")
+    val plain = fact.join(dimDet, Seq("k"))
+      .select("k", "payload", "attr").collect().map(_.toSeq).sortBy(_.toString)
+    val got = plannedRand
+      .select("k", "payload", "attr").collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.sameElements(plain))
+  }
+
   test("bloom-pruned join with an empty dim yields an empty result") {
     val fact = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "payload")
     val dim = Seq.empty[(Long, String)].toDF("k", "attr")
