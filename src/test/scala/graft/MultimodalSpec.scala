@@ -121,6 +121,58 @@ class MultimodalSpec extends SparkSpec {
       probes(2).format == "unknown")
   }
 
+  test("realFeature is a histogram of DECODED pixels, not container bytes") {
+    // 4×2 image: 4 black pixels, 3 white, 1 mid-gray — luminance histogram
+    // must be exactly (4/8 in bin 0, 1/8 in the gray bin, 3/8 in bin 7),
+    // a distribution unreachable from any fold over the compressed bytes
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 4) img.setRGB(x, 0, 0x000000)
+    for (x <- 0 until 3) img.setRGB(x, 1, 0xffffff)
+    img.setRGB(3, 1, 0x808080) // luma 128 -> bin 4 of 8
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val f = Multimodal.Codecs.realFeature(bos.toByteArray)
+    assert(f.isDefined)
+    assert(f.get.toSeq == Seq(0.5f, 0f, 0f, 0f, 0.125f, 0f, 0f, 0.375f))
+    // and the same image re-encoded lossily still decodes to ~the same
+    // histogram under the raster path (here: PNG is lossless, so exact)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos2)
+    assert(Multimodal.Codecs.realFeature(bos2.toByteArray).get.toSeq ==
+      f.get.toSeq)
+  }
+
+  test("realFeature bins real WAV PCM samples by amplitude") {
+    // 6 PCM frames: 3 near-min, 2 at zero, 1 near-max
+    val samples = Seq[Short](-32768, -32768, -32700, 0, 0, 32700)
+    val base = wavBytes(1, 8000, 16, samples.length)
+    val bb = java.nio.ByteBuffer.wrap(base)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.position(44)
+    samples.foreach(bb.putShort)
+    val f = Multimodal.Codecs.realFeature(base)
+    assert(f.isDefined)
+    // bins over [-32768, 32768): min→bin 0, 0→bin 4, +32700→bin 7
+    assert(f.get.toSeq == Seq(0.5f, 0f, 0f, 0f, 1f / 3, 0f, 0f, 1f / 6))
+    // undecodable payloads yield None (the stub fallback path)
+    assert(Multimodal.Codecs.realFeature("opaque".getBytes).isEmpty)
+  }
+
+  test("extractFeatures routes decodable payloads through realFeature") {
+    val png = pngBytes(3, 3) // 1 orange pixel + 8 black
+    val blobs = Seq(
+      Multimodal.MediaBlob(1L, "image", png, "image/png", -1, -1, -1L),
+      Multimodal.MediaBlob(2L, "image", "opaque".getBytes, "image/fake",
+        -1, -1, -1L)
+    ).toDS()
+    val feats = Multimodal.extractFeatures(blobs).collect().sortBy(_.media_id)
+    assert(feats(0).feature.toSeq ==
+      Multimodal.Codecs.realFeature(png).get.toSeq)
+    assert(feats(1).feature.toSeq ==
+      Multimodal.Codecs.imageFeature("opaque".getBytes).toSeq)
+  }
+
   test("features join back to metadata without shuffling payloads") {
     val media = Multimodal.fromText(docs, "doc_id", "text")
     val joined = Multimodal.featureTable(media)
