@@ -167,6 +167,23 @@ object TextOps {
     aggregate(perWord, lit(0L), (h, v) => (h * 31 + v) % 1000000007L)
   }
 
+  /** URL canonicalization for source-level dedup (the RefinedWeb /
+    * CCNet-style "same page fetched under many URLs" pass that runs BEFORE
+    * any content hashing): lowercase, strip the scheme, a leading `www.`,
+    * the query/fragment, and a trailing slash. Pure codegen'd
+    * `regexp_replace` chain — canonicalization happens at scan speed and
+    * the dedup itself is one groupBy on the canonical key (the cheapest
+    * tier of the dedup ladder: no shingles, no hashes, no pairs).
+    */
+  def normalizeUrl(url: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(url), "^https?://", ""),
+          "^www\\.", ""),
+        "[?#].*$", ""),
+      "/$", "")
+
   /** Boilerplate detection (C4-style, adapted to shingles since this corpus
     * has no line structure): a shingle is boilerplate when it appears in
     * ≥ `minDf` distinct documents; per doc, report how much of its content
