@@ -20,22 +20,44 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
 
-  /** `events.parquet` carries parquet TIMESTAMP(NANOS) which Spark does not
-    * model; `nanosAsLong` reads it as raw int64 nanoseconds — exactly what we
-    * want for oracle parity (DuckDB side uses `epoch_ns(ts)`), and for chain
-    * semantics where time ordering is by an integer height anyway.
+  /** Some testdata generations write `events.ts` as parquet
+    * TIMESTAMP(NANOS), which Spark does not model; `nanosAsLong` reads it
+    * as raw int64 nanoseconds — exactly what the query layer wants (the
+    * DuckDB oracle side uses `epoch_us(ts)`, matched by `ts div 1000`).
     * Runtime-settable SQL conf, so this works under a driver-owned session.
     */
   def withNanos(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the NTZ-reinterpretation in [[events]] (and oracle epoch parity
+    // generally) assumes UTC; pin it even under a driver-owned session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark
   }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     withNanos(spark).read.parquet(s"$sfDir/$name.parquet")
 
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "events")
+  /** The query layer's contract is `ts: BIGINT` epoch-nanoseconds. The
+    * driver's generator has produced both TIMESTAMP(NANOS) (read as int64
+    * nanos under [[withNanos]]) and TIMESTAMP(MICROS) (a real Spark
+    * timestamp) across rounds — normalize the micros form to the same
+    * int64-nanos contract so every downstream `ts div 1000` keeps meaning
+    * "epoch micros" either way.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case TimestampType =>
+        raw.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case TimestampNTZType =>
+        // session TZ is pinned UTC, so NTZ→TZ is a no-op reinterpretation
+        raw.withColumn(
+          "ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case _ => raw
+    }
+  }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame =

@@ -58,6 +58,21 @@ object Dedup {
       .groupBy(sha2(col(textCol), 256).as("text_hash"))
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keeper"))
 
+  /** URL-level dedup — tier 0 of the ladder, BEFORE any content hashing
+    * (the RefinedWeb / CCNet "same page fetched under many URLs" pass):
+    * group by [[TextOps.normalizeUrl]] of the URL column; keeper = min(id).
+    * Returns (canonical_url, n_dups, keeper).
+    *
+    * Scale shape is identical to [[exact]] — canonicalization is a
+    * codegen'd regexp chain evaluated at scan speed, and the only exchange
+    * moves (short) canonical keys. It is the cheapest tier precisely
+    * because it needs no shingles, no signatures, and no pairs.
+    */
+  def urlDedup(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
+    docs
+      .groupBy(TextOps.normalizeUrl(col(urlCol)).as("canonical_url"))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keeper"))
+
   /** Word n-gram shingles of a text column, as a deduplicated array.
     * Per-row Column form — convenient for composition; for the hot paths
     * use [[shingleRows]], which stays inside whole-stage codegen.

@@ -595,6 +595,29 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keeper"))
         .orderBy("norm_hash")
     },
+    // URL-level dedup — tier 0 of the ladder, BEFORE any content hashing
+    // (the RefinedWeb / CCNet "same page fetched under many URLs" pass).
+    // The corpus has no URL column, so the query synthesizes a
+    // deterministic one per doc carrying exactly the noise
+    // canonicalization exists to remove — scheme + host case, www.,
+    // query string + fragment, trailing slash — over a page identity of
+    // doc_id mod 100 (≈5 fetch variants per page at sf0.01). One groupBy
+    // on the canonical key: no shingles, no signatures, no pairs
+    "dedup_url" -> { (s, d) =>
+      val url = concat(
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("https://"))
+          .otherwise(lit("HTTP://")),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("www.")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0, lit("EXAMPLE.COM"))
+          .otherwise(lit("example.com")),
+        lit("/page/"), pmod(col("doc_id"), lit(100)).cast("string"),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit("/")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit("?utm_source=feed#r"))
+          .otherwise(lit("")))
+      Dedup.urlDedup(
+          Tables.documents(s, d).withColumn("url", url), "doc_id", "url")
+        .orderBy("canonical_url")
+    },
     // inverted index build: token → (doc, occurrence count, position list)
     // postings — the retrieval-index construction pass. One map-side-
     // combinable shuffle on (token, doc); positions serialize as a CSV
@@ -1140,6 +1163,24 @@ object PipelineQueries {
         |   '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g'))) AS norm_hash,
         | CAST(count(*) AS BIGINT) AS n_dups, min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same synthesized fetch-variant URL, canonicalized by the same
+    // anchored regexp chain (all patterns match at most once, so DuckDB's
+    // first-match default equals Spark's replace-all)
+    "dedup_url" ->
+      """WITH u AS (
+        | SELECT doc_id, concat(
+        |  CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,
+        |  CASE WHEN doc_id % 11 = 0 THEN 'EXAMPLE.COM' ELSE 'example.com' END,
+        |  '/page/', CAST(doc_id % 100 AS VARCHAR),
+        |  CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+        |  CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed#r' ELSE '' END) AS url
+        | FROM documents)
+        |SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |   lower(url), '^https?://', ''), '^www\.', ''), '[?#].*$', ''),
+        |   '/$', '') AS canonical_url,
+        | CAST(count(*) AS BIGINT) AS n_dups, min(doc_id) AS keeper
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "inverted_index" ->
       """WITH p AS (
         | SELECT doc_id, u.s.i AS pos, u.s.w AS w

@@ -242,4 +242,43 @@ class TextOpsSpec extends SparkSpec {
     val sd = scores(k1 = 1.2, b = 0.75)
     assert(sd(1L) > sd(3L))
   }
+
+  test("normalizeUrl strips each noise dimension and only those") {
+    val cases = Seq(
+      // scheme, case, www., query, fragment, trailing slash — all removed
+      "HTTPS://WWW.Example.COM/Page/37/?utm_source=feed#frag" ->
+        "example.com/page/37",
+      "http://example.com/page/37" -> "example.com/page/37",
+      // www only as a leading label; an inner "www." survives
+      "https://sub.www.example.com/a" -> "sub.www.example.com/a",
+      // ? or # alone each cut the tail
+      "example.com/a#frag" -> "example.com/a",
+      "example.com/a?x=1" -> "example.com/a",
+      // only ONE trailing slash is a fetch artifact; a path is untouched
+      "example.com/a/b/" -> "example.com/a/b",
+      // no noise at all: identity
+      "example.com" -> "example.com")
+    val got = cases.map(_._1).toDF("url")
+      .select(TextOps.normalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0))
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"normalizeUrl($in)")
+    }
+  }
+
+  test("urlDedup collapses fetch variants to one keeper per page") {
+    import graft.ext.Dedup
+    val df = Seq(
+      (10L, "HTTP://www.site.org/doc/1/"),
+      (11L, "https://site.org/doc/1?sess=9"),
+      (12L, "https://site.org/doc/1#top"),
+      (20L, "https://site.org/doc/2"),
+      (21L, "http://SITE.ORG/doc/2/")
+    ).toDF("doc_id", "url")
+    val r = Dedup.urlDedup(df, "doc_id", "url")
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r == Map(
+      "site.org/doc/1" -> (3L, 10L),
+      "site.org/doc/2" -> (2L, 20L)))
+  }
 }
