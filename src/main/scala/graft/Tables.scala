@@ -25,11 +25,21 @@ object Tables {
     * as raw int64 nanoseconds — exactly what the query layer wants (the
     * DuckDB oracle side uses `epoch_us(ts)`, matched by `ts div 1000`).
     * Runtime-settable SQL conf, so this works under a driver-owned session.
+    *
+    * ==GLOBAL SESSION MUTATION==
+    * This also pins `spark.sql.session.timeZone=UTC` on the (possibly
+    * shared, driver-owned) session, because oracle parity for every
+    * timestamp-RENDERING query (date extraction, `from_unixtime`-style
+    * formatting) assumes the DuckDB oracle's UTC. That changes timestamp
+    * rendering for UNRELATED queries on the same session — callers
+    * embedding this library in a session with a different timezone
+    * contract should read tables through their own reader instead of
+    * [[table]]. The epoch NORMALIZATION in [[events]] deliberately does
+    * not depend on this pin (it is computed timezone-independently), so a
+    * later TZ reset cannot silently shift `ts` values of a lazy plan.
     */
   def withNanos(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // the NTZ-reinterpretation in [[events]] (and oracle epoch parity
-    // generally) assumes UTC; pin it even under a driver-owned session
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark
   }
@@ -46,15 +56,29 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
     val raw = table(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case TimestampType =>
+        // TimestampType IS epoch-micros; unix_micros extracts the raw
+        // int64 — timezone-independent by construction
         raw.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
       case TimestampNTZType =>
-        // session TZ is pinned UTC, so NTZ→TZ is a no-op reinterpretation
-        raw.withColumn(
-          "ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+        // NTZ wall clock treated as UTC, assembled from the NTZ's own
+        // date/time fields (all timezone-independent on NTZ input). An
+        // earlier form cast NTZ→TIMESTAMP, which reinterprets under
+        // whatever spark.sql.session.timeZone holds WHEN THE LAZY PLAN
+        // EXECUTES — correct only while the [[withNanos]] UTC pin stays
+        // unclobbered. This form cannot shift no matter who resets the
+        // session timezone between plan build and execution
+        // (TablesSpec proves it under a mid-plan TZ change).
+        val t = col("ts")
+        val micros =
+          unix_date(t.cast(DateType)).cast("long") * lit(86400000000L) +
+            hour(t).cast("long") * lit(3600000000L) +
+            minute(t).cast("long") * lit(60000000L) +
+            (date_part(lit("SECOND"), t) * lit(1000000)).cast("long")
+        raw.withColumn("ts", micros * lit(1000L))
       case _ => raw
     }
   }

@@ -67,9 +67,17 @@ object Dedup {
     * codegen'd regexp chain evaluated at scan speed, and the only exchange
     * moves (short) canonical keys. It is the cheapest tier precisely
     * because it needs no shingles, no signatures, and no pairs.
+    *
+    * Null/empty URLs are FILTERED, not grouped: in real crawl corpora
+    * `url` is often missing, and a null bucket would report every
+    * url-less document as a mutual duplicate with an arbitrary keeper —
+    * exactly the false merge this tier exists to avoid. Documents without
+    * a URL simply don't participate in URL-level dedup (send them to the
+    * content tiers).
     */
   def urlDedup(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
     docs
+      .where(col(urlCol).isNotNull && col(urlCol) =!= "")
       .groupBy(TextOps.normalizeUrl(col(urlCol)).as("canonical_url"))
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keeper"))
 

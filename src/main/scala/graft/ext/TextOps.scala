@@ -169,20 +169,28 @@ object TextOps {
 
   /** URL canonicalization for source-level dedup (the RefinedWeb /
     * CCNet-style "same page fetched under many URLs" pass that runs BEFORE
-    * any content hashing): lowercase, strip the scheme, a leading `www.`,
-    * the query/fragment, and a trailing slash. Pure codegen'd
-    * `regexp_replace` chain — canonicalization happens at scan speed and
-    * the dedup itself is one groupBy on the canonical key (the cheapest
-    * tier of the dedup ladder: no shingles, no hashes, no pairs).
+    * any content hashing): strip the scheme (case-insensitively), lowercase
+    * the HOST only, strip a leading `www.`, the query/fragment, and a
+    * trailing slash. The path keeps its case — URL paths are
+    * case-sensitive per RFC 3986 §6.2.2.1 (only scheme and host are
+    * case-insensitive), so folding the path would over-merge genuinely
+    * distinct pages. Pure codegen'd `regexp` chain — canonicalization
+    * happens at scan speed and the dedup itself is one groupBy on the
+    * canonical key (the cheapest tier of the dedup ladder: no shingles, no
+    * hashes, no pairs).
     */
-  def normalizeUrl(url: Column): Column =
-    regexp_replace(
+  def normalizeUrl(url: Column): Column = {
+    val noScheme = regexp_replace(url, "(?i)^https?://", "")
+    // host = everything before the first path/query/fragment delimiter;
+    // the anchored [^/?#]* always matches, so extract never returns null
+    val host = regexp_replace(
+      lower(regexp_extract(noScheme, "^[^/?#]*", 0)), "^www\\.", "")
+    val rest = regexp_replace(
       regexp_replace(
-        regexp_replace(
-          regexp_replace(lower(url), "^https?://", ""),
-          "^www\\.", ""),
-        "[?#].*$", ""),
+        regexp_extract(noScheme, "^[^/?#]*(.*)$", 1), "[?#].*$", ""),
       "/$", "")
+    concat(host, rest)
+  }
 
   /** Boilerplate detection (C4-style, adapted to shingles since this corpus
     * has no line structure): a shingle is boilerplate when it appears in

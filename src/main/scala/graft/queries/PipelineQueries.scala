@@ -601,19 +601,26 @@ object PipelineQueries {
     // deterministic one per doc carrying exactly the noise
     // canonicalization exists to remove — scheme + host case, www.,
     // query string + fragment, trailing slash — over a page identity of
-    // doc_id mod 100 (≈5 fetch variants per page at sf0.01). One groupBy
-    // on the canonical key: no shingles, no signatures, no pairs
+    // doc_id mod 100 (≈5 fetch variants per page at sf0.01), PLUS the two
+    // things canonicalization must NOT touch: a `/Page/` path-case variant
+    // (paths are case-sensitive per RFC 3986, so it stays a distinct page)
+    // and a null-URL slice (url-less docs are filtered, never grouped into
+    // a false all-duplicates bucket). One groupBy on the canonical key: no
+    // shingles, no signatures, no pairs
     "dedup_url" -> { (s, d) =>
-      val url = concat(
-        when(pmod(col("doc_id"), lit(2)) === 0, lit("https://"))
-          .otherwise(lit("HTTP://")),
-        when(pmod(col("doc_id"), lit(3)) === 0, lit("www.")).otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(11)) === 0, lit("EXAMPLE.COM"))
-          .otherwise(lit("example.com")),
-        lit("/page/"), pmod(col("doc_id"), lit(100)).cast("string"),
-        when(pmod(col("doc_id"), lit(5)) === 0, lit("/")).otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(7)) === 0, lit("?utm_source=feed#r"))
-          .otherwise(lit("")))
+      val url = when(pmod(col("doc_id"), lit(17)) === 0, lit(null))
+        .otherwise(concat(
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("https://"))
+            .otherwise(lit("HTTP://")),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("www.")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11)) === 0, lit("EXAMPLE.COM"))
+            .otherwise(lit("example.com")),
+          when(pmod(col("doc_id"), lit(13)) === 0, lit("/Page/"))
+            .otherwise(lit("/page/")),
+          pmod(col("doc_id"), lit(100)).cast("string"),
+          when(pmod(col("doc_id"), lit(5)) === 0, lit("/")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit("?utm_source=feed#r"))
+            .otherwise(lit(""))))
       Dedup.urlDedup(
           Tables.documents(s, d).withColumn("url", url), "doc_id", "url")
         .orderBy("canonical_url")
@@ -1165,22 +1172,31 @@ object PipelineQueries {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // same synthesized fetch-variant URL, canonicalized by the same
     // anchored regexp chain (all patterns match at most once, so DuckDB's
-    // first-match default equals Spark's replace-all)
+    // first-match default equals Spark's replace-all): scheme stripped
+    // case-insensitively, HOST lowercased + de-www'd, path case KEPT,
+    // query/fragment and one trailing slash cut; null URLs filtered
     "dedup_url" ->
       """WITH u AS (
-        | SELECT doc_id, concat(
+        | SELECT doc_id, CASE WHEN doc_id % 17 = 0 THEN NULL ELSE concat(
         |  CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END,
         |  CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,
         |  CASE WHEN doc_id % 11 = 0 THEN 'EXAMPLE.COM' ELSE 'example.com' END,
-        |  '/page/', CAST(doc_id % 100 AS VARCHAR),
+        |  CASE WHEN doc_id % 13 = 0 THEN '/Page/' ELSE '/page/' END,
+        |  CAST(doc_id % 100 AS VARCHAR),
         |  CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
-        |  CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed#r' ELSE '' END) AS url
-        | FROM documents)
-        |SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |   lower(url), '^https?://', ''), '^www\.', ''), '[?#].*$', ''),
-        |   '/$', '') AS canonical_url,
+        |  CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed#r' ELSE '' END)
+        |  END AS url
+        | FROM documents),
+        |ns AS (
+        | SELECT doc_id, regexp_replace(url, '^https?://', '', 'i') AS u
+        | FROM u WHERE url IS NOT NULL AND url <> '')
+        |SELECT concat(
+        |  regexp_replace(lower(regexp_extract(u, '^[^/?#]*')), '^www\.', ''),
+        |  regexp_replace(regexp_replace(
+        |    regexp_extract(u, '^[^/?#]*(.*)$', 1), '[?#].*$', ''), '/$', '')
+        | ) AS canonical_url,
         | CAST(count(*) AS BIGINT) AS n_dups, min(doc_id) AS keeper
-        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM ns GROUP BY 1 ORDER BY 1""".stripMargin,
     "inverted_index" ->
       """WITH p AS (
         | SELECT doc_id, u.s.i AS pos, u.s.w AS w

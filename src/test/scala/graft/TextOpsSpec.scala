@@ -245,15 +245,22 @@ class TextOpsSpec extends SparkSpec {
 
   test("normalizeUrl strips each noise dimension and only those") {
     val cases = Seq(
-      // scheme, case, www., query, fragment, trailing slash — all removed
+      // scheme (any case), HOST case, www., query, fragment, trailing
+      // slash — removed; the PATH keeps its case (RFC 3986: only scheme
+      // and host are case-insensitive)
       "HTTPS://WWW.Example.COM/Page/37/?utm_source=feed#frag" ->
-        "example.com/page/37",
+        "example.com/Page/37",
       "http://example.com/page/37" -> "example.com/page/37",
+      // host folds, path does not: /A and /a are DIFFERENT pages
+      "https://Example.com/A" -> "example.com/A",
+      "https://example.com/a" -> "example.com/a",
       // www only as a leading label; an inner "www." survives
       "https://sub.www.example.com/a" -> "sub.www.example.com/a",
       // ? or # alone each cut the tail
       "example.com/a#frag" -> "example.com/a",
       "example.com/a?x=1" -> "example.com/a",
+      // query with no path: host only
+      "EXAMPLE.com?x=1" -> "example.com",
       // only ONE trailing slash is a fetch artifact; a path is untouched
       "example.com/a/b/" -> "example.com/a/b",
       // no noise at all: identity
@@ -280,5 +287,19 @@ class TextOpsSpec extends SparkSpec {
     assert(r == Map(
       "site.org/doc/1" -> (3L, 10L),
       "site.org/doc/2" -> (2L, 20L)))
+  }
+
+  test("urlDedup filters null/empty URLs instead of cross-merging them") {
+    import graft.ext.Dedup
+    val df = Seq(
+      (1L, Option("https://site.org/x")),
+      (2L, None),             // url-less docs must NOT become
+      (3L, None),             // mutual duplicates of each other
+      (4L, Option("")),
+      (5L, Option("https://site.org/x/"))
+    ).toDF("doc_id", "url")
+    val r = Dedup.urlDedup(df, "doc_id", "url")
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r == Map("site.org/x" -> (2L, 1L)))
   }
 }
