@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ext.{Dedup, Lm, Multimodal, Similarity, TextOps}
 
 /** Training-data pipeline queries over `documents` / `embeddings`
   * (builder-prompt north star): dedup tiers, similarity search, text
@@ -580,6 +580,36 @@ object PipelineQueries {
         .select(col("doc_id"), col("nt").cast("long").as("n_tokens"),
           (aggregate(transform(col("xs"), r => r.getField("val")),
             lit(0.0), (a, b) => a + b) / col("nt").cast("double")).as("rarity"))
+        .orderBy("doc_id")
+    },
+    // bigram LM model inspection: top bigrams of the model trained on the
+    // 90% slice (doc_id % 10 != 0), with their MLE conditional probability
+    // c2/c1 — one exact integer division, no transcendentals. The training
+    // split is the point: lm_score's held-out 10% then has REAL unseen
+    // bigrams, exercising the OOV path
+    "lm_bigram" -> { (s, d) =>
+      val m = Lm.train(
+        Tables.documents(s, d).where(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text")
+      m.bigrams.join(m.contexts, "w1")
+        .select(col("w1"), col("w2"),
+          col("c2").cast("long").as("c2"), col("c1").cast("long").as("c1"),
+          (col("c2").cast("double") / col("c1").cast("double")).as("condp"))
+        .orderBy(col("c2").desc, col("w1"), col("w2"))
+        .limit(50)
+    },
+    // per-doc fluency under the add-1-smoothed bigram LM (KenLM/CCNet
+    // quality-filter shape): every doc's bigram sites scored under the
+    // 90%-slice model — held-out docs carry genuine OOV bigrams. The
+    // oracle-compared aggregate is the position-ordered fold of the
+    // smoothed conditional probabilities (one IEEE division per site,
+    // integer operands); the ln-based perplexity twin is LmSpec-verified
+    "lm_score" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val m = Lm.train(
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", "text")
+      Lm.score(docs, "doc_id", "text", m)
+        .select("doc_id", "n_bigrams", "n_oov", "sum_condp")
         .orderBy("doc_id")
     },
     // normalized-text exact dedup (RefinedWeb-style): lowercase, strip
@@ -1165,6 +1195,47 @@ object PipelineQueries {
         | list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(val ORDER BY w)),
         |   (a, b) -> a + b) / CAST(sum(tf) AS DOUBLE) AS rarity
         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // bigram model trained on the 90% slice; c1 is the bigram-history
+    // count (count of w1 as a bigram start), condp one exact division
+    "lm_bigram" ->
+      """WITH tr AS (SELECT string_split(text, ' ') AS ws FROM documents
+        |  WHERE doc_id % 10 <> 0),
+        |bg AS (SELECT u.b.w1 AS w1, u.b.w2 AS w2 FROM tr,
+        |  unnest(list_transform(range(1, len(ws)),
+        |    i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS u(b)),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+        |  FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1)
+        |SELECT w1, w2, c2, c1,
+        | CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE) AS condp
+        |FROM c2 JOIN c1 USING (w1)
+        |ORDER BY c2 DESC, w1, w2 LIMIT 50""".stripMargin,
+    // add-1-smoothed per-site probability is one IEEE division of integer
+    // operands; the per-doc sum is the same position-ordered
+    // list_prepend(0.0) + list_reduce fold as rarity_score. Train bigrams
+    // (tbg) reuse the same site expansion, filtered to the 90% slice
+    "lm_score" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |bg AS (SELECT doc_id, u.b.pos AS pos, u.b.w1 AS w1, u.b.w2 AS w2
+        | FROM d, unnest(list_transform(range(1, len(ws)),
+        |   i -> struct_pack(pos := i - 1, w1 := ws[i], w2 := ws[i+1])))
+        |   AS u(b)),
+        |tbg AS (SELECT w1, w2 FROM bg WHERE doc_id % 10 <> 0),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM tbg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM tbg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM
+        |  (SELECT unnest(ws) AS w FROM d WHERE doc_id % 10 <> 0)),
+        |p AS (SELECT doc_id, pos,
+        |  CAST(coalesce(c2, 0) + 1 AS DOUBLE) /
+        |    CAST(coalesce(c1, 0) + v.v AS DOUBLE) AS p,
+        |  CASE WHEN c2 IS NULL THEN 1 ELSE 0 END AS oov
+        | FROM bg LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1), v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        | CAST(sum(oov) AS BIGINT) AS n_oov,
+        | list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(p ORDER BY pos)),
+        |   (a, b) -> a + b) AS sum_condp
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_normalized" ->
       """SELECT sha256(trim(regexp_replace(regexp_replace(lower(text),
         |   '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g'))) AS norm_hash,

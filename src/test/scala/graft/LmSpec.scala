@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Lm
+
+/** Bigram LM (ext/Lm.scala): site expansion, model counts, smoothing,
+  * OOV accounting, and the ln-based perplexity column that the DuckDB
+  * oracle deliberately does not cover (libm ln is not guaranteed
+  * bit-identical across engines — LmSpec is its correctness home).
+  */
+class LmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("bigramSites expands adjacent pairs with positions, none for short docs") {
+    val d = docs(1L -> "a b c a b", 2L -> "x", 3L -> "")
+    val got = Lm.bigramSites(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 0L, "a", "b"), (1L, 1L, "b", "c"), (1L, 2L, "c", "a"),
+      (1L, 3L, "a", "b")))
+  }
+
+  test("train: bigram counts, history counts, vocab") {
+    val m = Lm.train(docs(1L -> "a b a b", 2L -> "b c"), "doc_id", "text")
+    val c2 = m.bigrams.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(c2 == Map(("a", "b") -> 2L, ("b", "a") -> 1L, ("b", "c") -> 1L))
+    val c1 = m.contexts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // c1 = bigram-HISTORY count (Σ_w2 c2), not raw occurrences: the final
+    // "b" of doc 1 and the final "c" of doc 2 never start a bigram
+    assert(c1 == Map("a" -> 2L, "b" -> 2L))
+    assert(m.vocab.head().getLong(0) == 3L) // {a, b, c}
+  }
+
+  test("score: smoothed probabilities, OOV, and perplexity match a hand fold") {
+    // model: a->b twice, b->a once; c1(a)=2, c1(b)=1; V = 2 ({a, b})
+    val m = Lm.train(docs(1L -> "a b a b"), "doc_id", "text")
+    // scored doc: bigrams (a,b) seen, (b,z) OOV (z also out-of-vocab)
+    val r = Lm.score(docs(9L -> "a b z"), "doc_id", "text", m)
+      .where(col("doc_id") === 9L).head()
+    val pAB = (2.0 + 1.0) / (2.0 + 2.0) // (c2+1)/(c1+k·V)
+    val pBZ = (0.0 + 1.0) / (1.0 + 2.0)
+    assert(r.getAs[Long]("n_bigrams") == 2L)
+    assert(r.getAs[Long]("n_oov") == 1L)
+    assert(r.getAs[Double]("sum_condp") == 0.0 + pAB + pBZ)
+    val avg = (math.log(pAB) + math.log(pBZ)) / 2.0
+    assert(math.abs(r.getAs[Double]("avg_logp") - avg) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ppl") - math.exp(-avg)) < 1e-9)
+  }
+
+  test("a fluent doc scores better than word salad under the same model") {
+    val corpus = (0L until 40L).map(i => i -> "the cat sat on the mat")
+    val m = Lm.train(docs(corpus: _*), "doc_id", "text")
+    val scored = Lm.score(
+      docs(100L -> "the cat sat on the mat",
+        101L -> "mat the on cat the sat"), "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("ppl")).toMap
+    assert(scored(100L) < scored(101L),
+      s"fluent ppl ${scored(100L)} should beat salad ppl ${scored(101L)}")
+  }
+
+  test("held-out split in the declared queries produces real OOV") {
+    val all = docs(1L -> "p q r", 2L -> "p q s", 10L -> "p q zz")
+    val m = Lm.train(all.where(pmod(col("doc_id"), lit(10)) =!= 0),
+      "doc_id", "text")
+    val oov = Lm.score(all, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_oov")).toMap
+    assert(oov(1L) == 0L && oov(2L) == 0L && oov(10L) == 1L)
+  }
+}
