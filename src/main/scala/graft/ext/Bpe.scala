@@ -1,0 +1,149 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training (Sennrich et al. 2016),
+  * distributed the way corpus-scale BPE trainers actually run: the corpus
+  * collapses ONCE to a (word, freq) vocabulary table — Zipf-bounded, orders
+  * of magnitude smaller than the corpus — and every merge iteration is two
+  * narrow passes over that table (a map-side-combinable pair-count
+  * aggregate and a per-word fold applying the winning merge). The corpus
+  * itself is never rescanned after the first pass, so 100 TB of text costs
+  * one word-count shuffle total; N merges cost N vocabulary-table jobs.
+  *
+  * The per-iteration argmax collects exactly ONE row to the driver (the
+  * winning pair) — bounded by construction, like the reorg header walk.
+  * Lineage is cut with an eager localCheckpoint each iteration (the table
+  * is vocabulary-sized); without it the plan nests one fold per merge and
+  * codegen depth explodes.
+  *
+  * Symbols are Java chars (the synthetic corpus is ASCII; astral-plane
+  * text would need a codepoint split) plus the standard `</w>` end-of-word
+  * marker so merges never cross word boundaries.
+  */
+object Bpe {
+
+  val EndOfWord = "</w>"
+
+  /** (word, freq) vocabulary table — the one corpus-wide pass. */
+  def wordFreqs(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Initial symbol sequence of a word: one symbol per char, then the
+    * end-of-word marker. Spark's split("", limit=-1) keeps the trailing
+    * zero-width match as an empty string (Java split semantics; DuckDB's
+    * string_split does not) — filtered here so both engines and the
+    * sequential reference agree on the symbol sequence.
+    */
+  def initSymbols(word: Column): Column =
+    concat(filter(split(word, ""), s => s =!= ""), array(lit(EndOfWord)))
+
+  /** Adjacent-pair counts over the current symbol sequences, weighted by
+    * word frequency — the quantity BPE maximizes each round. Shuffle-free
+    * slice-zip expansion (no window), one map-side-combined aggregate.
+    */
+  def pairCounts(vocab: DataFrame, symsCol: String = "syms",
+      freqCol: String = "freq"): DataFrame = {
+    val s = col(symsCol)
+    val n = greatest(size(s) - 1, lit(0))
+    vocab
+      .select(col(freqCol),
+        explode(arrays_zip(slice(s, lit(1), n), slice(s, lit(2), n))).as("pr"))
+      .select(col("pr").getField("0").as("p1"),
+        col("pr").getField("1").as("p2"), col(freqCol))
+      .groupBy("p1", "p2").agg(sum(col(freqCol)).as("cnt"))
+  }
+
+  /** Merge every LEFT-TO-RIGHT, NON-OVERLAPPING adjacent (p1, p2)
+    * occurrence inside a symbol array — the standard greedy BPE merge,
+    * as a left fold: append each symbol, except when the accumulator's
+    * last symbol is p1 and the incoming one is p2, in which case replace
+    * the last with their concatenation. Non-overlap falls out naturally:
+    * the merged token no longer equals p1, so "a a a" under ("a","a")
+    * gives ["aa","a"], exactly like the sequential algorithm. Nested
+    * `when` (CaseWhen short-circuits branch evaluation) keeps the
+    * ANSI-unsafe element_at(-1) away from empty accumulators.
+    */
+  def mergePair(symsCol: Column, p1: String, p2: String): Column =
+    aggregate(
+      symsCol,
+      array().cast("array<string>"),
+      (acc, s) =>
+        when(size(acc) === 0, array(s))
+          .otherwise(when(
+            element_at(acc, -1) === lit(p1) && s === lit(p2),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(concat(element_at(acc, -1), s))))
+            .otherwise(concat(acc, array(s)))))
+
+  /** One learned merge: the pair, its count when chosen, and its rank. */
+  final case class Merge(p1: String, p2: String, cnt: Long, rank: Int)
+
+  /** Train `numMerges` BPE merges over the corpus. Ties on count break
+    * lexicographically on (p1, p2) — deterministic across partitionings,
+    * so the learned table is reproducible run to run. Stops early when no
+    * pair occurs at least `minCount` times.
+    *
+    * @return the merge table (driver-side — it IS the model, numMerges
+    *         rows) and the final (word, freq, syms) vocabulary table.
+    */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+      minCount: Long = 2L): (Seq[Merge], DataFrame) = {
+    var vocab = wordFreqs(docs, textCol)
+      .withColumn("syms", initSymbols(col("word")))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val top = pairCounts(vocab)
+        .where(col("cnt") >= minCount)
+        .orderBy(col("cnt").desc, col("p1"), col("p2"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (p1, p2, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(p1, p2, cnt, rank)
+        // only words containing the pair change; the fold is cheap but the
+        // checkpoint each round keeps lineage (and codegen depth) flat
+        vocab = vocab
+          .withColumn("syms", mergePair(col("syms"), p1, p2))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    (merges.result(), vocab)
+  }
+
+  /** Tokenize a corpus under a learned merge table: rebuild the (word,
+    * freq) vocabulary of THIS corpus, replay the merges in rank order
+    * (distributed — merges × vocabulary-table passes, the corpus itself is
+    * touched once), then map each document's words through the resulting
+    * word→tokens dictionary and flatten in word order. Checkpoints every
+    * `checkpointEvery` merges bound lineage depth.
+    *
+    * @return (idCol, tokens array<string>)
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge], checkpointEvery: Int = 16): DataFrame = {
+    var vocab = wordFreqs(docs, textCol)
+      .withColumn("syms", initSymbols(col("word")))
+    merges.sortBy(_.rank).zipWithIndex.foreach { case (m, i) =>
+      vocab = vocab.withColumn("syms", mergePair(col("syms"), m.p1, m.p2))
+      if ((i + 1) % checkpointEvery == 0) vocab = vocab.localCheckpoint()
+    }
+    val sites = docs.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "word")))
+      .where(col("word") =!= "")
+    sites.join(vocab.select(col("word"), col("syms")), "word")
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("pos"), col("syms"))))
+        .as("ws"))
+      .select(col(idCol),
+        flatten(transform(col("ws"), w => w.getField("syms"))).as("tokens"))
+  }
+}

@@ -612,6 +612,20 @@ object PipelineQueries {
         .select("doc_id", "n_bigrams", "n_oov", "sum_condp")
         .orderBy("doc_id")
     },
+    // BPE trainer round 1: adjacent-symbol pair counts over the (word,
+    // freq) vocabulary table — the quantity every merge iteration of
+    // Bpe.train argmaxes. The corpus collapses to the Zipf-bounded vocab
+    // in ONE pass; this (and every later round — BpeSpec covers the full
+    // iterative trainer against a sequential reference) runs over the
+    // vocab table, never the corpus again
+    "bpe_pairs" -> { (s, d) =>
+      val vocab = graft.ext.Bpe.wordFreqs(Tables.documents(s, d), "text")
+        .withColumn("syms", graft.ext.Bpe.initSymbols(col("word")))
+      graft.ext.Bpe.pairCounts(vocab)
+        .select(col("p1"), col("p2"), col("cnt").cast("long").as("cnt"))
+        .orderBy(col("cnt").desc, col("p1"), col("p2"))
+        .limit(50)
+    },
     // normalized-text exact dedup (RefinedWeb-style): lowercase, strip
     // non-alphanumerics, collapse whitespace, THEN hash — catches the
     // formatting-only near-copies content-hash dedup misses, at the same
@@ -1236,6 +1250,21 @@ object PipelineQueries {
         | list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(p ORDER BY pos)),
         |   (a, b) -> a + b) AS sum_condp
         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same vocab-table shape: words → (word, freq), chars + '</w>' marker,
+    // adjacent pairs weighted by freq (DuckDB's string_split('') has no
+    // trailing empty; the Spark side filters Java's to match)
+    "bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |wf AS (SELECT word, count(*) AS freq FROM w WHERE word <> ''
+        |  GROUP BY 1),
+        |sy AS (SELECT freq,
+        |  list_append(string_split(word, ''), '</w>') AS syms FROM wf),
+        |pr AS (SELECT freq, u.p.p1 AS p1, u.p.p2 AS p2 FROM sy,
+        |  unnest(list_transform(range(1, len(syms)),
+        |    i -> struct_pack(p1 := syms[i], p2 := syms[i+1]))) AS u(p))
+        |SELECT p1, p2, CAST(sum(freq) AS BIGINT) AS cnt
+        |FROM pr GROUP BY 1, 2 ORDER BY cnt DESC, p1, p2 LIMIT 50""".stripMargin,
     "dedup_normalized" ->
       """SELECT sha256(trim(regexp_replace(regexp_replace(lower(text),
         |   '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g'))) AS norm_hash,

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Bpe
+
+/** Distributed BPE trainer (ext/Bpe.scala) against a sequential reference
+  * implementation of Sennrich et al.'s algorithm written independently
+  * here — same greedy left-to-right merge, same (count desc, pair asc)
+  * tie-break — plus edge cases the fold must get right.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- sequential reference ----
+  private def refSymbols(w: String): Vector[String] =
+    w.map(_.toString).toVector :+ Bpe.EndOfWord
+
+  private def refMergeOnce(syms: Vector[String], p1: String, p2: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == p1 && syms(i + 1) == p2) {
+        out += (p1 + p2); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def refTrain(words: Map[String, Long], n: Int, minCount: Long = 2L)
+      : (Seq[(String, String, Long)], Map[String, Vector[String]]) = {
+    var vocab = words.map { case (w, f) => w -> (refSymbols(w), f) }
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var k = 0
+    var stop = false
+    while (k < n && !stop) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.values.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      val eligible = counts.filter(_._2 >= minCount)
+      if (eligible.isEmpty) stop = true
+      else {
+        val ((p1, p2), c) = eligible.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((p1, p2, c))
+        vocab = vocab.map { case (w, (s, f)) => w -> (refMergeOnce(s, p1, p2), f) }
+        k += 1
+      }
+    }
+    (merges.result(), vocab.map { case (w, (s, _)) => w -> s })
+  }
+
+  private val corpus = Seq(
+    "low low low low low",
+    "lower lower newest newest",
+    "newest newest newest newest",
+    "widest widest widest")
+
+  test("train learns the reference merge sequence with deterministic ties") {
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val words = corpus.flatMap(_.split(" ")).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val (refMerges, refVocab) = refTrain(words, 10)
+    val (merges, vocab) = Bpe.train(docs, "text", 10)
+    assert(merges.map(m => (m.p1, m.p2, m.cnt)) == refMerges)
+    val gotVocab = vocab.select("word", "syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    assert(gotVab(gotVocab) == gotVab(refVocab))
+  }
+  private def gotVab(m: Map[String, Vector[String]]) = m.toSeq.sortBy(_._1)
+
+  test("mergePair is greedy left-to-right non-overlapping") {
+    val df = Seq(Seq("a", "a", "a"), Seq("a", "b", "a", "b"), Seq("x"))
+      .toDF("syms")
+    val got = df.select(Bpe.mergePair(col("syms"), "a", "a").as("m"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(got(0) == List("aa", "a")) // NOT ["a","aa"] and NOT ["aaa"]
+    assert(got(1) == List("a", "b", "a", "b"))
+    assert(got(2) == List("x"))
+  }
+
+  test("pairCounts weights by word frequency") {
+    val vocab = Seq(("ab", 3L), ("ba", 2L)).toDF("word", "freq")
+      .withColumn("syms", Bpe.initSymbols(col("word")))
+    val got = Bpe.pairCounts(vocab).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("a", "b") -> 3L, ("b", Bpe.EndOfWord) -> 3L,
+      ("b", "a") -> 2L, ("a", Bpe.EndOfWord) -> 2L))
+  }
+
+  test("encode replays merges and flattens tokens in word order") {
+    val train = Seq((0L, "ab ab ab cd")).toDF("doc_id", "text")
+    val (merges, _) = Bpe.train(train, "text", 2)
+    // "ab" x3 dominates: merges are (a,b) then (ab,</w>)
+    assert(merges.map(m => (m.p1, m.p2)) ==
+      Seq(("a", "b"), ("ab", Bpe.EndOfWord)))
+    val got = Bpe.encode(Seq((7L, "ab cd ab")).toDF("doc_id", "text"),
+        "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(got(7L) == List(
+      "ab</w>", "c", "d", Bpe.EndOfWord, "ab</w>"))
+  }
+
+  test("train stops early when no pair reaches minCount") {
+    val docs = Seq((0L, "xy")).toDF("doc_id", "text")
+    val (merges, _) = Bpe.train(docs, "text", 5, minCount = 2L)
+    assert(merges.isEmpty) // every pair occurs once
+  }
+}
