@@ -192,6 +192,21 @@ object TextOps {
     concat(host, rest)
   }
 
+  /** Full text-cleanup pipeline for hash-based dedup and downstream
+    * tokenization: Unicode NFC composition (via the custom codegen
+    * expression [[graft.functions.NfcNormalize]] — canonically-equal,
+    * byte-different strings must collide in `dedup_exact`), C0/DEL
+    * control characters to spaces, whitespace runs collapsed, ends
+    * trimmed. Everything stays inside whole-stage codegen (the NFC step
+    * emits a static Normalizer call; the rest is built-in regexps) and
+    * evaluates at scan speed — no shuffle, no UDF.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(graft.functions.TextNorm.nfc(c),
+        "[\\x00-\\x1F\\x7F]", " "),
+      "\\s+", " "))
+
   /** Boilerplate detection (C4-style, adapted to shingles since this corpus
     * has no line structure): a shingle is boilerplate when it appears in
     * ≥ `minDf` distinct documents; per doc, report how much of its content

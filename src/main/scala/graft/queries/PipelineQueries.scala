@@ -626,6 +626,25 @@ object PipelineQueries {
         .orderBy(col("cnt").desc, col("p1"), col("p2"))
         .limit(50)
     },
+    // full unicode cleanup ahead of hash dedup/tokenization: NFC
+    // composition (custom codegen Expression — Spark has no built-in),
+    // control chars → spaces, whitespace collapsed, trimmed. The corpus
+    // is ASCII, so the query appends a suffix exercising every dimension
+    // for real: a DECOMPOSED e+U+0301 (composes to U+00E9 — one codepoint
+    // shorter), a tab, doubled spaces, a trailing space. n_raw/n_norm
+    // expose the composition; the hash proves byte-level agreement
+    "text_normalize" -> { (s, d) =>
+      val raw = concat(col("text"), lit("\tcafe\u0301  bar "))
+      Tables.documents(s, d)
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          length(col("raw")).cast("long").as("n_raw"),
+          TextOps.normalizeText(col("raw")).as("norm"))
+        .select(col("doc_id"), col("n_raw"),
+          length(col("norm")).cast("long").as("n_norm"),
+          sha2(col("norm"), 256).as("norm_hash"))
+        .orderBy("doc_id")
+    },
     // normalized-text exact dedup (RefinedWeb-style): lowercase, strip
     // non-alphanumerics, collapse whitespace, THEN hash — catches the
     // formatting-only near-copies content-hash dedup misses, at the same
@@ -1265,6 +1284,21 @@ object PipelineQueries {
         |    i -> struct_pack(p1 := syms[i], p2 := syms[i+1]))) AS u(p))
         |SELECT p1, p2, CAST(sum(freq) AS BIGINT) AS cnt
         |FROM pr GROUP BY 1, 2 ORDER BY cnt DESC, p1, p2 LIMIT 50""".stripMargin,
+    // same injected suffix built from chr() so no literal encoding can
+    // drift: tab + 'cafe' + U+0301 combining acute + doubled spaces +
+    // trailing space; same cleanup order (NFC → control strip → collapse
+    // → trim). DuckDB's nfc_normalize ≡ the custom NfcNormalize expression
+    "text_normalize" ->
+      """WITH r AS (SELECT doc_id,
+        |  concat(text, chr(9), 'cafe', chr(769), '  bar ') AS raw
+        | FROM documents),
+        |n AS (SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_raw,
+        |  trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+        |    '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        | FROM r)
+        |SELECT doc_id, n_raw, CAST(length(norm) AS BIGINT) AS n_norm,
+        | sha256(norm) AS norm_hash
+        |FROM n ORDER BY doc_id""".stripMargin,
     "dedup_normalized" ->
       """SELECT sha256(trim(regexp_replace(regexp_replace(lower(text),
         |   '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g'))) AS norm_hash,

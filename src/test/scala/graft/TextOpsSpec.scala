@@ -289,6 +289,32 @@ class TextOpsSpec extends SparkSpec {
       "site.org/doc/2" -> (2L, 20L)))
   }
 
+  test("NfcNormalize composes canonically-equal strings (codegen + interpreted)") {
+    import graft.functions.{NfcNormalize, TextNorm}
+    // codegen path (through a DataFrame projection)
+    val decomposed = "caf" + "e\u0301" // e + combining acute
+    val composed = "caf\u00e9"
+    val got = Seq(decomposed, composed, "plain").toDF("s")
+      .select(TextNorm.nfc(col("s")).as("n"))
+      .collect().map(_.getString(0))
+    assert(got(0) == composed && got(1) == composed && got(2) == "plain")
+    // interpreted path (eval, no codegen) must agree — including the
+    // already-normalized fast path returning the input value
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = NfcNormalize(Literal(decomposed))
+    assert(e.eval(null).toString == composed)
+    assert(NfcNormalize(Literal(composed)).eval(null).toString == composed)
+    assert(NfcNormalize(Literal.create(null,
+      org.apache.spark.sql.types.StringType)).eval(null) == null)
+  }
+
+  test("normalizeText: NFC + control strip + whitespace collapse + trim") {
+    val raw = "a\tb c  caf" + "e\u0301 \r\n d "
+    val got = Seq(raw).toDF("s")
+      .select(TextOps.normalizeText(col("s")).as("n")).head().getString(0)
+    assert(got == "a b c caf\u00e9 d")
+  }
+
   test("urlDedup filters null/empty URLs instead of cross-merging them") {
     import graft.ext.Dedup
     val df = Seq(
