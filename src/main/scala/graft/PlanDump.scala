@@ -14,7 +14,8 @@ object PlanDump {
     "window_rank", "zorder_key", "append_index", "decode_abi",
     "funnel_steps", "funnel_any", "agg_quantiles_approx", "dedup_purge",
     "dedup_span", "source_cap", "bm25", "inverted_index", "quality_filter",
-    "rarity_score", "dedup_semantic", "embed_quantize", "join_salted")
+    "rarity_score", "dedup_semantic", "embed_quantize", "join_salted",
+    "lm_score", "bpe_pairs", "text_normalize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
