@@ -69,6 +69,24 @@ object Lm {
     BigramModel(bigrams, contexts, vocab)
   }
 
+  /** Persist a trained model as three parquet tables (bigrams keyed and
+    * written partition-friendly on w1, contexts, the one-row vocab) — the
+    * offline-train / online-score seam: a streaming curation ingest loads
+    * the model once per run and scores each micro-batch against it.
+    */
+  def save(model: BigramModel, path: String): Unit = {
+    model.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
+    model.contexts.write.mode("overwrite").parquet(s"$path/contexts")
+    model.vocab.write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  /** Load a model persisted by [[save]]. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): BigramModel =
+    BigramModel(
+      spark.read.parquet(s"$path/bigrams"),
+      spark.read.parquet(s"$path/contexts"),
+      spark.read.parquet(s"$path/vocab"))
+
   /** Score every document of `docs` under `model` with add-`k` smoothing:
     * per bigram site, p(w2|w1) = (c2+k)/(c1+k·V); per document,
     *  - `n_bigrams` — scored sites,

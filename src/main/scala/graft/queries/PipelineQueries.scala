@@ -612,6 +612,33 @@ object PipelineQueries {
         .select("doc_id", "n_bigrams", "n_oov", "sum_condp")
         .orderBy("doc_id")
     },
+    // CCNet-style per-LANGUAGE fluency tertiles (head/middle/tail): every
+    // doc's mean smoothed bigram probability under the 90%-slice model,
+    // rank-bucketed WITHIN its language — CCNet's perplexity buckets are
+    // per-language, which is also what keeps the window partitioned (no
+    // single-partition global sort; skew is bounded by the largest
+    // language — at 100 TB CCNet shards per language anyway, and a
+    // monolingual corpus would switch to approx-quantile thresholds).
+    // bucket = ((rank-1)*3) div n + 1: pure integer arithmetic, no
+    // engine-specific ntile remainder or double→int cast semantics
+    "lm_buckets" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val m = Lm.train(
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", "text")
+      val scored = Lm.score(docs, "doc_id", "text", m)
+        .withColumn("avg_condp",
+          col("sum_condp") / col("n_bigrams").cast("double"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      val w = Window.partitionBy("lang")
+        .orderBy(col("avg_condp").desc, col("doc_id"))
+      val wn = Window.partitionBy("lang")
+      scored
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .withColumn("bucket", expr("((rn - 1) * 3) div n") + lit(1L))
+        .select("doc_id", "lang", "avg_condp", "bucket")
+        .orderBy("doc_id")
+    },
     // BPE trainer round 1: adjacent-symbol pair counts over the (word,
     // freq) vocabulary table — the quantity every merge iteration of
     // Bpe.train argmaxes. The corpus collapses to the Zipf-bounded vocab
@@ -1269,6 +1296,37 @@ object PipelineQueries {
         | list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(p ORDER BY pos)),
         |   (a, b) -> a + b) AS sum_condp
         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the lm_score probability pipeline, then per-language rank tertiles
+    // in the same integer arithmetic ((rn-1)*3 // n + 1)
+    "lm_buckets" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |bg AS (SELECT doc_id, u.b.pos AS pos, u.b.w1 AS w1, u.b.w2 AS w2
+        | FROM d, unnest(list_transform(range(1, len(ws)),
+        |   i -> struct_pack(pos := i - 1, w1 := ws[i], w2 := ws[i+1])))
+        |   AS u(b)),
+        |tbg AS (SELECT w1, w2 FROM bg WHERE doc_id % 10 <> 0),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM tbg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM tbg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM
+        |  (SELECT unnest(ws) AS w FROM d WHERE doc_id % 10 <> 0)),
+        |p AS (SELECT doc_id, pos,
+        |  CAST(coalesce(c2, 0) + 1 AS DOUBLE) /
+        |    CAST(coalesce(c1, 0) + v.v AS DOUBLE) AS p
+        | FROM bg LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1), v),
+        |sc AS (SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(p ORDER BY pos)),
+        |    (a, b) -> a + b) / CAST(count(*) AS DOUBLE) AS avg_condp
+        | FROM p GROUP BY doc_id),
+        |j AS (SELECT sc.doc_id, doc.lang, sc.avg_condp
+        | FROM sc JOIN documents doc USING (doc_id)),
+        |r AS (SELECT doc_id, lang, avg_condp,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY avg_condp DESC, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n FROM j)
+        |SELECT doc_id, lang, avg_condp,
+        | CAST((rn - 1) * 3 // n + 1 AS BIGINT) AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
     // same vocab-table shape: words → (word, freq), chars + '</w>' marker,
     // adjacent pairs weighted by freq (DuckDB's string_split('') has no
     // trailing empty; the Spark side filters Java's to match)

@@ -5,13 +5,16 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.ext.{Dedup, TextOps}
+import graft.ext.{Dedup, Lm, TextOps}
 
 /** Streaming corpus-curation ingest — the composed intake shape of a
   * training-data pipeline, run per micro-batch:
   *
   *  1. QUALITY screen: [[TextOps.qualityVerdict]] must say `keep` (same
-  *     rules as the `quality_filter` query — shared Column, cannot drift).
+  *     rules as the `quality_filter` query — shared Column, cannot drift);
+  *     optionally followed by the FLUENCY gate — mean bigram log-prob
+  *     under a persisted offline-trained [[graft.ext.Lm]] model must clear
+  *     a floor (the CCNet perplexity filter; see [[ingestBatch]]).
   *  2. EXACT dedup: normalized content hash (lowercase, strip punctuation,
   *     collapse whitespace — the `dedup_normalized` form); first doc per
   *     hash wins within the batch, and anything whose hash is already in
@@ -54,19 +57,31 @@ object CurationStream {
       minJaccard: Double = 0.5,
       numHashes: Int = 32,
       bands: Int = 16,
-      maxBucket: Int = 1000
+      maxBucket: Int = 1000,
+      lmModelPath: Option[String] = None,
+      minAvgLogp: Double = Double.NegativeInfinity
   ): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, batchId, idCol, textCol, acceptedPath, indexPath,
-          shingleN, minJaccard, numHashes, bands, maxBucket)
+          shingleN, minJaccard, numHashes, bands, maxBucket,
+          lmModelPath, minAvgLogp)
       }
       .start()
 
   /** One curation micro-batch (exposed for direct batch testing — the
     * streaming path calls exactly this).
+    *
+    * `lmModelPath` (optional) engages a FLUENCY gate after the rule-based
+    * quality screen: the batch is scored under the persisted bigram model
+    * ([[Lm.save]], trained offline on a reference slice) and docs whose
+    * mean bigram log-probability falls below `minAvgLogp` are dropped —
+    * the CCNet-style perplexity filter, catching word-salad that reuses
+    * common words and so passes every rule-based check. Docs too short to
+    * have bigrams carry no evidence and pass. Per-batch cost is the model
+    * join ∝ batch size + model size, never ∝ accepted-corpus size.
     */
   def ingestBatch(
       batch: DataFrame,
@@ -79,7 +94,9 @@ object CurationStream {
       minJaccard: Double = 0.5,
       numHashes: Int = 32,
       bands: Int = 16,
-      maxBucket: Int = 1000
+      maxBucket: Int = 1000,
+      lmModelPath: Option[String] = None,
+      minAvgLogp: Double = Double.NegativeInfinity
   ): Unit = {
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(acceptedPath)
@@ -93,7 +110,20 @@ object CurationStream {
       .where(col("ingest") =!= lit(batchId))
 
     // 1. quality screen
-    val kept = batch.where(TextOps.qualityVerdict(col(textCol)) === "keep")
+    val ruleKept = batch.where(TextOps.qualityVerdict(col(textCol)) === "keep")
+
+    // 1b. fluency gate (optional): score under the persisted bigram model,
+    // drop docs below the mean-log-prob floor; scoreless (sub-2-token)
+    // docs pass — no evidence either way
+    val kept = lmModelPath match {
+      case None => ruleKept
+      case Some(mp) =>
+        val scores = Lm.score(ruleKept, idCol, textCol, Lm.load(spark, mp))
+          .select(col(idCol), col("avg_logp"))
+        ruleKept.join(scores, Seq(idCol), "left")
+          .where(col("avg_logp").isNull || col("avg_logp") >= minAvgLogp)
+          .drop("avg_logp")
+    }
 
     // 2. exact dedup on the normalized hash — first per hash in-batch,
     // then anti-join the accepted corpus's stored hashes

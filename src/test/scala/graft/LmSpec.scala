@@ -63,6 +63,22 @@ class LmSpec extends SparkSpec {
       s"fluent ppl ${scored(100L)} should beat salad ppl ${scored(101L)}")
   }
 
+  test("save/load roundtrip preserves counts, vocab and scores") {
+    val m = Lm.train(docs(1L -> "a b a b", 2L -> "b c"), "doc_id", "text")
+    val path = tmpDir("lm-model") + "/model"
+    Lm.save(m, path)
+    val m2 = Lm.load(spark, path)
+    assert(m2.bigrams.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap ==
+      m.bigrams.collect().map(r =>
+        (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap)
+    assert(m2.vocab.head().getLong(0) == 3L)
+    val target = docs(9L -> "a b c")
+    val s1 = Lm.score(target, "doc_id", "text", m).head()
+    val s2 = Lm.score(target, "doc_id", "text", m2).head()
+    assert(s1.getAs[Double]("sum_condp") == s2.getAs[Double]("sum_condp"))
+  }
+
   test("held-out split in the declared queries produces real OOV") {
     val all = docs(1L -> "p q r", 2L -> "p q s", 10L -> "p q zz")
     val m = Lm.train(all.where(pmod(col("doc_id"), lit(10)) =!= 0),

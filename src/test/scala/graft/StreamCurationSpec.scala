@@ -121,6 +121,40 @@ class StreamCurationSpec extends SparkSpec {
     }
   }
 
+  test("lm fluency gate drops word salad that passes the rule screen") {
+    import graft.ext.Lm
+    val accepted = tmpDir("cur-lma") + "/corpus"
+    val index = tmpDir("cur-lmi") + "/index"
+    val modelPath = tmpDir("cur-lmm") + "/model"
+    // offline: train the bigram model on a fluent reference slice
+    val ref = (0 until 30).map(i => i.toLong -> good(i))
+      .toDF("doc_id", "text")
+    Lm.save(Lm.train(ref, "doc_id", "text"), modelPath)
+    val model = Lm.load(spark, modelPath)
+
+    // the salad is a fluent doc REVERSED: same tokens, same stopword
+    // ratio and distinctness (rule screen passes), near-zero shared
+    // 3-gram shingles (near-dup screen passes) — but its bigrams are the
+    // model's backwards, so the fluency score collapses
+    val fluent = good(50)
+    val salad = good(51).split(" ").reverse.mkString(" ")
+    val scored = Lm.score(
+        Seq(100L -> fluent, 101L -> salad).toDF("doc_id", "text"),
+        "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("avg_logp")).toMap
+    assert(scored(100L) > scored(101L))
+    val floor = (scored(100L) + scored(101L)) / 2.0
+
+    CurationStream.ingestBatch(
+      Seq(100L -> fluent, 101L -> salad).toDF("doc_id", "text"),
+      0L, "doc_id", "text", accepted, index,
+      lmModelPath = Some(modelPath), minAvgLogp = floor)
+    val got = CurationStream.accepted(spark, accepted)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(100L),
+      s"fluent doc kept, salad dropped; got $got")
+  }
+
   test("streaming end-to-end: micro-batches dedup against everything accepted before them") {
     implicit val sql = spark.sqlContext
     val accepted = tmpDir("cur-acc2") + "/corpus"
