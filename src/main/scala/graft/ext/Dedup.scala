@@ -81,6 +81,70 @@ object Dedup {
       .groupBy(TextOps.normalizeUrl(col(urlCol)).as("canonical_url"))
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keeper"))
 
+  /** Winnowing (Schleimer/Wilkerson/Aiken, MOSS) k-gram sites: one row per
+    * word k-gram START position, with the gram's rolling polynomial hash
+    * ([[TextOps.fingerprint]] over the gram — the same engine-neutral
+    * integer fold as `text_fingerprint`, so a DuckDB oracle matches
+    * bit-for-bit). Shuffle-free slice-zip expansion; docs under k words
+    * yield no rows.
+    *
+    * @return (idCol, pos, h)
+    */
+  def winnowSites(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val n = greatest(size(ws) - (k - 1), lit(0))
+    val parts = (0 until k).map(j => slice(ws, lit(j + 1), n))
+    val grams = transform(
+      arrays_zip(parts: _*),
+      z => concat_ws(" ", (0 until k).map(j => z.getField(s"$j")): _*))
+    docs.select(col(idCol), posexplode(grams).as(Seq("pos", "g")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        TextOps.fingerprint(col("g")).as("h"))
+  }
+
+  /** Select each document's winnowing fingerprints: the distinct minima of
+    * a sliding `w`-gram window over the site hashes. Every position opens
+    * a window (the tail windows are partial — a deterministic superset of
+    * classic winnowing's selection, which stops at the last full window;
+    * same guarantee direction: any shared run of ≥ w+k−1 words still
+    * shares a fingerprint). The window is PARTITIONED BY document —
+    * parallel per doc, no global sort.
+    *
+    * @return (idCol, h) distinct
+    */
+  def winnowFingerprints(sites: DataFrame, idCol: String,
+      w: Int = 4): DataFrame = {
+    val frame = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    sites.withColumn("h", min(col("h")).over(frame))
+      .select(col(idCol), col("h")).distinct()
+  }
+
+  /** Candidate near-dup pairs by shared winnowing fingerprints — the
+    * MOSS-style plagiarism/near-dup tier: docs sharing ≥ `minShared`
+    * selected fingerprints. Fingerprints are ~1/w of the gram sites, so
+    * the pair join runs over a w-fold REDUCED table next to the raw
+    * shingle join; `maxDf` drops corpus-stopword fingerprints (the same
+    * broadcast anti-join cap as the shingle tiers) so a boilerplate gram
+    * can never go quadratic.
+    *
+    * @return (id_a, id_b, n_shared), id_a < id_b
+    */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, minShared: Long = 2L,
+      maxDf: Long = 1000L): DataFrame = {
+    val fp = dropHotKeys(
+      winnowFingerprints(winnowSites(docs, idCol, textCol, k), idCol, w),
+      Seq("h"), maxDf)
+    val a = fp.select(col(idCol).as("id_a"), col("h"))
+    val b = fp.select(col(idCol).as("id_b"), col("h"))
+    a.join(b, "h").where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Word n-gram shingles of a text column, as a deduplicated array.
     * Per-row Column form — convenient for composition; for the hot paths
     * use [[shingleRows]], which stays inside whole-stage codegen.

@@ -612,6 +612,29 @@ object PipelineQueries {
         .select("doc_id", "n_bigrams", "n_oov", "sum_condp")
         .orderBy("doc_id")
     },
+    // winnowing fingerprint selection (MOSS): per doc, the distinct
+    // sliding-window minima of the 3-gram rolling hashes — ~1/w of the
+    // gram sites, the compressed content signature the pair tier joins
+    // on. All integer math (the text_fingerprint fold + a window min), so
+    // the oracle matches exactly; fp_sum is an order-free exact long sum
+    "winnow_fp" -> { (s, d) =>
+      val sites = Dedup.winnowSites(Tables.documents(s, d), "doc_id", "text")
+      val stats = sites.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      Dedup.winnowFingerprints(sites, "doc_id")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fp"), sum("h").as("fp_sum"))
+        .join(stats, "doc_id")
+        .select("doc_id", "n_grams", "n_fp", "fp_sum")
+        .orderBy("doc_id")
+    },
+    // shared-fingerprint candidate pairs — the MOSS near-dup/plagiarism
+    // tier over the winnowed (w-fold smaller) signature table, hot
+    // fingerprints capped by the same broadcast anti-join as the shingle
+    // tiers
+    "winnow_pairs" -> { (s, d) =>
+      Dedup.winnowPairs(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    },
     // CCNet-style per-LANGUAGE fluency tertiles (head/middle/tail): every
     // doc's mean smoothed bigram probability under the 90%-slice model,
     // rank-bucketed WITHIN its language — CCNet's perplexity buckets are
@@ -1296,6 +1319,46 @@ object PipelineQueries {
         | list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(p ORDER BY pos)),
         |   (a, b) -> a + b) AS sum_condp
         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the text_fingerprint fold per 3-gram (ws[i:i+2] is DuckDB's
+    // inclusive 1-based slice), then the same CURRENT ROW..3 FOLLOWING
+    // window min per doc; tail windows are partial on both engines
+    "winnow_fp" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, u.b.pos AS pos, u.b.g AS g FROM w,
+        |  unnest(list_transform(range(1, len(ws) - 1),
+        |    i -> struct_pack(pos := i - 1, g := ws[i:i+2]))) AS u(b)),
+        |h AS (SELECT doc_id, pos, list_reduce(list_prepend(0,
+        |   list_transform(g, x -> length(x) * 256 + ascii(x))),
+        |  (h, v) -> (h * 31 + v) % 1000000007) AS h FROM g),
+        |m AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM h),
+        |f AS (SELECT DISTINCT doc_id, fp FROM m),
+        |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+        |  CAST(sum(fp) AS BIGINT) AS fp_sum FROM f GROUP BY 1),
+        |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        |  FROM g GROUP BY 1)
+        |SELECT doc_id, n_grams, n_fp, fp_sum FROM c JOIN s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // same selection, then the capped shared-fingerprint self-join
+    "winnow_pairs" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, u.b.pos AS pos, u.b.g AS g FROM w,
+        |  unnest(list_transform(range(1, len(ws) - 1),
+        |    i -> struct_pack(pos := i - 1, g := ws[i:i+2]))) AS u(b)),
+        |h AS (SELECT doc_id, pos, list_reduce(list_prepend(0,
+        |   list_transform(g, x -> length(x) * 256 + ascii(x))),
+        |  (h, v) -> (h * 31 + v) % 1000000007) AS h FROM g),
+        |m AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM h),
+        |f AS (SELECT DISTINCT doc_id, fp FROM m),
+        |cold AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 1000),
+        |f2 AS (SELECT f.doc_id, f.fp FROM f JOIN cold USING (fp))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(count(*) AS BIGINT) AS n_shared
+        |FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""".stripMargin,
     // the lm_score probability pipeline, then per-language rank tertiles
     // in the same integer arithmetic ((rn-1)*3 // n + 1)
     "lm_buckets" ->

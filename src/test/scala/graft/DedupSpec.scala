@@ -306,4 +306,61 @@ class DedupSpec extends SparkSpec {
         ((x.getAs[Long]("n_grams"), x.getAs[Long]("n_dup")))).toMap
     assert(got == expect)
   }
+
+  test("winnowFingerprints matches a sequential reference selection") {
+    // reference: same polynomial per-gram hash, sliding window-of-w min
+    // (every start position, partial tails), distinct
+    def gramHash(g: Seq[String]): Long =
+      g.foldLeft(0L)((h, w) =>
+        (h * 31 + (w.length.toLong * 256 + w.head.toLong)) % 1000000007L)
+    def refFps(text: String, k: Int, w: Int): Set[Long] = {
+      val hs = text.split(" ").sliding(k).filter(_.length == k)
+        .map(g => gramHash(g.toSeq)).toVector
+      hs.indices.map(i => hs.slice(i, math.min(i + w, hs.length)).min).toSet
+    }
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("ab", "cde", "fg", "hij", "kl", "mnop", "qr")
+    val docs = (0L until 40L).map { i =>
+      (i, Seq.fill(3 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val got = Dedup.winnowFingerprints(
+        Dedup.winnowSites(docs.toDF("doc_id", "text"), "doc_id", "text",
+          k = 3), "doc_id", w = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+    val expect = docs.map { case (id, t) => id -> refFps(t, 3, 4) }
+      .filter(_._2.nonEmpty).toMap
+    assert(got == expect)
+  }
+
+  test("winnowPairs: a shared >= w+k-1 word run guarantees a shared fingerprint") {
+    // docs 1/2 share an 6-word run (w+k-1 = 6 at k=3,w=4) inside unrelated
+    // text; doc 3 shares nothing
+    val run = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, s"one two three $run four five six"),
+      (2L, s"seven eight $run nine ten eleven twelve"),
+      (3L, "thirteen fourteen fifteen sixteen seventeen eighteen nineteen")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(df, "doc_id", "text", minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("winnowPairs maxDf cap drops corpus-stopword fingerprints") {
+    // every doc opens with the same full >= w+k-1 run (guaranteed shared
+    // fingerprint, in ALL 10 docs); each tail is unique. With the cap
+    // below the corpus size the boilerplate fingerprints are dropped and
+    // no pairs remain — the quadratic hot-gram blowup is structurally off
+    val run = "alpha beta gamma delta epsilon zeta"
+    val df = (0L until 10L).map(i => (i, s"$run tail$i end$i more$i"))
+      .toDF("doc_id", "text")
+    val all = Dedup.winnowPairs(df, "doc_id", "text", minShared = 1L)
+    val capped = Dedup.winnowPairs(df, "doc_id", "text", minShared = 1L,
+      maxDf = 5L)
+    assert(all.count() == 45L) // all C(10,2) pairs share the run
+    assert(capped.count() == 0)
+  }
 }
