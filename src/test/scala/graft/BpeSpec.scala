@@ -103,6 +103,25 @@ class BpeSpec extends SparkSpec {
       "ab</w>", "c", "d", Bpe.EndOfWord, "ab</w>"))
   }
 
+  test("fuzz: train matches the sequential reference on random corpora") {
+    // seeded corpora over an adversarial mini-vocab (overlapping symbols,
+    // repeated chars) — the merge sequence, counts and tie-breaks must
+    // agree with the reference at every step
+    val rnd = new scala.util.Random(7)
+    val vocabW = Vector("ab", "ba", "abc", "aab", "bb", "a", "b", "cab")
+    for (iter <- 0 until 5) {
+      val docs = (0 until 6).map(i => (i.toLong,
+        Seq.fill(3 + rnd.nextInt(8))(vocabW(rnd.nextInt(vocabW.size)))
+          .mkString(" ")))
+      val words = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      val (refMerges, _) = refTrain(words, 8)
+      val (merges, _) = Bpe.train(docs.toDF("doc_id", "text"), "text", 8)
+      assert(merges.map(m => (m.p1, m.p2, m.cnt)) == refMerges,
+        s"iter $iter corpus ${docs.map(_._2)}")
+    }
+  }
+
   test("train stops early when no pair reaches minCount") {
     val docs = Seq((0L, "xy")).toDF("doc_id", "text")
     val (merges, _) = Bpe.train(docs, "text", 5, minCount = 2L)

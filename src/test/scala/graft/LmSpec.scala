@@ -79,6 +79,37 @@ class LmSpec extends SparkSpec {
     assert(s1.getAs[Double]("sum_condp") == s2.getAs[Double]("sum_condp"))
   }
 
+  test("fuzz: score matches a sequential reference bit-for-bit") {
+    // same fold order (position-ordered, 0.0-seeded), same integer-ratio
+    // probabilities — sum_condp must be EXACTLY equal, not approximately
+    val rnd = new scala.util.Random(13)
+    val vocabW = Vector("aa", "bb", "cc", "dd", "ee")
+    for (iter <- 0 until 5) {
+      val all = (0 until 8).map(i => (i.toLong,
+        Seq.fill(2 + rnd.nextInt(7))(vocabW(rnd.nextInt(vocabW.size)))
+          .mkString(" ")))
+      val trainRows = all.filter(_._1 % 2 == 0)
+      // reference model
+      val bgs = trainRows.flatMap(d =>
+        d._2.split(" ").sliding(2).filter(_.length == 2).map(g => (g(0), g(1))))
+      val c2 = bgs.groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+      val c1 = bgs.groupBy(_._1).map { case (w, g) => w -> g.size.toLong }
+      val v = trainRows.flatMap(_._2.split(" ")).distinct.size.toLong
+      val expect = all.map { case (id, t) =>
+        val sites = t.split(" ").sliding(2).filter(_.length == 2).toVector
+        id -> sites.foldLeft(0.0) { (acc, g) =>
+          acc + (c2.getOrElse((g(0), g(1)), 0L) + 1L).toDouble /
+            (c1.getOrElse(g(0), 0L) + v).toDouble
+        }
+      }.filter { case (id, _) => all.find(_._1 == id).get._2.split(" ").length >= 2 }
+        .toMap
+      val m = Lm.train(trainRows.toDF("doc_id", "text"), "doc_id", "text")
+      val got = Lm.score(all.toDF("doc_id", "text"), "doc_id", "text", m)
+        .collect().map(r => r.getLong(0) -> r.getAs[Double]("sum_condp")).toMap
+      assert(got == expect, s"iter $iter")
+    }
+  }
+
   test("held-out split in the declared queries produces real OOV") {
     val all = docs(1L -> "p q r", 2L -> "p q s", 10L -> "p q zz")
     val m = Lm.train(all.where(pmod(col("doc_id"), lit(10)) =!= 0),
