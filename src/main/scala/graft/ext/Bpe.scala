@@ -47,11 +47,9 @@ object Bpe {
     */
   def pairCounts(vocab: DataFrame, symsCol: String = "syms",
       freqCol: String = "freq"): DataFrame = {
-    val s = col(symsCol)
-    val n = greatest(size(s) - 1, lit(0))
     vocab
       .select(col(freqCol),
-        explode(arrays_zip(slice(s, lit(1), n), slice(s, lit(2), n))).as("pr"))
+        explode(Dedup.slidingZip(col(symsCol), 2)).as("pr"))
       .select(col("pr").getField("0").as("p1"),
         col("pr").getField("1").as("p2"), col(freqCol))
       .groupBy("p1", "p2").agg(sum(col(freqCol)).as("cnt"))
@@ -124,9 +122,12 @@ object Bpe {
     * (distributed — merges × vocabulary-table passes, the corpus itself is
     * touched once), then map each document's words through the resulting
     * word→tokens dictionary and flatten in word order. Checkpoints every
-    * `checkpointEvery` merges bound lineage depth.
+    * `checkpointEvery` merges bound lineage depth. Every input document
+    * gets exactly one output row — a doc with no non-empty words (empty
+    * or all-space text) tokenizes to an EMPTY array, it does not vanish
+    * (callers zip/join the output back against the corpus).
     *
-    * @return (idCol, tokens array<string>)
+    * @return (idCol, tokens array<string>), one row per input doc
     */
   def encode(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[Merge], checkpointEvery: Int = 16): DataFrame = {
@@ -139,11 +140,16 @@ object Bpe {
     val sites = docs.select(col(idCol),
       posexplode(split(col(textCol), " ")).as(Seq("pos", "word")))
       .where(col("word") =!= "")
-    sites.join(vocab.select(col("word"), col("syms")), "word")
+    val tokenized = sites
+      .join(vocab.select(col("word"), col("syms")), "word")
       .groupBy(idCol)
       .agg(sort_array(collect_list(struct(col("pos"), col("syms"))))
         .as("ws"))
       .select(col(idCol),
         flatten(transform(col("ws"), w => w.getField("syms"))).as("tokens"))
+    docs.select(col(idCol)).distinct()
+      .join(tokenized, Seq(idCol), "left")
+      .withColumn("tokens",
+        coalesce(col("tokens"), array().cast("array<string>")))
   }
 }

@@ -81,6 +81,18 @@ object Dedup {
       .groupBy(TextOps.normalizeUrl(col(urlCol)).as("canonical_url"))
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keeper"))
 
+  /** The adjacent-slice zip device (one struct row per k consecutive
+    * array elements, field names "0".."k-1") shared by every operator
+    * that expands word arrays into k-grams shuffle-free —
+    * [[winnowSites]], [[graft.ext.Lm.bigramSites]],
+    * [[graft.ext.Bpe.pairCounts]]; [[shingleRows]] is the original of the
+    * pattern. Plain slice/zip expressions, stays in whole-stage codegen.
+    */
+  private[ext] def slidingZip(arr: Column, k: Int): Column = {
+    val n = greatest(size(arr) - (k - 1), lit(0))
+    arrays_zip((0 until k).map(j => slice(arr, lit(j + 1), n)): _*)
+  }
+
   /** Winnowing (Schleimer/Wilkerson/Aiken, MOSS) k-gram sites: one row per
     * word k-gram START position, with the gram's rolling polynomial hash
     * ([[TextOps.fingerprint]] over the gram — the same engine-neutral
@@ -92,11 +104,8 @@ object Dedup {
     */
   def winnowSites(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
-    val ws = split(col(textCol), " ")
-    val n = greatest(size(ws) - (k - 1), lit(0))
-    val parts = (0 until k).map(j => slice(ws, lit(j + 1), n))
     val grams = transform(
-      arrays_zip(parts: _*),
+      slidingZip(split(col(textCol), " "), k),
       z => concat_ws(" ", (0 until k).map(j => z.getField(s"$j")): _*))
     docs.select(col(idCol), posexplode(grams).as(Seq("pos", "g")))
       .select(col(idCol), col("pos").cast("long").as("pos"),

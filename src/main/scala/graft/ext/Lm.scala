@@ -44,9 +44,7 @@ object Lm {
     * Documents with fewer than two tokens yield no rows.
     */
   def bigramSites(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = split(col(textCol), " ")
-    val n = greatest(size(ws) - 1, lit(0))
-    val z = arrays_zip(slice(ws, lit(1), n), slice(ws, lit(2), n))
+    val z = Dedup.slidingZip(split(col(textCol), " "), 2)
     docs.select(col(idCol), posexplode(z).as(Seq("pos", "bg")))
       .select(col(idCol), col("pos").cast("long").as("pos"),
         col("bg").getField("0").as("w1"), col("bg").getField("1").as("w2"))
@@ -69,10 +67,12 @@ object Lm {
     BigramModel(bigrams, contexts, vocab)
   }
 
-  /** Persist a trained model as three parquet tables (bigrams keyed and
-    * written partition-friendly on w1, contexts, the one-row vocab) — the
-    * offline-train / online-score seam: a streaming curation ingest loads
-    * the model once per run and scores each micro-batch against it.
+  /** Persist a trained model as three plain parquet tables (bigrams,
+    * contexts, the one-row vocab) — the offline-train / online-score
+    * seam: a streaming curation ingest loads the model once per run and
+    * scores each micro-batch against it. Scoring joins shuffle both sides
+    * on the bigram key regardless of file layout, so no clustering is
+    * imposed at write time.
     */
   def save(model: BigramModel, path: String): Unit = {
     model.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
@@ -104,23 +104,27 @@ object Lm {
     val p: Column =
       (coalesce(col("c2"), lit(0L)) + lit(k)).cast("double") /
         (coalesce(col("c1"), lit(0L)) + lit(k) * col("__v")).cast("double")
-    val logs: Column = transform(col("xs"), r => log(r.getField("p")))
     sites
       .join(model.bigrams, Seq("w1", "w2"), "left")
       .join(model.contexts, Seq("w1"), "left")
       .crossJoin(broadcast(model.vocab))
       .withColumn("p", p)
+      // ln once per SITE row (distributed, pre-shuffle) — not per element
+      // of the collected array on the post-aggregate driver-visible path
+      .withColumn("lp", log(col("p")))
       .withColumn("oov", when(coalesce(col("c2"), lit(0L)) === 0, 1L)
         .otherwise(0L))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("oov")).as("n_oov"),
-        sort_array(collect_list(struct(col("pos"), col("p")))).as("xs"))
+        sort_array(collect_list(struct(col("pos"), col("p"), col("lp"))))
+          .as("xs"))
       .select(col(idCol),
         col("n_bigrams"), col("n_oov"),
         aggregate(transform(col("xs"), r => r.getField("p")),
           lit(0.0), (a, b) => a + b).as("sum_condp"),
-        (aggregate(logs, lit(0.0), (a, b) => a + b) /
+        (aggregate(transform(col("xs"), r => r.getField("lp")),
+          lit(0.0), (a, b) => a + b) /
           col("n_bigrams").cast("double")).as("avg_logp"))
       .withColumn("ppl", exp(-col("avg_logp")))
   }

@@ -60,28 +60,34 @@ object CurationStream {
       maxBucket: Int = 1000,
       lmModelPath: Option[String] = None,
       minAvgLogp: Double = Double.NegativeInfinity
-  ): StreamingQuery =
+  ): StreamingQuery = {
+    // load the model ONCE per run (three parquet reads), not per batch
+    val lmModel = lmModelPath.map(p => Lm.load(docs.sparkSession, p))
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, batchId, idCol, textCol, acceptedPath, indexPath,
           shingleN, minJaccard, numHashes, bands, maxBucket,
-          lmModelPath, minAvgLogp)
+          lmModel, minAvgLogp)
       }
       .start()
+  }
 
   /** One curation micro-batch (exposed for direct batch testing — the
     * streaming path calls exactly this).
     *
-    * `lmModelPath` (optional) engages a FLUENCY gate after the rule-based
-    * quality screen: the batch is scored under the persisted bigram model
-    * ([[Lm.save]], trained offline on a reference slice) and docs whose
-    * mean bigram log-probability falls below `minAvgLogp` are dropped —
-    * the CCNet-style perplexity filter, catching word-salad that reuses
-    * common words and so passes every rule-based check. Docs too short to
-    * have bigrams carry no evidence and pass. Per-batch cost is the model
-    * join ∝ batch size + model size, never ∝ accepted-corpus size.
+    * `lmModel` (optional) engages a FLUENCY gate after the rule-based
+    * quality screen: the batch is scored under the bigram model (trained
+    * offline on a reference slice; [[start]] loads a persisted one ONCE
+    * per run via [[Lm.load]]) and docs whose mean bigram log-probability
+    * falls below `minAvgLogp` are dropped — the CCNet-style perplexity
+    * filter, catching word-salad that reuses common words and so passes
+    * every rule-based check. Docs too short to have bigrams carry no
+    * evidence and pass. Per-batch cost is the model join ∝ batch size +
+    * model size, never ∝ accepted-corpus size; the rule-screen output is
+    * checkpointed so the gate's score branch and join branch share one
+    * scan.
     */
   def ingestBatch(
       batch: DataFrame,
@@ -95,7 +101,7 @@ object CurationStream {
       numHashes: Int = 32,
       bands: Int = 16,
       maxBucket: Int = 1000,
-      lmModelPath: Option[String] = None,
+      lmModel: Option[graft.ext.Lm.BigramModel] = None,
       minAvgLogp: Double = Double.NegativeInfinity
   ): Unit = {
     val spark = batch.sparkSession
@@ -112,15 +118,17 @@ object CurationStream {
     // 1. quality screen
     val ruleKept = batch.where(TextOps.qualityVerdict(col(textCol)) === "keep")
 
-    // 1b. fluency gate (optional): score under the persisted bigram model,
-    // drop docs below the mean-log-prob floor; scoreless (sub-2-token)
-    // docs pass — no evidence either way
-    val kept = lmModelPath match {
+    // 1b. fluency gate (optional): score under the bigram model, drop
+    // docs below the mean-log-prob floor; scoreless (sub-2-token) docs
+    // pass — no evidence either way. The screen output is checkpointed:
+    // the gate consumes it twice (score branch + join branch)
+    val kept = lmModel match {
       case None => ruleKept
-      case Some(mp) =>
-        val scores = Lm.score(ruleKept, idCol, textCol, Lm.load(spark, mp))
+      case Some(m) =>
+        val screened = ruleKept.localCheckpoint(true)
+        val scores = Lm.score(screened, idCol, textCol, m)
           .select(col(idCol), col("avg_logp"))
-        ruleKept.join(scores, Seq(idCol), "left")
+        screened.join(scores, Seq(idCol), "left")
           .where(col("avg_logp").isNull || col("avg_logp") >= minAvgLogp)
           .drop("avg_logp")
     }

@@ -96,11 +96,16 @@ class BpeSpec extends SparkSpec {
     // "ab" x3 dominates: merges are (a,b) then (ab,</w>)
     assert(merges.map(m => (m.p1, m.p2)) ==
       Seq(("a", "b"), ("ab", Bpe.EndOfWord)))
-    val got = Bpe.encode(Seq((7L, "ab cd ab")).toDF("doc_id", "text"),
+    val got = Bpe.encode(
+        Seq((7L, "ab cd ab"), (8L, ""), (9L, "  ")).toDF("doc_id", "text"),
         "doc_id", "text", merges)
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
     assert(got(7L) == List(
       "ab</w>", "c", "d", Bpe.EndOfWord, "ab</w>"))
+    // wordless docs keep their row with an empty token array — callers
+    // zip/join encode output back against the corpus one-to-one
+    assert(got(8L) == Nil && got(9L) == Nil)
+    assert(got.size == 3)
   }
 
   test("fuzz: train matches the sequential reference on random corpora") {

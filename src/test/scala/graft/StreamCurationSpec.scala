@@ -148,7 +148,7 @@ class StreamCurationSpec extends SparkSpec {
     CurationStream.ingestBatch(
       Seq(100L -> fluent, 101L -> salad).toDF("doc_id", "text"),
       0L, "doc_id", "text", accepted, index,
-      lmModelPath = Some(modelPath), minAvgLogp = floor)
+      lmModel = Some(model), minAvgLogp = floor)
     val got = CurationStream.accepted(spark, accepted)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == Set(100L),
