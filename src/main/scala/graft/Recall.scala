@@ -135,6 +135,13 @@ object Recall {
       maxDist = 6))
     val simhashRecall =
       exactPairs.intersect(simhashPairs).size.toDouble / exactPairs.size
+    // Winnowing: candidate recall vs the same exact tier at the declared
+    // winnow_pairs config (the signature table is ~1/w of the gram sites,
+    // so this reads as "what the w-fold compression costs in truth pairs")
+    val winnowPairsSet = pairSet(Dedup.winnowPairs(docs, "doc_id", "text",
+      k = 3, w = 4, minShared = 2L, maxDf = 1000L))
+    val winnowRecall =
+      exactPairs.intersect(winnowPairsSet).size.toDouble / exactPairs.size
 
     // ── Embedding near-dup: pair recall vs exact all-pairs cosine ≥ 0.3
     // (the dedup_embedding configuration, skew cap engaged) ───────────────
@@ -204,6 +211,7 @@ object Recall {
          || — 6 tables |  | nbits=4, 6 tables | (context: the cost-trim candidate) | ${f"$knnRecall6%.3f"} |
          || MinHash LSH candidates | `dedup_minhash` | 32 hashes / 16 bands, maxBucket=1000 | pair recall vs exact Jaccard ≥ 0.3 (`dedup_ngram`, ${exactPairs.size} pairs) | ${f"$minhashRecall%.3f"} |
          || SimHash candidates | `dedup_simhash` | 64-bit, Hamming ≤ 6 | pair recall vs the same exact Jaccard tier | ${f"$simhashRecall%.3f"} |
+         || winnowing candidates | `winnow_pairs` | k=3, w=4, minShared=2, maxDf=1000 | pair recall vs the same exact Jaccard tier (signature table ~1/w of gram sites) | ${f"$winnowRecall%.3f"} |
          || embedding LSH near-dup | `dedup_embedding` | 8×4-bit OR-amplified tables, maxBucket=1000 | pair recall vs exact all-pairs cosine ≥ 0.3 (${exactEmb.size} pairs) | ${f"$embRecall%.3f"} |
          || — single table |  | nbits=4, 1 table | (context: what the banding buys) | ${f"$embRecall1%.3f"} |
          || SemDeDup design point | `dedup_semantic` | planted-near-dup corpus, nlist=16, cosine ≥ 0.8, maxCell=1000 | pair recall vs exact all-pairs cosine ≥ 0.8 (${semTruth.size} planted pairs); precision ${f"$semPrecision%.3f"} | ${f"$semRecall%.3f"} |
@@ -240,6 +248,8 @@ object Recall {
     // regression gates — calibrated just below the measured values
     require(minhashRecall >= 0.95,
       f"minhash candidate recall regressed: $minhashRecall%.3f")
+    require(winnowRecall >= 0.95,
+      f"winnow candidate recall regressed: $winnowRecall%.3f")
     require(knnRecall >= 0.65, f"knn_join recall regressed: $knnRecall%.3f")
     require(embRecall >= 0.6,
       f"embedding near-dup recall regressed: $embRecall%.3f")
