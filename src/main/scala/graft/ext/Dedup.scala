@@ -986,6 +986,84 @@ object Dedup {
             col("n_shingles").cast("double")).as("contamination_ratio"))
   }
 
+  /** Unsigned right shift with a COLUMN shift amount (functions.shiftright
+    * only takes a literal Int) — bridges the Catalyst expression directly,
+    * stays inside whole-stage codegen.
+    */
+  private def shru(x: Column, n: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.ShiftRightUnsigned(
+        Bridge.expression(x), Bridge.expression(n)))
+  }
+
+  /** Bloom-filter decontamination — the map-only scale tier of
+    * [[contamination]], flagging TRAIN docs (the side a decontamination
+    * pass actually drops; the exact tier reports per-eval-doc overlap).
+    *
+    * The eval set's distinct shingles fold into a fixed-size Bloom bitmap
+    * (k = `numHashes` xxhash64 probes into m = next-pow-2 of
+    * `bitsPerGram`×grams bits). Eval sets are benchmark-sized by nature,
+    * so the bitmap is KBs–MBs REGARDLESS of train-corpus scale; it ships
+    * to executors as one array<bigint> literal. Train-side membership is
+    * k codegen'd hash+bit probes per shingle — NO join and NO train-side
+    * shuffle except the closing per-doc aggregate, where exact
+    * [[contamination]] shuffles every train shingle into a broadcast join.
+    * At 100 TB of train text this is the screen you run first (or instead:
+    * its error is one-sided — a miss is definitive, a hit may be a false
+    * positive at rate ≈ (1−e^{−kn/m})^k ≈ 0.0094 at the 16-bits/gram,
+    * k=5 defaults — so exact-contaminated ⊆ bloom-flagged, spec-gated in
+    * DedupSpec).
+    *
+    * The driver-side collect is the SET-BIT INDEX LIST — bounded by
+    * k × eval grams, an eval-sized quantity like [[contamination]]'s
+    * broadcast eval shingle set, never anything train-sized.
+    *
+    * @return (idCol, n_shingles, n_flagged, flag_ratio, contaminated) —
+    *         one row per train doc; short docs keep n_shingles = 0
+    */
+  def contaminationBloom(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      bitsPerGram: Int = 16,
+      numHashes: Int = 5
+  ): DataFrame = {
+    val grams = shingleRows(evalDocs, idCol, textCol, shingleN)
+      .select("s").distinct()
+    val nGrams = math.max(1L, grams.count())
+    val mBits = java.lang.Long.highestOneBit(
+      math.max(64L, nGrams * bitsPerGram) * 2 - 1)
+    val probes = (i: Column) =>
+      (0 until numHashes).map(k => pmod(xxhash64(lit(k), i), lit(mBits)))
+    val setBits = grams
+      .select(explode(array(probes(col("s")): _*)).as("idx"))
+      .distinct().collect().map(_.getLong(0))
+    val words = new Array[Long]((mBits >>> 6).toInt)
+    setBits.foreach(b => words((b >>> 6).toInt) |= (1L << (b & 63L).toInt))
+    val bm = typedlit(words.toSeq)
+    val hit = probes(col("s")).map { idx =>
+      (shru(element_at(bm, shru(idx, lit(6)).cast("int") + 1),
+        idx.bitwiseAND(lit(63L)).cast("int")).bitwiseAND(lit(1L)) === 1L)
+        .cast("int")
+    }.reduce(_ * _) // all k bits set ⇔ product of the 0/1 probes is 1
+    val flagged = shingleRows(train, idCol, textCol, shingleN)
+      .withColumn("hit", hit.cast("long"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_shingles"), sum("hit").as("n_flagged"))
+    train.select(col(idCol).cast("long").as("doc")).distinct()
+      .join(flagged, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        when(coalesce(col("n_shingles"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(coalesce(col("n_flagged"), lit(0L)).cast("double") /
+            col("n_shingles").cast("double")).as("flag_ratio"),
+        (coalesce(col("n_flagged"), lit(0L)) > 0L).as("contaminated"))
+  }
+
   /** Embedding near-dup: pairs of vectors with cosine ≥ threshold, candidate-
     * limited to shared LSH buckets (see [[Similarity.lshBucketed]]).
     *

@@ -87,6 +87,80 @@ object Lm {
       spark.read.parquet(s"$path/contexts"),
       spark.read.parquet(s"$path/vocab"))
 
+  /** Interpolated Kneser–Ney bigram model — the smoothing KenLM actually
+    * ships, distinguished from add-k by scoring a word on how many
+    * DISTINCT contexts it follows (its continuation count), not how often
+    * it occurs; "San Francisco"-style collocations stop inflating the
+    * unigram backoff. Same table shapes as [[BigramModel]] plus the
+    * continuation counts — all Zipf-bounded, all from one sites pass.
+    *
+    *  - `contexts`:      (w1, c1 = Σ c2, n1f = distinct w2 after w1)
+    *  - `continuations`: (w2, n1p = distinct w1 before w2)
+    *  - `stats`:         one row (__t = distinct bigram types,
+    *                     __v = vocab size), broadcast like vocab
+    */
+  final case class KnModel(bigrams: DataFrame, contexts: DataFrame,
+      continuations: DataFrame, stats: DataFrame)
+
+  /** Train the KN count tables — the bigram aggregate re-aggregated twice
+    * (by context, by continuation), plus the one-row type/vocab stats.
+    */
+  def trainKn(train: DataFrame, idCol: String, textCol: String): KnModel = {
+    val sites = bigramSites(train, idCol, textCol)
+    val bigrams = sites.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val contexts = bigrams.groupBy("w1")
+      .agg(sum("c2").as("c1"), count(lit(1)).as("n1f"))
+    val continuations = bigrams.groupBy("w2").agg(count(lit(1)).as("n1p"))
+    val stats = bigrams.agg(count(lit(1)).as("__t")).crossJoin(
+      train.select(explode(split(col(textCol), " ")).as("w"))
+        .agg(countDistinct(col("w")).as("__v")))
+    KnModel(bigrams, contexts, continuations, stats)
+  }
+
+  /** Score documents under interpolated Kneser–Ney with absolute discount
+    * `d` (the standard 0.75):
+    *
+    *   p(w2|w1) = max(c2−d, 0)/c1 + (d·n1f(w1)/c1)·Pcont(w2)   when c1 > 0
+    *            = Pcont(w2)                                     unseen w1
+    *   Pcont(w2) = (n1p(w2) + 1)/(T + V)   — add-1 on continuation
+    *               counts so unseen w2 keeps positive mass
+    *
+    * Every operand is an exact integer (counts) or the literal d = 0.75
+    * (an exact binary double whose integer multiples stay exact), and the
+    * op sequence is written identically in the SQL oracle — so
+    * `sum_kn`, the position-ordered fold of p, is oracle-exact like
+    * [[score]]'s `sum_condp`. `n_backoff` counts sites that fell through
+    * to the pure continuation distribution (unseen context).
+    */
+  def scoreKn(docs: DataFrame, idCol: String, textCol: String,
+      model: KnModel, d: Double = 0.75): DataFrame = {
+    val c1d = col("c1").cast("double")
+    val pcont: Column =
+      (coalesce(col("n1p"), lit(0L)) + lit(1L)).cast("double") /
+        (col("__t") + col("__v")).cast("double")
+    val p: Column = when(col("c1").isNull, col("pcont"))
+      .otherwise(
+        greatest(coalesce(col("c2"), lit(0L)).cast("double") - lit(d),
+          lit(0.0)) / c1d +
+          ((lit(d) * col("n1f").cast("double")) / c1d) * col("pcont"))
+    bigramSites(docs, idCol, textCol)
+      .join(model.bigrams, Seq("w1", "w2"), "left")
+      .join(model.contexts, Seq("w1"), "left")
+      .join(model.continuations, Seq("w2"), "left")
+      .crossJoin(broadcast(model.stats))
+      .withColumn("pcont", pcont)
+      .withColumn("p", p)
+      .withColumn("backoff",
+        when(col("c1").isNull, 1L).otherwise(0L))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("backoff")).as("n_backoff"),
+        sort_array(collect_list(struct(col("pos"), col("p")))).as("xs"))
+      .select(col(idCol), col("n_bigrams"), col("n_backoff"),
+        aggregate(transform(col("xs"), r => r.getField("p")),
+          lit(0.0), (a, b) => a + b).as("sum_kn"))
+  }
+
   /** Score every document of `docs` under `model` with add-`k` smoothing:
     * per bigram site, p(w2|w1) = (c2+k)/(c1+k·V); per document,
     *  - `n_bigrams` — scored sites,

@@ -13,10 +13,16 @@ import org.apache.spark.sql.functions._
   *    raster is never materialized) and WAV (RIFF chunk walk) via
   *    [[Codecs.decodeImageMeta]] / [[Codecs.decodeWavMeta]], surfaced by
   *    [[probeAll]] with a null-safe fallback for undecodable bytes.
-  *  - STUBBED model-dependent steps (featurize, re-encode, keyframe
-  *    extraction) behind [[Codecs]] with deterministic fakes — those need
-  *    ML models / video codecs this container doesn't ship. Swapping one
-  *    in is a one-function change; nothing in the pipeline shape moves.
+  *  - REAL content decoding for the zero-dependency codecs: full-raster /
+  *    PCM / uncompressed-AVI-frame featurization
+  *    ([[Codecs.realFeature]]) and actual keyframe extraction for AVI
+  *    ([[Codecs.decodeAviFrames]] — each frame re-wrapped as a
+  *    standalone BMP so downstream image steps run on frames unchanged).
+  *  - STUBBED model-dependent steps (model featurize for undecodable
+  *    bytes, re-encode, non-AVI keyframes) behind [[Codecs]] with
+  *    deterministic fakes — those need ML models / compressed-video
+  *    codecs this container doesn't ship. Swapping one in is a
+  *    one-function change; nothing in the pipeline shape moves.
   *
   * Scale design: media blobs are large and must never be shuffled casually —
   * every operator below is a narrow `mapPartitions` (the Scala analog of
@@ -54,6 +60,8 @@ object Multimodal {
       channels: Int)
   final case class WavMeta(channels: Int, sample_rate: Int,
       bits_per_sample: Int, duration_ms: Long)
+  final case class AviMeta(width: Int, height: Int, n_frames: Int,
+      us_per_frame: Long, duration_ms: Long)
 
   /** Probe result: real metadata where the bytes decode, the blob's own
     * declared metadata where they don't (`decoded` says which).
@@ -146,6 +154,7 @@ object Multimodal {
       */
     def realFeature(content: Array[Byte]): Option[Array[Float]] =
       rasterHistogram(content).orElse(wavHistogram(content))
+        .orElse(aviHistogram(content))
 
     /** Full raster decode → luminance histogram (FeatureDim bins, L1-
       * normalized). Decoding cost is pixels, not header bytes — this is
@@ -216,6 +225,106 @@ object Multimodal {
       else Some(counts.map(c => c.toDouble.toFloat / n))
     }
 
+    private def le32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+    /** REAL video container parsing for RIFF/AVI (the uncompressed-DIB
+      * profile — '00db' streams, the one profile decodable with zero
+      * codec dependencies): a recursive LIST walk collects the `avih`
+      * main header (frame clock, declared dims), the first video `strf`
+      * (a BITMAPINFOHEADER), and every frame chunk. Each extracted frame
+      * is RE-WRAPPED as a standalone BMP file (14-byte file header +
+      * the stream's own BITMAPINFOHEADER + the DIB payload), so frames
+      * come out as self-contained decodable images — [[rasterHistogram]]
+      * and any downstream image step run on them unchanged. Compressed
+      * fourccs ('00dc' payloads under a non-zero biCompression) still
+      * parse structurally but their frames won't raster-decode; they
+      * degrade to the byte-fold stub like any other undecodable payload.
+      * Malformed sizes abort to None rather than over-read.
+      */
+    def decodeAviMeta(content: Array[Byte]): Option[AviMeta] =
+      parseAvi(content).map(_._1)
+
+    /** The real frames of an AVI payload, each as a standalone BMP. */
+    def decodeAviFrames(content: Array[Byte]): Option[Seq[Array[Byte]]] =
+      parseAvi(content).map(_._2).filter(_.nonEmpty)
+
+    private def parseAvi(
+        content: Array[Byte]): Option[(AviMeta, Seq[Array[Byte]])] =
+      try {
+        def ascii(off: Int, n: Int) = new String(content, off, n, "US-ASCII")
+        if (content.length < 24 || ascii(0, 4) != "RIFF" ||
+          ascii(8, 4) != "AVI ") return None
+        var avih: Option[(Long, Long, Long)] = None // usPerFrame, w, h
+        var strf: Option[Array[Byte]] = None
+        val frames = Seq.newBuilder[Array[Byte]]
+        var bad = false
+        def walk(from: Int, to: Int): Unit = {
+          var off = from
+          while (!bad && off + 8 <= to) {
+            val id = ascii(off, 4)
+            val size = le32(content, off + 4)
+            if (size < 0 || size > Int.MaxValue - 9 ||
+              off + 8 + size > to) { bad = true; return }
+            val sz = size.toInt
+            if (id == "LIST" && sz >= 4) walk(off + 12, off + 8 + sz)
+            else if (id == "avih" && sz >= 40)
+              avih = Some((le32(content, off + 8), le32(content, off + 40),
+                le32(content, off + 44)))
+            else if (id == "strf" && strf.isEmpty && sz >= 40)
+              strf = Some(
+                java.util.Arrays.copyOfRange(content, off + 8, off + 8 + sz))
+            else if ((id == "00db" || id == "00dc") && sz > 0)
+              frames +=
+                java.util.Arrays.copyOfRange(content, off + 8, off + 8 + sz)
+            off += 8 + sz + (sz & 1)
+          }
+        }
+        walk(12,
+          math.min(content.length.toLong, 8L + le32(content, 4)).toInt)
+        if (bad) None
+        else avih.map { case (us, w, h) =>
+          val wrapped = strf match {
+            case Some(info) => frames.result().map(wrapBmp(info, _))
+            case None => frames.result()
+          }
+          (AviMeta(w.toInt, h.toInt, wrapped.length, us,
+            us * wrapped.length / 1000L), wrapped)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** DIB payload + its BITMAPINFOHEADER → a standalone BMP file. */
+    private def wrapBmp(info: Array[Byte], dib: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](14 + info.length + dib.length)
+      val dataOff = 14 + info.length
+      out(0) = 'B'; out(1) = 'M'
+      def putLe32(o: Int, v: Int): Unit = {
+        out(o) = v.toByte; out(o + 1) = (v >>> 8).toByte
+        out(o + 2) = (v >>> 16).toByte; out(o + 3) = (v >>> 24).toByte
+      }
+      putLe32(2, out.length)
+      putLe32(10, dataOff)
+      System.arraycopy(info, 0, out, 14, info.length)
+      System.arraycopy(dib, 0, out, dataOff, dib.length)
+      out
+    }
+
+    /** Video featurize: the mean of the per-frame luminance histograms —
+      * a deterministic function of the decoded pixels, like the raster
+      * and WAV tiers. None when no frame raster-decodes.
+      */
+    def aviHistogram(content: Array[Byte]): Option[Array[Float]] =
+      decodeAviFrames(content).flatMap { frames =>
+        val hists = frames.flatMap(rasterHistogram)
+        if (hists.isEmpty) None
+        else {
+          val acc = new Array[Float](FeatureDim)
+          hists.foreach(h => (0 until FeatureDim).foreach(i => acc(i) += h(i)))
+          Some(acc.map(_ / hists.length))
+        }
+      }
+
     /** STUB decode+featurize: derives a fixed-dim float vector from content
       * bytes (stands in for decode → model forward pass).
       */
@@ -236,10 +345,25 @@ object Multimodal {
       java.util.Arrays.copyOf(content, math.min(content.length,
         math.max(16, w * h / 64)))
 
-    /** STUB frame sampling: slices the payload into `n` chunks
-      * (stands in for keyframe extraction).
+    /** Frame sampling. REAL for AVI payloads: up to `n` evenly spaced
+      * actual frames (each a standalone BMP via [[decodeAviFrames]]) —
+      * the keyframe-extraction step of a video curation pipeline. Bytes
+      * that don't parse as AVI fall back to the deterministic byte-slice
+      * stub (the seam a production build swaps for a full codec).
       */
-    def sampleFrames(content: Array[Byte], n: Int): Seq[Array[Byte]] = {
+    def sampleFrames(content: Array[Byte], n: Int): Seq[Array[Byte]] =
+      decodeAviFrames(content) match {
+        case Some(frames) =>
+          (0 until math.max(1, n))
+            .map(i => i.toLong * frames.length / math.max(1, n))
+            .distinct.map(i => frames(i.toInt))
+        case None => sampleFramesStub(content, n)
+      }
+
+    /** STUB frame sampling: slices the payload into `n` chunks
+      * (stands in for keyframe extraction of non-AVI codecs).
+      */
+    def sampleFramesStub(content: Array[Byte], n: Int): Seq[Array[Byte]] = {
       val step = math.max(1, content.length / math.max(1, n))
       (0 until n).map { i =>
         val from = math.min(i * step, content.length)
@@ -287,9 +411,14 @@ object Multimodal {
           case Some(w) =>
             MediaProbe(m.media_id, m.kind, "wav", -1, -1, w.channels,
               w.sample_rate, w.duration_ms, decoded = true)
-          case None =>
-            MediaProbe(m.media_id, m.kind, "unknown", m.width, m.height,
-              -1, -1, m.duration_ms, decoded = false)
+          case None => Codecs.decodeAviMeta(m.content) match {
+            case Some(a) =>
+              MediaProbe(m.media_id, m.kind, "avi", a.width, a.height,
+                -1, -1, a.duration_ms, decoded = true)
+            case None =>
+              MediaProbe(m.media_id, m.kind, "unknown", m.width, m.height,
+                -1, -1, m.duration_ms, decoded = false)
+          }
         }
       }
     })

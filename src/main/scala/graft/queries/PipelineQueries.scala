@@ -245,6 +245,20 @@ object PipelineQueries {
           "doc_id", "text", shingleN = 3)
         .orderBy("doc_id")
     },
+    // Bloom-filter decontamination — the map-only scale tier of
+    // `contamination`, flagging TRAIN docs against a broadcast fixed-size
+    // bitmap of the eval set's shingles (k codegen'd xxhash64 probes per
+    // shingle; no join, no train-side shuffle before the per-doc agg).
+    // xxhash64-based → no SQL oracle; DedupSpec gates the one-sided-error
+    // contract (exact-contaminated ⊆ bloom-flagged) and the FP rate
+    "contamination_bloom" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationBloom(
+          docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+          docs.where(pmod(col("doc_id"), lit(10)) === 0),
+          "doc_id", "text", shingleN = 3)
+        .orderBy("doc_id")
+    },
     // composite quality score
     "quality_score" -> { (s, d) =>
       TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text")
@@ -612,6 +626,21 @@ object PipelineQueries {
         .select("doc_id", "n_bigrams", "n_oov", "sum_condp")
         .orderBy("doc_id")
     },
+    // interpolated Kneser–Ney bigram scoring — the smoothing KenLM
+    // actually ships (continuation counts, absolute discount d = 0.75),
+    // over the same 90%-train / held-out-10% split as lm_score. Every
+    // operand is an exact integer or the literal 0.75 (whose integer
+    // multiples are exact doubles), the op sequence mirrors the oracle
+    // SQL exactly, and the per-doc aggregate is the position-ordered
+    // fold — oracle-exact like lm_score. n_backoff counts sites that
+    // fell through to the pure continuation distribution (unseen w1)
+    "lm_kn" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val m = Lm.trainKn(
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", "text")
+      Lm.scoreKn(docs, "doc_id", "text", m)
+        .orderBy("doc_id")
+    },
     // winnowing fingerprint selection (MOSS): per doc, the distinct
     // sliding-window minima of the 3-gram rolling hashes — ~1/w of the
     // gram sites, the compressed content signature the pair tier joins
@@ -802,10 +831,89 @@ object PipelineQueries {
           maxBucket = 1000, maxDf = 1000L)
         .select("doc_id", "lang", "source", "n_members")
         .orderBy("doc_id")
+    },
+    // domain mixture reweighting — the data-recipe table every multi-source
+    // training run starts from (GPT-3/Pile/LLaMA style): per-source token
+    // counts, natural share p, temperature-smoothed sampling weight
+    // w ∝ p^α at α = 0.5 (one IEEE sqrt — bit-exact cross-engine, like
+    // sample_temperature), and the epochs multiplier w/p (how often a
+    // domain is revisited per global epoch; upsampled domains > 1).
+    // The α-power normalizer Σ p_j^α crosses rows, so it runs as the
+    // source-ordered fold (sort_array + aggregate ↔ DuckDB
+    // list(ORDER BY) + list_reduce) — ~20 sources, a constant-size fold;
+    // everything corpus-sized is the one token-count aggregate
+    "mix_weights" -> { (s, d) =>
+      val perSrc = Tables.documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+      val tot = perSrc.agg(sum("n_tokens").as("__t"))
+      val shares = perSrc.crossJoin(broadcast(tot))
+        .withColumn("p",
+          col("n_tokens").cast("double") / col("__t").cast("double"))
+        .withColumn("sw", sqrt(col("p")))
+      val norm = shares
+        .agg(sort_array(collect_list(struct(col("source"), col("sw"))))
+          .as("xs"))
+        .select(aggregate(transform(col("xs"), r => r.getField("sw")),
+          lit(0.0), (a, b) => a + b).as("__s"))
+      shares.crossJoin(broadcast(norm))
+        .withColumn("w", col("sw") / col("__s"))
+        .withColumn("epochs", col("w") / col("p"))
+        .select("source", "n_docs", "n_tokens", "p", "w", "epochs")
+        .orderBy("source")
+    },
+    // distilled model-based quality scoring (fastText/FineWeb-Edu shape):
+    // a logistic regression trained ON the rule screen's verdicts (one
+    // map-side-combinable gradient aggregate per iteration, driver holds
+    // only 5 weights), then every doc scored with a calibrated keep-
+    // probability + agreement audit. σ's exp and partition-order float
+    // sums make the scores engine-local → rows-only check;
+    // ClassifierSpec gates weights-vs-sequential-reference and agreement
+    "quality_lr" -> { (s, d) =>
+      val feats = graft.ext.Classifier
+        .features(Tables.documents(s, d), "doc_id", "text")
+        .localCheckpoint()
+      val m = graft.ext.Classifier.train(feats, iters = 50, lr = 1.0)
+      graft.ext.Classifier.score(feats, m, "doc_id").orderBy("doc_id")
+    },
+    // BPE tokenization of the corpus under a freshly trained merge table
+    // (train + encode end-to-end; bpe_pairs shows round 1 of the trainer,
+    // BpeSpec verifies both against a sequential reference). The merge
+    // table depends on the data, so no static SQL oracle exists —
+    // rows-only check; per-doc token count + a hash of the token stream
+    // pin the output against accidental nondeterminism (the trainer's
+    // argmax tie-break is lexicographic, so the model is reproducible)
+    "bpe_encode" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val (merges, _) = graft.ext.Bpe.train(docs, "text", numMerges = 20)
+      graft.ext.Bpe.encode(docs, "doc_id", "text", merges)
+        .select(col("doc_id"),
+          size(col("tokens")).cast("long").as("n_tokens"),
+          sha2(concat_ws(" ", col("tokens")), 256).as("tok_hash"))
+        .orderBy("doc_id")
     }
   )
 
   val oracle: Map[String, String] = Map(
+    // token counts are exact integers; p/sw/w/epochs replay the identical
+    // IEEE op sequence (divide, sqrt, divide) and the Σ p^α normalizer is
+    // the source-ordered fold, so every double is bit-identical
+    "mix_weights" ->
+      """WITH t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM t),
+        |sh AS (SELECT source, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / CAST(tot.t AS DOUBLE) AS p,
+        |  sqrt(CAST(n_tokens AS DOUBLE) / CAST(tot.t AS DOUBLE)) AS sw
+        | FROM t, tot),
+        |s AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |   list(sw ORDER BY source)), (a, b) -> a + b) AS s FROM sh)
+        |SELECT source, n_docs, n_tokens, p, sw / s.s AS w,
+        | (sw / s.s) / p AS epochs
+        |FROM sh, s ORDER BY source""".stripMargin,
     // same blob construction, decoded by independent hex-slice arithmetic:
     // slot k occupies hex chars 64k+1..64k+64; right-aligned u64 = last 16
     // chars of its slot; the dynamic string is found via its offset word
@@ -1319,6 +1427,43 @@ object PipelineQueries {
         | list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(p ORDER BY pos)),
         |   (a, b) -> a + b) AS sum_condp
         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the same bigram-site expansion as lm_score's oracle; KN terms
+    // replay the identical IEEE op sequence (cast→subtract→greatest→
+    // divide, multiply→divide→multiply, add) over exact integer counts
+    "lm_kn" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |bg AS (SELECT doc_id, u.b.pos AS pos, u.b.w1 AS w1, u.b.w2 AS w2
+        | FROM d, unnest(list_transform(range(1, len(ws)),
+        |   i -> struct_pack(pos := i - 1, w1 := ws[i], w2 := ws[i+1])))
+        |   AS u(b)),
+        |tbg AS (SELECT w1, w2 FROM bg WHERE doc_id % 10 <> 0),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM tbg GROUP BY 1, 2),
+        |cx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+        |  count(*) AS n1f FROM c2 GROUP BY 1),
+        |cc AS (SELECT w2, count(*) AS n1p FROM c2 GROUP BY 1),
+        |st AS (SELECT (SELECT count(*) FROM c2) AS t,
+        |  (SELECT count(DISTINCT w) FROM
+        |    (SELECT unnest(ws) AS w FROM d WHERE doc_id % 10 <> 0)) AS v),
+        |pr AS (SELECT doc_id, pos, c2.c2 AS c2, cx.c1 AS c1,
+        |  cx.n1f AS n1f,
+        |  CAST(coalesce(cc.n1p, 0) + 1 AS DOUBLE) /
+        |    CAST(st.t + st.v AS DOUBLE) AS pcont
+        | FROM bg LEFT JOIN c2 USING (w1, w2) LEFT JOIN cx USING (w1)
+        |   LEFT JOIN cc USING (w2), st),
+        |q AS (SELECT doc_id, pos,
+        |  CASE WHEN c1 IS NULL THEN pcont
+        |   ELSE greatest(CAST(coalesce(c2, 0) AS DOUBLE) - 0.75,
+        |      CAST(0.0 AS DOUBLE)) / CAST(c1 AS DOUBLE)
+        |    + ((0.75 * CAST(n1f AS DOUBLE)) / CAST(c1 AS DOUBLE)) * pcont
+        |   END AS p,
+        |  CASE WHEN c1 IS NULL THEN 1 ELSE 0 END AS backoff
+        | FROM pr)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        | CAST(sum(backoff) AS BIGINT) AS n_backoff,
+        | list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(p ORDER BY pos)),
+        |   (a, b) -> a + b) AS sum_kn
+        |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the text_fingerprint fold per 3-gram (ws[i:i+2] is DuckDB's
     // inclusive 1-based slice), then the same CURRENT ROW..3 FOLLOWING
     // window min per doc; tail windows are partial on both engines

@@ -235,6 +235,48 @@ class DedupSpec extends SparkSpec {
     assert(r(103L) == ((0L, 0.0)))
   }
 
+  test("contamination_bloom: one-sided error vs the exact tier") {
+    // 120 train docs, 3 of which leak an eval shingle run; the bloom
+    // screen must flag every truly contaminated doc (a miss is
+    // impossible — all k bits of a present gram are set) and its false
+    // positives must stay near the (1−e^{−kn/m})^k design rate
+    val rnd = new scala.util.Random(11)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi")
+    val evalDocs = (0L until 10L).map(i =>
+      (i, Seq.fill(12)(vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+    val leak = evalDocs(3)._2.split(" ").take(6).mkString(" ")
+    val train = (100L until 220L).map { i =>
+      val base = Seq.fill(15)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      (i, if (i % 40 == 0) s"$leak $base" else base)
+    }
+    val trainDf = train.toDF("doc_id", "text")
+    val evalDf = evalDocs.toDF("doc_id", "text")
+    val exact = Dedup.contamination(trainDf, evalDf, "doc_id", "text")
+    // exact reports per-EVAL doc; recompute the train-side truth directly:
+    // a train doc is contaminated iff it shares a 3-shingle with eval
+    val evalGrams = evalDocs.flatMap(_._2.split(" ").sliding(3)
+      .map(_.mkString(" "))).toSet
+    val truth = train.map { case (id, t) =>
+      id -> t.split(" ").sliding(3).map(_.mkString(" "))
+        .exists(evalGrams.contains)
+    }.toMap
+    val bloom = Dedup.contaminationBloom(trainDf, evalDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("contaminated"))
+      .toMap
+    assert(bloom.keySet == train.map(_._1).toSet)
+    // one-sided: every truly contaminated doc is flagged, no exceptions
+    truth.filter(_._2).keys.foreach(id =>
+      assert(bloom(id), s"bloom MISSED contaminated doc $id"))
+    // false positives are possible but must be rare at 16 bits/gram, k=5
+    val fp = bloom.count { case (id, f) => f && !truth(id) }
+    assert(fp <= math.max(2, train.size / 20),
+      s"$fp false positives out of ${train.size} train docs")
+    // and the planted leaks really are in the truth set (test is live)
+    assert(truth.count(_._2) >= 3)
+    assert(exact.count() == evalDocs.size.toLong)
+  }
+
   test("embedding near-dup finds the planted duplicate vector") {
     val v = (0 until 64).map(i => math.sin(i).toFloat)
     val v2 = v.updated(0, v(0) + 0.001f) // near-identical

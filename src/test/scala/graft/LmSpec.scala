@@ -110,6 +110,80 @@ class LmSpec extends SparkSpec {
     }
   }
 
+  test("Kneser–Ney: discount, interpolation and backoff match a hand fold") {
+    // train: "a b a b a c" → c2: (a,b)=2 (b,a)=2 (a,c)=1; c1(a)=3 c1(b)=2
+    // n1f(a)=2 n1f(b)=1; n1p(b)=1 n1p(a)=1 n1p(c)=1; T=3 types, V=3
+    val m = Lm.trainKn(docs(1L -> "a b a b a c"), "doc_id", "text")
+    val t = 3.0; val v = 3.0
+    def pcont(n1p: Long) = (n1p + 1).toDouble / (t + v)
+    // seen context, seen bigram (a,b): (2−.75)/3 + (.75·2/3)·pcont(b)
+    // seen context, unseen bigram (a,a): 0/3 + (.75·2/3)·pcont(a)
+    // unseen context (z,b): pure continuation pcont(b)
+    val r = Lm.scoreKn(docs(9L -> "a b", 10L -> "a a", 11L -> "z b"),
+      "doc_id", "text", m).collect()
+      .map(x => x.getLong(0) ->
+        (x.getAs[Long]("n_backoff"), x.getAs[Double]("sum_kn"))).toMap
+    assert(r(9L) == ((0L,
+      (2.0 - 0.75) / 3.0 + ((0.75 * 2.0) / 3.0) * pcont(1))))
+    assert(r(10L) == ((0L,
+      math.max(0.0 - 0.75, 0.0) / 3.0 + ((0.75 * 2.0) / 3.0) * pcont(1))))
+    assert(r(11L) == ((1L, pcont(1))))
+  }
+
+  test("Kneser–Ney prefers versatile continuations (San-Francisco property)") {
+    // "francisco" occurs 4× but ONLY ever after "san"; "table" occurs 4×
+    // after 4 DISTINCT contexts. Raw-frequency smoothing treats them the
+    // same; KN's continuation count must give the backoff path a higher
+    // probability for "table" than for "francisco"
+    val m = Lm.trainKn(docs(
+      1L -> "san francisco san francisco san francisco san francisco",
+      2L -> "red table blue table green table old table"),
+      "doc_id", "text")
+    val r = Lm.scoreKn(docs(9L -> "zz francisco", 10L -> "zz table"),
+      "doc_id", "text", m).collect()
+      .map(x => x.getLong(0) -> x.getAs[Double]("sum_kn")).toMap
+    assert(r(10L) > r(9L),
+      s"KN backoff should favor versatile 'table': ${r(10L)} !> ${r(9L)}")
+  }
+
+  test("fuzz: Kneser–Ney matches a sequential reference bit-for-bit") {
+    val rnd = new scala.util.Random(29)
+    val vocabW = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    for (iter <- 0 until 5) {
+      val all = (0 until 10).map(i => (i.toLong,
+        Seq.fill(2 + rnd.nextInt(8))(vocabW(rnd.nextInt(vocabW.size)))
+          .mkString(" ")))
+      val trainRows = all.filter(_._1 % 2 == 0)
+      val bgs = trainRows.flatMap(d =>
+        d._2.split(" ").sliding(2).filter(_.length == 2).map(g => (g(0), g(1))))
+      val c2 = bgs.groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+      val c1 = bgs.groupBy(_._1).map { case (w, g) => w -> g.size.toLong }
+      val n1f = c2.keys.groupBy(_._1).map { case (w, g) => w -> g.size.toLong }
+      val n1p = c2.keys.groupBy(_._2).map { case (w, g) => w -> g.size.toLong }
+      val t = c2.size.toLong
+      val v = trainRows.flatMap(_._2.split(" ")).distinct.size.toLong
+      def pcont(w2: String) =
+        (n1p.getOrElse(w2, 0L) + 1L).toDouble / (t + v).toDouble
+      val expect = all.flatMap { case (id, txt) =>
+        val sites = txt.split(" ").sliding(2).filter(_.length == 2).toVector
+        if (sites.isEmpty) None
+        else Some(id -> sites.foldLeft(0.0) { (acc, g) =>
+          acc + (c1.get(g(0)) match {
+            case None => pcont(g(1))
+            case Some(cc1) =>
+              math.max(c2.getOrElse((g(0), g(1)), 0L).toDouble - 0.75, 0.0) /
+                cc1.toDouble +
+                ((0.75 * n1f(g(0)).toDouble) / cc1.toDouble) * pcont(g(1))
+          })
+        })
+      }.toMap
+      val m = Lm.trainKn(trainRows.toDF("doc_id", "text"), "doc_id", "text")
+      val got = Lm.scoreKn(all.toDF("doc_id", "text"), "doc_id", "text", m)
+        .collect().map(r => r.getLong(0) -> r.getAs[Double]("sum_kn")).toMap
+      assert(got == expect, s"iter $iter")
+    }
+  }
+
   test("held-out split in the declared queries produces real OOV") {
     val all = docs(1L -> "p q r", 2L -> "p q s", 10L -> "p q zz")
     val m = Lm.train(all.where(pmod(col("doc_id"), lit(10)) =!= 0),

@@ -173,6 +173,103 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.Codecs.imageFeature("opaque".getBytes).toSeq)
   }
 
+  // real uncompressed AVI, generated in-process: RIFF('AVI ') with an
+  // hdrl LIST (avih + one 'vids' strl whose strf is a BGR24
+  // BITMAPINFOHEADER) and a movi LIST of raw-DIB '00db' frames —
+  // bottom-up rows, 4-byte-aligned, exactly what a real AVI muxer emits
+  // for the BI_RGB profile
+  private def aviBytes(w: Int, h: Int, usPerFrame: Int,
+      frames: Seq[Array[Int]]): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    def dib(px: Array[Int]): Array[Byte] = {
+      val out = new Array[Byte](rowSize * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = px(y * w + x)
+        val o = (h - 1 - y) * rowSize + x * 3
+        out(o) = (rgb & 0xff).toByte
+        out(o + 1) = ((rgb >> 8) & 0xff).toByte
+        out(o + 2) = ((rgb >> 16) & 0xff).toByte
+      }
+      out
+    }
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    val strf = le(40).putInt(40).putInt(w).putInt(h).putShort(1)
+      .putShort(24).putInt(0).putInt(rowSize * h)
+      .putInt(0).putInt(0).putInt(0).putInt(0).array()
+    val avih = le(56).putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
+      .putInt(frames.length).putInt(0).putInt(1).putInt(0)
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0).array()
+    val strh = new Array[Byte](56)
+    System.arraycopy("vids".getBytes("US-ASCII"), 0, strh, 0, 4)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1
+      le(8 + body.length + pad).put(id.getBytes("US-ASCII"))
+        .putInt(body.length).put(body).array()
+    }
+    def list(typ: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ children)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi =
+      list("movi", frames.map(f => chunk("00db", dib(f))).reduce(_ ++ _))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    le(8 + body.length).put("RIFF".getBytes("US-ASCII"))
+      .putInt(body.length).put(body).array()
+  }
+
+  private val black = 0x000000
+  private val white = 0xffffff
+  private val gray = 0x808080 // luma 128 → bin 4 of 8
+
+  test("decodeAviMeta parses real AVI structure: dims, frames, duration") {
+    val avi = aviBytes(4, 2, 40000,
+      Seq(Array.fill(8)(black), Array.fill(8)(white), Array.fill(8)(gray)))
+    val m = Multimodal.Codecs.decodeAviMeta(avi)
+    assert(m.contains(Multimodal.AviMeta(4, 2, 3, 40000L, 120L)))
+    // truncated and non-AVI bytes refuse to parse
+    assert(Multimodal.Codecs.decodeAviMeta(avi.take(40)).isEmpty)
+    assert(Multimodal.Codecs.decodeAviMeta(
+      wavBytes(1, 8000, 16, 100)).isEmpty)
+  }
+
+  test("AVI keyframe extraction yields REAL decodable frames") {
+    val avi = aviBytes(4, 2, 40000,
+      Seq(Array.fill(8)(black), Array.fill(8)(white), Array.fill(8)(gray)))
+    val frames = Multimodal.Codecs.sampleFrames(avi, 3)
+    assert(frames.length == 3)
+    // each extracted frame is a standalone BMP whose DECODED pixels carry
+    // the planted distribution — verified through the raster path, which
+    // would be impossible for a byte-slice stub
+    val hists = frames.map(f =>
+      Multimodal.Codecs.rasterHistogram(f).get.toSeq)
+    assert(hists(0) == Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)) // all black
+    assert(hists(1) == Seq(0f, 0f, 0f, 0f, 0f, 0f, 0f, 1f)) // all white
+    assert(hists(2) == Seq(0f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)) // all gray
+    // realFeature over the whole video = mean of the frame histograms
+    val f = Multimodal.Codecs.realFeature(avi)
+    assert(f.get.toSeq == Seq(1f / 3, 0f, 0f, 0f, 1f / 3, 0f, 0f, 1f / 3))
+    // sampling fewer frames than exist picks evenly spaced REAL frames
+    val two = Multimodal.Codecs.sampleFrames(avi, 2)
+    assert(two.length == 2)
+    assert(Multimodal.Codecs.rasterHistogram(two(0)).get.toSeq ==
+      hists(0))
+    // non-AVI bytes keep the deterministic stub path
+    val stub = Multimodal.Codecs.sampleFrames("opaque bytes".getBytes, 2)
+    assert(stub.map(_.toSeq) == Multimodal.Codecs
+      .sampleFramesStub("opaque bytes".getBytes, 2).map(_.toSeq))
+  }
+
+  test("probeAll recognises AVI payloads") {
+    val avi = aviBytes(6, 4, 33333, Seq(Array.fill(24)(black)))
+    val blobs = Seq(
+      Multimodal.MediaBlob(1L, "video", avi, "video/avi", -1, -1, -1L)
+    ).toDS()
+    val p = Multimodal.probeAll(blobs).collect().head
+    assert(p.decoded && p.format == "avi" && p.width == 6 && p.height == 4)
+    assert(p.duration_ms == 33L) // 1 frame × 33333 µs
+  }
+
   test("features join back to metadata without shuffling payloads") {
     val media = Multimodal.fromText(docs, "doc_id", "text")
     val joined = Multimodal.featureTable(media)
