@@ -137,6 +137,19 @@ object Bpe {
       vocab = vocab.withColumn("syms", mergePair(col("syms"), m.p1, m.p2))
       if ((i + 1) % checkpointEvery == 0) vocab = vocab.localCheckpoint()
     }
+    encodeWithVocab(docs, idCol, textCol, vocab)
+  }
+
+  /** Tokenize against an ALREADY-MERGED (word, syms) vocabulary — the
+    * fast path when encoding the corpus the model was just trained on:
+    * [[train]]'s final vocabulary IS this dictionary, so the per-merge
+    * replay of [[encode]] (one fold pass per merge) is skipped entirely.
+    * Words absent from `vocab` (possible when encoding a different
+    * corpus) are dropped from the token stream — use [[encode]] to
+    * tokenize unseen corpora under the merge table instead.
+    */
+  def encodeWithVocab(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
     val sites = docs.select(col(idCol),
       posexplode(split(col(textCol), " ")).as(Seq("pos", "word")))
       .where(col("word") =!= "")

@@ -865,17 +865,18 @@ object PipelineQueries {
         .orderBy("source")
     },
     // distilled model-based quality scoring (fastText/FineWeb-Edu shape):
-    // a logistic regression trained ON the rule screen's verdicts (one
-    // map-side-combinable gradient aggregate per iteration, driver holds
-    // only 5 weights), then every doc scored with a calibrated keep-
-    // probability + agreement audit. σ's exp and partition-order float
-    // sums make the scores engine-local → rows-only check;
-    // ClassifierSpec gates weights-vs-sequential-reference and agreement
+    // a ridge-Newton logistic regression trained ON the rule screen's
+    // verdicts (one map-side-combinable Hessian+gradient aggregate per
+    // iteration — 20 doubles — driver holds only 5 weights and a 5×5
+    // solve), then every doc scored with a calibrated keep-probability +
+    // agreement audit. σ's exp and partition-order float sums make the
+    // scores engine-local → rows-only check; ClassifierSpec gates
+    // weights-vs-sequential-reference and distillation agreement
     "quality_lr" -> { (s, d) =>
       val feats = graft.ext.Classifier
         .features(Tables.documents(s, d), "doc_id", "text")
         .localCheckpoint()
-      val m = graft.ext.Classifier.train(feats, iters = 50, lr = 1.0)
+      val m = graft.ext.Classifier.train(feats)
       graft.ext.Classifier.score(feats, m, "doc_id").orderBy("doc_id")
     },
     // BPE tokenization of the corpus under a freshly trained merge table
@@ -887,8 +888,10 @@ object PipelineQueries {
     // argmax tie-break is lexicographic, so the model is reproducible)
     "bpe_encode" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      val (merges, _) = graft.ext.Bpe.train(docs, "text", numMerges = 20)
-      graft.ext.Bpe.encode(docs, "doc_id", "text", merges)
+      val (_, vocab) = graft.ext.Bpe.train(docs, "text", numMerges = 12)
+      // same-corpus fast path: the trainer's final vocabulary IS the
+      // word→tokens dictionary, so no per-merge replay
+      graft.ext.Bpe.encodeWithVocab(docs, "doc_id", "text", vocab)
         .select(col("doc_id"),
           size(col("tokens")).cast("long").as("n_tokens"),
           sha2(concat_ws(" ", col("tokens")), 256).as("tok_hash"))

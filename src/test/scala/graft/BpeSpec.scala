@@ -108,6 +108,20 @@ class BpeSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  test("encodeWithVocab: trainer's vocabulary is the same-corpus fast path") {
+    // encoding the training corpus through the trainer's final vocabulary
+    // must equal the replay path exactly — token for token, row for row
+    val corpus = Seq((0L, "ab ab ab cd"), (1L, "cd ab"), (2L, ""))
+      .toDF("doc_id", "text")
+    val (merges, vocab) = Bpe.train(corpus, "text", 2)
+    val viaReplay = Bpe.encode(corpus, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    val viaVocab = Bpe.encodeWithVocab(corpus, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(viaVocab == viaReplay)
+    assert(viaVocab(0L).nonEmpty && viaVocab(2L) == Nil)
+  }
+
   test("fuzz: train matches the sequential reference on random corpora") {
     // seeded corpora over an adversarial mini-vocab (overlapping symbols,
     // repeated chars) — the merge sequence, counts and tie-breaks must

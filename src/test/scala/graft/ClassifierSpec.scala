@@ -49,28 +49,53 @@ class ClassifierSpec extends SparkSpec {
       Array(nTok / 100.0, stopRatio, dupRatio, meanLen))
   }
 
+  // the sequential twin of Classifier.train: ridge-Newton / IRLS with the
+  // same λ placement (no shrink on the intercept) and a plain 5×5 solve
   private def seqTrain(rows: Seq[(Double, Array[Double])], iters: Int,
-      lr: Double): Array[Double] = {
-    val n = rows.length.toDouble
+      lambda: Double = 1e-3): Array[Double] = {
     val w = Array.fill(5)(0.0)
+    def xj(x: Array[Double], j: Int) = if (j == 0) 1.0 else x(j - 1)
     for (_ <- 0 until iters) {
       val g = Array.fill(5)(0.0)
+      val h = Array.ofDim[Double](5, 5)
       rows.foreach { case (y, x) =>
         val margin = w(0) + (0 until 4).map(j => w(j + 1) * x(j)).sum
-        val r = 1.0 / (1.0 + math.exp(-margin)) - y
-        g(0) += r
-        for (j <- 0 until 4) g(j + 1) += r * x(j)
+        val p = 1.0 / (1.0 + math.exp(-margin))
+        val s = p * (1.0 - p)
+        for (i <- 0 until 5) {
+          g(i) += (y - p) * xj(x, i)
+          for (j <- 0 until 5) h(i)(j) += s * xj(x, i) * xj(x, j)
+        }
       }
-      for (j <- 0 to 4) w(j) -= lr / n * g(j)
+      for (j <- 1 until 5) { g(j) -= lambda * w(j); h(j)(j) += lambda }
+      // Gaussian elimination with partial pivoting
+      val a = h.map(_.clone()); val b = g.clone()
+      for (c <- 0 until 5) {
+        val piv = (c until 5).maxBy(r => math.abs(a(r)(c)))
+        val t = a(c); a(c) = a(piv); a(piv) = t
+        val tb = b(c); b(c) = b(piv); b(piv) = tb
+        for (r <- c + 1 until 5) {
+          val f = a(r)(c) / a(c)(c)
+          for (cc <- c until 5) a(r)(cc) -= f * a(c)(cc)
+          b(r) -= f * b(c)
+        }
+      }
+      val step = new Array[Double](5)
+      for (c <- 4 to 0 by -1) {
+        var acc = b(c)
+        for (cc <- c + 1 until 5) acc -= a(c)(cc) * step(cc)
+        step(c) = acc / a(c)(c)
+      }
+      for (j <- 0 until 5) w(j) += step(j)
     }
     w
   }
 
-  test("distributed GD matches the sequential reference at tolerance") {
+  test("distributed ridge-Newton matches the sequential reference") {
     val df = corpus.toDF("doc_id", "text")
     val feats = Classifier.features(df, "doc_id", "text").localCheckpoint()
-    val m = Classifier.train(feats, iters = 50, lr = 1.0)
-    val ref = seqTrain(corpus.map(c => seqFeatures(c._2)), 50, 1.0)
+    val m = Classifier.train(feats, iters = 8)
+    val ref = seqTrain(corpus.map(c => seqFeatures(c._2)), 8)
     m.weights.zip(ref).foreach { case (a, b) =>
       assert(math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(b)),
         s"weights diverged: ${m.weights.toSeq} vs ${ref.toSeq}")
@@ -91,7 +116,7 @@ class ClassifierSpec extends SparkSpec {
   test("distilled scores substantially reproduce the rule verdicts") {
     val df = corpus.toDF("doc_id", "text")
     val feats = Classifier.features(df, "doc_id", "text").localCheckpoint()
-    val m = Classifier.train(feats, iters = 50, lr = 1.0)
+    val m = Classifier.train(feats)
     val scored = Classifier.score(feats, m, "doc_id")
     val agree = scored.where(col("agree")).count().toDouble /
       scored.count()
