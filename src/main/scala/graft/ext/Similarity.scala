@@ -999,4 +999,35 @@ object Similarity {
     }
     corpus.select(col(idCol) +: pcs.toIndexedSeq: _*)
   }
+
+  /** PCA whitening: project onto the fitted axes and scale coordinate j by
+    * 1/√(λⱼ+ε), so the output has (near-)unit variance per axis and zero
+    * cross-correlation — the embedding-hygiene step before cosine
+    * retrieval or KMeans when the raw space is anisotropic (Su et al.
+    * 2021, "Whitening Sentence Representations"; the within-cell rotation
+    * step of classic IVF-OPQ pipelines). The λⱼ come straight from
+    * [[pcaFit]] (population covariance eigenvalues). Same scale shape as
+    * [[pcaProject]]: each output coordinate is one codegen'd literal-axis
+    * dot product scaled by a literal — narrow, shuffle-free, no UDF.
+    */
+  def pcaWhiten(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      mean: Array[Double],
+      components: Array[Array[Double]],
+      eigenvalues: Array[Double],
+      eps: Double = 1e-9
+  ): DataFrame = {
+    require(components.length == eigenvalues.length,
+      s"${components.length} axes vs ${eigenvalues.length} eigenvalues")
+    val wcs = components.zip(eigenvalues).zipWithIndex.map {
+      case ((comp, ev), j) =>
+        val mDotC = comp.zip(mean).map { case (c, mu) => c * mu }.sum
+        val scale = 1.0 / math.sqrt(math.max(ev, 0.0) + eps)
+        ((dot(col(vecCol), lit(comp)) - lit(mDotC)) * lit(scale))
+          .as(s"wc${j + 1}")
+    }
+    corpus.select(col(idCol) +: wcs.toIndexedSeq: _*)
+  }
 }

@@ -156,6 +156,85 @@ object TextOps {
         lit(1L)).otherwise(lit(0L)).as("spans_cut"))
   }
 
+  /** Best-fit-decreasing sequence packing (the BFD family of Krell et al.
+    * 2021, "Efficient Sequence Packing without Cross-contamination"):
+    * within each shard, documents are placed longest-first into the open
+    * pack with the LEAST remaining capacity that still fits; no fit opens
+    * a new pack. Unlike [[packContiguous]] no document is ever split
+    * across a context boundary (no cross-document attention
+    * contamination), and pad waste is near-optimal — BFD uses at most
+    * 11/9·OPT+1 bins (classic bin-packing bound). Documents longer than
+    * the budget get a singleton pack, flagged `oversize` (real pipelines
+    * pre-chunk those).
+    *
+    * Scale shape: packing is sequential only WITHIN a shard — the corpus
+    * repartitions on the shard key and sorts (shard, len desc, id) within
+    * partitions, then one mapPartitions pass walks each shard's docs with
+    * a TreeMap of open-pack remainders (per-partition imperative state
+    * with data-dependent eviction — the documented mapPartitions
+    * exception). State is O(open packs of one shard); no task sees more
+    * than its shards, and a single global pack order — one worldwide sort
+    * partition — never exists.
+    *
+    * Determinism: the within-shard order (n desc, id) is total, each
+    * shard lives in exactly one partition, and the best-fit tie-break at
+    * equal remainders is first-opened pack — so the assignment is a pure
+    * function of the data, independent of cluster layout.
+    *
+    * @return (idCol, shard, pack_id, pack_pos, pack_offset, oversize):
+    *         pack ids are per-shard 0-based in open order; pack_pos is
+    *         the doc's placement index inside its pack; pack_offset its
+    *         first-token offset.
+    */
+  def packBestFit(docs: DataFrame, idCol: String, tokensCol: String,
+      shardCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"pack budget must be positive, got $budget")
+    import docs.sparkSession.implicits._
+    val prepped = docs.select(
+        col(idCol).cast("long").as("id"),
+        col(tokensCol).cast("long").as("nt"),
+        col(shardCol).cast("string").as("shard"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("nt").desc, col("id"))
+      .as[(Long, Long, String)]
+    prepped.mapPartitions { it =>
+      var shard: String = null
+      // remaining capacity → open packs at that remainder (FIFO = oldest
+      // first, the deterministic tie-break)
+      val byRem = new java.util.TreeMap[Long, scala.collection.mutable.Queue[Long]]()
+      val fill = scala.collection.mutable.LongMap.empty[Long]
+      val npos = scala.collection.mutable.LongMap.empty[Long]
+      var nextPack = 0L
+      it.map { case (id, nt0, sh) =>
+        if (sh != shard) {
+          shard = sh; byRem.clear(); fill.clear(); npos.clear(); nextPack = 0L
+        }
+        val nt = math.max(nt0, 0L)
+        val oversize = nt > budget
+        val fit = if (oversize) null else byRem.ceilingEntry(nt)
+        val pack =
+          if (fit == null) { val p = nextPack; nextPack += 1L; p }
+          else {
+            val q = fit.getValue
+            val p = q.dequeue()
+            if (q.isEmpty) byRem.remove(fit.getKey)
+            p
+          }
+        val off = fill.getOrElse(pack, 0L)
+        val pos = npos.getOrElse(pack, 0L)
+        fill(pack) = off + nt
+        npos(pack) = pos + 1L
+        if (!oversize) {
+          val rem = budget - (off + nt)
+          if (rem > 0L)
+            byRem.computeIfAbsent(rem, _ => scala.collection.mutable.Queue.empty)
+              .enqueue(pack)
+        }
+        (id, sh, pack, pos, off, if (oversize) 1L else 0L)
+      }
+    }.toDF(idCol, shardCol, "pack_id", "pack_pos", "pack_offset", "oversize")
+  }
+
   /** Rolling polynomial fingerprint over words, mod 1e9+7 — a deterministic
     * content signature cheap enough to compute at scan speed; collision
     * probability ~n²/2p. Left fold, so the DuckDB `list_reduce` oracle

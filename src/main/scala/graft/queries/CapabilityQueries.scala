@@ -313,6 +313,21 @@ object CapabilityQueries {
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"))
         .orderBy("rf", "ls")
     },
+    // explicit grouping sets — the general form rollup/cube specialize:
+    // per-flag, per-status, and grand-total aggregates in ONE pass over
+    // the fact table (Catalyst Expand), instead of three scans unioned
+    "agg_grouping_sets" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(38,2)")).cast("double")
+          .as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy("rf", "ls")
+    },
     // ordered array / string aggregation (sort_array makes the per-group
     // collection order deterministic regardless of partitioning)
     "agg_collect" -> { (s, d) =>
@@ -619,6 +634,14 @@ object CapabilityQueries {
         | CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,
         | CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        | coalesce(l_linestatus, 'ALL') AS ls,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY rf, ls""".stripMargin,
     "window_rank" ->
       """SELECT * FROM (

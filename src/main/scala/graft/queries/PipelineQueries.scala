@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, Lm, Multimodal, Similarity, TextOps}
+import graft.ext.{Dedup, Lm, Multimodal, Similarity, Sketch, TextOps}
 
 /** Training-data pipeline queries over `documents` / `embeddings`
   * (builder-prompt north star): dedup tiers, similarity search, text
@@ -454,6 +454,18 @@ object PipelineQueries {
       Similarity.pcaProject(e, "vec_id", "embedding", mean, comps)
         .orderBy("vec_id")
     },
+    // PCA whitening of the embedding corpus (embed_pca's hygiene twin):
+    // per-axis 1/√λ rescale makes the projected space isotropic before
+    // cosine/KMeans consumers. Same no-oracle rationale as embed_pca
+    // (solver-dependent sign/rotation); SimilaritySpec asserts the
+    // whitened covariance is ~identity on an anisotropic corpus
+    "embed_whiten" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val (mean, comps, eigs) =
+        Similarity.pcaFit(e, "embedding", dim = 64, k = 4)
+      Similarity.pcaWhiten(e, "vec_id", "embedding", mean, comps, eigs)
+        .orderBy("vec_id")
+    },
     // per-vector L2 norm — the normalization pass before cosine ops
     "embed_norm" -> { (s, d) =>
       Tables.embeddings(s, d)
@@ -521,6 +533,22 @@ object PipelineQueries {
     // arithmetic end-to-end so the oracle is exact
     "doc_pack" -> { (s, d) =>
       TextOps.packContiguous(
+          Tables.documents(s, d)
+            .withColumn("n_tokens",
+              size(split(col("text"), "\\s+")).cast("long"))
+            .select("doc_id", "lang", "n_tokens"),
+          "doc_id", "n_tokens", "lang", budget = 512L)
+        .orderBy("doc_id")
+    },
+    // best-fit-decreasing packing — doc_pack's no-contamination twin
+    // (Krell et al. 2021): whole docs only, longest-first best-fit per
+    // language shard, near-optimal pad waste (≤ 11/9·OPT+1 bins). The
+    // data-dependent sequential heuristic has no SQL twin → rows-only
+    // check; PackSpec verifies capacity/offset invariants, partitioning
+    // invariance, a golden BFD trace, and that it beats contiguous
+    // packing's cross-doc cuts with comparable pack counts
+    "doc_pack_bfd" -> { (s, d) =>
+      TextOps.packBestFit(
           Tables.documents(s, d)
             .withColumn("n_tokens",
               size(split(col("text"), "\\s+")).cast("long"))
@@ -895,6 +923,68 @@ object PipelineQueries {
         .select(col("doc_id"),
           size(col("tokens")).cast("long").as("n_tokens"),
           sha2(concat_ws(" ", col("tokens")), 256).as("tok_hash"))
+        .orderBy("doc_id")
+    },
+    // guaranteed-exact heavy hitters over the combinatorial 3-gram domain
+    // (boilerplate mining): per-partition Misra–Gries summaries (≤ k rows
+    // per partition cross the wire, whatever the gram vocabulary) →
+    // broadcast semi-join → exact counts over the candidate set only.
+    // denom = k makes the candidates a guaranteed superset of every item
+    // at share ≥ 1/denom (Sketch.heavyHitters scaladoc), so unlike the
+    // HLL/KLL tiers this sketch path is oracle-EXACT. 1/20000 keeps the
+    // result meaningful at bench scale too: this corpus's 3-gram head
+    // flattens as it grows (random-draw docs), so a sharper share cut
+    // empties at sf0.1 while this one mines ~3.2k boilerplate grams
+    "heavy_hitters" -> { (s, d) =>
+      import s.implicits._
+      val grams = Dedup.shingleRows(Tables.documents(s, d), "doc_id", "text",
+          n = 3, distinct = false)
+        .select("s").as[String]
+      Sketch.heavyHitters(grams, k = 20000, denom = 20000L)
+        .withColumnRenamed("item", "gram")
+        .orderBy(col("cnt").desc, col("gram"))
+    },
+    // DSIR data selection (Xie et al. 2023): importance-resample the raw
+    // pool toward a target domain (the zh slice as the exemplar corpus)
+    // under add-1-smoothed hashed-bigram bag models. The fitted model is a
+    // single 1024-row broadcast table; per-doc scoring is a broadcast join
+    // + ordered fold (no corpus-keyed shuffle beyond doc_id); selection is
+    // Gumbel-top-k (deterministic salted-hash uniforms) running as
+    // TakeOrderedAndProject, never a global sort. ln is libm-bound →
+    // rows-only check; DsirSpec verifies the weights against a sequential
+    // reference and the domain-shift property
+    "dsir_select" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ext.Dsir.select(
+          docs.where(col("lang") === "zh"), docs, "doc_id", "text",
+          k = 100, buckets = 1024)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_feats", "log_w", "gumbel_key")
+        .orderBy("doc_id")
+    },
+    // length-based curriculum ordering (the classic easy→hard schedule,
+    // Bengio et al. 2009): per-language token-count tertiles are the
+    // phases (short docs = phase 1), and WITHIN a phase the training
+    // order is the unbiased salted-hash shuffle — a curriculum orders
+    // phases, never the docs inside one. Same integer rank-tertile device
+    // as lm_buckets (no ntile, no engine-specific casts) and the same
+    // lang-partitioned windows — nothing sorts globally
+    "curriculum_order" -> { (s, d) =>
+      val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("curr1"))), 1, 15), 16, 10).cast("long")
+      val wRank = Window.partitionBy("lang")
+        .orderBy(col("n_tokens"), col("doc_id"))
+      val wAll = Window.partitionBy("lang")
+      val wOrd = Window.partitionBy("lang", "phase").orderBy("u", "doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          u.as("u"))
+        .withColumn("rn", row_number().over(wRank).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("phase", expr("((rn - 1) * 3) div n") + lit(1L))
+        .withColumn("ord", row_number().over(wOrd).cast("long"))
+        .select("doc_id", "lang", "n_tokens", "phase", "ord")
         .orderBy("doc_id")
     }
   )
@@ -1684,6 +1774,38 @@ object PipelineQueries {
         |FROM lab JOIN sz USING (cluster_id)
         |JOIN documents d ON d.doc_id = lab.node
         |WHERE lab.node = lab.cluster_id
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+    // plain GROUP BY + HAVING over all 3-grams — the sketch path must be
+    // indistinguishable from this because denom ≤ k makes the MG candidate
+    // set a superset of every qualifying gram; cnt is an exact integer and
+    // share is one IEEE division of exact integers
+    "heavy_hitters" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT unnest(list_transform(range(1, len(ws) - 1),
+        |       i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS gram FROM w),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS cnt,
+        | CAST(count(*) AS DOUBLE) / CAST(n.n AS DOUBLE) AS share
+        |FROM g, n GROUP BY gram, n.n
+        |HAVING count(*) * 20000 >= n.n
+        |ORDER BY cnt DESC, gram""".stripMargin,
+    // integer rank-tertile + salted-hash order — every column is integer
+    // arithmetic over window ranks, the lm_buckets/shuffle_global devices
+    "curriculum_order" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'curr1'), 1, 15))::BIGINT AS u
+        | FROM documents),
+        |r AS (SELECT doc_id, lang, n_tokens, u,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY n_tokens, doc_id) AS BIGINT) AS rn,
+        |  CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+        | FROM t),
+        |p AS (SELECT doc_id, lang, n_tokens, u,
+        |  ((rn - 1) * 3) // n + 1 AS phase FROM r)
+        |SELECT doc_id, lang, n_tokens, CAST(phase AS BIGINT) AS phase,
+        | CAST(row_number() OVER (PARTITION BY lang, phase
+        |   ORDER BY u, doc_id) AS BIGINT) AS ord
+        |FROM p ORDER BY doc_id""".stripMargin
   )
 }

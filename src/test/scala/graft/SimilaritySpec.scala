@@ -268,6 +268,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PCA whitening: anisotropic corpus comes out unit-variance and uncorrelated") {
+    // axis-aligned anisotropic Gaussian: variances 25, 4, 1, ~0 in 6 dims
+    val rnd = new scala.util.Random(31)
+    val sd = Array(5.0, 2.0, 1.0, 0.5, 0.1, 0.01)
+    val vecs = (0 until 400).map { i =>
+      (i.toLong, (0 until 6).map(j => (sd(j) * rnd.nextGaussian()).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding").cache()
+    val (mean, comps, eigs) = Similarity.pcaFit(df, "embedding", dim = 6, k = 3)
+    val w = Similarity.pcaWhiten(df, "vec_id", "embedding", mean, comps, eigs)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val n = w.length.toDouble
+    val cols = Seq(w.map(_._1), w.map(_._2), w.map(_._3))
+    // each whitened coordinate: mean ~0, variance ~1
+    cols.zipWithIndex.foreach { case (xs, j) =>
+      val mu = xs.sum / n
+      val v = xs.map(x => (x - mu) * (x - mu)).sum / n
+      assert(math.abs(mu) < 0.05, s"wc${j + 1} mean $mu")
+      assert(math.abs(v - 1.0) < 0.05, s"wc${j + 1} variance $v")
+    }
+    // pairwise correlation ~0
+    for (a <- 0 until 3; b <- a + 1 until 3) {
+      val (xa, xb) = (cols(a), cols(b))
+      val (ma, mb) = (xa.sum / n, xb.sum / n)
+      val covAb = xa.zip(xb).map { case (x, y) => (x - ma) * (y - mb) }.sum / n
+      assert(math.abs(covAb) < 0.05, s"cov(wc${a + 1}, wc${b + 1}) = $covAb")
+    }
+  }
+
   test("IVF: probing more cells increases recall to 1.0 at nprobe=nlist") {
     val rnd = new scala.util.Random(11)
     val centers = (0 until 4).map(_ => Array.fill(16)(rnd.nextGaussian()))
