@@ -15,7 +15,9 @@ object PlanDump {
     "funnel_steps", "funnel_any", "agg_quantiles_approx", "dedup_purge",
     "dedup_span", "source_cap", "bm25", "inverted_index", "quality_filter",
     "rarity_score", "dedup_semantic", "embed_quantize", "join_salted",
-    "lm_score", "bpe_pairs", "text_normalize", "winnow_pairs")
+    "lm_score", "bpe_pairs", "text_normalize", "winnow_pairs",
+    "heavy_hitters", "dsir_select", "curriculum_order", "doc_pack_bfd",
+    "lm_kn", "quality_lr", "mix_weights")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -925,6 +925,29 @@ object PipelineQueries {
           sha2(concat_ws(" ", col("tokens")), 256).as("tok_hash"))
         .orderBy("doc_id")
     },
+    // tokenizer fertility audit — the standard multilingual tokenizer
+    // metric (mean tokens per word; chars per token): languages a BPE
+    // vocabulary underserves show fertility spikes, the signal that drives
+    // vocab-size / training-mix decisions. Exact integer sums + one IEEE
+    // division, but the merge table is data-dependent → rows-only check;
+    // BpeSpec pins fertility ≥ 1 and monotone decrease with more merges
+    "bpe_fertility" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val (_, vocab) = graft.ext.Bpe.train(docs, "text", numMerges = 12)
+      graft.ext.Bpe.encodeWithVocab(docs, "doc_id", "text", vocab)
+        .select(col("doc_id"), size(col("tokens")).cast("long").as("nt"))
+        .join(docs.select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("nw"),
+          length(col("text")).cast("long").as("nc")), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+          sum("nw").as("n_words"), sum("nc").as("n_chars"))
+        .withColumn("fertility",
+          col("n_tokens").cast("double") / col("n_words").cast("double"))
+        .withColumn("chars_per_token",
+          col("n_chars").cast("double") / col("n_tokens").cast("double"))
+        .orderBy("lang")
+    },
     // guaranteed-exact heavy hitters over the combinatorial 3-gram domain
     // (boilerplate mining): per-partition Misra–Gries summaries (≤ k rows
     // per partition cross the wire, whatever the gram vocabulary) →

@@ -122,6 +122,27 @@ class BpeSpec extends SparkSpec {
     assert(viaVocab(0L).nonEmpty && viaVocab(2L) == Nil)
   }
 
+  test("fertility is >= 1 per word and decreases monotonically with merges") {
+    // BPE never merges across word boundaries, so every word costs at
+    // least one token: total tokens >= total words => fertility >= 1.
+    // More merges can only shorten (or keep) each word's encoding.
+    val corpus = Seq(
+      (0L, "banana band bandana ban"),
+      (1L, "banana banana band"),
+      (2L, "drum drummer banana")).toDF("doc_id", "text")
+    val words = corpus.select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "").count()
+    def totalTokens(nMerges: Int): Long = {
+      val (_, vocab) = Bpe.train(corpus, "text", nMerges)
+      Bpe.encodeWithVocab(corpus, "doc_id", "text", vocab)
+        .select(sum(size(col("tokens")))).collect()(0).getLong(0)
+    }
+    val t = Seq(0, 2, 5, 10).map(totalTokens)
+    assert(t.forall(_ >= words), s"tokens $t vs words $words")
+    assert(t.zip(t.tail).forall { case (a, b) => a >= b },
+      s"token totals must be non-increasing in merges: $t")
+  }
+
   test("fuzz: train matches the sequential reference on random corpora") {
     // seeded corpora over an adversarial mini-vocab (overlapping symbols,
     // repeated chars) — the merge sequence, counts and tie-breaks must
