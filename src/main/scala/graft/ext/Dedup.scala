@@ -201,12 +201,18 @@ object Dedup {
 
   /** k MinHash values per document: for seed s, min over shingles of
     * xxhash64(shingle, s). Narrow (per-row) computation — no shuffle.
+    *
+    * Codegen'd native expression ([[graft.functions.MinHashSigF]]) — the
+    * old `transform(sequence, sd => array_min(transform(…, xxhash64)))`
+    * nest was interpreted (HOFs are CodegenFallback) AND re-hashed every
+    * shingle string once per seed; the expression hashes each string once
+    * and pays one integer mix per seed, bit-identically (DedupSpec parity
+    * case). NULL (not an all-null array) for docs with no shingles —
+    * callers filter those rows, mirroring the old groupBy path emitting no
+    * signature row.
     */
   def minHashSignature(shinglesCol: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      sd => array_min(transform(shinglesCol, sh => xxhash64(sh, sd)))
-    )
+    graft.functions.MinHash.signature(shinglesCol, k)
 
   /** MinHash LSH candidate pairs with estimated similarity.
     *
@@ -241,34 +247,26 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
 
-    // Signature via explode + k codegen'd min-aggregations, NOT the per-row
-    // lambda form ([[minHashSignature]]): higher-order functions are
-    // interpreted (CodegenFallback) and the nested transform costs
-    // O(k·shingles) interpreted evals per row — measured 100× slower at
-    // sf0.1. The groupBy also materializes the signature once (shuffle
-    // barrier), so the band explode and the self-join below reuse data
-    // instead of re-inlining the whole expression tree.
-    val sig = shingleRows(docs, idCol, textCol, shingleN)
-      .groupBy("doc")
-      .agg(array((0 until numHashes).map(i =>
-        min(xxhash64(col("s"), lit(i)))): _*).as("sig"))
-
-    // explode into (doc, band, band_hash). Both self-join sides recompute
-    // this subtree (column pruning specializes each leg, so ReuseExchange
-    // never matches) — measured CHEAPER than .cache(): materializing an
-    // InMemoryRelation costs more than re-running the codegen'd pipeline
-    // and loses broadcast-size stats (2.9s → 3.3s with cache at sf0.1).
-    // At cluster scale, write the signature table once and join against it.
-    val banded = sig.select(
-      col("doc"),
-      col("sig"),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)
-        )
-      ).as(Seq("band", "band_hash"))
-    )
+    // Per-row codegen'd signature ([[minHashSignature]] — the native
+    // MinHashSigF expression; the interpreted HOF nest it replaced
+    // measured 100× slower, and the explode + k-min groupBy form that
+    // bridged the gap cost a full shuffle of every shingle row). Now the
+    // whole docs→banded pipeline is NARROW; both self-join sides
+    // recompute it (column pruning specializes each leg, so ReuseExchange
+    // never matches) — recomputing a codegen'd narrow stage is cheaper
+    // than materializing an InMemoryRelation, and at cluster scale the
+    // signature table is written once and joined against instead.
+    val banded = docs
+      .where(size(split(col(textCol), " ")) >= shingleN)
+      .select(
+        col(idCol).as("doc"),
+        minHashSignature(shingles(col(textCol), shingleN), numHashes)
+          .as("sig"))
+      .select(
+        col("doc"),
+        col("sig"),
+        posexplode(graft.functions.MinHash.bandHashes(col("sig"), bands))
+          .as(Seq("band", "band_hash")))
 
     // Hot buckets are dropped via a broadcast anti-join against the (tiny
     // by construction — ≤ rows/maxBucket entries) over-cap bucket list:
@@ -542,20 +540,20 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 16
   ): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    val sig = shingleRows(docs, idCol, textCol, shingleN)
-      .groupBy("doc")
-      .agg(array((0 until numHashes).map(i =>
-        min(xxhash64(col("s"), lit(i)))): _*).as("sig"))
-    sig.select(
-      col("doc"),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)
-        )
-      ).as(Seq("band", "band_hash")))
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    // fully NARROW: per-row codegen'd signature + band hashes — no
+    // signature exchange at all (the previous explode + k-min groupBy
+    // form shuffled every shingle row on doc before banding). Min over
+    // the distinct shingle ARRAY equals min over the exploded multiset,
+    // and both expressions are bit-identical to the xxhash64 composition
+    // (DedupSpec parity case), so bucket contents don't move.
+    docs
+      .where(size(split(col(textCol), " ")) >= shingleN)
+      .select(
+        col(idCol).as("doc"),
+        posexplode(graft.functions.MinHash.bandHashes(
+          minHashSignature(shingles(col(textCol), shingleN), numHashes),
+          bands)).as(Seq("band", "band_hash")))
   }
 
   /** LSH candidate pairs WITHOUT the signature/estimate columns — the lean
@@ -636,17 +634,13 @@ object Dedup {
     val sig = minHashSignature(shingles(col(textCol), shingleN), numHashes)
     docs
       // docs shorter than shingleN words have no shingles: the batch path
-      // emits zero rows for them (groupBy over nothing) — mirror that
-      // instead of emitting a null-signature row
+      // emits zero rows for them — mirror that instead of emitting a
+      // null-signature row (minHashSignature is null there)
       .where(size(split(col(textCol), " ")) >= shingleN)
       .select(
         col(idCol).as("doc"),
-        posexplode(
-          transform(
-            sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), b)
-          )
-        ).as(Seq("band", "band_hash")))
+        posexplode(graft.functions.MinHash.bandHashes(sig, bands))
+          .as(Seq("band", "band_hash")))
       .writeStream.format("parquet")
       .option("path", s"$path/stream") // segment dir — see writeBandIndex
       .option("checkpointLocation", checkpoint)

@@ -21,6 +21,39 @@ class DedupSpec extends SparkSpec {
     (5L, "unrelated text speaking of cabbages kings walruses carpenters oysters beaches")
   ).toDF("doc_id", "text")
 
+  test("codegen MinHashSigF/SigBandsF are bit-identical to the xxhash64 HOF forms") {
+    // random shingle arrays incl. short, repeated, and null-element cases
+    val rnd = new scala.util.Random(91)
+    val rows = (0 until 60).map { i =>
+      val n = 1 + rnd.nextInt(12)
+      (i.toLong, (0 until n).map(_ => s"sh${rnd.nextInt(30)}"))
+    }.toDF("id", "shingles")
+    val k = 32; val bands = 8; val r = k / bands
+    val hofSig = transform(sequence(lit(0), lit(k - 1)),
+      sd => array_min(transform(col("shingles"), sh => xxhash64(sh, sd))))
+    val hofBands = transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b))
+    val got = rows
+      .withColumn("sig", graft.functions.MinHash.signature(col("shingles"), k))
+      .withColumn("bh", graft.functions.MinHash.bandHashes(col("sig"), bands))
+      .withColumn("sig_ref", hofSig)
+      .withColumn("bh_ref", hofBands)
+      .collect()
+    got.foreach { row =>
+      assert(row.getSeq[Long](row.fieldIndex("sig")) ==
+        row.getSeq[Long](row.fieldIndex("sig_ref")),
+        s"sig mismatch for id ${row.getLong(0)}")
+      assert(row.getSeq[Long](row.fieldIndex("bh")) ==
+        row.getSeq[Long](row.fieldIndex("bh_ref")),
+        s"band-hash mismatch for id ${row.getLong(0)}")
+    }
+    // empty shingle array => null signature (the groupBy form emits no row)
+    val empty = Seq((0L, Seq.empty[String])).toDF("id", "shingles")
+      .select(graft.functions.MinHash.signature(col("shingles"), k).as("sig"))
+      .collect()
+    assert(empty.head.isNullAt(0))
+  }
+
   test("exact dedup groups identical texts, keeper = min id") {
     val r = Dedup.exact(corpus, "doc_id", "text")
       .orderBy("keeper").collect()
