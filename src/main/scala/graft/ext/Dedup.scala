@@ -144,8 +144,16 @@ object Dedup {
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4, minShared: Long = 2L,
       maxDf: Long = 1000L): DataFrame = {
+    // fingerprints per-row via the codegen'd WinnowFpF expression —
+    // bit-identical to winnowFingerprints(winnowSites(…)) (DedupSpec
+    // parity case) with no site explode and no doc-partitioned window
+    // shuffle; only the selected (doc, fp) rows ever leave the scan stage
     val fp = dropHotKeys(
-      winnowFingerprints(winnowSites(docs, idCol, textCol, k), idCol, w),
+      docs.select(col(idCol),
+          graft.functions.MinHash.winnowFingerprints(
+            split(col(textCol), " "), k, w).as("fps"))
+        .where(col("fps").isNotNull)
+        .select(col(idCol), explode(col("fps")).as("h")),
       Seq("h"), maxDf)
     val a = fp.select(col(idCol).as("id_a"), col("h"))
     val b = fp.select(col(idCol).as("id_b"), col("h"))

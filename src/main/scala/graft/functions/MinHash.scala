@@ -179,6 +179,148 @@ case class SigBandsF(child: Expression, bands: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken) as one
+  * codegen'd pass over the word array: rolling polynomial hash of each
+  * word k-gram (bit-identical to `TextOps.fingerprint` over the
+  * `concat_ws(" ", …)` gram — single-space splitting round-trips empty
+  * words, so slicing the array equals re-splitting the gram string), then
+  * the distinct minima of every w-site sliding window (tail windows
+  * partial, matching `Dedup.winnowFingerprints`), returned sorted
+  * ascending. Replaces an explode + doc-partitioned window — a full
+  * shuffle and sort of every gram site — with a narrow projection.
+  * Null when the doc has fewer than k words (no sites).
+  */
+case class WinnowFpF(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k > 0 && w > 0, s"k and w must be positive, got k=$k w=$w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow_fp expects array<string>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val nGrams = n - k + 1
+    if (nGrams < 1) return null
+    // per-word value: length(w)*256 + ascii(w); null words hash like the
+    // Column fold (transform yields null → aggregate's +null → null gram
+    // hash never happens in practice: concat_ws skips nulls, so mirror
+    // by treating null as the empty word, value 0)
+    val wv = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      wv(i) =
+        if (arr.isNullAt(i)) 0L
+        else {
+          val s = arr.getUTF8String(i)
+          // ascii() = code point of the FIRST CHARACTER (Spark's Ascii
+          // takes substring(0,1).codePointAt(0), not the first byte)
+          val f = s.substring(0, 1)
+          val first =
+            if (f.numBytes() > 0) f.toString.codePointAt(0).toLong else 0L
+          s.numChars().toLong * 256L + first
+        }
+      i += 1
+    }
+    val h = new Array[Long](nGrams)
+    i = 0
+    while (i < nGrams) {
+      var acc = 0L
+      var j = i
+      while (j < i + k) { acc = (acc * 31L + wv(j)) % 1000000007L; j += 1 }
+      h(i) = acc
+      i += 1
+    }
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    i = 0
+    while (i < nGrams) {
+      var m = h(i)
+      var j = i + 1
+      val end = math.min(i + w, nGrams)
+      while (j < end) { if (h(j) < m) m = h(j); j += 1 }
+      sel.add(m)
+      i += 1
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val nGrams = ctx.freshName("nGrams")
+      val wv = ctx.freshName("wv")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val m = ctx.freshName("m")
+      val end = ctx.freshName("end")
+      val sel = ctx.freshName("sel")
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      val it = ctx.freshName("it")
+      s"""
+         |int $n = $v.numElements();
+         |int $nGrams = $n - $k + 1;
+         |if ($nGrams < 1) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $wv = new long[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$v.isNullAt($i)) {
+         |      org.apache.spark.unsafe.types.UTF8String $s = $v.getUTF8String($i);
+         |      org.apache.spark.unsafe.types.UTF8String ${s}f = $s.substring(0, 1);
+         |      $wv[$i] = (long) $s.numChars() * 256L
+         |        + (${s}f.numBytes() > 0
+         |            ? (long) ${s}f.toString().codePointAt(0) : 0L);
+         |    }
+         |  }
+         |  long[] $h = new long[$nGrams];
+         |  for (int $i = 0; $i < $nGrams; $i++) {
+         |    long $acc = 0L;
+         |    for (int $j = $i; $j < $i + $k; $j++) {
+         |      $acc = ($acc * 31L + $wv[$j]) % 1000000007L;
+         |    }
+         |    $h[$i] = $acc;
+         |  }
+         |  java.util.TreeSet<Long> $sel = new java.util.TreeSet<Long>();
+         |  for (int $i = 0; $i < $nGrams; $i++) {
+         |    long $m = $h[$i];
+         |    int $end = java.lang.Math.min($i + $w, $nGrams);
+         |    for (int $j = $i + 1; $j < $end; $j++) {
+         |      if ($h[$j] < $m) $m = $h[$j];
+         |    }
+         |    $sel.add($m);
+         |  }
+         |  long[] $out = new long[$sel.size()];
+         |  int $i = 0;
+         |  for (java.util.Iterator<Long> $it = $sel.iterator(); $it.hasNext(); $i++) {
+         |    $out[$i] = ((Long) $it.next()).longValue();
+         |  }
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFpF =
+    copy(child = newChild)
+}
+
 object MinHash {
   /** k MinHash values of a shingle array (codegen'd; null on empty). */
   def signature(shingles: Column, k: Int): Column =
@@ -187,4 +329,10 @@ object MinHash {
   /** LSH band bucket keys of a signature (codegen'd). */
   def bandHashes(sig: Column, bands: Int): Column =
     Bridge.column(SigBandsF(Bridge.expression(sig), bands))
+
+  /** Sorted distinct winnowing fingerprints of a word array (codegen'd;
+    * null when fewer than k words).
+    */
+  def winnowFingerprints(words: Column, k: Int, w: Int): Column =
+    Bridge.column(WinnowFpF(Bridge.expression(words), k, w))
 }

@@ -675,13 +675,20 @@ object PipelineQueries {
     // on. All integer math (the text_fingerprint fold + a window min), so
     // the oracle matches exactly; fp_sum is an order-free exact long sum
     "winnow_fp" -> { (s, d) =>
-      val sites = Dedup.winnowSites(Tables.documents(s, d), "doc_id", "text")
-      val stats = sites.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-      Dedup.winnowFingerprints(sites, "doc_id")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_fp"), sum("h").as("fp_sum"))
-        .join(stats, "doc_id")
-        .select("doc_id", "n_grams", "n_fp", "fp_sum")
+      // per-row codegen'd selection (WinnowFpF) — no site explode, no
+      // doc-keyed window shuffle; bit-identical to the explode+window
+      // form (DedupSpec parity case), so the oracle SQL is unchanged.
+      // n_grams = W−k+1 (k=3) — exactly the site count the old
+      // groupBy counted
+      val words = split(col("text"), " ")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          (size(words) - lit(2)).cast("long").as("n_grams"),
+          graft.functions.MinHash.winnowFingerprints(words, 3, 4).as("fps"))
+        .where(col("fps").isNotNull)
+        .select(col("doc_id"), col("n_grams"),
+          size(col("fps")).cast("long").as("n_fp"),
+          aggregate(col("fps"), lit(0L), (a, b) => a + b).as("fp_sum"))
         .orderBy("doc_id")
     },
     // shared-fingerprint candidate pairs — the MOSS near-dup/plagiarism

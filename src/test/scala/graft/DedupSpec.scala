@@ -54,6 +54,36 @@ class DedupSpec extends SparkSpec {
     assert(empty.head.isNullAt(0))
   }
 
+  test("codegen WinnowFpF matches the explode+window fingerprint selection") {
+    val rnd = new scala.util.Random(17)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "épsilon", "ζeta",
+      "x", "", "longerword")
+    val texts = (0 until 40).map { i =>
+      val n = rnd.nextInt(14) // incl. docs shorter than k
+      (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    } :+ (99L, "a  b c d e f") // double space => empty word in the split
+    val docs = texts.toDF("doc_id", "text")
+    val (k, w) = (3, 4)
+    val ref = Dedup.winnowFingerprints(
+        Dedup.winnowSites(docs, "doc_id", "text", k), "doc_id", w)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).sorted.toSeq).toMap
+    val got = docs.select(col("doc_id"),
+        graft.functions.MinHash.winnowFingerprints(
+          split(col("text"), " "), k, w).as("fps"))
+      .collect()
+      .flatMap(r => if (r.isNullAt(1)) None
+        else Some(r.getLong(0) -> r.getSeq[Long](1).toSeq))
+      .toMap
+    assert(got == ref, {
+      val onlyRef = ref.keySet -- got.keySet
+      val onlyGot = got.keySet -- ref.keySet
+      s"docs only in ref: $onlyRef, only in got: $onlyGot, " +
+        s"diffs: ${ref.collect { case (id, v) if got.get(id).exists(_ != v) => id }}"
+    })
+  }
+
   test("exact dedup groups identical texts, keeper = min id") {
     val r = Dedup.exact(corpus, "doc_id", "text")
       .orderBy("keeper").collect()
