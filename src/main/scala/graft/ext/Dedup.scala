@@ -312,43 +312,22 @@ object Dedup {
   /** 64-bit SimHash per document (Charikar): per-word xxhash64, ±1 vote per
     * bit, sign → bit.
     *
-    * The 64 per-bit vote counters are PACKED into 16 longs of 4×16-bit
-    * lanes before aggregation: a first cut aggregated 64 separate
-    * conditional sums, whose 64-slot buffer pushed the generated
-    * HashAggregate past codegen limits into the interpreted path. 16 plain
-    * long sums stay codegen'd and map-side-combinable, and the same 64 bit
-    * extractions per word happen either way. Lanes hold counts, not ±1
-    * votes — bit b is set iff 2·cnt_b > n_words, which is the same
-    * sign test. Bound: documents up to 32,767 words (the top lane shifts by
-    * 48, so counts must stay below 2^15 to keep the packed sum positive);
-    * longer docs should be pre-chunked (at 100 TB you chunk anyway for
-    * context windows).
+    * One codegen'd pass over the word array
+    * ([[graft.functions.SimHash64F]]) — the fingerprint is computed in the
+    * scan stage with NO vote exchange at all. This replaces two earlier
+    * forms: 64 conditional sums (whose aggregate buffer fell out of
+    * codegen) and the 16-long packed-lane groupBy (codegen'd and
+    * map-side-combinable, but still a per-doc shuffle, and its 4×16-bit
+    * lanes capped documents at 32,767 words). The expression keeps plain
+    * int counters, so the length bound is gone; values are bit-identical
+    * for every previously-legal input (DedupSpec parity case). Docs with
+    * null text drop out, mirroring the explode form.
     */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = docs.select(col(idCol).as("doc"),
-      explode(split(col(textCol), " ")).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    // packed(i) lane j (j=0..3) counts bit 4i+j across words
-    val packed = (0 until 16).map { i =>
-      (0 until 4).map { j =>
-        shiftleft(shiftright(col("h"), 4 * i + j).bitwiseAND(1), 16 * j)
-      }.reduce(_ + _)
-    }
-    val aggs = packed.zipWithIndex.map { case (p, i) => sum(p).as(s"p$i") } :+
-      count(lit(1)).as("n")
-    val voted = words.groupBy("doc").agg(aggs.head, aggs.tail: _*)
-      // enforce the lane bound instead of silently corrupting fingerprints
-      // for monster documents; the condition is post-aggregation (one check
-      // per doc, not per word)
-      .withColumn("__guard", when(col("n") > 32767L,
-        raise_error(concat(lit("simHash: document "), col("doc").cast("string"),
-          lit(" exceeds 32767 words — chunk it first")))).otherwise(lit(null)))
-    val fp = (0 until 64).map { b =>
-      val cnt = shiftright(col(s"p${b / 4}"), 16 * (b % 4)).bitwiseAND(0xffffL)
-      when(cnt * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    voted.select(col("doc"), when(col("__guard").isNull, fp).as("simhash"))
-  }
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"),
+        graft.functions.MinHash.simHash64(split(col(textCol), " "))
+          .as("simhash"))
 
   /** SimHash near-dup candidate pairs within Hamming distance `maxDist`,
     * blocked on 4×16-bit bands (a pair within distance 3 must agree on at

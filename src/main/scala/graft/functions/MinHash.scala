@@ -321,6 +321,84 @@ case class WinnowFpF(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** 64-bit SimHash (Charikar) of a word array in one codegen'd pass:
+  * per word h = xxhash64(word) (seed 42), ±1 vote per bit, majority →
+  * bit. Bit-identical to the explode + packed-lane groupBy pipeline it
+  * replaces (DedupSpec parity case) with two upgrades: no vote shuffle
+  * at all (the fingerprint is computed in the scan stage), and plain int
+  * counters instead of 4×16-bit lanes — the 32767-word document bound is
+  * gone. Duplicate words vote once per occurrence, like the explode form.
+  */
+case class SimHash64F(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 expects array<string>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val cnt = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      // null element: single-arg xxhash64 of null stays at the seed
+      val h =
+        if (arr.isNullAt(i)) 42L
+        else org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUTF8String(arr.getUTF8String(i), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >> b) & 1L) != 0L) cnt(b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (2L * cnt(b) > n) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      val n = ctx.freshName("n")
+      val cnt = ctx.freshName("cnt")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      s"""
+         |int $n = $v.numElements();
+         |int[] $cnt = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $v.isNullAt($i) ? 42L
+         |    : $xxh.hashUTF8String($v.getUTF8String($i), 42L);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ((($h >> $b) & 1L) != 0L) $cnt[$b]++;
+         |  }
+         |}
+         |${ev.value} = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if (2L * $cnt[$b] > $n) ${ev.value} |= (1L << $b);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64F =
+    copy(child = newChild)
+}
+
 object MinHash {
   /** k MinHash values of a shingle array (codegen'd; null on empty). */
   def signature(shingles: Column, k: Int): Column =
@@ -335,4 +413,8 @@ object MinHash {
     */
   def winnowFingerprints(words: Column, k: Int, w: Int): Column =
     Bridge.column(WinnowFpF(Bridge.expression(words), k, w))
+
+  /** 64-bit SimHash of a word array (codegen'd). */
+  def simHash64(words: Column): Column =
+    Bridge.column(SimHash64F(Bridge.expression(words)))
 }

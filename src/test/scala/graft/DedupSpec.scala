@@ -84,6 +84,39 @@ class DedupSpec extends SparkSpec {
     })
   }
 
+  test("codegen SimHash64F matches the packed-lane vote pipeline") {
+    val rnd = new scala.util.Random(53)
+    val vocab = Seq("alpha", "beta", "gamma", "δelta", "", "x", "repeat")
+    val texts = (0 until 30).map { i =>
+      val n = 1 + rnd.nextInt(20)
+      (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    } :+ (98L, "") // split("") = [""], one empty word
+    val docs = texts.toDF("doc_id", "text")
+    // the replaced pipeline, inlined as the reference: explode + xxhash64
+    // + 16 packed 4x16-bit lane sums + majority test
+    val words = docs.select(col("doc_id").as("doc"),
+        explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val packed = (0 until 16).map { i =>
+      (0 until 4).map { j =>
+        shiftleft(shiftright(col("h"), 4 * i + j).bitwiseAND(1), 16 * j)
+      }.reduce(_ + _)
+    }
+    val aggs = packed.zipWithIndex.map { case (p, i) => sum(p).as(s"p$i") } :+
+      count(lit(1)).as("n")
+    val fpRef = (0 until 64).map { b =>
+      val cnt = shiftright(col(s"p${b / 4}"), 16 * (b % 4)).bitwiseAND(0xffffL)
+      when(cnt * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val ref = words.groupBy("doc").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc"), fpRef.as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.simHash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref)
+  }
+
   test("exact dedup groups identical texts, keeper = min id") {
     val r = Dedup.exact(corpus, "doc_id", "text")
       .orderBy("keeper").collect()
