@@ -325,6 +325,156 @@ object Multimodal {
         }
       }
 
+    /** REAL 64-bit perceptual hash (the classic DCT pHash) of any raster
+      * ImageIO fully decodes: area-averaged 32×32 integer-luma grid
+      * (BT.601, same luma as [[rasterHistogram]]) → 2-D DCT-II → the 8×8
+      * low-frequency block, bit j set iff coefficient j (row-major)
+      * exceeds the MEDIAN of the 63 non-DC coefficients. Re-encoding the
+      * same raster (PNG ↔ BMP) hashes identically; small pixel edits move
+      * few bits; unrelated images land ~32 bits apart — the image
+      * near-dup signal content hashing can't give. Deterministic: integer
+      * luma, fixed-order double DCT, no RNG.
+      */
+    def pHash64(content: Array[Byte]): Option[Long] =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(content))
+        if (img == null || img.getWidth == 0 || img.getHeight == 0) None
+        else {
+          val N = 32
+          val (w, h) = (img.getWidth, img.getHeight)
+          val g = Array.ofDim[Double](N, N)
+          var ty = 0
+          while (ty < N) {
+            val y0 = ty * h / N; val y1 = math.max(y0 + 1, (ty + 1) * h / N)
+            var tx = 0
+            while (tx < N) {
+              val x0 = tx * w / N; val x1 = math.max(x0 + 1, (tx + 1) * w / N)
+              var sum = 0L; var cnt = 0
+              var y = y0
+              while (y < y1 && y < h) {
+                var x = x0
+                while (x < x1 && x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sum += (((rgb >> 16) & 0xff) * 299 +
+                    ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+                  cnt += 1; x += 1
+                }
+                y += 1
+              }
+              g(ty)(tx) = if (cnt == 0) 0.0 else sum.toDouble / cnt
+              tx += 1
+            }
+            ty += 1
+          }
+          // separable DCT-II, 8 output frequencies per axis suffice
+          val K = 8
+          val cosT = Array.tabulate(K, N)((u, x) =>
+            math.cos((2 * x + 1) * u * math.Pi / (2.0 * N)))
+          val block = new Array[Double](K * K)
+          var u = 0
+          while (u < K) {
+            var v = 0
+            while (v < K) {
+              var acc = 0.0
+              var y = 0
+              while (y < N) {
+                var x = 0
+                while (x < N) {
+                  acc += g(y)(x) * cosT(u)(y) * cosT(v)(x)
+                  x += 1
+                }
+                y += 1
+              }
+              block(u * K + v) = acc
+              v += 1
+            }
+            u += 1
+          }
+          val nonDc = java.util.Arrays.copyOfRange(block, 1, K * K)
+          java.util.Arrays.sort(nonDc)
+          val med = nonDc(nonDc.length / 2)
+          var fp = 0L
+          var j = 0
+          while (j < 64) {
+            if (block(j) > med) fp |= (1L << j)
+            j += 1
+          }
+          Some(fp)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Minimal 24-bit BI_RGB BMP encoder (bottom-up rows, 4-byte padded) —
+      * a byte-deterministic container for synthesizing REAL decodable
+      * rasters (no ImageIO.write, whose encoder choice could vary).
+      * `px(y)(x)` = 0xRRGGBB.
+      */
+    def encodeBmp24(px: Array[Array[Int]]): Array[Byte] = {
+      val h = px.length; val w = if (h == 0) 0 else px(0).length
+      val rowBytes = (w * 3 + 3) & ~3
+      val dataSize = rowBytes * h
+      val out = new Array[Byte](54 + dataSize)
+      def le16(o: Int, v: Int): Unit = {
+        out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      }
+      def le32(o: Int, v: Int): Unit = {
+        le16(o, v & 0xffff); le16(o + 2, (v >>> 16) & 0xffff)
+      }
+      out(0) = 'B'; out(1) = 'M'
+      le32(2, 54 + dataSize); le32(10, 54); le32(14, 40)
+      le32(18, w); le32(22, h); le16(26, 1); le16(28, 24)
+      le32(34, dataSize)
+      var y = 0
+      while (y < h) {
+        val rowOff = 54 + (h - 1 - y) * rowBytes // bottom-up
+        var x = 0
+        while (x < w) {
+          val p = px(y)(x)
+          out(rowOff + x * 3) = (p & 0xff).toByte         // B
+          out(rowOff + x * 3 + 1) = ((p >> 8) & 0xff).toByte
+          out(rowOff + x * 3 + 2) = ((p >> 16) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Deterministic 32×32 gray raster from a seed: a coarse 4×4 grid of
+      * 8-px tiles (¾ weight) blended with a fine 8×8 grid of 4-px tiles
+      * (¼ weight). The two scales matter: aligned single-scale tiles
+      * leave ~⅔ of the 8×8 DCT block EXACTLY zero (piecewise-constant
+      * cancellation), parking half the pHash bits on the median where any
+      * edit flips them; the fine grid puts real energy in every low
+      * frequency, so near-copies drift ≤ ~4 bits while distinct seeds
+      * land ~32 apart. `tweak` brightens 5 diagonal pixels by a clamped
+      * +24 — the planted "small edit" of a near-copy.
+      */
+    def tilePx(seed: Long, tweak: Boolean): Array[Array[Int]] = {
+      // SplitMix64 finalizer per tile — a LINEAR tile function (e.g.
+      // Knuth-multiply of seed+t) makes every seed's pattern a translate
+      // of the same shape, and pHash (which ignores the DC offset)
+      // collapses the whole corpus onto ~200 hashes; full avalanche
+      // keeps distinct seeds ~32 bits apart
+      def mix(z0: Long): Long = {
+        var z = z0
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      def tiles(n: Int, salt: Long): Array[Int] =
+        Array.tabulate(n)(t =>
+          (mix(seed + salt * 1000L + t * 0x9E3779B97F4A7C15L) & 0xff).toInt)
+      val t8 = tiles(16, 0L)
+      val t4 = tiles(64, 1L)
+      Array.tabulate(32, 32) { (y, x) =>
+        var gray = (3 * t8((y / 8) * 4 + (x / 8)) +
+          t4((y / 4) * 8 + (x / 4))) / 4
+        if (tweak && y == x && x < 5) gray = math.min(gray + 24, 255)
+        (gray << 16) | (gray << 8) | gray
+      }
+    }
+
     /** STUB decode+featurize: derives a fixed-dim float vector from content
       * bytes (stands in for decode → model forward pass).
       */
@@ -466,4 +616,103 @@ object Multimodal {
     */
   def featureTable(media: Dataset[MediaBlob]): DataFrame =
     extractFeatures(media).toDF()
+
+  /** (media_id, phash) for every blob whose raster decodes — the image
+    * near-dup fingerprint pass ([[Codecs.pHash64]]). Narrow; payloads
+    * never shuffle; non-decodable blobs drop out (a corrupt image has no
+    * perceptual identity — content-hash dedup still covers its bytes).
+    */
+  def perceptualHash(media: Dataset[MediaBlob]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap(m =>
+      Codecs.pHash64(m.content).map(p => (m.media_id, p)))).toDF(
+      "media_id", "phash")
+  }
+
+  /** Byte-identity dedup of a media corpus (keeper = min media_id per
+    * content sha) — the content-hash rung BELOW [[nearDupMedia]] in the
+    * media dedup ladder; running it first keeps exact-copy floods (the
+    * same meme uploaded 10⁶ times) out of the banded pair join, exactly
+    * as the text ladder runs `Dedup.exact` before the shingle tiers.
+    * Only (media_id, sha) rows cross the sha exchange; the payload side
+    * is filtered by a semi-join on the (far smaller) keeper-id list.
+    */
+  def dedupExactMedia(media: Dataset[MediaBlob]): Dataset[MediaBlob] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val df = media.toDF()
+    val keepIds = df
+      .select(col("media_id"), sha2(col("content"), 256).as("__sha"))
+      .groupBy("__sha").agg(min("media_id").as("media_id"))
+      .select("media_id")
+    df.join(keepIds, Seq("media_id"), "left_semi").as[MediaBlob]
+  }
+
+  /** Image near-dup candidate pairs within Hamming distance `maxDist` of
+    * their perceptual hashes, blocked on 4×16-bit bands (pigeonhole: a
+    * pair within distance 3 agrees on ≥ 1 band) — the image twin of
+    * [[Dedup.simHashPairs]], and the media rung of the dedup ladder:
+    * byte-identical copies fall to content hashing, re-encodes and
+    * small edits fall HERE, semantic similarity falls to embeddings.
+    * Only (media_id, phash) rows reach the join.
+    *
+    * `maxBucket` is the tier-standard skew guard (broadcast anti-join
+    * drop of over-cap band buckets): a meme template shared by 10⁶
+    * images would otherwise go quadratic in one bucket. Exact-copy
+    * floods belong to the content-hash tier anyway — run sha dedup
+    * first, like the text ladder.
+    */
+  def nearDupMedia(media: Dataset[MediaBlob], maxDist: Int = 3,
+      maxBucket: Long = 1000L): DataFrame = {
+    val fp = perceptualHash(media)
+    val banded0 = fp.select(col("media_id"), col("phash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("phash"), i * 16).bitwiseAND(0xffffL)): _*))
+        .as(Seq("band", "band_val")))
+    val banded =
+      if (maxBucket <= 0) banded0
+      else Dedup.dropHotKeys(banded0, Seq("band", "band_val"), maxBucket)
+        .localCheckpoint(false)
+    val a = banded.select(col("band"), col("band_val"),
+      col("media_id").as("id_a"), col("phash").as("fp_a"))
+    val b = banded.select(col("band"), col("band_val"),
+      col("media_id").as("id_b"), col("phash").as("fp_b"))
+    a.join(b, Seq("band", "band_val"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long")
+          .as("hamming"))
+      .where(col("hamming") <= maxDist)
+      .distinct()
+  }
+
+  /** Deterministic REAL-raster corpus from a text table: one 32×32 24-bit
+    * BMP per doc whose pixels are a smooth two-gradient pattern seeded by
+    * the text (distinct texts → distinct low-frequency structure → far
+    * pHashes), plus — for every `plantEvery`-th doc — a near-copy (id
+    * offset 1,000,000) with a handful of pixels edited: the planted
+    * near-dup truth for [[nearDupMedia]], mirroring
+    * `PipelineQueries.plantedNearDups` on the embedding side. The blobs
+    * are real decodable images, so the whole decode → pHash → band-join
+    * path is exercised for real, not via stubs.
+    */
+  def synthRasterBlobs(df: DataFrame, idCol: String, textCol: String,
+      plantEvery: Int = 4): Dataset[MediaBlob] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val seed = text.hashCode.toLong & 0xffffffffL
+        val base = MediaBlob(id, "image",
+          Codecs.encodeBmp24(Codecs.tilePx(seed, tweak = false)),
+          "image/bmp", 32, 32, -1L)
+        if (id % plantEvery == 0)
+          Seq(base, base.copy(media_id = id + 1000000L,
+            content = Codecs.encodeBmp24(Codecs.tilePx(seed, tweak = true))))
+        else Seq(base)
+      }
+  }
 }

@@ -974,6 +974,32 @@ object PipelineQueries {
         .withColumnRenamed("item", "gram")
         .orderBy(col("cnt").desc, col("gram"))
     },
+    // perceptual image fingerprints (classic DCT pHash) over a REAL
+    // decodable raster corpus (deterministic 32×32 BMPs seeded by each
+    // doc, every 4th doc also planting a pixel-edited near-copy): decode
+    // → 32×32 luma → DCT → median-threshold 64 bits, all in one narrow
+    // mapPartitions — payloads never shuffle, only (id, 64-bit hash) rows
+    // do. Rows-only (double-DCT hash has no SQL twin); MultimodalSpec
+    // pins container invariance, edit tolerance, and discrimination
+    "media_phash" -> { (s, d) =>
+      Multimodal.perceptualHash(
+          Multimodal.synthRasterBlobs(Tables.documents(s, d), "doc_id", "text"))
+        .orderBy("media_id")
+    },
+    // the media dedup ladder, composed: content-hash dedup first
+    // (byte-identical uploads collapse to one keeper — the corpus's
+    // duplicated texts make identical images, exactly the flood the
+    // ladder exists for), THEN pHash near-dup pairs within Hamming ≤ 4,
+    // banded 4×16-bit like the SimHash tier. Surviving pairs are the
+    // planted pixel-edited near-copies plus rare true near-hashes
+    // (MultimodalSpec: every planted pair found)
+    "dedup_media" -> { (s, d) =>
+      Multimodal.nearDupMedia(
+          Multimodal.dedupExactMedia(
+            Multimodal.synthRasterBlobs(Tables.documents(s, d), "doc_id", "text")),
+          maxDist = 4)
+        .orderBy("id_a", "id_b")
+    },
     // DSIR data selection (Xie et al. 2023): importance-resample the raw
     // pool toward a target domain (the zh slice as the exemplar corpus)
     // under add-1-smoothed hashed-bigram bag models. The fitted model is a

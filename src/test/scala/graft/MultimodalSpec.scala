@@ -276,4 +276,65 @@ class MultimodalSpec extends SparkSpec {
       .join(docs, col("media_id") === col("doc_id"))
     assert(joined.count() == 3)
   }
+
+  private def tilePx(seed: Long, tweak: Boolean = false): Array[Array[Int]] =
+    Multimodal.Codecs.tilePx(seed, tweak)
+
+  private def pngBytes(px: Array[Array[Int]]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32) img.setRGB(x, y, px(y)(x))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("pHash: container-invariant, edit-tolerant, discriminative") {
+    val px = tilePx(77L)
+    val viaBmp = Multimodal.Codecs.pHash64(Multimodal.Codecs.encodeBmp24(px))
+    val viaPng = Multimodal.Codecs.pHash64(pngBytes(px))
+    assert(viaBmp.isDefined && viaBmp == viaPng,
+      "same raster must hash identically under PNG and BMP")
+    // a 5-pixel edit moves few bits; a different pattern moves many
+    val edited = Multimodal.Codecs
+      .pHash64(Multimodal.Codecs.encodeBmp24(tilePx(77L, tweak = true)))
+    val other = Multimodal.Codecs
+      .pHash64(Multimodal.Codecs.encodeBmp24(tilePx(4242L)))
+    val dEdit = hamming(viaBmp.get, edited.get)
+    val dOther = hamming(viaBmp.get, other.get)
+    assert(dEdit <= 6, s"edited copy drifted $dEdit bits")
+    assert(dOther > 16, s"unrelated image only $dOther bits away")
+    // undecodable bytes have no perceptual identity
+    assert(Multimodal.Codecs.pHash64("not an image".getBytes).isEmpty)
+  }
+
+  test("nearDupMedia finds every planted near-copy; extras are true near-hashes") {
+    val table = (0 until 24)
+      .map(i => (i.toLong, s"document number $i with its own words $i"))
+      .toDF("doc_id", "text")
+    val blobs = Multimodal.synthRasterBlobs(table, "doc_id", "text",
+      plantEvery = 4)
+    val pairs = Multimodal.nearDupMedia(blobs, maxDist = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("hamming")))
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    val planted = (0 until 24 by 4)
+      .map(i => (i.toLong, i.toLong + 1000000L)).toSet
+    planted.foreach(p =>
+      assert(pairSet.contains(p), s"missed planted pair $p"))
+    // extras can only be pHash near-collisions between genuinely
+    // similar-looking patterns: verify each against the recomputed
+    // fingerprints, and that they stay rare on this corpus
+    val fps = Multimodal.perceptualHash(blobs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b, d) =>
+      assert(hamming(fps(a), fps(b)) == d && d <= 4,
+        s"pair ($a,$b) reports hamming $d vs ${hamming(fps(a), fps(b))}")
+    }
+    assert((pairSet -- planted).size <= 3,
+      s"too many near-collisions: ${pairSet -- planted}")
+  }
 }
