@@ -193,6 +193,25 @@ object Recall {
       if (semPairs.isEmpty) 1.0
       else semTruth.intersect(semPairs).size.toDouble / semPairs.size
 
+    // ── Media near-dup: planted-pair recall of the declared dedup_media
+    // composition (content-hash dedup → banded pHash pairs, Hamming ≤ 4)
+    // over the synthetic real-BMP corpus: every 4th doc plants a
+    // pixel-edited near-copy, which must pair with the keeper of its base
+    // image; base↔base pairs are false positives (distinct SplitMix tile
+    // seeds sit ~32 bits apart, so there should be ~none) ────────────────
+    val mediaBlobs =
+      graft.ext.Multimodal.synthRasterBlobs(docs, "doc_id", "text")
+    val mediaPairs = graft.ext.Multimodal
+      .nearDupMedia(graft.ext.Multimodal.dedupExactMedia(mediaBlobs),
+        maxDist = 4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nCopies = mediaBlobs.where(col("media_id") >= 1000000L).count()
+    val pairedCopies = mediaPairs
+      .flatMap(p => Seq(p._1, p._2)).count(_ >= 1000000L)
+    val mediaRecall = pairedCopies.toDouble / nCopies
+    val mediaFalse = mediaPairs.count(p => p._1 < 1000000L && p._2 < 1000000L)
+
     val report =
       s"""# Recall at bench scale (generated by `graft.Recall`)
          |
@@ -215,6 +234,7 @@ object Recall {
          || embedding LSH near-dup | `dedup_embedding` | 8×4-bit OR-amplified tables, maxBucket=1000 | pair recall vs exact all-pairs cosine ≥ 0.3 (${exactEmb.size} pairs) | ${f"$embRecall%.3f"} |
          || — single table |  | nbits=4, 1 table | (context: what the banding buys) | ${f"$embRecall1%.3f"} |
          || SemDeDup design point | `dedup_semantic` | planted-near-dup corpus, nlist=16, cosine ≥ 0.8, maxCell=1000 | pair recall vs exact all-pairs cosine ≥ 0.8 (${semTruth.size} planted pairs); precision ${f"$semPrecision%.3f"} | ${f"$semRecall%.3f"} |
+         || pHash media near-dup | `dedup_media` | exact-dedup → 4×16-bit bands, Hamming ≤ 4 | planted pixel-edited copies paired ($pairedCopies of $nCopies; $mediaFalse base↔base false pairs) | ${f"$mediaRecall%.3f"} |
          |
          |Notes: cosine ≥ 0.3 (θ ≈ 72°) is a HARD regime for hyperplane
          |LSH — per-table collision is (1−θ/π)^4 ≈ 0.13, which is why the
@@ -260,6 +280,10 @@ object Recall {
     require(lshRecall >= 0.8, f"lsh recall regressed: $lshRecall%.3f")
     require(ivfRecall >= 0.75, f"ivf recall regressed: $ivfRecall%.3f")
     require(pqRecall >= 0.8, f"pq recall regressed: $pqRecall%.3f")
+    require(mediaRecall >= 0.99,
+      f"dedup_media planted-copy recall regressed: $mediaRecall%.3f")
+    require(mediaFalse <= 5,
+      s"dedup_media base-base false pairs regressed: $mediaFalse")
     spark.stop()
   }
 }
