@@ -212,6 +212,19 @@ object Recall {
     val mediaRecall = pairedCopies.toDouble / nCopies
     val mediaFalse = mediaPairs.count(p => p._1 < 1000000L && p._2 < 1000000L)
 
+    // audio twin (the dedup_audio declared config: 8×8-bit bands,
+    // Hamming ≤ 7): planted 70%-amplitude re-masters must pair
+    val audioBlobs =
+      graft.ext.Multimodal.synthAudioBlobs(docs, "doc_id", "text")
+    val audioPairs = graft.ext.Multimodal
+      .nearDupMedia(graft.ext.Multimodal.dedupExactMedia(audioBlobs),
+        maxDist = 7, bands = 8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nAudioCopies = audioBlobs.where(col("media_id") >= 1000000L).count()
+    val audioRecall = audioPairs.flatMap(p => Seq(p._1, p._2))
+      .count(_ >= 1000000L).toDouble / nAudioCopies
+
     val report =
       s"""# Recall at bench scale (generated by `graft.Recall`)
          |
@@ -235,6 +248,7 @@ object Recall {
          || — single table |  | nbits=4, 1 table | (context: what the banding buys) | ${f"$embRecall1%.3f"} |
          || SemDeDup design point | `dedup_semantic` | planted-near-dup corpus, nlist=16, cosine ≥ 0.8, maxCell=1000 | pair recall vs exact all-pairs cosine ≥ 0.8 (${semTruth.size} planted pairs); precision ${f"$semPrecision%.3f"} | ${f"$semRecall%.3f"} |
          || pHash media near-dup | `dedup_media` | exact-dedup → 4×16-bit bands, Hamming ≤ 4 | planted pixel-edited copies paired ($pairedCopies of $nCopies; $mediaFalse base↔base false pairs) | ${f"$mediaRecall%.3f"} |
+         || audio fp near-dup | `dedup_audio` | exact-dedup → 8×8-bit bands, Hamming ≤ 7 | planted 70%-amplitude re-masters paired (of $nAudioCopies) | ${f"$audioRecall%.3f"} |
          |
          |Notes: cosine ≥ 0.3 (θ ≈ 72°) is a HARD regime for hyperplane
          |LSH — per-table collision is (1−θ/π)^4 ≈ 0.13, which is why the
@@ -284,6 +298,8 @@ object Recall {
       f"dedup_media planted-copy recall regressed: $mediaRecall%.3f")
     require(mediaFalse <= 5,
       s"dedup_media base-base false pairs regressed: $mediaFalse")
+    require(audioRecall >= 0.93,
+      f"dedup_audio planted re-master recall regressed: $audioRecall%.3f")
     spark.stop()
   }
 }

@@ -404,6 +404,111 @@ object Multimodal {
         }
       } catch { case scala.util.control.NonFatal(_) => None }
 
+    /** First ≤ `max` signed-16-bit PCM samples of a WAV payload (mono
+      * interpretation: frames are read as raw sample stream). None unless
+      * the container decodes as 16-bit WAV.
+      */
+    def pcm16(content: Array[Byte], max: Int = 1 << 20): Option[Array[Short]] = {
+      def ascii(off: Int, n: Int) = new String(content, off, n, "US-ASCII")
+      decodeWavMeta(content).filter(_.bits_per_sample == 16).flatMap { _ =>
+        var off = 12
+        var span: Option[(Int, Int)] = None
+        while (off + 8 <= content.length && span.isEmpty) {
+          val size = le32(content, off + 4)
+          if (size < 0 || size > Int.MaxValue - 9) return None
+          if (ascii(off, 4) == "data")
+            span = Some((off + 8,
+              math.min(content.length, off + 8 + size.toInt)))
+          off += 8 + size.toInt + (size.toInt & 1)
+        }
+        span.flatMap { case (from, to) =>
+          val n = math.min((to - from) / 2, max)
+          if (n <= 0) None
+          else Some(Array.tabulate(n)(i =>
+            ((content(from + 2 * i) & 0xff) |
+              (content(from + 2 * i + 1) << 8)).toShort))
+        }
+      }
+    }
+
+    /** 64-bit audio fingerprint (the Haitsma–Kalker "robust hash" shape)
+      * for 16-bit PCM WAV: the stream is cut into 9 equal frames; per
+      * frame, Goertzel energy at 9 fixed normalized frequencies
+      * ω_k = π(k+1)/16; bit (f,b) = sign of the time-delta of the
+      * band-delta, ΔΔE = (E(f+1,b)−E(f+1,b+1)) − (E(f,b)−E(f,b+1)) —
+      * 8 frames × 8 band-deltas = 64 bits. Signs of linear functionals
+      * of energy: invariant to overall amplitude scaling, tolerant to
+      * small additive noise, and discriminative across tone structures.
+      * Frames longer than 4096 samples are strided down — cost is
+      * bounded per blob whatever the duration.
+      */
+    def audioFp64(content: Array[Byte]): Option[Long] =
+      pcm16(content).flatMap { s =>
+        val frames = 9; val bands = 9
+        if (s.length < frames * 2) None
+        else {
+          val e = Array.ofDim[Double](frames, bands)
+          val flen = s.length / frames
+          val stride = math.max(1, flen / 4096)
+          var f = 0
+          while (f < frames) {
+            val from = f * flen
+            var b = 0
+            while (b < bands) {
+              val w = math.Pi * (b + 1) / 16.0
+              val (cw, sw) = (math.cos(w), math.sin(w))
+              var re = 0.0; var im = 0.0
+              var i = from
+              while (i < from + flen) {
+                val ph = w * (i - from)
+                // direct correlation (not the recurrence): stride-safe
+                re += s(i) * math.cos(ph); im += s(i) * math.sin(ph)
+                i += stride
+              }
+              e(f)(b) = re * re + im * im
+              b += 1
+            }
+            f += 1
+          }
+          var fp = 0L
+          var j = 0
+          while (j < 64) {
+            val fr = j / 8; val b = j % 8
+            val dd = (e(fr + 1)(b) - e(fr + 1)(b + 1)) -
+              (e(fr)(b) - e(fr)(b + 1))
+            if (dd > 0.0) fp |= (1L << j)
+            j += 1
+          }
+          Some(fp)
+        }
+      }
+
+    /** Minimal 16-bit mono PCM WAV encoder — the audio twin of
+      * [[encodeBmp24]] for synthesizing real decodable payloads.
+      */
+    def encodeWav16(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val dataSize = samples.length * 2
+      val out = new Array[Byte](44 + dataSize)
+      def put(o: Int, s: String): Unit =
+        s.getBytes("US-ASCII").copyToArray(out, o)
+      def le16(o: Int, v: Int): Unit = {
+        out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      }
+      def le32v(o: Int, v: Int): Unit = {
+        le16(o, v & 0xffff); le16(o + 2, (v >>> 16) & 0xffff)
+      }
+      put(0, "RIFF"); le32v(4, 36 + dataSize); put(8, "WAVE")
+      put(12, "fmt "); le32v(16, 16); le16(20, 1); le16(22, 1)
+      le32v(24, sampleRate); le32v(28, sampleRate * 2); le16(32, 2)
+      le16(34, 16)
+      put(36, "data"); le32v(40, dataSize)
+      var i = 0
+      while (i < samples.length) {
+        le16(44 + 2 * i, samples(i) & 0xffff); i += 1
+      }
+      out
+    }
+
     /** Minimal 24-bit BI_RGB BMP encoder (bottom-up rows, 4-byte padded) —
       * a byte-deterministic container for synthesizing REAL decodable
       * rasters (no ImageIO.write, whose encoder choice could vary).
@@ -617,16 +722,20 @@ object Multimodal {
   def featureTable(media: Dataset[MediaBlob]): DataFrame =
     extractFeatures(media).toDF()
 
-  /** (media_id, phash) for every blob whose raster decodes — the image
-    * near-dup fingerprint pass ([[Codecs.pHash64]]). Narrow; payloads
-    * never shuffle; non-decodable blobs drop out (a corrupt image has no
-    * perceptual identity — content-hash dedup still covers its bytes).
+  /** (media_id, phash) for every blob with a perceptual identity: DCT
+    * pHash for decodable rasters ([[Codecs.pHash64]]), the spectral
+    * fingerprint for 16-bit WAV ([[Codecs.audioFp64]]). Narrow; payloads
+    * never shuffle; blobs decoding as neither drop out (bytes without a
+    * perceptual reading are the content-hash tier's job). Image and audio
+    * hashes share the 64-bit space — unrelated modalities land ~32 bits
+    * apart like any unrelated pair, so a mixed corpus needs no branching.
     */
   def perceptualHash(media: Dataset[MediaBlob]): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.flatMap(m =>
-      Codecs.pHash64(m.content).map(p => (m.media_id, p)))).toDF(
+      Codecs.pHash64(m.content).orElse(Codecs.audioFp64(m.content))
+        .map(p => (m.media_id, p)))).toDF(
       "media_id", "phash")
   }
 
@@ -664,11 +773,18 @@ object Multimodal {
     * first, like the text ladder.
     */
   def nearDupMedia(media: Dataset[MediaBlob], maxDist: Int = 3,
-      maxBucket: Long = 1000L): DataFrame = {
+      maxBucket: Long = 1000L, bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    // pigeonhole: a pair within distance bands−1 is GUARANTEED to agree
+    // on ≥ 1 band; beyond that the blocking is best-effort (flips spread
+    // across every band escape). Pick bands > the maxDist you must not
+    // miss — 8×8-bit for the audio tier's looser distances.
+    val bandBits = 64 / bands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
     val fp = perceptualHash(media)
     val banded0 = fp.select(col("media_id"), col("phash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("phash"), i * 16).bitwiseAND(0xffffL)): _*))
+      posexplode(array((0 until bands).map(i =>
+        shiftright(col("phash"), i * bandBits).bitwiseAND(mask)): _*))
         .as(Seq("band", "band_val")))
     val banded =
       if (maxBucket <= 0) banded0
@@ -712,6 +828,62 @@ object Multimodal {
         if (id % plantEvery == 0)
           Seq(base, base.copy(media_id = id + 1000000L,
             content = Codecs.encodeBmp24(Codecs.tilePx(seed, tweak = true))))
+        else Seq(base)
+      }
+  }
+
+  /** Deterministic REAL-WAV corpus from a text table — the audio twin of
+    * [[synthRasterBlobs]]: one 16-bit mono WAV per doc (8 kHz, 0.5 s), a
+    * mix of three seed-derived tones with a seed-derived loudness
+    * envelope; every `plantEvery`-th doc also plants a near-copy (id
+    * offset 1,000,000) at 70% amplitude with small deterministic noise —
+    * exactly the re-encode/re-master variant [[Codecs.audioFp64]]'s
+    * scale-invariant sign bits are built to keep pairing.
+    */
+  def synthAudioBlobs(df: DataFrame, idCol: String, textCol: String,
+      plantEvery: Int = 4): Dataset[MediaBlob] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val seed = text.hashCode.toLong & 0xffffffffL
+        def mix(z0: Long): Long = {
+          var z = z0
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z ^ (z >>> 31)
+        }
+        val n = 4000 // 0.5 s at 8 kHz
+        // three tones in the fingerprint's band range, seed-placed
+        val freqs = (0 until 3).map(t =>
+          0.05 + (mix(seed + t) & 0xffff).toDouble / 0xffff.toDouble * 0.45)
+        val amps = (0 until 3).map(t =>
+          0.2 + (mix(seed + 100 + t) & 0xffff).toDouble / 0xffff.toDouble * 0.8)
+        def samples(scale: Double, noise: Boolean): Array[Short] =
+          Array.tabulate(n) { i =>
+            var v = 0.0
+            var t = 0
+            while (t < 3) {
+              v += amps(t) * math.sin(math.Pi * freqs(t) * i); t += 1
+            }
+            // slow seed-derived loudness envelope → inter-frame energy
+            // trends, the quantity the fingerprint signs
+            v *= 0.6 + 0.4 * math.sin(2.0 * math.Pi * i / n +
+              (mix(seed + 7) & 0xff).toDouble / 40.0)
+            val nz = if (noise)
+              ((mix(seed + i) & 0xff).toDouble - 127.5) * 0.25
+            else 0.0
+            val s = scale * v * 8000.0 + nz
+            math.max(-32768.0, math.min(32767.0, s)).toShort
+          }
+        val base = MediaBlob(id, "audio",
+          Codecs.encodeWav16(samples(1.0, noise = false), 8000),
+          "audio/wav", -1, -1, 500L)
+        if (id % plantEvery == 0)
+          Seq(base, base.copy(media_id = id + 1000000L,
+            content = Codecs.encodeWav16(samples(0.7, noise = true), 8000)))
         else Seq(base)
       }
   }

@@ -1000,6 +1000,28 @@ object PipelineQueries {
           maxDist = 4)
         .orderBy("id_a", "id_b")
     },
+    // the audio rung: spectral fingerprints (Haitsma–Kalker robust-hash
+    // shape — per-frame Goertzel band energies, sign of the time-delta of
+    // band-deltas = amplitude-scale-invariant 64 bits) over a REAL 16-bit
+    // WAV corpus seeded per doc, with planted 70%-amplitude re-masters.
+    // Same narrow mapPartitions shape as media_phash; rows-only
+    "media_audio_fp" -> { (s, d) =>
+      Multimodal.perceptualHash(
+          Multimodal.synthAudioBlobs(Tables.documents(s, d), "doc_id", "text"))
+        .orderBy("media_id")
+    },
+    // audio near-dup through the same media ladder as dedup_media —
+    // content-hash dedup, then banded fingerprint pairs. Audio re-masters
+    // drift more bits than pixel edits, so the banding widens to 8×8-bit
+    // (pigeonhole guarantee up to Hamming 7) — the blocking/distance dial
+    // every banded tier exposes
+    "dedup_audio" -> { (s, d) =>
+      Multimodal.nearDupMedia(
+          Multimodal.dedupExactMedia(
+            Multimodal.synthAudioBlobs(Tables.documents(s, d), "doc_id", "text")),
+          maxDist = 7, bands = 8)
+        .orderBy("id_a", "id_b")
+    },
     // DSIR data selection (Xie et al. 2023): importance-resample the raw
     // pool toward a target domain (the zh slice as the exemplar corpus)
     // under add-1-smoothed hashed-bigram bag models. The fitted model is a

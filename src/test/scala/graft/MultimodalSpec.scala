@@ -337,4 +337,52 @@ class MultimodalSpec extends SparkSpec {
     assert((pairSet -- planted).size <= 3,
       s"too many near-collisions: ${pairSet -- planted}")
   }
+
+  test("audioFp64: scale-invariant, noise-tolerant, discriminative") {
+    def tone(freqs: Seq[Double], scale: Double,
+        noiseSeed: Option[Long]): Array[Byte] = {
+      val rnd = noiseSeed.map(new scala.util.Random(_))
+      val samples = Array.tabulate(4000) { i =>
+        val v = freqs.map(f => math.sin(math.Pi * f * i)).sum *
+          (0.6 + 0.4 * math.sin(2.0 * math.Pi * i / 4000.0))
+        val nz = rnd.map(_.nextGaussian() * 30.0).getOrElse(0.0)
+        math.max(-32768.0,
+          math.min(32767.0, scale * v * 8000.0 + nz)).toShort
+      }
+      Multimodal.Codecs.encodeWav16(samples, 8000)
+    }
+    val a = Multimodal.Codecs.audioFp64(tone(Seq(0.1, 0.22, 0.4), 1.0, None))
+    val half = Multimodal.Codecs.audioFp64(tone(Seq(0.1, 0.22, 0.4), 0.5, None))
+    assert(a.isDefined)
+    assert(a == half, "pure amplitude scaling must not move a single bit")
+    val noisy = Multimodal.Codecs
+      .audioFp64(tone(Seq(0.1, 0.22, 0.4), 0.7, Some(5L)))
+    val dNoise = hamming(a.get, noisy.get)
+    assert(dNoise <= 8, s"re-mastered copy drifted $dNoise bits")
+    val other = Multimodal.Codecs.audioFp64(tone(Seq(0.07, 0.31, 0.45), 1.0, None))
+    val dOther = hamming(a.get, other.get)
+    assert(dOther > 12, s"unrelated tones only $dOther bits away")
+    // non-WAV bytes have no audio identity
+    assert(Multimodal.Codecs.audioFp64("not audio".getBytes).isEmpty)
+  }
+
+  test("nearDupMedia pairs planted audio re-masters through the same ladder") {
+    val table = (0 until 24)
+      .map(i => (i.toLong, s"audio document $i humming its own tune $i"))
+      .toDF("doc_id", "text")
+    val blobs = Multimodal.synthAudioBlobs(table, "doc_id", "text",
+      plantEvery = 4)
+    val pairs = Multimodal.nearDupMedia(
+        Multimodal.dedupExactMedia(blobs), maxDist = 7, bands = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val planted = (0 until 24 by 4)
+      .map(i => (i.toLong, i.toLong + 1000000L)).toSet
+    lazy val fps = Multimodal.perceptualHash(blobs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    planted.foreach(p => assert(pairs.contains(p),
+      s"missed planted pair $p (hamming ${hamming(fps(p._1), fps(p._2))})"))
+    assert((pairs -- planted).size <= 3,
+      s"too many near-collisions: ${pairs -- planted}")
+  }
 }
