@@ -17,7 +17,8 @@ object PlanDump {
     "rarity_score", "dedup_semantic", "embed_quantize", "join_salted",
     "lm_score", "bpe_pairs", "text_normalize", "winnow_pairs",
     "heavy_hitters", "dsir_select", "curriculum_order", "doc_pack_bfd",
-    "lm_kn", "quality_lr", "mix_weights")
+    "lm_kn", "quality_lr", "mix_weights", "media_phash", "dedup_media",
+    "dedup_audio")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -225,6 +225,19 @@ object Recall {
     val audioRecall = audioPairs.flatMap(p => Seq(p._1, p._2))
       .count(_ >= 1000000L).toDouble / nAudioCopies
 
+    // video twin (the dedup_video declared config): planted
+    // per-frame-edited re-encodes must pair under the majority-vote fp
+    val videoBlobs =
+      graft.ext.Multimodal.synthVideoBlobs(docs, "doc_id", "text")
+    val videoPairs = graft.ext.Multimodal
+      .nearDupMedia(graft.ext.Multimodal.dedupExactMedia(videoBlobs),
+        maxDist = 7, bands = 8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nVideoCopies = videoBlobs.where(col("media_id") >= 1000000L).count()
+    val videoRecall = videoPairs.flatMap(p => Seq(p._1, p._2))
+      .count(_ >= 1000000L).toDouble / nVideoCopies
+
     val report =
       s"""# Recall at bench scale (generated by `graft.Recall`)
          |
@@ -249,6 +262,7 @@ object Recall {
          || SemDeDup design point | `dedup_semantic` | planted-near-dup corpus, nlist=16, cosine ≥ 0.8, maxCell=1000 | pair recall vs exact all-pairs cosine ≥ 0.8 (${semTruth.size} planted pairs); precision ${f"$semPrecision%.3f"} | ${f"$semRecall%.3f"} |
          || pHash media near-dup | `dedup_media` | exact-dedup → 4×16-bit bands, Hamming ≤ 4 | planted pixel-edited copies paired ($pairedCopies of $nCopies; $mediaFalse base↔base false pairs) | ${f"$mediaRecall%.3f"} |
          || audio fp near-dup | `dedup_audio` | exact-dedup → 8×8-bit bands, Hamming ≤ 7 | planted 70%-amplitude re-masters paired (of $nAudioCopies) | ${f"$audioRecall%.3f"} |
+         || video fp near-dup | `dedup_video` | exact-dedup → 8×8-bit bands, Hamming ≤ 7 | planted per-frame-edited re-encodes paired (of $nVideoCopies) | ${f"$videoRecall%.3f"} |
          |
          |Notes: cosine ≥ 0.3 (θ ≈ 72°) is a HARD regime for hyperplane
          |LSH — per-table collision is (1−θ/π)^4 ≈ 0.13, which is why the
@@ -300,6 +314,8 @@ object Recall {
       s"dedup_media base-base false pairs regressed: $mediaFalse")
     require(audioRecall >= 0.93,
       f"dedup_audio planted re-master recall regressed: $audioRecall%.3f")
+    require(videoRecall >= 0.93,
+      f"dedup_video planted re-encode recall regressed: $videoRecall%.3f")
     spark.stop()
   }
 }

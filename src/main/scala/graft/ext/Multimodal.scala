@@ -509,6 +509,97 @@ object Multimodal {
       out
     }
 
+    /** Minimal RIFF/AVI encoder for the uncompressed-DIB profile
+      * [[decodeAviFrames]] parses — real, self-contained video payloads
+      * for specs and the synthetic corpora. `frames` are row-major
+      * 0xRRGGBB rasters of size w×h.
+      */
+    def encodeAvi(w: Int, h: Int, usPerFrame: Int,
+        frames: Seq[Array[Int]]): Array[Byte] = {
+      import java.nio.{ByteBuffer, ByteOrder}
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      def dib(px: Array[Int]): Array[Byte] = {
+        val out = new Array[Byte](rowSize * h)
+        for (y <- 0 until h; x <- 0 until w) {
+          val rgb = px(y * w + x)
+          val o = (h - 1 - y) * rowSize + x * 3
+          out(o) = (rgb & 0xff).toByte
+          out(o + 1) = ((rgb >> 8) & 0xff).toByte
+          out(o + 2) = ((rgb >> 16) & 0xff).toByte
+        }
+        out
+      }
+      def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+      val strf = le(40).putInt(40).putInt(w).putInt(h).putShort(1)
+        .putShort(24).putInt(0).putInt(rowSize * h)
+        .putInt(0).putInt(0).putInt(0).putInt(0).array()
+      val avih = le(56).putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
+        .putInt(frames.length).putInt(0).putInt(1).putInt(0)
+        .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0).array()
+      val strh = new Array[Byte](56)
+      System.arraycopy("vids".getBytes("US-ASCII"), 0, strh, 0, 4)
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+        val pad = body.length & 1
+        le(8 + body.length + pad).put(id.getBytes("US-ASCII"))
+          .putInt(body.length).put(body).array()
+      }
+      def list(typ: String, children: Array[Byte]): Array[Byte] =
+        chunk("LIST", typ.getBytes("US-ASCII") ++ children)
+      val hdrl = list("hdrl", chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+      val movi =
+        list("movi", frames.map(f => chunk("00db", dib(f))).reduce(_ ++ _))
+      val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+      le(8 + body.length).put("RIFF".getBytes("US-ASCII"))
+        .putInt(body.length).put(body).array()
+    }
+
+    /** Temporally-coherent synthetic frames: every frame shares the
+      * seed's tile raster, with an 8×8 brightened block sweeping the
+      * diagonal (the "motion"). Real videos have correlated frames —
+      * that coherence is what makes a majority-vote fingerprint robust
+      * to frame drops; mutually-unrelated frames would make the vote a
+      * coin toss the moment one frame disappears.
+      */
+    def motionFrames(seed: Long, tweak: Boolean,
+        nFrames: Int): Seq[Array[Int]] =
+      (0 until nFrames).map { f =>
+        val px = tilePx(seed, tweak)
+        var y = f * 8
+        while (y < f * 8 + 8 && y < 32) {
+          var x = f * 8
+          while (x < f * 8 + 8 && x < 32) {
+            val g = math.min(255, (px(y)(x) & 0xff) + 40)
+            px(y)(x) = (g << 16) | (g << 8) | g
+            x += 1
+          }
+          y += 1
+        }
+        px.flatten
+      }
+
+    /** 64-bit video fingerprint: per-frame DCT pHash ([[pHash64]] over
+      * the real extracted frames), reduced by per-bit MAJORITY VOTE —
+      * robust to dropped/reordered frames and per-frame edits the same
+      * way SimHash is robust to word edits. None unless ≥ 1 frame
+      * raster-decodes.
+      */
+    def videoFp64(content: Array[Byte]): Option[Long] =
+      decodeAviFrames(content).flatMap { frames =>
+        val hs = frames.flatMap(pHash64(_))
+        if (hs.isEmpty) None
+        else {
+          var fp = 0L
+          var b = 0
+          while (b < 64) {
+            val votes = hs.count(h => ((h >> b) & 1L) != 0L)
+            if (2 * votes > hs.size) fp |= (1L << b)
+            b += 1
+          }
+          Some(fp)
+        }
+      }
+
     /** Minimal 24-bit BI_RGB BMP encoder (bottom-up rows, 4-byte padded) —
       * a byte-deterministic container for synthesizing REAL decodable
       * rasters (no ImageIO.write, whose encoder choice could vary).
@@ -735,6 +826,7 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions(_.flatMap(m =>
       Codecs.pHash64(m.content).orElse(Codecs.audioFp64(m.content))
+        .orElse(Codecs.videoFp64(m.content))
         .map(p => (m.media_id, p)))).toDF(
       "media_id", "phash")
   }
@@ -828,6 +920,36 @@ object Multimodal {
         if (id % plantEvery == 0)
           Seq(base, base.copy(media_id = id + 1000000L,
             content = Codecs.encodeBmp24(Codecs.tilePx(seed, tweak = true))))
+        else Seq(base)
+      }
+  }
+
+  /** Deterministic REAL-AVI corpus from a text table — the video twin of
+    * [[synthRasterBlobs]]: four 32×32 tile-raster frames per doc whose
+    * tile pattern evolves per frame (seed+frame), encoded as genuine
+    * uncompressed-DIB AVI ([[Codecs.encodeAvi]] — the profile
+    * [[Codecs.decodeAviFrames]] extracts for real). The planted near-copy
+    * (every `plantEvery`-th doc, id offset 1,000,000) applies the
+    * per-frame pixel tweak to every frame — the re-encoded-with-a-logo
+    * variant the majority-vote fingerprint must keep pairing.
+    */
+  def synthVideoBlobs(df: DataFrame, idCol: String, textCol: String,
+      plantEvery: Int = 4): Dataset[MediaBlob] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val seed = text.hashCode.toLong & 0xffffffffL
+        val base = MediaBlob(id, "video",
+          Codecs.encodeAvi(32, 32, 40000,
+            Codecs.motionFrames(seed, tweak = false, nFrames = 4)),
+          "video/avi", 32, 32, 160L)
+        if (id % plantEvery == 0)
+          Seq(base, base.copy(media_id = id + 1000000L,
+            content = Codecs.encodeAvi(32, 32, 40000,
+              Codecs.motionFrames(seed, tweak = true, nFrames = 4))))
         else Seq(base)
       }
   }

@@ -1022,6 +1022,24 @@ object PipelineQueries {
           maxDist = 7, bands = 8)
         .orderBy("id_a", "id_b")
     },
+    // the video rung: majority-vote of per-frame DCT pHashes over REAL
+    // extracted AVI frames (frame drops / per-frame edits move few bits,
+    // like SimHash under word edits), over a genuine uncompressed-DIB AVI
+    // corpus with temporally-coherent frames and planted per-frame-edited
+    // re-encodes. Rows-only, same narrow shape as the other media passes
+    "media_video_fp" -> { (s, d) =>
+      Multimodal.perceptualHash(
+          Multimodal.synthVideoBlobs(Tables.documents(s, d), "doc_id", "text"))
+        .orderBy("media_id")
+    },
+    // video near-dup through the same ladder and banding as dedup_audio
+    "dedup_video" -> { (s, d) =>
+      Multimodal.nearDupMedia(
+          Multimodal.dedupExactMedia(
+            Multimodal.synthVideoBlobs(Tables.documents(s, d), "doc_id", "text")),
+          maxDist = 7, bands = 8)
+        .orderBy("id_a", "id_b")
+    },
     // DSIR data selection (Xie et al. 2023): importance-resample the raw
     // pool toward a target domain (the zh slice as the exemplar corpus)
     // under add-1-smoothed hashed-bigram bag models. The fitted model is a

@@ -179,44 +179,8 @@ class MultimodalSpec extends SparkSpec {
   // bottom-up rows, 4-byte-aligned, exactly what a real AVI muxer emits
   // for the BI_RGB profile
   private def aviBytes(w: Int, h: Int, usPerFrame: Int,
-      frames: Seq[Array[Int]]): Array[Byte] = {
-    import java.nio.{ByteBuffer, ByteOrder}
-    val rowSize = ((w * 3 + 3) / 4) * 4
-    def dib(px: Array[Int]): Array[Byte] = {
-      val out = new Array[Byte](rowSize * h)
-      for (y <- 0 until h; x <- 0 until w) {
-        val rgb = px(y * w + x)
-        val o = (h - 1 - y) * rowSize + x * 3
-        out(o) = (rgb & 0xff).toByte
-        out(o + 1) = ((rgb >> 8) & 0xff).toByte
-        out(o + 2) = ((rgb >> 16) & 0xff).toByte
-      }
-      out
-    }
-    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
-    val strf = le(40).putInt(40).putInt(w).putInt(h).putShort(1)
-      .putShort(24).putInt(0).putInt(rowSize * h)
-      .putInt(0).putInt(0).putInt(0).putInt(0).array()
-    val avih = le(56).putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
-      .putInt(frames.length).putInt(0).putInt(1).putInt(0)
-      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0).array()
-    val strh = new Array[Byte](56)
-    System.arraycopy("vids".getBytes("US-ASCII"), 0, strh, 0, 4)
-    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
-      val pad = body.length & 1
-      le(8 + body.length + pad).put(id.getBytes("US-ASCII"))
-        .putInt(body.length).put(body).array()
-    }
-    def list(typ: String, children: Array[Byte]): Array[Byte] =
-      chunk("LIST", typ.getBytes("US-ASCII") ++ children)
-    val hdrl = list("hdrl", chunk("avih", avih) ++
-      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
-    val movi =
-      list("movi", frames.map(f => chunk("00db", dib(f))).reduce(_ ++ _))
-    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
-    le(8 + body.length).put("RIFF".getBytes("US-ASCII"))
-      .putInt(body.length).put(body).array()
-  }
+      frames: Seq[Array[Int]]): Array[Byte] =
+    Multimodal.Codecs.encodeAvi(w, h, usPerFrame, frames)
 
   private val black = 0x000000
   private val white = 0xffffff
@@ -336,6 +300,44 @@ class MultimodalSpec extends SparkSpec {
     }
     assert((pairSet -- planted).size <= 3,
       s"too many near-collisions: ${pairSet -- planted}")
+  }
+
+  test("videoFp64: majority vote over real frames — edit- and drop-tolerant") {
+    def vid(seed: Long, tweak: Boolean, nFrames: Int = 4): Array[Byte] =
+      Multimodal.Codecs.encodeAvi(32, 32, 40000,
+        Multimodal.Codecs.motionFrames(seed, tweak, nFrames))
+    val a = Multimodal.Codecs.videoFp64(vid(9L, tweak = false))
+    assert(a.isDefined)
+    val edited = Multimodal.Codecs.videoFp64(vid(9L, tweak = true))
+    val dEdit = hamming(a.get, edited.get)
+    assert(dEdit <= 8, s"per-frame-edited copy drifted $dEdit bits")
+    val dropped = Multimodal.Codecs.videoFp64(vid(9L, tweak = false, nFrames = 3))
+    val dDrop = hamming(a.get, dropped.get)
+    assert(dDrop <= 12, s"dropped-frame copy drifted $dDrop bits")
+    val other = Multimodal.Codecs.videoFp64(vid(777L, tweak = false))
+    val dOther = hamming(a.get, other.get)
+    assert(dOther > 12, s"unrelated video only $dOther bits away")
+    assert(Multimodal.Codecs.videoFp64("not a video".getBytes).isEmpty)
+  }
+
+  test("nearDupMedia pairs planted video re-edits through the same ladder") {
+    val table = (0 until 24)
+      .map(i => (i.toLong, s"video document $i shooting its own scene $i"))
+      .toDF("doc_id", "text")
+    val blobs = Multimodal.synthVideoBlobs(table, "doc_id", "text",
+      plantEvery = 4)
+    val pairs = Multimodal.nearDupMedia(
+        Multimodal.dedupExactMedia(blobs), maxDist = 7, bands = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val planted = (0 until 24 by 4)
+      .map(i => (i.toLong, i.toLong + 1000000L)).toSet
+    lazy val fps = Multimodal.perceptualHash(blobs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    planted.foreach(p => assert(pairs.contains(p),
+      s"missed planted pair $p (hamming ${hamming(fps(p._1), fps(p._2))})"))
+    assert((pairs -- planted).size <= 3,
+      s"too many near-collisions: ${pairs -- planted}")
   }
 
   test("audioFp64: scale-invariant, noise-tolerant, discriminative") {
