@@ -417,4 +417,25 @@ object MinHash {
   /** 64-bit SimHash of a word array (codegen'd). */
   def simHash64(words: Column): Column =
     Bridge.column(SimHash64F(Bridge.expression(words)))
+
+  private def litInt(e: Expression, what: String): Int = e.eval() match {
+    case n: Number => n.intValue
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** SQL-callable registration: `minhash_sig(shingles, k)`,
+    * `sig_bands(sig, bands)`, `simhash64(words)`,
+    * `winnow_fp(words, k, w)` — size arguments must be literals (they fix
+    * the generated code's loop bounds).
+    */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    Bridge.registerFunction(spark, "minhash_sig",
+      es => MinHashSigF(es(0), litInt(es(1), "numHashes")))
+    Bridge.registerFunction(spark, "sig_bands",
+      es => SigBandsF(es(0), litInt(es(1), "bands")))
+    Bridge.registerFunction(spark, "simhash64", es => SimHash64F(es(0)))
+    Bridge.registerFunction(spark, "winnow_fp",
+      es => WinnowFpF(es(0), litInt(es(1), "k"), litInt(es(2), "w")))
+  }
 }

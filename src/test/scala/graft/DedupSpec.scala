@@ -117,6 +117,30 @@ class DedupSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("fingerprint expressions are SQL-callable after registerAll") {
+    graft.functions.MinHash.registerAll(spark)
+    Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text").createOrReplaceTempView("sqlfp")
+    val r = spark.sql(
+      """SELECT minhash_sig(split(text, ' '), 8) AS sig,
+        |  sig_bands(minhash_sig(split(text, ' '), 8), 4) AS bands,
+        |  simhash64(split(text, ' ')) AS sh,
+        |  winnow_fp(split(text, ' '), 3, 4) AS wf
+        |FROM sqlfp""".stripMargin).collect().head
+    assert(r.getSeq[Long](0).length == 8)
+    assert(r.getSeq[Long](1).length == 4)
+    // SQL and Column paths must agree exactly
+    val viaCol = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text")
+      .select(
+        graft.functions.MinHash.simHash64(split(col("text"), " ")).as("sh"),
+        graft.functions.MinHash.winnowFingerprints(
+          split(col("text"), " "), 3, 4).as("wf"))
+      .collect().head
+    assert(r.getLong(2) == viaCol.getLong(0))
+    assert(r.getSeq[Long](3) == viaCol.getSeq[Long](1))
+  }
+
   test("exact dedup groups identical texts, keeper = min id") {
     val r = Dedup.exact(corpus, "doc_id", "text")
       .orderBy("keeper").collect()
