@@ -367,25 +367,33 @@ object Multimodal {
             }
             ty += 1
           }
-          // separable DCT-II, 8 output frequencies per axis suffice
+          // separable DCT-II: rows first (N×N → N×K), then columns
+          // (N×K → K×K) — N·N·K + N·K·K multiplies instead of the naive
+          // K²·N² quadruple loop (6× at N=32, K=8)
           val K = 8
           val cosT = Array.tabulate(K, N)((u, x) =>
             math.cos((2 * x + 1) * u * math.Pi / (2.0 * N)))
+          val rows = Array.ofDim[Double](N, K)
+          var y = 0
+          while (y < N) {
+            var v = 0
+            while (v < K) {
+              var acc = 0.0
+              var x = 0
+              while (x < N) { acc += g(y)(x) * cosT(v)(x); x += 1 }
+              rows(y)(v) = acc
+              v += 1
+            }
+            y += 1
+          }
           val block = new Array[Double](K * K)
           var u = 0
           while (u < K) {
             var v = 0
             while (v < K) {
               var acc = 0.0
-              var y = 0
-              while (y < N) {
-                var x = 0
-                while (x < N) {
-                  acc += g(y)(x) * cosT(u)(y) * cosT(v)(x)
-                  x += 1
-                }
-                y += 1
-              }
+              var yy = 0
+              while (yy < N) { acc += rows(yy)(v) * cosT(u)(yy); yy += 1 }
               block(u * K + v) = acc
               v += 1
             }
@@ -455,17 +463,21 @@ object Multimodal {
             val from = f * flen
             var b = 0
             while (b < bands) {
-              val w = math.Pi * (b + 1) / 16.0
-              val (cw, sw) = (math.cos(w), math.sin(w))
-              var re = 0.0; var im = 0.0
+              // Goertzel recurrence on the strided subsequence (effective
+              // frequency ω·stride): one multiply-add per sample, no trig
+              // in the loop — the direct cos/sin correlation this replaced
+              // dominated the whole media bench
+              val w = math.Pi * (b + 1) / 16.0 * stride
+              val coeff = 2.0 * math.cos(w)
+              var s1 = 0.0; var s2 = 0.0
               var i = from
               while (i < from + flen) {
-                val ph = w * (i - from)
-                // direct correlation (not the recurrence): stride-safe
-                re += s(i) * math.cos(ph); im += s(i) * math.sin(ph)
+                val s0 = s(i) + coeff * s1 - s2
+                s2 = s1; s1 = s0
                 i += stride
               }
-              e(f)(b) = re * re + im * im
+              // |X|² = s1² + s2² − coeff·s1·s2
+              e(f)(b) = s1 * s1 + s2 * s2 - coeff * s1 * s2
               b += 1
             }
             f += 1
@@ -890,6 +902,55 @@ object Multimodal {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long")
+          .as("hamming"))
+      .where(col("hamming") <= maxDist)
+      .distinct()
+  }
+
+  /** Persist a media corpus's banded fingerprint index, partitioned by
+    * band — the media twin of [[Dedup.writeBandIndex]]: the corpus is
+    * fingerprinted ONCE; each ingest batch probes the index instead of
+    * re-pairing the whole corpus. Rows are (media_id, phash, band,
+    * band_val); payloads are never written.
+    */
+  def writeFpIndex(media: Dataset[MediaBlob], path: String,
+      bands: Int = 4): Unit = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val bandBits = 64 / bands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
+    perceptualHash(media)
+      .select(col("media_id"), col("phash"),
+        posexplode(array((0 until bands).map(i =>
+          shiftright(col("phash"), i * bandBits).bitwiseAND(mask)): _*))
+          .as(Seq("band", "band_val")))
+      .write.mode("append").partitionBy("band").parquet(s"$path/batch")
+  }
+
+  /** Incremental media near-dup: a NEW batch of blobs against the
+    * persisted fingerprint index — cost ∝ batch × matching buckets,
+    * never corpus². Same distance/banding contract as [[nearDupMedia]]
+    * (use the `bands` the index was written with).
+    */
+  def candidatesAgainstFpIndex(newMedia: Dataset[MediaBlob],
+      indexPath: String, maxDist: Int = 3, bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val spark = newMedia.sparkSession
+    val bandBits = 64 / bands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
+    val idx = spark.read.parquet(s"$indexPath/batch")
+      .select(col("media_id").as("idx_id"), col("phash").as("idx_fp"),
+        col("band"), col("band_val"))
+    perceptualHash(newMedia)
+      .select(col("media_id").as("new_id"), col("phash").as("new_fp"),
+        posexplode(array((0 until bands).map(i =>
+          shiftright(col("phash"), i * bandBits).bitwiseAND(mask)): _*))
+          .as(Seq("band", "band_val")))
+      .join(idx, Seq("band", "band_val"))
+      .where(col("new_id") =!= col("idx_id"))
+      .select(
+        least(col("new_id"), col("idx_id")).as("id_a"),
+        greatest(col("new_id"), col("idx_id")).as("id_b"),
+        bit_count(col("new_fp").bitwiseXOR(col("idx_fp"))).cast("long")
           .as("hamming"))
       .where(col("hamming") <= maxDist)
       .distinct()

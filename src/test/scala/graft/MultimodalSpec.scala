@@ -340,6 +340,31 @@ class MultimodalSpec extends SparkSpec {
       s"too many near-collisions: ${pairs -- planted}")
   }
 
+  test("fingerprint index: a new batch pairs against the persisted corpus only") {
+    val corpus = (0 until 12)
+      .map(i => (i.toLong, s"indexed doc $i says something number $i"))
+      .toDF("doc_id", "text")
+    val corpusBlobs = Multimodal.synthRasterBlobs(corpus, "doc_id", "text",
+      plantEvery = 1000) // no planted copies in the indexed corpus
+    val path = tmpDir("fpidx")
+    Multimodal.writeFpIndex(corpusBlobs, path)
+    // the batch: one pixel-edited near-copy of indexed doc 3 + one novel
+    val batch = Seq(
+      Multimodal.MediaBlob(1000003L, "image",
+        Multimodal.Codecs.encodeBmp24(Multimodal.Codecs.tilePx(
+          "indexed doc 3 says something number 3".hashCode.toLong & 0xffffffffL,
+          tweak = true)), "image/bmp", 32, 32, -1L),
+      Multimodal.MediaBlob(555L, "image",
+        Multimodal.Codecs.encodeBmp24(Multimodal.Codecs.tilePx(987654L,
+          tweak = false)), "image/bmp", 32, 32, -1L))
+    import spark.implicits._
+    val pairs = Multimodal.candidatesAgainstFpIndex(batch.toDS(), path,
+        maxDist = 4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.toSet == Set((3L, 1000003L)),
+      s"expected only the planted near-copy pair, got ${pairs.toSeq}")
+  }
+
   test("audioFp64: scale-invariant, noise-tolerant, discriminative") {
     def tone(freqs: Seq[Double], scale: Double,
         noiseSeed: Option[Long]): Array[Byte] = {
