@@ -79,16 +79,31 @@ object Similarity {
     if (((mixed ^ (mixed >>> 13)) & 1L) == 0L) 1.0 else -1.0
   }
 
+  /** The ±1 hyperplane sign matrix for planes `fromPlane ..< fromPlane +
+    * nPlanes` — plan-constant input to [[graft.functions.LshSigsF]].
+    */
+  private def signMatrix(dim: Int, fromPlane: Int, nPlanes: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim)((p, i) => planeSign(i, fromPlane + p))
+
+  /** All `tables` nbits-bit table signatures as one array<long> column —
+    * ONE codegen'd pass over the vector ([[graft.functions.LshSigsF]]).
+    * Replaces `tables*nbits` separate 64-literal-array dot products whose
+    * expression tree dominated codegen compile time for the banded tiers;
+    * every signature bit is identical (LshSigsF's parity contract).
+    */
+  private def signatureArr(vecCol: Column, dim: Int, nbits: Int, tables: Int): Column =
+    graft.functions.VectorFunctions.lshSigs(
+      vecCol, signMatrix(dim, 0, tables * nbits), nbits)
+
   /** Signature of `nbits` hyperplane sign bits starting at plane index
     * `fromPlane` — the building block for both the base bucket key and the
     * extra refinement bits of [[lshBucketedCapped]] (which must come from
-    * planes the base signature has NOT consumed).
+    * planes the base signature has NOT consumed). One-table form of
+    * [[signatureArr]] (same codegen'd pass, same bits).
     */
   private def signatureBits(vecCol: Column, dim: Int, fromPlane: Int, nbits: Int): Column =
-    (0 until nbits).map { j =>
-      val plane = array((0 until dim).map(i => lit(planeSign(i, fromPlane + j))): _*)
-      when(dot(vecCol, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    element_at(graft.functions.VectorFunctions.lshSigs(
+      vecCol, signMatrix(dim, fromPlane, nbits), nbits), 1)
 
   /** nbits-bit LSH bucket signature for a float-array column. */
   def lshSignature(vecCol: Column, dim: Int, nbits: Int): Column =
@@ -174,8 +189,7 @@ object Similarity {
       maxExtraBits: Int = 16
   ): DataFrame = {
     require(tables >= 1, s"tables must be >= 1, got $tables")
-    val sigArr = array((0 until tables).map(t =>
-      signatureBits(col(vecCol), dim, t * nbits, nbits)): _*)
+    val sigArr = signatureArr(col(vecCol), dim, nbits, tables)
     val base = corpus.select(col("*") +:
       Seq(posexplode(sigArr).as(Seq("tbl", "lsh_bucket"))): _*)
     if (maxBucket <= 0) base
@@ -246,7 +260,14 @@ object Similarity {
     val bucketed = lshBandedCapped(embs, vecCol, dim, nbits, tables, maxBucket)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("cosine").desc, col("neighbor"))
-    val pairs =
+    // Both branches generate each UNORDERED pair once (id < neighbor),
+    // score it with a single dot product, then mirror the scored row for
+    // the per-id window — the per-id candidate set is symmetric, and
+    // cosine is orientation-invariant BIT-exactly (the left-to-right fold
+    // visits the same products in the same order either way, and na*nb ==
+    // nb*na), so this halves candidate/distinct/join traffic and dot
+    // products with identical output to the both-orientations form.
+    val half =
       if (tables == 1) {
         // single table: buckets are disjoint ⇒ pairs unique by
         // construction — vectors ride the bucket join, one dot per pair
@@ -257,7 +278,7 @@ object Similarity {
           col(idCol).as("neighbor"),
           col(vecCol).as("__vb"), col("__norm").as("__nb"))
         a.join(b, Seq("tbl", "lsh_bucket"))
-          .where(col("id") =!= col("neighbor"))
+          .where(col("id") < col("neighbor"))
           .select(col("id"), col("neighbor"),
             (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
               .as("cosine"))
@@ -273,7 +294,7 @@ object Similarity {
         val pb = bucketed.select(col("tbl"), col("lsh_bucket"),
           col(idCol).as("neighbor"))
         val cand = pa.join(pb, Seq("tbl", "lsh_bucket"))
-          .where(col("id") =!= col("neighbor"))
+          .where(col("id") < col("neighbor"))
           .select("id", "neighbor").distinct()
         val vec = embs.select(col(idCol), col(vecCol))
           .withColumn("__norm", sqrt(norm2(col(vecCol))))
@@ -286,6 +307,14 @@ object Similarity {
             (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
               .as("cosine"))
       }
+    // mirror via ONE explode (a self-union would re-execute the whole
+    // candidate/join subtree per branch)
+    val pairs = half.select(explode(array(
+      struct(col("id"), col("neighbor"), col("cosine")),
+      struct(col("neighbor").as("id"), col("id").as("neighbor"),
+        col("cosine")))).as("__p"))
+      .select(col("__p.id").as("id"), col("__p.neighbor").as("neighbor"),
+        col("__p.cosine").as("cosine"))
     pairs
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
@@ -723,8 +752,7 @@ object Similarity {
     */
   private def embIndexRows(embs: DataFrame, idCol: String, vecCol: String,
       dim: Int, nbits: Int, tables: Int): DataFrame = {
-    val sigArr = array((0 until tables).map(t =>
-      signatureBits(col(vecCol), dim, t * nbits, nbits)): _*)
+    val sigArr = signatureArr(col(vecCol), dim, nbits, tables)
     embs.select(
       col(idCol).as("id"), col(vecCol).as("vec"),
       sqrt(norm2(col(vecCol))).as("norm"),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native vector arithmetic for the similarity/dedup surface.
   *
@@ -203,6 +203,114 @@ case class NearestCentroidF(child: Expression, centroids: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/** All hyperplane-LSH table signatures of a vector in ONE codegen'd pass:
+  * output element t is the `nbits`-bit signature over sign rows
+  * `t*nbits ..< (t+1)*nbits` of `signs` (a ±1 matrix of
+  * `tables*nbits` hyperplanes × dim, plan-constant via `addReferenceObj`).
+  *
+  * Bit-compatibility contract with the composed form it replaces
+  * (`sum_j when(vec_dot(vec, plane_j) >= 0, 1<<j)` per table — 32+
+  * separate 64-literal array dots whose codegen dominated the whole
+  * bucketing stage): the per-plane accumulation is the same
+  * left-to-right `acc += v(i) * sign(i)` double fold, and the sign test
+  * reproduces Spark's `>=` ordering where NaN compares greater than any
+  * number (`isNaN || >= 0`), so every signature bit is identical
+  * (SimilaritySpec parity case over a NaN/mismatch fuzz corpus).
+  * Length-mismatched vectors and vectors with null elements keep the old
+  * all-zero signatures (each plane dot was null → bit 0). The one
+  * deliberate difference: a NULL vector now yields a NULL signature
+  * array (the row drops out of bucketing) instead of bucket 0 in every
+  * table — a null embedding has no business pair-joining inside bucket 0.
+  */
+case class LshSigsF(child: Expression, signs: Seq[Seq[Double]], nbits: Int)
+    extends UnaryExpression {
+  require(nbits > 0 && signs.nonEmpty && signs.length % nbits == 0,
+    s"signs rows (${signs.length}) must be a positive multiple of nbits=$nbits")
+
+  private lazy val sgn: Array[Array[Double]] = signs.map(_.toArray).toArray
+  private lazy val dim: Int = sgn(0).length
+  private lazy val tables: Int = sgn.length / nbits
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lsh_sigs expects array<float>/array<double>, got " +
+            other.simpleString)
+    }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val out = new Array[Long](tables)
+    var ok = arr.numElements() == dim
+    var i = 0
+    while (ok && i < dim) { if (arr.isNullAt(i)) ok = false; i += 1 }
+    if (ok) {
+      val fl = isFloat
+      var p = 0
+      while (p < sgn.length) {
+        val row = sgn(p)
+        var acc = 0.0
+        var j = 0
+        while (j < dim) {
+          acc += (if (fl) arr.getFloat(j).toDouble else arr.getDouble(j)) * row(j)
+          j += 1
+        }
+        if (java.lang.Double.isNaN(acc) || acc >= 0.0)
+          out(p / nbits) |= (1L << (p % nbits))
+        p += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val sg = ctx.addReferenceObj("lshSigns", sgn, "double[][]")
+      val out = ctx.freshName("out")
+      val ok = ctx.freshName("ok")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val get = if (isFloat) s"(double) $v.getFloat($j)" else s"$v.getDouble($j)"
+      s"""
+         |long[] $out = new long[$tables];
+         |boolean $ok = $v.numElements() == $dim;
+         |for (int $i = 0; $ok && $i < $dim; $i++) {
+         |  if ($v.isNullAt($i)) $ok = false;
+         |}
+         |if ($ok) {
+         |  for (int $p = 0; $p < ${sgn.length}; $p++) {
+         |    double $acc = 0.0;
+         |    for (int $j = 0; $j < $dim; $j++) {
+         |      $acc += $get * $sg[$p][$j];
+         |    }
+         |    if (Double.isNaN($acc) || $acc >= 0.0) {
+         |      $out[$p / $nbits] |= (1L << ($p % $nbits));
+         |    }
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LshSigsF =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** dot(a, b): Σ a(i)·b(i) in double, left-to-right (codegen'd). */
   def dot(a: Column, b: Column): Column =
@@ -212,6 +320,13 @@ object VectorFunctions {
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     Bridge.column(NearestCentroidF(Bridge.expression(vec),
       centroids.toIndexedSeq.map(_.toIndexedSeq)))
+
+  /** All hyperplane-LSH table signatures in one codegen'd pass: element t
+    * is the nbits-bit signature over sign rows t*nbits ..< (t+1)*nbits.
+    */
+  def lshSigs(vec: Column, signs: Array[Array[Double]], nbits: Int): Column =
+    Bridge.column(LshSigsF(Bridge.expression(vec),
+      signs.toIndexedSeq.map(_.toIndexedSeq), nbits))
 
   /** SQL-callable registration: `SELECT vec_dot(a, b) FROM …`. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =

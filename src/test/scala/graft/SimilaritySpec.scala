@@ -476,6 +476,61 @@ class SimilaritySpec extends SparkSpec {
     assert(knn.count() <= 100 * 3)
   }
 
+  test("native LshSigsF matches the composed when(dot>=0) form bit-for-bit") {
+    // the frozen plane-sign constant (Similarity.planeSign) — duplicated
+    // here so a silent change to the plane family fails this parity case
+    def planeSign(i: Int, plane: Int): Double = {
+      val x = i.toLong * 2654435761L + plane.toLong * 40503L + 12345L
+      val mixed = (x ^ (x >>> 16)) * 0x45d9f3bL
+      if (((mixed ^ (mixed >>> 13)) & 1L) == 0L) 1.0 else -1.0
+    }
+    val dim = 16; val nbits = 4; val tables = 3
+    val rnd = new scala.util.Random(11)
+    val fuzz: Seq[(Long, Seq[java.lang.Float])] =
+      (0 until 60).map(i => (i.toLong,
+        Seq.fill(dim)(java.lang.Float.valueOf(rnd.nextGaussian().toFloat)))) ++
+      Seq(
+        (100L, Seq.fill(dim)(java.lang.Float.valueOf(Float.NaN))),       // NaN dots
+        (101L, Seq.fill(dim - 3)(java.lang.Float.valueOf(1f))),          // short
+        (102L, Seq.fill(dim + 2)(java.lang.Float.valueOf(1f))),          // long
+        (103L, (Seq.fill(dim - 1)(java.lang.Float.valueOf(1f)) :+
+          (null: java.lang.Float))))                                     // null elem
+    val df = fuzz.toDF("vec_id", "v")
+    val signs = Array.tabulate(tables * nbits, dim)((p, i) => planeSign(i, p))
+    // the composed generation this expression replaced: one 16-literal
+    // plane array + dot + when per bit, summed per table
+    val composed = array((0 until tables).map { t =>
+      (0 until nbits).map { j =>
+        val plane = array((0 until dim).map(i =>
+          lit(signs(t * nbits + j)(i))): _*)
+        when(Similarity.dot(col("v"), plane) >= 0, lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    val rows = df.select(col("vec_id"),
+      graft.functions.VectorFunctions.lshSigs(col("v"), signs, nbits)
+        .as("fast"),
+      composed.as("slow")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"signature mismatch for vec ${r.getLong(0)}")
+    }
+    // NaN dots take the Spark `>=` branch (NaN > any number): all bits set
+    val nan = rows.find(_.getLong(0) == 100L).get.getSeq[Long](1)
+    assert(nan.forall(_ == (1L << nbits) - 1))
+    // mismatch / null element: all-zero signatures, like the null dots
+    Seq(101L, 102L, 103L).foreach { id =>
+      assert(rows.find(_.getLong(0) == id).get.getSeq[Long](1)
+        .forall(_ == 0L))
+    }
+    // the documented difference: a NULL vector yields NULL (drops out of
+    // bucketing) where the composed form bucketed it at 0 in every table
+    val nv = Seq((1L, null: Seq[java.lang.Float])).toDF("vec_id", "v")
+      .select(graft.functions.VectorFunctions.lshSigs(col("v"), signs, nbits))
+      .collect()
+    assert(nv.head.isNullAt(0))
+  }
+
   test("lsh bucket is deterministic across evaluations") {
     val vecs = (0 until 50).map(i =>
       (i.toLong, (0 until 16).map(j => math.sin(i * 17 + j).toFloat)))
