@@ -74,6 +74,30 @@ object CapabilityQueries {
         .agg(count(lit(1)).as("n_late"))
         .orderBy("o_orderpriority")
     },
+    // DECLARATIVE similarity join: the user writes the quadratic
+    // `bit_count(fp_a ^ fp_b) <= 4` predicate; the Catalyst rewrite
+    // (graft.plans.SimJoinRewrite, installed via extraOptimizations)
+    // turns the nested-loop plan into a pigeonhole-banded equi-join with
+    // identical output — which is why this query can run the same SQL
+    // quadratically in DuckDB and still hash-match. Fingerprints are a
+    // deterministic arithmetic mix of doc_id/n_chars so the oracle can
+    // build the very same 64-bit values.
+    "join_hamming" -> { (s, d) =>
+      graft.plans.SimJoin.install(s)
+      val fp = (shiftleft(shiftright(col("doc_id"), 3), 16) +
+        col("doc_id").bitwiseAND(lit(7L)) +
+        shiftleft(pmod(col("n_chars"), lit(8L)), 4)).as("fp")
+      val docs = Tables.documents(s, d).select(col("doc_id"), fp)
+      val a = docs.select(col("doc_id").as("id_a"), col("fp").as("fp_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
+      a.join(b,
+          graft.plans.SimJoin.hamming64(col("fp_a"), col("fp_b")) <= 4 &&
+          col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          graft.plans.SimJoin.hamming64(col("fp_a"), col("fp_b"))
+            .as("hamming"))
+        .orderBy("id_a", "id_b")
+    },
     // TPC-H Q1 shape: multi-measure grouped agg with derived expressions
     "agg_group" -> { (s, d) =>
       val l = Tables.lineitem(s, d)
@@ -610,6 +634,16 @@ object CapabilityQueries {
         |FROM orders JOIN lineitem
         | ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "join_hamming" ->
+      """WITH f AS (
+        | SELECT doc_id,
+        |  ((doc_id >> 3) << 16) + (doc_id & 7) + ((n_chars % 8) << 4) AS fp
+        | FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+        |FROM f a JOIN f b
+        | ON bit_count(xor(a.fp, b.fp)) <= 4 AND a.doc_id < b.doc_id
+        |ORDER BY 1, 2""".stripMargin,
     "agg_group" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.plans.{SimJoin, SimJoinRewrite}
+
+/** The declarative similarity-join rewrite: `bit_count(a ^ b) <= d` joins
+  * must produce the nested-loop plan's exact multiset of rows while the
+  * executed plan carries no cartesian/nested-loop operator.
+  */
+class SimJoinRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Fingerprint corpus with planted near-pairs, far rows, exact
+    * duplicates (multiset semantics) and a null fingerprint.
+    */
+  private def corpus(): (DataFrame, DataFrame) = {
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 40).map(i => (i.toLong, rnd.nextLong()))
+    val near = base.take(10).map { case (id, fp) =>
+      // flip 3 bits spread across bands
+      (id + 1000L, fp ^ (1L << (id % 60)) ^ (1L << 62) ^ 2L)
+    }
+    val rows: Seq[(java.lang.Long, java.lang.Long)] =
+      (base ++ near ++ Seq(base(5), base(5))) // duplicate row twice more
+        .map { case (id, fp) =>
+          (java.lang.Long.valueOf(id), java.lang.Long.valueOf(fp))
+        } :+ ((java.lang.Long.valueOf(9999L), null: java.lang.Long))
+    val a = rows.toDF("id_a", "fp_a")
+    val b = rows.map { case (i, f) => (i, f) }.toDF("id_b", "fp_b")
+    (a, b)
+  }
+
+  private def withRule[T](f: => T): T = {
+    val saved = spark.experimental.extraOptimizations
+    SimJoin.install(spark)
+    try f finally spark.experimental.extraOptimizations = saved
+  }
+
+  private def key(r: org.apache.spark.sql.Row): (Long, Long) =
+    (r.getLong(0), r.getLong(1))
+
+  test("rewritten join: exact multiset parity with the nested-loop plan") {
+    val (a, b) = corpus()
+    def q(): DataFrame =
+      a.join(b, SimJoin.hamming64($"fp_a", $"fp_b") <= 3 && $"id_a" < $"id_b")
+        .select($"id_a", $"id_b")
+    // naive (no rule): BroadcastNestedLoopJoin
+    val naivePlan = q().queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoopJoin") ||
+      naivePlan.contains("CartesianProduct"),
+      s"expected a nested-loop baseline, got:\n$naivePlan")
+    val naive = q().collect().map(key).groupBy(identity).view
+      .mapValues(_.length).toMap
+    assert(naive.nonEmpty, "corpus must produce near-pairs")
+    // planted duplicates must appear with multiplicity > 1 in the baseline
+    assert(naive.exists(_._2 > 1), "expected duplicate-row multiplicity")
+    val (rewritten, plan) = withRule {
+      val df = q()
+      (df.collect().map(key).groupBy(identity).view.mapValues(_.length).toMap,
+        df.queryExecution.executedPlan.toString)
+    }
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"rewritten plan still nested-loop:\n$plan")
+    assert(rewritten == naive)
+  }
+
+  test("exactly-once: identical fingerprints (all bands agree) pair once") {
+    val a = Seq((1L, 42L), (2L, 42L)).toDF("id_a", "fp_a")
+    val b = Seq((3L, 42L)).toDF("id_b", "fp_b")
+    val out = withRule {
+      a.join(b, SimJoin.hamming64($"fp_a", $"fp_b") <= 4)
+        .select($"id_a", $"id_b").collect().map(key).toSeq
+    }
+    assert(out.sorted == Seq((1L, 3L), (2L, 3L)))
+  }
+
+  test("null fingerprints drop out, as in the nested-loop form") {
+    val a = Seq((java.lang.Long.valueOf(1L), null: java.lang.Long))
+      .toDF("id_a", "fp_a")
+    val b = Seq((java.lang.Long.valueOf(2L), java.lang.Long.valueOf(0L)))
+      .toDF("id_b", "fp_b")
+    val out = withRule {
+      a.join(b, SimJoin.hamming64($"fp_a", $"fp_b") <= 64).count()
+    }
+    assert(out == 0L)
+  }
+
+  test("guards: equi-keyed, vacuous, and straddling conditions are untouched") {
+    val (a, b) = corpus()
+    def optimized(df: DataFrame) = df.queryExecution.optimizedPlan
+    // already hash-joinable: equality conjunct present
+    val equi = a.join(b, $"id_a" === $"id_b" &&
+      SimJoin.hamming64($"fp_a", $"fp_b") <= 3)
+    assert(SimJoinRewrite(optimized(equi)) eq optimized(equi))
+    // d >= 64 is vacuously true — no banding possible
+    val vac = a.join(b, SimJoin.hamming64($"fp_a", $"fp_b") <= 64)
+    assert(SimJoinRewrite(optimized(vac)) eq optimized(vac))
+    // fingerprint expression straddling both sides: not a similarity join
+    val straddle = a.join(b,
+      bit_count($"fp_a".bitwiseXOR($"id_b")
+        .bitwiseXOR($"id_a".bitwiseXOR($"fp_b"))) <= 3)
+    assert(SimJoinRewrite(optimized(straddle)) eq optimized(straddle))
+    // the positive case DOES change
+    val pos = a.join(b, SimJoin.hamming64($"fp_a", $"fp_b") <= 3)
+    assert(!(SimJoinRewrite(optimized(pos)) eq optimized(pos)))
+  }
+
+  test("comparison orientations and strict < are recognized") {
+    val (a, b) = corpus()
+    val forms = Seq(
+      a.join(b, SimJoin.hamming64($"fp_a", $"fp_b") < 4),
+      a.join(b, lit(3) >= SimJoin.hamming64($"fp_a", $"fp_b")),
+      a.join(b, lit(4) > SimJoin.hamming64($"fp_b", $"fp_a")))
+    val expect = withRule {
+      forms.head.select($"id_a", $"id_b").collect().map(key).sorted.toSeq
+    }
+    forms.foreach { f =>
+      val (out, plan) = withRule {
+        (f.select($"id_a", $"id_b").collect().map(key).sorted.toSeq,
+          f.queryExecution.executedPlan.toString)
+      }
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"))
+      assert(out == expect)
+    }
+  }
+}
