@@ -17,29 +17,20 @@ object ProfTmp {
       val s = System.nanoTime(); f
       println(f"[prof] $name%-28s ${(System.nanoTime()-s)/1e9}%.2f s")
     }
-    t("synthVideoBlobs only") {
-      println("  n=" + Multimodal.synthVideoBlobs(docs, "doc_id", "text").count())
+    val audio = Multimodal.synthAudioBlobs(docs, "doc_id", "text")
+    t("audio corpus materialize") { audio.count() }
+    t("audio count warm")         { audio.count() }
+    t("audio fp pass 1") {
+      Multimodal.perceptualHash(audio).write.format("noop").mode("overwrite").save()
     }
-    t("video synth+fp") {
-      Multimodal.perceptualHash(
-        Multimodal.synthVideoBlobs(docs, "doc_id", "text"))
-        .write.format("noop").mode("overwrite").save()
+    t("audio fp pass 2") {
+      Multimodal.perceptualHash(audio).write.format("noop").mode("overwrite").save()
     }
-    t("synthAudioBlobs only") {
-      println("  n=" + Multimodal.synthAudioBlobs(docs, "doc_id", "text").count())
-    }
-    t("audio synth+fp") {
-      Multimodal.perceptualHash(
-        Multimodal.synthAudioBlobs(docs, "doc_id", "text"))
-        .write.format("noop").mode("overwrite").save()
-    }
-    t("synthRasterBlobs only") {
-      println("  n=" + Multimodal.synthRasterBlobs(docs, "doc_id", "text").count())
-    }
-    t("raster synth+fp") {
-      Multimodal.perceptualHash(
-        Multimodal.synthRasterBlobs(docs, "doc_id", "text"))
-        .write.format("noop").mode("overwrite").save()
+    // driver-side single blob timing
+    val one = audio.head()
+    t("10k audioFp64 driver-side") {
+      var i = 0
+      while (i < 10000) { Multimodal.Codecs.audioFp64(one.content); i += 1 }
     }
     spark.stop()
   }

@@ -887,10 +887,22 @@ object Multimodal {
   def perceptualHash(media: Dataset[MediaBlob]): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
+    // dispatch on container magic bytes, not a try-each-decoder chain:
+    // a WAV/AVI payload previously paid a FAILED ImageIO plugin scan
+    // (and AVI a failed WAV parse) before reaching its own decoder —
+    // the dominant cost of the non-image fingerprint passes. Unknown
+    // containers keep the permissive fallback chain.
+    def riff(c: Array[Byte], tag: String): Boolean =
+      c.length >= 12 && c(0) == 'R' && c(1) == 'I' && c(2) == 'F' &&
+        c(3) == 'F' && c(8) == tag(0) && c(9) == tag(1) &&
+        c(10) == tag(2) && c(11) == tag(3)
+    def fp(c: Array[Byte]): Option[Long] =
+      if (riff(c, "WAVE")) Codecs.audioFp64(c)
+      else if (riff(c, "AVI ")) Codecs.videoFp64(c)
+      else Codecs.pHash64(c).orElse(Codecs.audioFp64(c))
+        .orElse(Codecs.videoFp64(c))
     media.mapPartitions(_.flatMap(m =>
-      Codecs.pHash64(m.content).orElse(Codecs.audioFp64(m.content))
-        .orElse(Codecs.videoFp64(m.content))
-        .map(p => (m.media_id, p)))).toDF(
+      fp(m.content).map(p => (m.media_id, p)))).toDF(
       "media_id", "phash")
   }
 
@@ -1036,7 +1048,12 @@ object Multimodal {
     val path = synthCache.computeIfAbsent(key, _ => {
       val p = s"${System.getProperty("java.io.tmpdir")}/graft-synth-" +
         s"$synthJvmTag-$kind-${Integer.toHexString(key._3)}-$plantEvery"
-      build.write.mode("overwrite").parquet(p)
+      // spread across files: blob rows are few but each is expensive to
+      // fingerprint, and one ~50 MB parquet file would hand the whole
+      // decode pass to a single input partition
+      val parts = math.max(1, math.min(32,
+        spark.sparkContext.defaultParallelism))
+      build.repartition(parts).write.mode("overwrite").parquet(p)
       p
     })
     spark.read.parquet(path).as[MediaBlob]
