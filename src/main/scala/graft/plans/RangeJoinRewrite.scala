@@ -1,0 +1,182 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+/** Interval-containment joins as a Catalyst optimizer rewrite — the
+  * companion of [[SimJoinRewrite]] for the other classic nested-loop
+  * trap. A point-in-interval join written declaratively —
+  * {{{
+  *   points.join(ranges, $"block_num" >= $"lo" && $"block_num" <= $"hi")
+  * }}}
+  * — has no equality conjunct, so Spark's only physical options are
+  * BroadcastNestedLoopJoin / CartesianProduct: every point compared to
+  * every interval. The standard fix (Databricks' range-join binning,
+  * DuckDB/Postgres interval indexes) is to quantize the domain:
+  *
+  *  - pick a bin width `B` (`spark.graft.rangeJoin.binWidth`, default
+  *    [[RangeJoinRewrite.DefaultBinWidth]]);
+  *  - the POINT side computes its single bin `floor(p / B)`;
+  *  - the INTERVAL side explodes to one row per bin its `[lo, hi]` span
+  *    covers (`sequence(floor(lo/B), floor(hi/B))` — one Generate, rows
+  *    ∝ interval length / B);
+  *  - equi-join on the bin, then re-apply the original bound predicates
+  *    (binning is blocking, not containment) and any other conjuncts.
+  *
+  * Exactly-once needs NO dedup pass here: a point has exactly one bin,
+  * so each (point row, interval row) combination meets in exactly one
+  * bin — output multiset identical to the nested-loop plan, duplicates
+  * and all. Null points/bounds never match an equi-join key, matching
+  * the nested-loop behavior of null comparisons.
+  *
+  * Scale shape: shuffle on the bin key; per-bin work is |points in bin| ×
+  * |intervals covering bin| — local skew is governed by the bin width
+  * dial (too wide → big bins; too narrow → long interval explosions).
+  * Bounds must be integral (floor-division bins need exact arithmetic;
+  * event time in this library is integral epoch micros — `Tables.events`
+  * `ts` — so time ranges qualify as-is).
+  *
+  * Guards (all leave the plan untouched): non-integral types, fp
+  * expressions straddling both sides, an existing inter-side equality
+  * conjunct (already hash-joinable; also the fixed-point terminator,
+  * since the rewritten join carries a bin equality), non-deterministic
+  * expressions, inverted constant bounds.
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  val DefaultBinWidth = 1000L
+
+  private val integral = Seq(ByteType, ShortType, IntegerType, LongType)
+
+  /** Both readings of an inequality conjunct as (point, bound,
+    * boundIsLower): `l <= r` is "point l below bound r" AND "point r
+    * above bound l" — the operator alone cannot say which operand is the
+    * probe, so the side analysis in [[findRange]] disambiguates. Strict
+    * comparisons band identically (a point satisfying `lo < p` also
+    * satisfies `floor(lo/B) <= floor(p/B)`); the ORIGINAL conjuncts are
+    * re-applied verbatim, so strictness is never widened.
+    */
+  private def boundOf(e: Expression): Seq[(Expression, Expression, Boolean)] =
+    e match {
+      case LessThanOrEqual(l, r) => Seq((l, r, false), (r, l, true))
+      case LessThan(l, r)        => Seq((l, r, false), (r, l, true))
+      case GreaterThanOrEqual(l, r) => Seq((l, r, true), (r, l, false))
+      case GreaterThan(l, r)        => Seq((l, r, true), (r, l, false))
+      case _ => Seq.empty
+    }
+
+  private def sideOf(e: Expression, left: LogicalPlan,
+      right: LogicalPlan): Option[Boolean] =
+    if (e.references.isEmpty || !e.deterministic) None
+    else if (e.references.subsetOf(left.outputSet)) Some(true)
+    else if (e.references.subsetOf(right.outputSet)) Some(false)
+    else None
+
+  /** Find a (point, lo, hi) triple: two conjuncts bounding the SAME
+    * point expression from one side with interval bounds from the other.
+    * Returns (point, pointOnLeft, lo, hi).
+    */
+  private def findRange(conjuncts: Seq[Expression], left: LogicalPlan,
+      right: LogicalPlan)
+      : Option[(Expression, Boolean, Expression, Expression)] = {
+    val candidates = conjuncts.flatMap(boundOf).collect {
+      case (p, b, isLo)
+          if integral.contains(p.dataType) && p.dataType == b.dataType =>
+        (p, b, isLo)
+    }
+    val byPoint = candidates.groupBy { case (p, _, _) => p.canonicalized }
+    byPoint.view.flatMap { case (_, cs) =>
+      for {
+        (p, lo, _) <- cs.find(_._3)
+        (_, hi, _) <- cs.find(c => !c._3)
+        pLeft <- sideOf(p, left, right)
+        loSide <- sideOf(lo, left, right)
+        hiSide <- sideOf(hi, left, right)
+        // both bounds from the side the point is NOT on
+        if loSide == !pLeft && hiSide == !pLeft
+      } yield (p, pLeft, lo, hi)
+    }.headOption
+  }
+
+  private def hasEquiKey(conjuncts: Seq[Expression], left: LogicalPlan,
+      right: LogicalPlan): Boolean =
+    conjuncts.exists {
+      case EqualTo(l, r) =>
+        (sideOf(l, left, right), sideOf(r, left, right)) match {
+          case (Some(a), Some(b)) => a != b
+          case _                  => false
+        }
+      case _ => false
+    }
+
+  private def binWidth: Long = {
+    val v = conf.getConfString("spark.graft.rangeJoin.binWidth",
+      DefaultBinWidth.toString)
+    try math.max(1L, v.toLong)
+    catch { case _: NumberFormatException => DefaultBinWidth }
+  }
+
+  private def asLong(e: Expression): Expression =
+    if (e.dataType == LongType) e else Cast(e, LongType)
+
+  /** floor(x / B) for possibly-negative x: integer division in Spark
+    * truncates toward zero, so subtract the positive remainder first —
+    * `(x - ((x % B + B) % B)) div B`.
+    */
+  private def floorDiv(x: Expression, b: Long): Expression = {
+    val bb = Literal(b)
+    val posMod = Remainder(Add(Remainder(x, bb), bb), bb)
+    IntegralDivide(Subtract(x, posMod), bb)
+  }
+
+  def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, Inner | Cross, Some(cond), hint) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      if (hasEquiKey(conjuncts, left, right)) j
+      else findRange(conjuncts, left, right) match {
+        case None => j
+        case Some((point, pLeft, lo, hi)) =>
+          val b = binWidth
+          val (pointPlan, rangePlan) = if (pLeft) (left, right) else (right, left)
+          // point side: one bin column (a plain Project)
+          val pBin = Alias(floorDiv(asLong(point), b), "__rj_bin_p")()
+          val pointProj = Project(pointPlan.output :+ pBin, pointPlan)
+          // interval side: one row per covered bin (null bounds → null
+          // sequence → Explode emits no rows, matching the nested-loop
+          // null-comparison drop; elements themselves are never null)
+          val rBin = AttributeReference("__rj_bin_r", LongType,
+            nullable = false)()
+          // Sequence is TimeZoneAwareExpression: without a timezone id it
+          // reports unresolved even for integral sequences, and the
+          // optimizer's plan validation rejects the rewrite
+          val seq = Sequence(floorDiv(asLong(lo), b),
+            floorDiv(asLong(hi), b), None,
+            Some(conf.sessionLocalTimeZone))
+          val rangeGen = Generate(Explode(seq), unrequiredChildIndex = Nil,
+            outer = false, qualifier = None, generatorOutput = Seq(rBin),
+            child = rangePlan)
+          val (newLeft, newRight) =
+            if (pLeft) (pointProj, rangeGen) else (rangeGen, pointProj)
+          // the ORIGINAL condition rides along verbatim (strict bounds
+          // stay strict); the bin equality is purely additive blocking
+          val newCond = And(EqualTo(pBin.toAttribute, rBin), cond)
+          Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), hint))
+      }
+  }
+}
+
+/** Session-local installer for the range-join rewrite (see
+  * [[SimJoin.install]] for the extension-point story; both rules are in
+  * [[GraftExtensions]] for `spark.sql.extensions` deployments).
+  */
+object RangeJoin {
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(RangeJoinRewrite))
+      spark.experimental.extraOptimizations = cur :+ RangeJoinRewrite
+  }
+}

@@ -204,8 +204,10 @@ object SimJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   * session of the deployment.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => SimJoinRewrite)
+    e.injectOptimizerRule(_ => RangeJoinRewrite)
+  }
 }
 
 object SimJoin {

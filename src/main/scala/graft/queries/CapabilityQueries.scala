@@ -81,12 +81,19 @@ object CapabilityQueries {
     // identical output — which is why this query can run the same SQL
     // quadratically in DuckDB and still hash-match. Fingerprints are a
     // deterministic arithmetic mix of doc_id/n_chars so the oracle can
-    // build the very same 64-bit values.
+    // build the very same 64-bit values: a 21-bit pattern (10-bit group,
+    // 3-bit doc low bits, 3-bit length class) tiled into three DISJOINT
+    // copies across the word — every band carries signal (an fp that
+    // leaves high bands constant-zero makes those bands degenerate
+    // buckets, the exact skew the hand-built tiers cap), and two fps sit
+    // within Hamming 4 iff their patterns differ in ≤ 1 bit.
     "join_hamming" -> { (s, d) =>
       graft.plans.SimJoin.install(s)
-      val fp = (shiftleft(shiftright(col("doc_id"), 3), 16) +
+      val x = shiftleft(pmod(shiftright(col("doc_id"), 3), lit(1024L)), 11) +
         col("doc_id").bitwiseAND(lit(7L)) +
-        shiftleft(pmod(col("n_chars"), lit(8L)), 4)).as("fp")
+        shiftleft(pmod(col("n_chars"), lit(8L)), 5)
+      val fp = x.bitwiseXOR(shiftleft(x, 21)).bitwiseXOR(shiftleft(x, 42))
+        .as("fp")
       val docs = Tables.documents(s, d).select(col("doc_id"), fp)
       val a = docs.select(col("doc_id").as("id_a"), col("fp").as("fp_a"))
       val b = docs.select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
@@ -97,6 +104,29 @@ object CapabilityQueries {
           graft.plans.SimJoin.hamming64(col("fp_a"), col("fp_b"))
             .as("hamming"))
         .orderBy("id_a", "id_b")
+    },
+    // DECLARATIVE interval-containment join: the user writes the plain
+    // `point >= lo AND point <= hi` predicate (no equi key — Spark's
+    // nested-loop trap); graft.plans.RangeJoinRewrite bins the domain and
+    // turns it into an equi-join on floor(point/B), re-applying the exact
+    // original predicate. DuckDB executes the same SQL through its own
+    // IEJoin — two independent physical strategies, one hash-matched
+    // result. Bin width 16 fits the short synthetic spans (default 1000
+    // would leave ~10 distinct bins — no parallelism).
+    "join_interval" -> { (s, d) =>
+      graft.plans.RangeJoin.install(s)
+      s.conf.set("spark.graft.rangeJoin.binWidth", "16")
+      val ev = Tables.events(s, d).select(col("event_id"))
+      val iv = Tables.orders(s, d).select(col("o_orderkey"),
+        (col("o_orderkey") * 7 % 10000).as("lo"),
+        (col("o_orderkey") * 7 % 10000 + (col("o_orderkey") % 5) * 3)
+          .as("hi"))
+      ev.join(iv, col("event_id") >= col("lo") &&
+          col("event_id") <= col("hi"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_events"),
+          min("event_id").as("min_eid"), max("event_id").as("max_eid"))
+        .orderBy("o_orderkey")
     },
     // TPC-H Q1 shape: multi-measure grouped agg with derived expressions
     "agg_group" -> { (s, d) =>
@@ -635,15 +665,27 @@ object CapabilityQueries {
         | ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_hamming" ->
-      """WITH f AS (
+      """WITH x AS (
         | SELECT doc_id,
-        |  ((doc_id >> 3) << 16) + (doc_id & 7) + ((n_chars % 8) << 4) AS fp
-        | FROM documents)
+        |  (((doc_id >> 3) % 1024) << 11) + (doc_id & 7)
+        |   + ((n_chars % 8) << 5) AS x
+        | FROM documents),
+        |f AS (
+        | SELECT doc_id, xor(xor(x, x << 21), x << 42) AS fp FROM x)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         | CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
         |FROM f a JOIN f b
         | ON bit_count(xor(a.fp, b.fp)) <= 4 AND a.doc_id < b.doc_id
         |ORDER BY 1, 2""".stripMargin,
+    "join_interval" ->
+      """WITH iv AS (
+        | SELECT o_orderkey, (o_orderkey * 7) % 10000 AS lo,
+        |  (o_orderkey * 7) % 10000 + (o_orderkey % 5) * 3 AS hi
+        | FROM orders)
+        |SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_events,
+        | min(event_id) AS min_eid, max(event_id) AS max_eid
+        |FROM events JOIN iv ON event_id >= lo AND event_id <= hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_group" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.plans.{RangeJoin, RangeJoinRewrite}
+
+/** The interval-containment rewrite: `p >= lo && p <= hi` joins must
+  * produce the nested-loop plan's exact multiset of rows from a banded
+  * equi-join plan.
+  */
+class RangeJoinRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Points (with duplicates, negatives and a null) × intervals (short,
+    * long, inverted, null-bounded) — every edge the rewrite must keep
+    * bit-compatible with the nested-loop form.
+    */
+  private def corpus(): (DataFrame, DataFrame) = {
+    val rnd = new scala.util.Random(13)
+    val pts: Seq[java.lang.Long] =
+      (0 until 300).map(_ => java.lang.Long.valueOf(rnd.nextLong() % 50000L)) ++
+        Seq(java.lang.Long.valueOf(777L), java.lang.Long.valueOf(777L),
+          null.asInstanceOf[java.lang.Long])
+    val points = (pts.zipWithIndex
+      .map { case (p, i) => (i.toLong, p) } ++
+      // two literal duplicate ROWS: multiset semantics must multiply them
+      Seq((500L, java.lang.Long.valueOf(777L)),
+        (500L, java.lang.Long.valueOf(777L)))).toDF("pid", "p")
+    val ivs: Seq[(Long, java.lang.Long, java.lang.Long)] =
+      (0 until 80).map { i =>
+        val lo = rnd.nextLong() % 50000L
+        (i.toLong, java.lang.Long.valueOf(lo),
+          java.lang.Long.valueOf(lo + rnd.nextInt(5000)))
+      } ++ Seq(
+        (900L, java.lang.Long.valueOf(700L), java.lang.Long.valueOf(800L)),
+        (901L, java.lang.Long.valueOf(100L), java.lang.Long.valueOf(-100L)), // inverted
+        (902L, null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(5L)),
+        (903L, java.lang.Long.valueOf(-40000L), java.lang.Long.valueOf(40000L))) // long span
+    val ranges = ivs.toDF("rid", "lo", "hi")
+    (points, ranges)
+  }
+
+  private def withRule[T](f: => T): T = OptimizerLock.synchronized {
+    val saved = spark.experimental.extraOptimizations
+    RangeJoin.install(spark)
+    try f finally spark.experimental.extraOptimizations = saved
+  }
+
+  private def key(r: org.apache.spark.sql.Row): (Long, Long) =
+    (r.getLong(0), r.getLong(1))
+
+  test("rewritten range join: exact multiset parity with the nested-loop plan") {
+    val (points, ranges) = corpus()
+    def q(): DataFrame =
+      points.join(ranges, $"p" >= $"lo" && $"p" <= $"hi")
+        .select($"pid", $"rid")
+    val naivePlan = q().queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoopJoin") ||
+      naivePlan.contains("CartesianProduct"))
+    val naive = q().collect().map(key).groupBy(identity).view
+      .mapValues(_.length).toMap
+    assert(naive.nonEmpty)
+    assert(naive.exists(_._2 > 1), "duplicate points must multiply")
+    val (rewritten, plan) = withRule {
+      val df = q()
+      (df.collect().map(key).groupBy(identity).view.mapValues(_.length).toMap,
+        df.queryExecution.executedPlan.toString)
+    }
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"rewritten plan still nested-loop:\n$plan")
+    assert(rewritten == naive)
+  }
+
+  test("bin width conf is honored and does not change results") {
+    val (points, ranges) = corpus()
+    def run(): Map[(Long, Long), Int] = withRule {
+      points.join(ranges, $"lo" <= $"p" && $"hi" >= $"p") // flipped forms
+        .select($"pid", $"rid")
+        .collect().map(key).groupBy(identity).view.mapValues(_.length).toMap
+    }
+    val atDefault = run()
+    spark.conf.set("spark.graft.rangeJoin.binWidth", "64")
+    val at64 = try run()
+    finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
+    assert(atDefault == at64)
+    assert(atDefault.nonEmpty)
+  }
+
+  test("guards: equi-keyed, non-integral, straddling, one-sided are untouched") {
+    val (points, ranges) = corpus()
+    def optimized(df: DataFrame) = df.queryExecution.optimizedPlan
+    val equi = points.join(ranges,
+      $"pid" === $"rid" && $"p" >= $"lo" && $"p" <= $"hi")
+    assert(RangeJoinRewrite(optimized(equi)) eq optimized(equi))
+    val dbl = points.withColumn("pd", $"p".cast("double")).join(
+      ranges.withColumn("lod", $"lo".cast("double"))
+        .withColumn("hid", $"hi".cast("double")),
+      $"pd" >= $"lod" && $"pd" <= $"hid")
+    assert(RangeJoinRewrite(optimized(dbl)) eq optimized(dbl))
+    // bounds split across both sides: not an interval containment
+    val straddle = points.join(ranges, $"p" >= $"lo" && $"p" <= $"pid" + 100L)
+    assert(RangeJoinRewrite(optimized(straddle)) eq optimized(straddle))
+    // only a lower bound: a half-open scan, not a containment join
+    val half = points.join(ranges, $"p" >= $"lo")
+    assert(RangeJoinRewrite(optimized(half)) eq optimized(half))
+    val pos = points.join(ranges, $"p" >= $"lo" && $"p" <= $"hi")
+    assert(!(RangeJoinRewrite(optimized(pos)) eq optimized(pos)))
+  }
+
+  test("extra conjuncts survive the rewrite") {
+    val (points, ranges) = corpus()
+    def q(): DataFrame =
+      points.join(ranges,
+        $"p" >= $"lo" && $"p" <= $"hi" && $"pid" % 2 === $"rid" % 2)
+        .select($"pid", $"rid")
+    val naive = q().collect().map(key).sorted.toSeq
+    val rewritten = withRule { q().collect().map(key).sorted.toSeq }
+    assert(rewritten == naive)
+  }
+}

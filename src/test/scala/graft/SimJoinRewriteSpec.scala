@@ -32,7 +32,7 @@ class SimJoinRewriteSpec extends SparkSpec {
     (a, b)
   }
 
-  private def withRule[T](f: => T): T = {
+  private def withRule[T](f: => T): T = OptimizerLock.synchronized {
     val saved = spark.experimental.extraOptimizations
     SimJoin.install(spark)
     try f finally spark.experimental.extraOptimizations = saved

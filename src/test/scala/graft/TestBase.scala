@@ -23,6 +23,13 @@ trait SparkSpec extends AnyFunSuite {
     java.nio.file.Files.createTempDirectory(prefix).toString
 }
 
+/** Serializes temporary `spark.experimental.extraOptimizations` mutation
+  * across suites: the session is JVM-shared and suites run in parallel,
+  * so one suite's install-run-restore window must not erase another's
+  * installed rule mid-test (SimJoinRewriteSpec ↔ RangeJoinRewriteSpec).
+  */
+object OptimizerLock
+
 /** A mock block: `tag` determines the hash lineage (like the reference's
   * `Mock(0x30).Parent(0x2).Num(3)` — same height, different hash ⇒ fork).
   */
