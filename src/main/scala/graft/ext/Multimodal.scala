@@ -747,12 +747,73 @@ object Multimodal {
       out
     }
 
-    /** STUB resize: returns a deterministic truncation of the payload
-      * (stands in for a real re-encode).
+    /** REAL raster resize for any payload [[rasterRgb]] decodes (BMP fast
+      * path, ImageIO for PNG/JPEG/GIF): per-channel area-average
+      * resampling to (w, h) — the box filter every training-data resize
+      * pass uses for downscale — re-encoded as 24-bit BMP. Deterministic
+      * integer arithmetic, no RNG, no color-model surprises.
+      */
+    def resizeRaster(content: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      if (w <= 0 || h <= 0) None
+      else rasterRgb(content).map { case (sw, sh, px) =>
+        val out = Array.ofDim[Int](h, w)
+        var ty = 0
+        while (ty < h) {
+          val y0 = ty * sh / h; val y1 = math.max(y0 + 1, (ty + 1) * sh / h)
+          var tx = 0
+          while (tx < w) {
+            val x0 = tx * sw / w; val x1 = math.max(x0 + 1, (tx + 1) * sw / w)
+            var r = 0L; var g = 0L; var b = 0L; var n = 0
+            var y = y0
+            while (y < y1 && y < sh) {
+              var x = x0
+              while (x < x1 && x < sw) {
+                val p = px(y * sw + x)
+                r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+                n += 1; x += 1
+              }
+              y += 1
+            }
+            if (n == 0) n = 1
+            out(ty)(tx) = ((r / n).toInt << 16) | ((g / n).toInt << 8) |
+              (b / n).toInt
+            tx += 1
+          }
+          ty += 1
+        }
+        encodeBmp24(out)
+      }
+
+    /** Resize with the stub fallback: payloads without a raster reading
+      * (audio, video containers, junk) keep the deterministic truncation
+      * stand-in — the documented seam a production build swaps for a
+      * full codec suite.
       */
     def resize(content: Array[Byte], w: Int, h: Int): Array[Byte] =
-      java.util.Arrays.copyOf(content, math.min(content.length,
-        math.max(16, w * h / 64)))
+      resizeRaster(content, w, h).getOrElse(
+        java.util.Arrays.copyOf(content, math.min(content.length,
+          math.max(16, w * h / 64))))
+
+    /** Content-change KEYFRAME selection over an AVI's real frames: keep
+      * frame 0 and every frame whose DCT pHash moves more than `minDist`
+      * bits from the last KEPT frame — the cheap core of shot-boundary
+      * detection (small inter-frame motion stays under the threshold,
+      * scene cuts jump ~half the bits). Frames that don't raster-decode
+      * are skipped. None when the payload has no decodable frames.
+      */
+    def keyFrames(content: Array[Byte],
+        minDist: Int): Option[Seq[(Int, Array[Byte])]] =
+      decodeAviFrames(content).map { frames =>
+        var lastFp = Option.empty[Long]
+        frames.zipWithIndex.flatMap { case (f, i) =>
+          pHash64(f) match {
+            case Some(fp) if lastFp.forall(l =>
+                java.lang.Long.bitCount(l ^ fp) > minDist) =>
+              lastFp = Some(fp); Some((i, f))
+            case _ => None
+          }
+        }
+      }
 
     /** Frame sampling. REAL for AVI payloads: up to `n` evenly spaced
       * actual frames (each a standalone BMP via [[decodeAviFrames]]) —
@@ -868,6 +929,19 @@ object Multimodal {
     import spark.implicits._
     media.flatMap(m => Codecs.sampleFrames(m.content, n).zipWithIndex
       .map { case (c, i) => Frame(m.media_id, i, c) })
+  }
+
+  /** Content-change keyframe extraction: one media row → its shot-
+    * boundary frames ([[Codecs.keyFrames]] — kept frame indices are the
+    * REAL AVI frame numbers). Narrow generator shape like
+    * [[sampleFrames]]; payloads without decodable frames emit nothing.
+    */
+  def keyFrames(media: Dataset[MediaBlob], minDist: Int = 8): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap(m => Codecs.keyFrames(m.content, minDist)
+      .getOrElse(Seq.empty)
+      .map { case (i, c) => Frame(m.media_id, i, c) })
   }
 
   /** Feature rows as a DataFrame — small, shuffle/join-friendly (payloads

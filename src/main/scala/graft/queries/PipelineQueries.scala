@@ -1040,6 +1040,32 @@ object PipelineQueries {
           maxDist = 7, bands = 8)
         .orderBy("id_a", "id_b")
     },
+    // REAL raster resize composed with fingerprinting: every corpus BMP
+    // box-downscaled to 16×16 (Codecs.resizeRaster — per-channel
+    // area-average, re-encoded as real BMP) and pHashed. Narrow payload-
+    // in/payload-out mapPartitions; rows-only (double-DCT over resampled
+    // pixels has no SQL twin; MultimodalSpec pins dims + pHash stability)
+    "media_resize" -> { (s, d) =>
+      Multimodal.perceptualHash(
+          Multimodal.resizeAll(
+            Multimodal.synthRasterBlobs(Tables.documents(s, d), "doc_id", "text"),
+            16, 16))
+        .withColumnRenamed("phash", "phash_16")
+        .orderBy("media_id")
+    },
+    // content-change keyframe extraction over the REAL AVI corpus: keep
+    // frame 0 + frames whose per-frame DCT pHash moves > 8 bits from the
+    // last kept frame (shot-boundary core). Generator shape — payloads
+    // never shuffle, only (media_id, n_keyframes) aggregates do
+    "media_keyframes" -> { (s, d) =>
+      Multimodal.keyFrames(
+          Multimodal.synthVideoBlobs(Tables.documents(s, d), "doc_id", "text"),
+          minDist = 8)
+        .toDF()
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_keyframes"), min("frame_no").as("first_kf"))
+        .orderBy("media_id")
+    },
     // DSIR data selection (Xie et al. 2023): importance-resample the raw
     // pool toward a target domain (the zh slice as the exemplar corpus)
     // under add-1-smoothed hashed-bigram bag models. The fitted model is a

@@ -36,6 +36,50 @@ class MultimodalSpec extends SparkSpec {
     assert(r.forall(_.content.length <= 36))
   }
 
+  test("resizeRaster: real area-average downscale with a stable pHash") {
+    val src = Multimodal.Codecs.encodeBmp24(Multimodal.Codecs.tilePx(42L, tweak = false))
+    val down = Multimodal.Codecs.resizeRaster(src, 16, 16).get
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(down))
+    assert(img.getWidth == 16 && img.getHeight == 16)
+    // box-downscaling a smooth raster preserves its low-frequency
+    // structure: the perceptual hash moves only a few bits
+    val d = java.lang.Long.bitCount(
+      Multimodal.Codecs.pHash64(src).get ^
+        Multimodal.Codecs.pHash64(down).get)
+    assert(d <= 10, s"pHash moved $d bits under a 2x downscale")
+    // upscale also real: exact dims, decodable
+    val up = Multimodal.Codecs.resizeRaster(src, 64, 48).get
+    val imgUp = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(up))
+    assert(imgUp.getWidth == 64 && imgUp.getHeight == 48)
+    // non-raster payloads have no raster resize (resize() stubs them)
+    assert(Multimodal.Codecs.resizeRaster(
+      "not an image".getBytes("UTF-8"), 8, 8).isEmpty)
+  }
+
+  test("keyFrames keep only shot boundaries of a real AVI") {
+    val sceneA = Multimodal.Codecs.tilePx(1L, tweak = false).flatten
+    val sceneB = Multimodal.Codecs.tilePx(999L, tweak = false).flatten
+    val avi = aviBytes(32, 32, 40000,
+      Seq(sceneA, sceneA, sceneA, sceneB, sceneB, sceneB))
+    val kf = Multimodal.Codecs.keyFrames(avi, minDist = 8).get
+    assert(kf.map(_._1) == Seq(0, 3),
+      s"expected shot boundaries 0 and 3, got ${kf.map(_._1)}")
+    // kept frames are REAL rasters (each pHash-decodable)
+    assert(kf.forall { case (_, f) => Multimodal.Codecs.pHash64(f).isDefined })
+    // Dataset form: generator shape, real frame numbers
+    val blobs = Seq(Multimodal.MediaBlob(7L, "video", avi, "video/avi",
+      32, 32, -1L)).toDS()
+    val rows = Multimodal.keyFrames(blobs, minDist = 8).collect()
+    assert(rows.map(r => (r.media_id, r.frame_no)).sorted.toSeq ==
+      Seq((7L, 0), (7L, 3)))
+    // non-AVI payloads emit nothing
+    val junk = Seq(Multimodal.MediaBlob(8L, "video",
+      "junk".getBytes("UTF-8"), "video/avi", 0, 0, -1L)).toDS()
+    assert(Multimodal.keyFrames(junk).count() == 0L)
+  }
+
   test("frame sampling is a generator: n rows per media") {
     val media = Multimodal.fromText(docs, "doc_id", "text", kind = "video")
     val frames = Multimodal.sampleFrames(media, 4)
