@@ -1050,8 +1050,11 @@ object Multimodal {
     * re-pairing the whole corpus. Rows are (media_id, phash, band,
     * band_val); payloads are never written.
     */
-  def writeFpIndex(media: Dataset[MediaBlob], path: String,
-      bands: Int = 4): Unit = {
+  /** One index row per (blob, band): media_id, phash, band, band_val —
+    * the shared projection behind the batch writer, the stream writer
+    * and the probe side of [[candidatesAgainstFpIndex]].
+    */
+  private def fpBandRows(media: Dataset[MediaBlob], bands: Int): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
     val bandBits = 64 / bands
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
@@ -1060,8 +1063,29 @@ object Multimodal {
         posexplode(array((0 until bands).map(i =>
           shiftright(col("phash"), i * bandBits).bitwiseAND(mask)): _*))
           .as(Seq("band", "band_val")))
-      .write.mode("append").partitionBy("band").parquet(s"$path/batch")
   }
+
+  def writeFpIndex(media: Dataset[MediaBlob], path: String,
+      bands: Int = 4): Unit =
+    fpBandRows(media, bands)
+      .write.mode("append").partitionBy("band").parquet(s"$path/batch")
+
+  /** Streaming maintenance of the media fingerprint index (the media
+    * twin of [[Similarity.embBandIndexStreamWriter]]): arriving blobs
+    * land band-partitioned with the exact batch-writer layout and
+    * fingerprints; `$path/stream` keeps the sink's `_spark_metadata`
+    * out of the batch segment.
+    */
+  def fpIndexStreamWriter(media: Dataset[MediaBlob], path: String,
+      checkpoint: String, bands: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    fpBandRows(media, bands)
+      .writeStream.format("parquet")
+      .option("path", s"$path/stream")
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("band")
+      .outputMode("append")
+      .start()
 
   /** Incremental media near-dup: a NEW batch of blobs against the
     * persisted fingerprint index — cost ∝ batch × matching buckets,
@@ -1072,16 +1096,19 @@ object Multimodal {
       indexPath: String, maxDist: Int = 3, bands: Int = 4): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
     val spark = newMedia.sparkSession
-    val bandBits = 64 / bands
-    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
-    val idx = spark.read.parquet(s"$indexPath/batch")
-      .select(col("media_id").as("idx_id"), col("phash").as("idx_fp"),
-        col("band"), col("band_val"))
-    perceptualHash(newMedia)
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segments = Seq(s"$indexPath/batch", s"$indexPath/stream")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    require(segments.nonEmpty, s"no fp-index segments under $indexPath")
+    val idx = segments
+      .map(p => spark.read.parquet(p)
+        .select(col("media_id").as("idx_id"), col("phash").as("idx_fp"),
+          col("band"), col("band_val")))
+      .reduce(_ unionByName _)
+    fpBandRows(newMedia, bands)
       .select(col("media_id").as("new_id"), col("phash").as("new_fp"),
-        posexplode(array((0 until bands).map(i =>
-          shiftright(col("phash"), i * bandBits).bitwiseAND(mask)): _*))
-          .as(Seq("band", "band_val")))
+        col("band"), col("band_val"))
       .join(idx, Seq("band", "band_val"))
       .where(col("new_id") =!= col("idx_id"))
       .select(

@@ -79,7 +79,12 @@ object SimJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def asHammingLe(e: Expression): Option[(Expression, Expression, Long)] = {
     def bc(e: Expression): Option[(Expression, Expression)] = e match {
       case BitwiseCount(BitwiseXor(a, b)) => Some((a, b))
-      case _                              => None
+      // a long/short literal on the other side makes the analyzer wrap
+      // the (integer) bit_count in a widening cast — still the same
+      // predicate
+      case Cast(BitwiseCount(BitwiseXor(a, b)), t, _, _)
+          if t == LongType || t == IntegerType => Some((a, b))
+      case _ => None
     }
     e match {
       case LessThanOrEqual(l, r) =>

@@ -407,6 +407,30 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
     assert(pairs.toSet == Set((3L, 1000003L)),
       s"expected only the planted near-copy pair, got ${pairs.toSeq}")
+    // stream segment: a near-copy of indexed doc 5 arrives via the
+    // STREAMING index writer; the next probe pairs against it too
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Multimodal.MediaBlob]
+    val q = Multimodal.fpIndexStreamWriter(stream.toDS(), path,
+      tmpDir("fpidx-ckpt"))
+    stream.addData(Multimodal.MediaBlob(2000005L, "image",
+      Multimodal.Codecs.encodeBmp24(Multimodal.Codecs.tilePx(
+        "indexed doc 5 says something number 5".hashCode.toLong & 0xffffffffL,
+        tweak = true)), "image/bmp", 32, 32, -1L))
+    q.processAllAvailable(); q.stop()
+    val probe5 = Seq(Multimodal.MediaBlob(3000005L, "image",
+      Multimodal.Codecs.encodeBmp24(Multimodal.Codecs.tilePx(
+        "indexed doc 5 says something number 5".hashCode.toLong & 0xffffffffL,
+        tweak = false)), "image/bmp", 32, 32, -1L))
+    val pairs2 = Multimodal.candidatesAgainstFpIndex(probe5.toDS(), path,
+        maxDist = 4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet
+    // the probe is doc 5's exact raster: it pairs with BOTH the batch-
+    // indexed original (id 5) and the stream-indexed tweaked copy
+    assert(pairs2 == Set((5L, 3000005L), (2000005L, 3000005L)),
+      s"expected batch+stream segment pairs, got $pairs2")
   }
 
   test("audioFp64: scale-invariant, noise-tolerant, discriminative") {

@@ -113,7 +113,9 @@ class SimJoinRewriteSpec extends SparkSpec {
     val forms = Seq(
       a.join(b, SimJoin.hamming64($"fp_a", $"fp_b") < 4),
       a.join(b, lit(3) >= SimJoin.hamming64($"fp_a", $"fp_b")),
-      a.join(b, lit(4) > SimJoin.hamming64($"fp_b", $"fp_a")))
+      a.join(b, lit(4) > SimJoin.hamming64($"fp_b", $"fp_a")),
+      // long literal: the analyzer wraps bit_count in a widening cast
+      a.join(b, SimJoin.hamming64($"fp_a", $"fp_b") <= 3L))
     val expect = withRule {
       forms.head.select($"id_a", $"id_b").collect().map(key).sorted.toSeq
     }
