@@ -499,7 +499,12 @@ object Dedup {
       shingleN: Int = 3,
       maxDf: Long = 0L
   ): DataFrame = {
+    // localCheckpoint: three consumers (per-doc counts, the a-side and
+    // b-side joins) partition this subtree on three DIFFERENT keys, so
+    // exchange reuse never fires and the explode + hot-shingle-cap
+    // pipeline would run three times per query
     val sh = cappedShingleRows(docs, idCol, textCol, shingleN, maxDf)
+      .localCheckpoint(false)
     val counts = sh.groupBy("doc").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.select(col("doc").as("id_a"), col("s")), Seq("id_a"))
