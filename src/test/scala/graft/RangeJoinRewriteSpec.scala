@@ -109,6 +109,37 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(!(RangeJoinRewrite(optimized(pos)) eq optimized(pos)))
   }
 
+  test("fuzz: random points/intervals/widths match the nested loop") {
+    val rnd = new scala.util.Random(53)
+    for (round <- 0 until 5) {
+      val pts = (0 until 50 + rnd.nextInt(100))
+        .map(i => (i.toLong, rnd.nextLong() % 2000L)).toDF("pid", "p")
+      val ivs = (0 until 20 + rnd.nextInt(40)).map { i =>
+        val lo = rnd.nextLong() % 2000L
+        (i.toLong, lo, lo + rnd.nextInt(300).toLong)
+      }.toDF("rid", "lo", "hi")
+      val strict = rnd.nextBoolean()
+      def q() = {
+        val cond =
+          if (strict) $"p" > $"lo" && $"p" < $"hi"
+          else $"p" >= $"lo" && $"p" <= $"hi"
+        pts.join(ivs, cond).select($"pid", $"rid")
+      }
+      val naive = q().collect().map(key).sorted.toSeq
+      val width = Seq("7", "64", "500")(rnd.nextInt(3))
+      val (out, plan) = withRule {
+        spark.conf.set("spark.graft.rangeJoin.binWidth", width)
+        try (q().collect().map(key).sorted.toSeq,
+          q().queryExecution.executedPlan.toString)
+        finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
+      }
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), s"round $round not rewritten")
+      assert(out == naive,
+        s"round $round: strict=$strict width=$width mismatch")
+    }
+  }
+
   test("extra conjuncts survive the rewrite") {
     val (points, ranges) = corpus()
     def q(): DataFrame =

@@ -108,6 +108,39 @@ class SimJoinRewriteSpec extends SparkSpec {
     assert(!(SimJoinRewrite(optimized(pos)) eq optimized(pos)))
   }
 
+  test("fuzz: random corpora, thresholds and extra conjuncts match the nested loop") {
+    val rnd = new scala.util.Random(97)
+    for (round <- 0 until 5) {
+      val n = 20 + rnd.nextInt(40)
+      // clustered fingerprints so every d has matches: random base,
+      // flip 0..12 random bits
+      val bases = Array.fill(4)(rnd.nextLong())
+      def fp() = {
+        var f = bases(rnd.nextInt(bases.length))
+        (0 until rnd.nextInt(13)).foreach(_ => f ^= 1L << rnd.nextInt(64))
+        f
+      }
+      val a = (0 until n).map(i => (i.toLong, fp())).toDF("id_a", "fp_a")
+      val b = (0 until n).map(i => (i.toLong, fp())).toDF("id_b", "fp_b")
+      val d = 1 + rnd.nextInt(10)
+      val withExtra = rnd.nextBoolean()
+      def q() = {
+        val cond0 = SimJoin.hamming64($"fp_a", $"fp_b") <= d
+        val cond = if (withExtra) cond0 && $"id_a" =!= $"id_b" else cond0
+        a.join(b, cond).select($"id_a", $"id_b")
+      }
+      val naive = q().collect().map(key).sorted.toSeq
+      val (out, plan) = withRule {
+        (q().collect().map(key).sorted.toSeq,
+          q().queryExecution.executedPlan.toString)
+      }
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), s"round $round not rewritten")
+      assert(out == naive, s"round $round: d=$d extra=$withExtra mismatch " +
+        s"(${out.size} vs ${naive.size} rows)")
+    }
+  }
+
   test("comparison orientations and strict < are recognized") {
     val (a, b) = corpus()
     val forms = Seq(
