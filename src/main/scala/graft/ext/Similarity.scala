@@ -836,6 +836,42 @@ object Similarity {
       .distinct()
   }
 
+  /** Cluster-balanced COVERAGE sample — the diversity-selection step of
+    * training-data curation (DiverseSample / cluster-balanced selection:
+    * a proportional or uniform draw over a skewed corpus re-creates the
+    * skew; sampling round-robin across semantic clusters keeps the rare
+    * modes): assign every vector to its KMeans cell ([[ivfIndex]] —
+    * bounded deterministic fit, one narrow codegen'd assignment pass),
+    * rank within each cell by a salted content hash, and take the
+    * globally smallest `k` by (rank, hashed cell) — i.e. one from every
+    * cell, then a second from every cell, … until `k`. Cells that run
+    * out simply stop contributing (the global top-k fills from the rest).
+    *
+    * Scale shape: one shuffle on the cell key for the window, then
+    * TakeOrderedAndProject (per-partition heaps) — never a global sort;
+    * deterministic under any cluster layout (salted-hash order with id
+    * tie-breaks everywhere).
+    */
+  def coverageSample(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      k: Int,
+      salt: Long = 42L
+  ): DataFrame = {
+    val (indexed, _) = ivfIndex(embs, idCol, vecCol, nlist)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ivf_cell")
+      .orderBy(xxhash64(col(idCol), lit(salt)), col(idCol))
+    indexed
+      .withColumn("__rk", row_number().over(w))
+      .orderBy(col("__rk"),
+        xxhash64(col("ivf_cell"), lit(salt)), col("ivf_cell"), col(idCol))
+      .limit(k)
+      .drop("__rk")
+  }
+
   /** ANN top-k: exact cosine restricted to the query's LSH bucket.
     * Recall < 1 by construction; ScalaTest measures it against
     * [[cosineTopK]] (SimilaritySpec) and `graft.Recall` records it at

@@ -1085,6 +1085,19 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_keyframes"), min("frame_no").as("first_kf"))
         .orderBy("media_id")
     },
+    // cluster-balanced coverage sampling (the diversity-selection step:
+    // a proportional draw over a skewed corpus re-creates the skew;
+    // round-robin across KMeans cells keeps the rare modes). One narrow
+    // codegen'd cell assignment + one cell-keyed window +
+    // TakeOrderedAndProject — no global sort. Rows-only (KMeans cells
+    // have no SQL twin); SimilaritySpec asserts the exact round-robin
+    // allocation against a driver simulation
+    "sample_coverage" -> { (s, d) =>
+      Similarity.coverageSample(Tables.embeddings(s, d), "vec_id",
+          "embedding", nlist = 16, k = 200)
+        .select(col("vec_id"), col("ivf_cell"))
+        .orderBy("vec_id")
+    },
     // DSIR data selection (Xie et al. 2023): importance-resample the raw
     // pool toward a target domain (the zh slice as the exemplar corpus)
     // under add-1-smoothed hashed-bigram bag models. The fitted model is a

@@ -476,6 +476,63 @@ class SimilaritySpec extends SparkSpec {
     assert(knn.count() <= 100 * 3)
   }
 
+  test("coverageSample balances across clusters regardless of their sizes") {
+    // four tight, well-separated clusters with sizes 100:50:10:5
+    val rnd = new scala.util.Random(5)
+    val centers = Seq(
+      Array.fill(16)(0f), Array.fill(16)(10f),
+      (0 until 16).map(i => if (i % 2 == 0) 10f else -10f).toArray,
+      (0 until 16).map(i => if (i < 8) -10f else 10f).toArray)
+    val sizes = Seq(100, 50, 10, 5)
+    val rows = for {
+      (c, lbl) <- centers.zipWithIndex
+      j <- 0 until sizes(lbl)
+    } yield (lbl * 1000L + j, c.map(x => x + rnd.nextFloat() * 0.1f).toSeq,
+      lbl)
+    val df = rows.toDF("vec_id", "embedding", "true_cluster")
+    // ground truth: the operator's own (deterministic) cell assignment
+    val (indexed, _) = Similarity.ivfIndex(df, "vec_id", "embedding", 4)
+    val cellSizes = indexed.groupBy("ivf_cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cellHash = indexed.select(col("ivf_cell"),
+        xxhash64(col("ivf_cell"), lit(42L)).as("h"))
+      .distinct().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // driver simulation of round-robin allocation: rank r across cells
+    // ordered by (hashed cell, cell), cells out of members drop out
+    def expectedAlloc(k: Int): Map[Int, Long] = {
+      val order = cellSizes.keys.toSeq.sortBy(c => (cellHash(c), c))
+      val alloc = scala.collection.mutable.Map.empty[Int, Long]
+        .withDefaultValue(0L)
+      var left = k; var r = 1L
+      while (left > 0 && cellSizes.exists(_._2 >= r)) {
+        order.foreach { c =>
+          if (left > 0 && cellSizes(c) >= r) { alloc(c) += 1; left -= 1 }
+        }
+        r += 1
+      }
+      alloc.toMap
+    }
+    for (k <- Seq(7, 12, 40, 165)) {
+      val sample = Similarity.coverageSample(df, "vec_id", "embedding",
+        nlist = 4, k = k)
+      val byCell = sample.groupBy("ivf_cell").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(byCell == expectedAlloc(k).filter(_._2 > 0),
+        s"k=$k: got $byCell, sizes $cellSizes")
+      assert(sample.count() == math.min(k, 165))
+    }
+    // the balance property vs a proportional draw: with k=12, every
+    // non-empty cell gets its fair share (max-min <= 1 before exhaustion)
+    val alloc12 = expectedAlloc(12).filter(_._2 > 0).values
+    assert(alloc12.max - alloc12.min <= 1)
+    // deterministic across runs
+    val s1 = Similarity.coverageSample(df, "vec_id", "embedding",
+      nlist = 4, k = 12).select("vec_id").collect().map(_.getLong(0)).sorted
+    val s2 = Similarity.coverageSample(df, "vec_id", "embedding",
+      nlist = 4, k = 12).select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(s1.toSeq == s2.toSeq)
+  }
+
   test("native LshSigsF matches the composed when(dot>=0) form bit-for-bit") {
     // the frozen plane-sign constant (Similarity.planeSign) — duplicated
     // here so a silent change to the plane family fails this parity case
