@@ -105,7 +105,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def hasEquiKey(conjuncts: Seq[Expression], left: LogicalPlan,
       right: LogicalPlan): Boolean =
     conjuncts.exists {
-      case EqualTo(l, r) =>
+      // Equality also matches <=> (EqualNullSafe) — both are extractable
+      // equi-join keys, so the join is already hash-joinable
+      case Equality(l, r) =>
         (sideOf(l, left, right), sideOf(r, left, right)) match {
           case (Some(a), Some(b)) => a != b
           case _                  => false

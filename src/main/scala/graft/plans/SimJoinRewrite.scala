@@ -131,7 +131,7 @@ object SimJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def hasEquiKey(conjuncts: Seq[Expression], left: LogicalPlan,
       right: LogicalPlan): Boolean =
     conjuncts.exists {
-      case EqualTo(l, r) =>
+      case Equality(l, r) =>
         (l.references.subsetOf(left.outputSet) &&
           r.references.subsetOf(right.outputSet) && l.references.nonEmpty &&
           r.references.nonEmpty) ||
