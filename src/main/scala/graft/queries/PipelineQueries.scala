@@ -62,6 +62,21 @@ object PipelineQueries {
         docs.queryExecution.analyzed.semanticHash(), numMerges),
       _ => graft.ext.Bpe.train(docs, "text", numMerges))
 
+  /** Same artifact-memo contract for the unigram-LM tokenizer:
+    * `unigram_pieces` measures the EM training itself, `unigram_encode`
+    * consumes the trained model.
+    */
+  private val unigramModelCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int, Int), graft.ext.Unigram.Model]()
+
+  private def trainedUnigram(docs: DataFrame,
+      vocabSize: Int): graft.ext.Unigram.Model =
+    unigramModelCache.computeIfAbsent(
+      (System.identityHashCode(docs.sparkSession),
+        docs.queryExecution.analyzed.semanticHash(), vocabSize),
+      _ => graft.ext.Unigram.train(docs, "text", vocabSize,
+        maxPieceLen = 4, seedSize = 600, emIters = 1, pruneFactor = 0.6))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact content-hash dedup
     "dedup_exact" -> { (s, d) =>
@@ -1084,6 +1099,30 @@ object PipelineQueries {
         .groupBy("media_id")
         .agg(count(lit(1)).as("n_keyframes"), min("frame_no").as("first_kf"))
         .orderBy("media_id")
+    },
+    // unigram-LM tokenizer training (Kudo 2018 / SentencePiece unigram):
+    // EM over the Zipf-bounded word table — per-word forward-backward
+    // lattices in a narrow pass, map-side-combined expected counts, a
+    // driver-bounded piece inventory. Rows-only (EM probabilities are
+    // cross-partition double sums); UnigramSpec pins the E-step against
+    // a full segmentation enumeration and EM monotonicity
+    "unigram_pieces" -> { (s, d) =>
+      import s.implicits._
+      val m = trainedUnigram(Tables.documents(s, d), vocabSize = 300)
+      m.pieces.toDF("piece", "logp")
+        .select(col("piece"), col("logp"))
+        .orderBy(col("logp").desc, col("piece"))
+    },
+    // Viterbi tokenization under the trained unigram model — the encode
+    // twin of bpe_encode (model broadcast, one narrow pass)
+    "unigram_encode" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ext.Unigram.encode(docs, "doc_id", "text",
+          trainedUnigram(docs, vocabSize = 300))
+        .select(col("doc_id"),
+          size(col("tokens")).cast("long").as("n_tokens"),
+          sha2(concat_ws(" ", col("tokens")), 256).as("tok_hash"))
+        .orderBy("doc_id")
     },
     // cluster-balanced coverage sampling (the diversity-selection step:
     // a proportional draw over a skewed corpus re-creates the skew;

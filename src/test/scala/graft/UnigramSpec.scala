@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Bpe, Unigram}
+
+/** Unigram-LM tokenizer: the distributed EM must match a sequential
+  * forward–backward reference, EM must ascend the corpus likelihood, and
+  * Viterbi must reconstruct every word exactly.
+  */
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the cat ate the rat"),
+    (3L, "a cat and a rat sat"),
+    (4L, "the mats sat flat on the rats"),
+    (5L, "concatenation of cats and rats")
+  ).toDF("doc_id", "text")
+
+  /** Sequential reference of the E-step expected counts for one word. */
+  private def refExpected(word: String, freq: Long,
+      logp: Map[String, Double], maxLen: Int): Map[String, Double] = {
+    val n = word.length
+    def p(s: String) = logp.get(s).map(math.exp)
+    // enumerate ALL segmentations (words are short in the fixture)
+    def segs(i: Int): Seq[(Seq[String], Double)] =
+      if (i == n) Seq((Seq.empty, 1.0))
+      else for {
+        j <- (i + 1) to math.min(n, i + maxLen)
+        pp <- p(word.substring(i, j)).toSeq
+        (rest, prob) <- segs(j)
+      } yield (word.substring(i, j) +: rest, pp * prob)
+    val all = segs(0)
+    val z = all.map(_._2).sum
+    val out = scala.collection.mutable.Map.empty[String, Double]
+      .withDefaultValue(0.0)
+    all.foreach { case (pieces, prob) =>
+      pieces.foreach(s => out(s) += freq * prob / z)
+    }
+    out.toMap
+  }
+
+  test("forward-backward expected counts equal full segmentation enumeration") {
+    val logp = Map("t" -> -2.0, "h" -> -2.2, "e" -> -1.9, "th" -> -1.5,
+      "he" -> -1.7, "the" -> -1.0, "c" -> -2.5, "a" -> -2.0, "at" -> -1.4,
+      "cat" -> -1.2)
+    for ((w, f) <- Seq(("the", 10L), ("cat", 5L), ("thecat", 2L))) {
+      val got = graft.ext.Unigram.expectedCounts(w, f, logp, 3).toMap
+      val want = refExpected(w, f, logp, 3)
+      assert(got.keySet == want.keySet, s"$w keys")
+      want.foreach { case (s, v) =>
+        assert(math.abs(got(s) - v) < 1e-9 * math.max(1.0, v.abs),
+          s"$w piece $s: ${got(s)} vs $v")
+      }
+    }
+  }
+
+  test("EM ascends the corpus likelihood; training fits the budget") {
+    val words = Bpe.wordFreqs(corpus, "text").localCheckpoint()
+    val seed = Unigram.seedPieces(words, maxPieceLen = 4, seedSize = 120)
+    val totalW = seed.map(_._2.toDouble).sum
+    var logp = seed.map { case (s, w) =>
+      s -> math.log(w / totalW)
+    }.toMap
+    def ll(lp: Map[String, Double]) = Unigram.corpusLogLikelihood(words,
+      Unigram.Model(lp.toSeq.map { case (s, l) => Unigram.Piece(s, l) },
+        math.log(1e-10)))
+    var prev = ll(logp)
+    for (i <- 0 until 3) {
+      logp = Unigram.emStep(words, logp, maxLen = 4)
+      val cur = ll(logp)
+      assert(cur >= prev - 1e-9, s"EM step $i decreased likelihood: $prev -> $cur")
+      prev = cur
+    }
+    val m = Unigram.train(corpus, "text", vocabSize = 40,
+      maxPieceLen = 4, seedSize = 120)
+    assert(m.pieces.size <= 40)
+    // every single character of the corpus survives pruning
+    val chars = corpus.select(explode(split(col("text"), "")).as("c"))
+      .where(col("c") =!= "" && col("c") =!= " ")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(chars.subsetOf(m.pieces.map(_.piece).toSet))
+  }
+
+  test("Viterbi reconstructs every word; frequent substrings become pieces") {
+    val m = Unigram.train(corpus, "text", vocabSize = 50,
+      maxPieceLen = 4, seedSize = 120)
+    val enc = Unigram.encode(corpus, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val texts = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, t) =>
+      val rebuilt = {
+        // tokens concatenate back to the words in order
+        val words = t.split(" ").filter(_.nonEmpty)
+        var toks = enc(id).toList
+        words.map { w =>
+          val sb = new StringBuilder
+          while (sb.length < w.length) { sb ++= toks.head; toks = toks.tail }
+          sb.toString
+        }.mkString(" ")
+      }
+      assert(rebuilt == t.split(" ").filter(_.nonEmpty).mkString(" "),
+        s"doc $id reconstruction")
+    }
+    // 'at' ('cat'/'rat'/'sat'/'mat'/'flat' family) must be a learned piece
+    // with higher prob than a rare multigram
+    assert(m.logpOf.contains("at"), "frequent substring 'at' pruned away")
+    // unknown characters at encode time fall back to unk single chars
+    val weird = Seq((9L, "zzq at")).toDF("doc_id", "text")
+    val wtoks = Unigram.encode(weird, "doc_id", "text", m)
+      .collect().head.getSeq[String](1)
+    assert(wtoks.mkString == "zzqat")
+  }
+
+  test("encode is deterministic and distributed-shape (model broadcast)") {
+    val m = Unigram.train(corpus, "text", vocabSize = 50,
+      maxPieceLen = 4, seedSize = 120)
+    val a = Unigram.encode(corpus.repartition(7), "doc_id", "text", m)
+      .orderBy("doc_id").collect().map(_.getSeq[String](1))
+    val b = Unigram.encode(corpus.repartition(2), "doc_id", "text", m)
+      .orderBy("doc_id").collect().map(_.getSeq[String](1))
+    assert(a.toSeq == b.toSeq)
+  }
+}
