@@ -47,6 +47,17 @@ class RangeJoinRewriteSpec extends SparkSpec {
     try f finally spark.experimental.extraOptimizations = saved
   }
 
+  /** Baselines need the rules ABSENT — other suites run the declared
+    * join_hamming/join_interval queries, whose lambdas install the
+    * rewrites on the shared session for good.
+    */
+  private def withoutRules[T](f: => T): T = OptimizerLock.synchronized {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = saved.filterNot(r =>
+      (r eq RangeJoinRewrite) || (r eq graft.plans.SimJoinRewrite))
+    try f finally spark.experimental.extraOptimizations = saved
+  }
+
   private def key(r: org.apache.spark.sql.Row): (Long, Long) =
     (r.getLong(0), r.getLong(1))
 
@@ -55,11 +66,13 @@ class RangeJoinRewriteSpec extends SparkSpec {
     def q(): DataFrame =
       points.join(ranges, $"p" >= $"lo" && $"p" <= $"hi")
         .select($"pid", $"rid")
-    val naivePlan = q().queryExecution.executedPlan.toString
+    val (naivePlan, naive) = withoutRules {
+      (q().queryExecution.executedPlan.toString,
+        q().collect().map(key).groupBy(identity).view
+          .mapValues(_.length).toMap)
+    }
     assert(naivePlan.contains("BroadcastNestedLoopJoin") ||
       naivePlan.contains("CartesianProduct"))
-    val naive = q().collect().map(key).groupBy(identity).view
-      .mapValues(_.length).toMap
     assert(naive.nonEmpty)
     assert(naive.exists(_._2 > 1), "duplicate points must multiply")
     val (rewritten, plan) = withRule {
@@ -89,6 +102,7 @@ class RangeJoinRewriteSpec extends SparkSpec {
   }
 
   test("guards: equi-keyed, non-integral, straddling, one-sided are untouched") {
+    withoutRules {
     val (points, ranges) = corpus()
     def optimized(df: DataFrame) = df.queryExecution.optimizedPlan
     val equi = points.join(ranges,
@@ -107,6 +121,7 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(RangeJoinRewrite(optimized(half)) eq optimized(half))
     val pos = points.join(ranges, $"p" >= $"lo" && $"p" <= $"hi")
     assert(!(RangeJoinRewrite(optimized(pos)) eq optimized(pos)))
+    }
   }
 
   test("fuzz: random points/intervals/widths match the nested loop") {
@@ -125,7 +140,7 @@ class RangeJoinRewriteSpec extends SparkSpec {
           else $"p" >= $"lo" && $"p" <= $"hi"
         pts.join(ivs, cond).select($"pid", $"rid")
       }
-      val naive = q().collect().map(key).sorted.toSeq
+      val naive = withoutRules { q().collect().map(key).sorted.toSeq }
       val width = Seq("7", "64", "500")(rnd.nextInt(3))
       val (out, plan) = withRule {
         spark.conf.set("spark.graft.rangeJoin.binWidth", width)
@@ -146,7 +161,7 @@ class RangeJoinRewriteSpec extends SparkSpec {
       points.join(ranges,
         $"p" >= $"lo" && $"p" <= $"hi" && $"pid" % 2 === $"rid" % 2)
         .select($"pid", $"rid")
-    val naive = q().collect().map(key).sorted.toSeq
+    val naive = withoutRules { q().collect().map(key).sorted.toSeq }
     val rewritten = withRule { q().collect().map(key).sorted.toSeq }
     assert(rewritten == naive)
   }

@@ -38,6 +38,17 @@ class SimJoinRewriteSpec extends SparkSpec {
     try f finally spark.experimental.extraOptimizations = saved
   }
 
+  /** Baselines need the rules ABSENT — other suites run the declared
+    * join_hamming/join_interval queries, whose lambdas install the
+    * rewrites on the shared session for good.
+    */
+  private def withoutRules[T](f: => T): T = OptimizerLock.synchronized {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = saved.filterNot(r =>
+      (r eq SimJoinRewrite) || (r eq graft.plans.RangeJoinRewrite))
+    try f finally spark.experimental.extraOptimizations = saved
+  }
+
   private def key(r: org.apache.spark.sql.Row): (Long, Long) =
     (r.getLong(0), r.getLong(1))
 
@@ -46,13 +57,15 @@ class SimJoinRewriteSpec extends SparkSpec {
     def q(): DataFrame =
       a.join(b, SimJoin.hamming64($"fp_a", $"fp_b") <= 3 && $"id_a" < $"id_b")
         .select($"id_a", $"id_b")
-    // naive (no rule): BroadcastNestedLoopJoin
-    val naivePlan = q().queryExecution.executedPlan.toString
+    // naive (rules absent): BroadcastNestedLoopJoin
+    val (naivePlan, naive) = withoutRules {
+      (q().queryExecution.executedPlan.toString,
+        q().collect().map(key).groupBy(identity).view
+          .mapValues(_.length).toMap)
+    }
     assert(naivePlan.contains("BroadcastNestedLoopJoin") ||
       naivePlan.contains("CartesianProduct"),
       s"expected a nested-loop baseline, got:\n$naivePlan")
-    val naive = q().collect().map(key).groupBy(identity).view
-      .mapValues(_.length).toMap
     assert(naive.nonEmpty, "corpus must produce near-pairs")
     // planted duplicates must appear with multiplicity > 1 in the baseline
     assert(naive.exists(_._2 > 1), "expected duplicate-row multiplicity")
@@ -89,6 +102,7 @@ class SimJoinRewriteSpec extends SparkSpec {
   }
 
   test("guards: equi-keyed, vacuous, and straddling conditions are untouched") {
+    withoutRules {
     val (a, b) = corpus()
     def optimized(df: DataFrame) = df.queryExecution.optimizedPlan
     // already hash-joinable: equality conjunct present
@@ -106,6 +120,7 @@ class SimJoinRewriteSpec extends SparkSpec {
     // the positive case DOES change
     val pos = a.join(b, SimJoin.hamming64($"fp_a", $"fp_b") <= 3)
     assert(!(SimJoinRewrite(optimized(pos)) eq optimized(pos)))
+    }
   }
 
   test("fuzz: random corpora, thresholds and extra conjuncts match the nested loop") {
@@ -129,7 +144,7 @@ class SimJoinRewriteSpec extends SparkSpec {
         val cond = if (withExtra) cond0 && $"id_a" =!= $"id_b" else cond0
         a.join(b, cond).select($"id_a", $"id_b")
       }
-      val naive = q().collect().map(key).sorted.toSeq
+      val naive = withoutRules { q().collect().map(key).sorted.toSeq }
       val (out, plan) = withRule {
         (q().collect().map(key).sorted.toSeq,
           q().queryExecution.executedPlan.toString)
