@@ -234,6 +234,89 @@ object Unigram {
       .toDF(idCol, "tokens")
   }
 
+  /** One SAMPLED segmentation of a word — subword regularization
+    * (Kudo 2018 §3): draw a path from the exact posterior over
+    * segmentations with piece probabilities sharpened by `alpha`
+    * (p^α; α→∞ recovers Viterbi, α→0 approaches uniform over paths).
+    * Forward-filter backward-sample over the same bounded lattice as the
+    * E-step; `u(pos)` supplies the uniform draw for the step ending at
+    * `pos` — injected so callers can make sampling DETERMINISTIC (the
+    * encode pass hashes (doc, word index, pos, salt), so a corpus
+    * re-tokenizes identically on any cluster layout, yet different
+    * salts/epochs yield genuinely different segmentations).
+    */
+  private[graft] def sampleSegmentation(word: String, m: Model,
+      alpha: Double, u: Int => Double): Seq[String] = {
+    val n = word.length
+    if (n == 0) return Seq.empty
+    val maxLen = m.maxPieceLen
+    def q(s: String): Double = {
+      val lp =
+        if (s.length == 1) m.logpOf.getOrElse(s, m.unkLogp)
+        else m.logpOf.getOrElse(s, Double.NegativeInfinity)
+      if (lp == Double.NegativeInfinity) 0.0 else math.exp(alpha * lp)
+    }
+    val fwd = new Array[Double](n + 1); fwd(0) = 1.0
+    var j = 1
+    while (j <= n) {
+      var a = 0.0
+      var i = math.max(0, j - maxLen)
+      while (i < j) { a += fwd(i) * q(word.substring(i, j)); i += 1 }
+      fwd(j) = a
+      j += 1
+    }
+    if (fwd(n) <= 0.0) return word.map(_.toString) // degenerate fallback
+    var pos = n
+    val acc = scala.collection.mutable.ListBuffer.empty[String]
+    while (pos > 0) {
+      val lo = math.max(0, pos - maxLen)
+      val draw = u(pos) * fwd(pos)
+      var i = lo
+      var cum = 0.0
+      var chosen = -1
+      while (i < pos && chosen < 0) {
+        cum += fwd(i) * q(word.substring(i, pos))
+        if (draw < cum) chosen = i
+        i += 1
+      }
+      if (chosen < 0) chosen = pos - 1 // float-edge guard: last candidate
+      acc.prepend(word.substring(chosen, pos))
+      pos = chosen
+    }
+    acc.toList
+  }
+
+  /** Tokenize with SAMPLED segmentations (subword regularization): the
+    * per-step uniforms are salted XXH64 draws over (doc id, word index,
+    * lattice position), so the pass is bit-deterministic for a given
+    * `salt` and partitioning-invariant — change the salt per epoch to get
+    * fresh segmentations, exactly how sampled tokenization is used in
+    * training loops. Same narrow broadcast-model shape as [[encode]].
+    */
+  def encodeSampled(docs: DataFrame, idCol: String, textCol: String,
+      m: Model, alpha: Double = 0.5, salt: Long = 0L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(m)
+    def hl(v: Long, seed: Long): Long =
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(v, seed)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val words = text.split(" ").filter(_.nonEmpty)
+        val toks = words.iterator.zipWithIndex.flatMap { case (w, wi) =>
+          sampleSegmentation(w, bc.value, alpha, pos => {
+            val h = hl(pos.toLong, hl(wi.toLong, hl(id, salt)))
+            // top 53 bits → uniform double in [0, 1)
+            (h >>> 11).toDouble / (1L << 53).toDouble
+          })
+        }.toSeq
+        (id, toks)
+      }
+      .toDF(idCol, "tokens")
+  }
+
   /** Mean corpus log-likelihood per word under the model (the quantity EM
     * ascends) — one pass over the word table; UnigramSpec uses it to pin
     * EM monotonicity.

@@ -1124,6 +1124,19 @@ object PipelineQueries {
           sha2(concat_ws(" ", col("tokens")), 256).as("tok_hash"))
         .orderBy("doc_id")
     },
+    // subword-regularized tokenization: SAMPLED segmentations from the
+    // exact path posterior (sharpened p^α), uniforms drawn from salted
+    // XXH64 over (doc, word, lattice position) — bit-deterministic for a
+    // salt, fresh segmentations per epoch by changing it
+    "unigram_sample" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ext.Unigram.encodeSampled(docs, "doc_id", "text",
+          trainedUnigram(docs, vocabSize = 300), alpha = 0.3, salt = 7L)
+        .select(col("doc_id"),
+          size(col("tokens")).cast("long").as("n_tokens"),
+          sha2(concat_ws(" ", col("tokens")), 256).as("tok_hash"))
+        .orderBy("doc_id")
+    },
     // cluster-balanced coverage sampling (the diversity-selection step:
     // a proportional draw over a skewed corpus re-creates the skew;
     // round-robin across KMeans cells keeps the rare modes). One narrow

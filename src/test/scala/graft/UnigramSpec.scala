@@ -114,6 +114,69 @@ class UnigramSpec extends SparkSpec {
     assert(wtoks.mkString == "zzqat")
   }
 
+  test("sampled segmentation follows the exact path posterior") {
+    // small closed model: enumerate all segmentations of "abc" and check
+    // the empirical distribution over a FIXED deterministic draw sequence
+    val m = Unigram.Model(Seq(
+      Unigram.Piece("a", math.log(0.3)), Unigram.Piece("b", math.log(0.2)),
+      Unigram.Piece("c", math.log(0.1)), Unigram.Piece("ab", math.log(0.25)),
+      Unigram.Piece("bc", math.log(0.15)),
+      Unigram.Piece("abc", math.log(0.05))), math.log(1e-10))
+    val word = "abc"
+    // theoretical path probs at alpha=1
+    val paths = Map(
+      Seq("a", "b", "c") -> 0.3 * 0.2 * 0.1,
+      Seq("ab", "c") -> 0.25 * 0.1,
+      Seq("a", "bc") -> 0.3 * 0.15,
+      Seq("abc") -> 0.05)
+    val z = paths.values.sum
+    val n = 4000
+    val counts = scala.collection.mutable.Map.empty[Seq[String], Int]
+      .withDefaultValue(0)
+    def hl(v: Long, seed: Long): Long =
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(v, seed)
+    for (s <- 0 until n) {
+      val seg = Unigram.sampleSegmentation(word, m, alpha = 1.0,
+        pos => (hl(pos.toLong, s.toLong) >>> 11).toDouble /
+          (1L << 53).toDouble)
+      assert(seg.mkString == word)
+      counts(seg) += 1
+    }
+    paths.foreach { case (p, prob) =>
+      val want = prob / z
+      val got = counts(p).toDouble / n
+      assert(math.abs(got - want) < 0.03,
+        s"path $p: sampled $got vs theoretical $want")
+    }
+    // alpha sharpening: the top-2 paths ("abc" 0.05 vs "a","bc" 0.045)
+    // are close, so it takes alpha=40 for (.05/.045)^40 ~ 67:1 odds and
+    // the Viterbi path to dominate the draw
+    val hard = (0 until 500).map(s =>
+      Unigram.sampleSegmentation(word, m, alpha = 40.0,
+        pos => (hl(pos.toLong, s.toLong + 7777) >>> 11).toDouble /
+          (1L << 53).toDouble))
+    val viterbi = Unigram.viterbi(word, m)
+    assert(hard.count(_ == viterbi) > 450)
+  }
+
+  test("encodeSampled: deterministic per salt, diverse across salts, valid") {
+    val m = Unigram.train(corpus, "text", vocabSize = 50,
+      maxPieceLen = 4, seedSize = 120)
+    def run(salt: Long) = Unigram.encodeSampled(
+        corpus.repartition(5), "doc_id", "text", m, alpha = 0.3, salt = salt)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val s0 = run(0L); val s0again = run(0L); val s1 = run(1L)
+    assert(s0 == s0again, "same salt must reproduce bit-identically")
+    assert(s0 != s1, "different salts must sample different segmentations")
+    // all variants reconstruct the text's words
+    val texts = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, toks) <- s0 ++ s1) {
+      assert(toks.mkString ==
+        texts(id).split(" ").filter(_.nonEmpty).mkString)
+    }
+  }
+
   test("encode is deterministic and distributed-shape (model broadcast)") {
     val m = Unigram.train(corpus, "text", vocabSize = 50,
       maxPieceLen = 4, seedSize = 120)
