@@ -1100,6 +1100,23 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_keyframes"), min("frame_no").as("first_kf"))
         .orderBy("media_id")
     },
+    // dictionary tagging/filtering via one Aho-Corasick pass (the
+    // blocklist/keyword op — a regex alternation's cost grows with the
+    // dictionary; the automaton is O(text) whatever its size, riding the
+    // scan as a plan-constant reference object). Terms here have no
+    // self-overlap, so the oracle's per-term non-overlapping
+    // replace-count equals AC's all-end-positions count exactly
+    "dict_filter" -> { (s, d) =>
+      val dict = Seq("spark", "table", "merge batch", "value")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.DictMatch.count(col("text"), dict)
+            .as("n_matches"),
+          concat_ws(",", graft.functions.DictMatch.terms(col("text"), dict))
+            .as("matched"))
+        .where(col("n_matches") > 0)
+        .orderBy("doc_id")
+    },
     // unigram-LM tokenizer training (Kudo 2018 / SentencePiece unigram):
     // EM over the Zipf-bounded word table — per-word forward-backward
     // lattices in a narrow pass, map-side-combined expected counts, a
@@ -1834,6 +1851,28 @@ object PipelineQueries {
         |SELECT doc_id, lang, avg_condp,
         | CAST((rn - 1) * 3 // n + 1 AS BIGINT) AS bucket
         |FROM r ORDER BY doc_id""".stripMargin,
+    // per-term non-overlapping replace-count, summed — equal to the AC
+    // all-end-positions count because no term self-overlaps; matched =
+    // lexicographically ordered contained terms (matching the TreeSet)
+    "dict_filter" ->
+      """WITH m AS (
+        | SELECT doc_id,
+        |  CAST((length(text) - length(replace(text, 'spark', '')))
+        |    // length('spark')
+        |   + (length(text) - length(replace(text, 'table', '')))
+        |    // length('table')
+        |   + (length(text) - length(replace(text, 'merge batch', '')))
+        |    // length('merge batch')
+        |   + (length(text) - length(replace(text, 'value', '')))
+        |    // length('value') AS BIGINT) AS n_matches,
+        |  concat_ws(',',
+        |   CASE WHEN contains(text, 'merge batch') THEN 'merge batch' END,
+        |   CASE WHEN contains(text, 'spark') THEN 'spark' END,
+        |   CASE WHEN contains(text, 'table') THEN 'table' END,
+        |   CASE WHEN contains(text, 'value') THEN 'value' END) AS matched
+        | FROM documents)
+        |SELECT doc_id, n_matches, matched FROM m
+        |WHERE n_matches > 0 ORDER BY doc_id""".stripMargin,
     // same vocab-table shape: words → (word, freq), chars + '</w>' marker,
     // adjacent pairs weighted by freq (DuckDB's string_split('') has no
     // trailing empty; the Spark side filters Java's to match)
