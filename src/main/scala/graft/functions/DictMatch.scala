@@ -197,4 +197,22 @@ object DictMatch {
   /** Sorted distinct matched terms (codegen'd). */
   def terms(text: Column, dict: Seq[String]): Column =
     Bridge.column(DictMatchTerms(Bridge.expression(text), dict))
+
+  private def litStrings(e: Expression): Seq[String] = e.eval() match {
+    case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+      a.toObjectArray(StringType).map(_.toString).toSeq
+    case other => throw new IllegalArgumentException(
+      s"dictionary must be a string-array literal, got $other")
+  }
+
+  /** SQL-callable registration: `dict_match_count(text, array('a','b'))`,
+    * `dict_match_terms(text, array(…))` — the dictionary must be a
+    * literal (it builds the plan-constant automaton).
+    */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    Bridge.registerFunction(spark, "dict_match_count",
+      es => DictMatchCount(es.head, litStrings(es(1))))
+    Bridge.registerFunction(spark, "dict_match_terms",
+      es => DictMatchTerms(es.head, litStrings(es(1))))
+  }
 }

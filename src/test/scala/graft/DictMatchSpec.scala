@@ -62,6 +62,17 @@ class DictMatchSpec extends SparkSpec {
     }
   }
 
+  test("SQL-callable after registerAll") {
+    DictMatch.registerAll(spark)
+    Seq((1L, "usherspark")).toDF("id", "text").createOrReplaceTempView("dmv")
+    val r = spark.sql(
+      """SELECT dict_match_count(text, array('she', 'spark')) AS n,
+        | dict_match_terms(text, array('she', 'spark')) AS t
+        |FROM dmv""".stripMargin).collect().head
+    assert(r.getLong(0) == 2L)
+    assert(r.getSeq[String](1).toSeq == Seq("she", "spark"))
+  }
+
   test("interpreted eval matches the codegen'd scan path") {
     val dict = Seq("spark", "park", "ark")
     val text = "sparkpark"
