@@ -1100,6 +1100,34 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_keyframes"), min("frame_no").as("first_kf"))
         .orderBy("media_id")
     },
+    // HYBRID retrieval: reciprocal-rank fusion (Cormack et al. 2009) of
+    // the lexical BM25 list and the exact-cosine vector list — the
+    // standard two-tower search composition. Each side is a bounded
+    // top-N (TakeOrderedAndProject, never corpus ranks), the fusion is a
+    // full-outer join of two 100-row lists, and 1/(60+rank) on integer
+    // ranks is bit-deterministic on both engines — oracle-exact
+    "search_rrf" -> { (s, d) =>
+      val n = 100
+      val lex = TextOps.bm25(Tables.documents(s, d), "doc_id", "text",
+          terms = Seq("join", "hash", "scan"))
+        .orderBy(col("score").desc, col("doc_id")).limit(n)
+        .select(col("doc_id").as("id"),
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+            .as("rank_lex"))
+      val e = Tables.embeddings(s, d)
+      val vec = Similarity.cosineTopK(e, e.where(col("vec_id") === 0L),
+          "vec_id", "embedding", k = n)
+        .select(col("vec_id").as("id"),
+          row_number().over(Window.orderBy(col("cosine").desc, col("vec_id")))
+            .as("rank_vec"))
+      lex.join(vec, Seq("id"), "full_outer")
+        .select(col("id"),
+          (coalesce(lit(1.0) / (lit(60) + col("rank_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0)))
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("id"))
+        .limit(20)
+    },
     // dictionary tagging/filtering via one Aho-Corasick pass (the
     // blocklist/keyword op — a regex alternation's cost grows with the
     // dictionary; the automaton is O(text) whatever its size, riding the
@@ -1851,6 +1879,59 @@ object PipelineQueries {
         |SELECT doc_id, lang, avg_condp,
         | CAST((rn - 1) * 3 // n + 1 AS BIGINT) AS bucket
         |FROM r ORDER BY doc_id""".stripMargin,
+    // both ranked lists reconstructed with the same expressions as their
+    // standalone oracles (bm25 / sim_search), ranks assigned under the
+    // identical total order, fused with double-precision 1/(60+rank)
+    "search_rrf" ->
+      """WITH b AS (
+        | SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+        |  CAST(len(list_filter(ws, w -> w = 'join')) AS DOUBLE) AS tf_join,
+        |  CAST(len(list_filter(ws, w -> w = 'hash')) AS DOUBLE) AS tf_hash,
+        |  CAST(len(list_filter(ws, w -> w = 'scan')) AS DOUBLE) AS tf_scan
+        | FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |st AS (
+        | SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl,
+        |  sum(CASE WHEN tf_join > 0.0 THEN 1.0 ELSE 0.0 END) AS df_join,
+        |  sum(CASE WHEN tf_hash > 0.0 THEN 1.0 ELSE 0.0 END) AS df_hash,
+        |  sum(CASE WHEN tf_scan > 0.0 THEN 1.0 ELSE 0.0 END) AS df_scan
+        | FROM b),
+        |sc AS (
+        | SELECT doc_id,
+        |  (((n - df_join + 0.5) / (df_join + 0.5)) * (tf_join * 2.2) /
+        |    (tf_join + 1.2 * (0.25 + 0.75 * (dl / (sumdl / n))))) +
+        |  (((n - df_hash + 0.5) / (df_hash + 0.5)) * (tf_hash * 2.2) /
+        |    (tf_hash + 1.2 * (0.25 + 0.75 * (dl / (sumdl / n))))) +
+        |  (((n - df_scan + 0.5) / (df_scan + 0.5)) * (tf_scan * 2.2) /
+        |    (tf_scan + 1.2 * (0.25 + 0.75 * (dl / (sumdl / n))))) AS score
+        | FROM b, st),
+        |lexr AS (
+        | SELECT doc_id AS id,
+        |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank_lex
+        | FROM sc ORDER BY score DESC, doc_id LIMIT 100),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |dcos AS (
+        | SELECT vec_id,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))),
+        |    (a, b) -> a + b) /
+        |  (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |     list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |     (a, b) -> a + b)) *
+        |   sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |     list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |     (a, b) -> a + b))) AS cosine
+        | FROM embeddings, q),
+        |vecr AS (
+        | SELECT vec_id AS id,
+        |  row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank_vec
+        | FROM dcos ORDER BY cosine DESC, vec_id LIMIT 100),
+        |f AS (
+        | SELECT coalesce(l.id, v.id) AS id,
+        |  coalesce(CAST(1.0 AS DOUBLE) / (60 + l.rank_lex), 0.0)
+        |   + coalesce(CAST(1.0 AS DOUBLE) / (60 + v.rank_vec), 0.0) AS rrf
+        | FROM lexr l FULL OUTER JOIN vecr v ON l.id = v.id)
+        |SELECT id, rrf FROM f ORDER BY rrf DESC, id LIMIT 20""".stripMargin,
     // per-term non-overlapping replace-count, summed — equal to the AC
     // all-end-positions count because no term self-overlaps; matched =
     // lexicographically ordered contained terms (matching the TreeSet)
