@@ -177,6 +177,26 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("encode runs under Structured Streaming with batch-identical output") {
+    val m = Unigram.train(corpus, "text", vocabSize = 50,
+      maxPieceLen = 4, seedSize = 120)
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = Unigram.encode(stream.toDS().toDF("doc_id", "text"),
+        "doc_id", "text", m)
+      .writeStream.format("memory").queryName("unigram_stream")
+      .outputMode("append").start()
+    corpus.collect().foreach(r =>
+      stream.addData((r.getLong(0), r.getString(1))))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("unigram_stream")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val batch = Unigram.encode(corpus, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(streamed == batch)
+  }
+
   test("encode is deterministic and distributed-shape (model broadcast)") {
     val m = Unigram.train(corpus, "text", vocabSize = 50,
       maxPieceLen = 4, seedSize = 120)
