@@ -156,6 +156,45 @@ class SimJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("GraftExtensions wires both rewrites into a session at build time") {
+    // the fleet-wide deployment artifact (what
+    // spark.sql.extensions=graft.plans.GraftExtensions names on a real
+    // cluster — the static conf itself only applies on a FRESH
+    // SparkContext, so the test injects the class through the builder's
+    // withExtensions hook). getOrCreate only applies extensions when it
+    // creates, so clear the session registry for the duration (under the
+    // lock; the SparkContext is reused).
+    OptimizerLock.synchronized {
+      val saved = spark
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      try {
+        val s2 = org.apache.spark.sql.SparkSession.builder()
+          .master("local[4]")
+          .withExtensions(new graft.plans.GraftExtensions())
+          .getOrCreate()
+        assert(s2 ne saved, "builder must have created a fresh session")
+        import s2.implicits._
+        val a = (0 until 20).map(i => (i.toLong, i.toLong * 7)).toDF("id_a", "fp_a")
+        val b = (0 until 20).map(i => (i.toLong, i.toLong * 7)).toDF("id_b", "fp_b")
+        val ham = a.join(b, SimJoin.hamming64($"fp_a", $"fp_b") <= 2)
+          .queryExecution.executedPlan.toString
+        assert(!ham.contains("BroadcastNestedLoopJoin") &&
+          !ham.contains("CartesianProduct"), s"hamming not rewritten:\n$ham")
+        val pts = (0 until 20).map(i => (i.toLong, i.toLong * 5)).toDF("pid", "p")
+        val ivs = (0 until 10).map(i => (i.toLong, i * 10L, i * 10L + 8))
+          .toDF("rid", "lo", "hi")
+        val rng = pts.join(ivs, $"p" >= $"lo" && $"p" <= $"hi")
+          .queryExecution.executedPlan.toString
+        assert(!rng.contains("BroadcastNestedLoopJoin") &&
+          !rng.contains("CartesianProduct"), s"interval not rewritten:\n$rng")
+      } finally {
+        org.apache.spark.sql.SparkSession.setDefaultSession(saved)
+        org.apache.spark.sql.SparkSession.setActiveSession(saved)
+      }
+    }
+  }
+
   test("comparison orientations and strict < are recognized") {
     val (a, b) = corpus()
     val forms = Seq(
