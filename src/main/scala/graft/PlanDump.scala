@@ -19,7 +19,8 @@ object PlanDump {
     "heavy_hitters", "dsir_select", "curriculum_order", "doc_pack_bfd",
     "lm_kn", "quality_lr", "mix_weights", "media_phash", "dedup_media",
     "dedup_audio", "join_hamming", "join_interval", "media_keyframes",
-    "unigram_encode", "sample_coverage", "media_resize")
+    "unigram_encode", "sample_coverage", "media_resize",
+    "search_rrf", "dict_filter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
