@@ -317,6 +317,32 @@ object Unigram {
       .toDF(idCol, "tokens")
   }
 
+  /** Persist a trained model — the offline-train → online-encode seam
+    * (the [[Lm.save]] twin): one tiny parquet of (piece, logp) rows plus
+    * the unk floor as a single-row table, so any later session can
+    * [[load]] and broadcast it without retraining.
+    */
+  def save(m: Model, path: String, spark: SparkSession): Unit = {
+    import spark.implicits._
+    m.pieces.toDF("piece", "logp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pieces")
+    Seq(m.unkLogp).toDF("unk_logp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a model persisted by [[save]] (order restored: logp desc,
+    * piece — the driver-side inventory is bounded by construction).
+    */
+  def load(spark: SparkSession, path: String): Model = {
+    val pieces = spark.read.parquet(s"$path/pieces")
+      .collect().map(r => Piece(r.getAs[String]("piece"),
+        r.getAs[Double]("logp")))
+      .sortBy(p => (-p.logp, p.piece)).toSeq
+    val unk = spark.read.parquet(s"$path/meta")
+      .collect().head.getAs[Double]("unk_logp")
+    Model(pieces, unk)
+  }
+
   /** Mean corpus log-likelihood per word under the model (the quantity EM
     * ascends) — one pass over the word table; UnigramSpec uses it to pin
     * EM monotonicity.

@@ -177,6 +177,20 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("save/load round-trips the model; a loaded model encodes identically") {
+    val m = Unigram.train(corpus, "text", vocabSize = 50,
+      maxPieceLen = 4, seedSize = 120)
+    val path = tmpDir("unigram-model")
+    Unigram.save(m, path, spark)
+    val m2 = Unigram.load(spark, path)
+    assert(m2.pieces == m.pieces && m2.unkLogp == m.unkLogp)
+    val a = Unigram.encode(corpus, "doc_id", "text", m)
+      .orderBy("doc_id").collect().map(_.getSeq[String](1))
+    val b = Unigram.encode(corpus, "doc_id", "text", m2)
+      .orderBy("doc_id").collect().map(_.getSeq[String](1))
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("encode runs under Structured Streaming with batch-identical output") {
     val m = Unigram.train(corpus, "text", vocabSize = 50,
       maxPieceLen = 4, seedSize = 120)
