@@ -117,6 +117,25 @@ object Bpe {
     (merges.result(), vocab)
   }
 
+  /** Persist a learned merge table — the offline-train → online-encode
+    * seam ([[Unigram.save]] / [[Lm.save]] twin): numMerges tiny rows,
+    * rank order restored on [[load]].
+    */
+  def save(merges: Seq[Merge], path: String,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    merges.toDF("p1", "p2", "cnt", "rank")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+  }
+
+  /** Load a merge table persisted by [[save]]. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Merge] =
+    spark.read.parquet(s"$path/merges")
+      .collect().map(r => Merge(r.getAs[String]("p1"),
+        r.getAs[String]("p2"), r.getAs[Long]("cnt"), r.getAs[Int]("rank")))
+      .sortBy(_.rank).toSeq
+
   /** Tokenize a corpus under a learned merge table: rebuild the (word,
     * freq) vocabulary of THIS corpus, replay the merges in rank order
     * (distributed — merges × vocabulary-table passes, the corpus itself is

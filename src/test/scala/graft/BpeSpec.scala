@@ -108,6 +108,21 @@ class BpeSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  test("save/load round-trips the merge table in rank order") {
+    val train = Seq((0L, "ab ab ab cd cd")).toDF("doc_id", "text")
+    val (merges, _) = Bpe.train(train, "text", 3)
+    val path = tmpDir("bpe-model")
+    Bpe.save(merges, path, spark)
+    assert(Bpe.load(spark, path) == merges)
+    // a loaded table encodes identically
+    val docs = Seq((7L, "ab cd")).toDF("doc_id", "text")
+    val a = Bpe.encode(docs, "doc_id", "text", merges)
+      .collect().head.getSeq[String](1)
+    val b = Bpe.encode(docs, "doc_id", "text", Bpe.load(spark, path))
+      .collect().head.getSeq[String](1)
+    assert(a == b)
+  }
+
   test("encodeWithVocab: trainer's vocabulary is the same-corpus fast path") {
     // encoding the training corpus through the trainer's final vocabulary
     // must equal the replay path exactly — token for token, row for row
