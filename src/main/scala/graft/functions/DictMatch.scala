@@ -68,6 +68,38 @@ private[functions] final class AhoCorasick(terms: Seq[String])
 
   private val termArr = terms.toArray
 
+  // terminal(node) = a term ends exactly at this node via the direct trie
+  // path (NOT through fail links) — what leftmost-longest scanning needs
+  private val terminal: Array[Boolean] = termIdx.map(_.nonEmpty).toArray
+
+  /** Single-pass LEFTMOST-LONGEST redaction: at each position take the
+    * longest dictionary term starting there (plain trie walk, no fail
+    * links), emit `repl` and jump past it; else copy the char. The
+    * lexer-style contract every redaction pass wants — "she" under
+    * {he, she} scrubs once as "she", never leaves "s" behind.
+    */
+  def scrub(text: String, repl: String): String = {
+    val sb = new java.lang.StringBuilder(text.length)
+    var i = 0
+    while (i < text.length) {
+      var node = 0
+      var j = i
+      var lastEnd = -1
+      var walking = true
+      while (walking && j < text.length) {
+        gotoMaps(node).get(text.charAt(j)) match {
+          case Some(next) =>
+            node = next; j += 1
+            if (terminal(node)) lastEnd = j
+          case None => walking = false
+        }
+      }
+      if (lastEnd > 0) { sb.append(repl); i = lastEnd }
+      else { sb.append(text.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Total match count across all terms and positions. */
   def countAll(text: String): Long = {
     var node = 0
@@ -189,10 +221,55 @@ case class DictMatchTerms(child: Expression, terms: Seq[String])
     copy(child = newChild)
 }
 
+/** Leftmost-longest dictionary redaction: every dictionary match replaced
+  * by `repl` in one trie pass (see [[AhoCorasick.scrub]]).
+  */
+case class DictScrub(child: Expression, terms: Seq[String], repl: String)
+    extends UnaryExpression {
+  require(terms.nonEmpty && terms.forall(_.nonEmpty),
+    "dictionary must be non-empty terms")
+
+  @transient private lazy val ac = new AhoCorasick(terms)
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dict_scrub expects string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      ac.scrub(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toString, repl))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("ahoCorasick", ac,
+        classOf[AhoCorasick].getName)
+      val r = ctx.addReferenceObj("scrubRepl", repl, "java.lang.String")
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  $ref.scrub($v.toString(), $r));""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): DictScrub =
+    copy(child = newChild)
+}
+
 object DictMatch {
   /** Total AC match count of `terms` in a string column (codegen'd). */
   def count(text: Column, terms: Seq[String]): Column =
     Bridge.column(DictMatchCount(Bridge.expression(text), terms))
+
+  /** Leftmost-longest redaction of `dict` matches by `repl` (codegen'd). */
+  def scrub(text: Column, dict: Seq[String], repl: String): Column =
+    Bridge.column(DictScrub(Bridge.expression(text), dict, repl))
 
   /** Sorted distinct matched terms (codegen'd). */
   def terms(text: Column, dict: Seq[String]): Column =

@@ -1100,6 +1100,22 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_keyframes"), min("frame_no").as("first_kf"))
         .orderBy("media_id")
     },
+    // single-pass leftmost-longest dictionary REDACTION — the blocklist/
+    // phrase-PII scrub for dictionaries too big for regex alternations.
+    // With this dictionary (no term nested in another, no cross-term
+    // overlap in space-separated text) leftmost-longest equals DuckDB's
+    // chained per-term replace, so the scrubbed strings hash-match
+    "dict_scrub" -> { (s, d) =>
+      val dict = Seq("spark", "table", "merge batch", "value")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.DictMatch.scrub(col("text"), dict, "■")
+            .as("scrubbed"))
+        .select(col("doc_id"),
+          length(col("scrubbed")).cast("long").as("n_chars"),
+          sha2(col("scrubbed"), 256).as("scrub_hash"))
+        .orderBy("doc_id")
+    },
     // HYBRID retrieval: reciprocal-rank fusion (Cormack et al. 2009) of
     // the lexical BM25 list and the exact-cosine vector list — the
     // standard two-tower search composition. Each side is a bounded
@@ -1932,6 +1948,16 @@ object PipelineQueries {
         |   + coalesce(CAST(1.0 AS DOUBLE) / (60 + v.rank_vec), 0.0) AS rrf
         | FROM lexr l FULL OUTER JOIN vecr v ON l.id = v.id)
         |SELECT id, rrf FROM f ORDER BY rrf DESC, id LIMIT 20""".stripMargin,
+    "dict_scrub" ->
+      """WITH s AS (
+        | SELECT doc_id,
+        |  replace(replace(replace(replace(text,
+        |    'merge batch', '■'), 'spark', '■'), 'table', '■'),
+        |    'value', '■') AS scrubbed
+        | FROM documents)
+        |SELECT doc_id, CAST(length(scrubbed) AS BIGINT) AS n_chars,
+        | sha256(scrubbed) AS scrub_hash
+        |FROM s ORDER BY doc_id""".stripMargin,
     // per-term non-overlapping replace-count, summed — equal to the AC
     // all-end-positions count because no term self-overlaps; matched =
     // lexicographically ordered contained terms (matching the TreeSet)

@@ -62,6 +62,45 @@ class DictMatchSpec extends SparkSpec {
     }
   }
 
+  test("scrub is leftmost-longest: one pass, no partial leftovers") {
+    val dict = Seq("he", "she", "hers")
+    // reference: at each position, longest dict term starting there wins
+    def ref(text: String, repl: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < text.length) {
+        val hit = dict.filter(t => text.startsWith(t, i))
+          .sortBy(-_.length).headOption
+        hit match {
+          case Some(t) => sb ++= repl; i += t.length
+          case None    => sb += text.charAt(i); i += 1
+        }
+      }
+      sb.toString
+    }
+    val texts = Seq("she said hers", "ushers", "hehehe", "", "nothing",
+      "shehers")
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), DictMatch.scrub(col("text"), dict, "■").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(rows(i.toLong) == ref(t, "■"), s"'$t'")
+    }
+    // "she" scrubs as the WHOLE word (longest), not "s" + scrubbed "he"
+    assert(rows(0L) == "■ said ■rs" || rows(0L) == ref("she said hers", "■"))
+    // fuzz vs the reference
+    val rnd = new scala.util.Random(17)
+    for (_ <- 0 until 20) {
+      val text = (0 until rnd.nextInt(60))
+        .map(_ => "hse"(rnd.nextInt(3))).mkString
+      val got = Seq((0L, text)).toDF("id", "text")
+        .select(DictMatch.scrub(col("text"), dict, "*"))
+        .collect().head.getString(0)
+      assert(got == ref(text, "*"), s"fuzz '$text'")
+    }
+  }
+
   test("SQL-callable after registerAll") {
     DictMatch.registerAll(spark)
     Seq((1L, "usherspark")).toDF("id", "text").createOrReplaceTempView("dmv")
