@@ -1100,6 +1100,28 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_keyframes"), min("frame_no").as("first_kf"))
         .orderBy("media_id")
     },
+    // the WHOLE curation pipeline composed end-to-end — quality gate →
+    // dictionary redaction → exact dedup of the scrubbed text →
+    // per-language corpus accounting — value-verified as ONE query
+    // against DuckDB running the identical composition. Every stage is
+    // the same operator its standalone query declares; the point is that
+    // the COMPOSITION (the thing a user actually runs) stays oracle-exact
+    "pipeline_e2e" -> { (s, d) =>
+      val dict = Seq("spark", "table", "merge batch", "value")
+      val kept = Tables.documents(s, d)
+        .where(TextOps.qualityVerdict(col("text")) === "keep")
+      val scrubbed = kept.select(col("doc_id"), col("lang"),
+        graft.functions.DictMatch.scrub(col("text"), dict, "■").as("text"))
+      val keepIds = scrubbed
+        .groupBy(sha2(col("text"), 256).as("__h"))
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      scrubbed.join(keepIds, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+          min("doc_id").as("first_doc"))
+        .orderBy("lang")
+    },
     // single-pass leftmost-longest dictionary REDACTION — the blocklist/
     // phrase-PII scrub for dictionaries too big for regex alternations.
     // With this dictionary (no term nested in another, no cross-term
@@ -1948,6 +1970,29 @@ object PipelineQueries {
         |   + coalesce(CAST(1.0 AS DOUBLE) / (60 + v.rank_vec), 0.0) AS rrf
         | FROM lexr l FULL OUTER JOIN vecr v ON l.id = v.id)
         |SELECT id, rrf FROM f ORDER BY rrf DESC, id LIMIT 20""".stripMargin,
+    "pipeline_e2e" ->
+      """WITH ws0 AS (
+        | SELECT doc_id, lang, text, string_split(text, ' ') AS ws
+        | FROM documents),
+        |q AS (
+        | SELECT doc_id, lang, text FROM ws0
+        | WHERE NOT (CAST(len(ws) AS BIGINT) < 25
+        |  OR CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','in')))
+        |      AS DOUBLE) / CAST(len(ws) AS DOUBLE) < 0.02
+        |  OR CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) /
+        |      CAST(len(ws) AS DOUBLE) > 0.65)),
+        |sc AS (
+        | SELECT doc_id, lang,
+        |  replace(replace(replace(replace(text,
+        |    'merge batch', '■'), 'spark', '■'), 'table', '■'),
+        |    'value', '■') AS text
+        | FROM q),
+        |k AS (SELECT min(doc_id) AS doc_id FROM sc GROUP BY sha256(text)),
+        |sv AS (SELECT sc.* FROM sc JOIN k USING (doc_id))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        | min(doc_id) AS first_doc
+        |FROM sv GROUP BY 1 ORDER BY 1""".stripMargin,
     "dict_scrub" ->
       """WITH s AS (
         | SELECT doc_id,
