@@ -108,11 +108,23 @@ object Bench {
     // decimal separator would make the emitted line invalid JSON
     def p2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fail,"reps":$reps,"steal_pct":${p2(stealPct)},"busy_pct":${p2(busyPct)},"sf":"$sfDir"}""")
-    // the per-query line above can be very long and tail-truncated by log
-    // capture (it happened two rounds running); repeat the headline in one
-    // short final line so the end of any capture keeps it
-    println(s"""{"summary":"bench","total_s":${p2(total)},"n":${results.size},"failed":${failed.size},"reps":$reps,"steal_pct":${p2(stealPct)},"sf":"$sfDir"}""")
+    // The log capture keeps only a short tail and has twice truncated the
+    // full per-query line mid-stream (r5/r6: every a–k number lost). So the
+    // COMPLETE map goes to a file, and stdout gets exactly ONE compact line
+    // (driver contract shape) whose `queries` carries only the top-20
+    // slowest — under ~1,800 chars however large the inventory grows.
+    val fullPath = "bench_full.json"
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fail,"reps":$reps,"steal_pct":${p2(stealPct)},"busy_pct":${p2(busyPct)},"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter(fullPath, "UTF-8")
+      try w.println(fullLine) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
+    }
+    val top20 = results.sortBy(-_._2).take(20)
+      .map { case (k, v) => "\"" + k + "\":" + p2(v) }.mkString("{", ",", "}")
+    val failShort = failed.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${p2(total)},"unit":"sec","n":${results.size},"queries":$top20,"queries_note":"top-20 slowest; full map in $fullPath","failed":$failShort,"failed_n":${failed.size},"reps":$reps,"steal_pct":${p2(stealPct)},"busy_pct":${p2(busyPct)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

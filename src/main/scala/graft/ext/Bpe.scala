@@ -117,6 +117,132 @@ object Bpe {
     (merges.result(), vocab)
   }
 
+  /** Train driver-side over the collected word table — the fast path for
+    * production vocab sizes. [[train]] runs one argmax-collect Spark job
+    * (plus a localCheckpoint) per merge: fine for tens of merges, but a
+    * 32–64 k-merge production vocabulary is 64 k serial driver-synchronized
+    * jobs — latency-bound regardless of cluster size. This path exploits
+    * the same observation the corpus-collapse already relies on (and that
+    * sequential trainers like SentencePiece are built on): the (word, freq)
+    * table is Zipf-bounded and orders of magnitude smaller than the corpus.
+    * So: ONE Spark job collects the top-`maxWords` words by frequency
+    * (TakeOrderedAndProject, no global sort), then the classic incremental
+    * pair-count/heap trainer runs sequentially on the driver — zero Spark
+    * jobs per merge. Distributed encode ([[encode]]/[[encodeWithVocab]])
+    * is unchanged.
+    *
+    * Bit-equal to [[train]] (same greedy argmax, same (cnt desc, p1, p2)
+    * tie-break — ASCII corpora; UTF-16 vs UTF-8 order can differ on astral
+    * chars) whenever `maxWords` covers the full vocabulary; with a smaller
+    * `maxWords` it is the standard frequency-coverage approximation
+    * (rare-word tail excluded from merge statistics, still encodable).
+    *
+    * @return the merge table and the final (word, freq, syms) vocabulary
+    *         of the RETAINED words, parallelized back out for encode.
+    */
+  def trainLocal(docs: DataFrame, textCol: String, numMerges: Int,
+      minCount: Long = 2L, maxWords: Int = 1 << 22): (Seq[Merge], DataFrame) = {
+    val spark = docs.sparkSession
+    // the one Spark job: Zipf-bounded word table, frequency-covering top-M
+    val collected = wordFreqs(docs, textCol)
+      .orderBy(col("freq").desc, col("word"))
+      .limit(maxWords)
+      .collect()
+    val words = collected.map(_.getString(0))
+    val freqs = collected.map(_.getLong(1))
+    val syms: Array[Array[String]] =
+      words.map(w => w.split("").filter(_.nonEmpty) :+ EndOfWord)
+
+    // sequential twin of mergePair's left fold (left-to-right,
+    // non-overlapping)
+    def mergeSeq(s: Array[String], p1: String, p2: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      s.foreach { x =>
+        if (out.nonEmpty && out.last == p1 && x == p2)
+          out(out.length - 1) = p1 + p2
+        else out += x
+      }
+      out.toArray
+    }
+
+    type Pair = (String, String)
+    val counts = scala.collection.mutable.HashMap.empty[Pair, Long]
+    val where = scala.collection.mutable.HashMap
+      .empty[Pair, scala.collection.mutable.HashSet[Int]]
+    def pairsIn(s: Array[String]): Iterator[Pair] =
+      if (s.length < 2) Iterator.empty
+      else (0 until s.length - 1).iterator.map(i => (s(i), s(i + 1)))
+    // max-heap with lazy deletion: (cnt desc, p1 asc, p2 asc); stale
+    // entries (count changed since push) are discarded on pop
+    val heap = new java.util.PriorityQueue[(Long, String, String)](
+      (a: (Long, String, String), b: (Long, String, String)) => {
+        val c = java.lang.Long.compare(b._1, a._1)
+        if (c != 0) c
+        else {
+          val c1 = a._2.compareTo(b._2)
+          if (c1 != 0) c1 else a._3.compareTo(b._3)
+        }
+      })
+    syms.indices.foreach { i =>
+      pairsIn(syms(i)).foreach { p =>
+        counts(p) = counts.getOrElse(p, 0L) + freqs(i)
+        where.getOrElseUpdate(p,
+          scala.collection.mutable.HashSet.empty[Int]) += i
+      }
+    }
+    counts.foreach { case (p, c) => heap.add((c, p._1, p._2)) }
+
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      // pop to the first non-stale entry meeting minCount
+      var top: (Long, String, String) = null
+      while (top == null && !heap.isEmpty) {
+        val h = heap.poll()
+        if (counts.getOrElse((h._2, h._3), 0L) == h._1 && h._1 >= minCount)
+          top = h
+      }
+      if (top == null) done = true
+      else {
+        val (cnt, p1, p2) = top
+        merges += Merge(p1, p2, cnt, rank)
+        val touched = scala.collection.mutable.HashSet.empty[Pair]
+        val affected = where.getOrElse((p1, p2), Set.empty[Int]).toArray
+        affected.foreach { i =>
+          val f = freqs(i)
+          pairsIn(syms(i)).foreach { p =>
+            counts(p) = counts(p) - f
+            where(p) -= i
+            touched += p
+          }
+          syms(i) = mergeSeq(syms(i), p1, p2)
+          pairsIn(syms(i)).foreach { p =>
+            counts(p) = counts.getOrElse(p, 0L) + f
+            where.getOrElseUpdate(p,
+              scala.collection.mutable.HashSet.empty[Int]) += i
+            touched += p
+          }
+        }
+        touched.foreach { p =>
+          val c = counts.getOrElse(p, 0L)
+          if (c <= 0L) { counts.remove(p); where.remove(p) }
+          else heap.add((c, p._1, p._2))
+        }
+        rank += 1
+      }
+    }
+
+    import spark.implicits._
+    val rows: Seq[(String, Long, Seq[String])] =
+      words.indices.map(i => (words(i), freqs(i), syms(i).toSeq))
+    val slices = math.max(1,
+      math.min(spark.sparkContext.defaultParallelism, rows.size))
+    val vocabDf = spark.sparkContext.parallelize(rows, slices)
+      .toDF("word", "freq", "syms")
+    (merges.result(), vocabDf)
+  }
+
   /** Persist a learned merge table — the offline-train → online-encode
     * seam ([[Unigram.save]] / [[Lm.save]] twin): numMerges tiny rows,
     * rank order restored on [[load]].

@@ -286,10 +286,14 @@ object DictMatch {
     * `dict_match_terms(text, array(…))` — the dictionary must be a
     * literal (it builds the plan-constant automaton).
     */
-  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Bridge.registerFunction(spark, "dict_match_count",
-      es => DictMatchCount(es.head, litStrings(es(1))))
-    Bridge.registerFunction(spark, "dict_match_terms",
-      es => DictMatchTerms(es.head, litStrings(es(1))))
-  }
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    sqlBuilders.foreach { case (n, b) => Bridge.registerFunction(spark, n, b) }
+
+  /** SQL-callable (name, builder) pairs — consumed per-session by
+    * [[registerAll]] and fleet-wide by
+    * [[graft.plans.GraftExtensions]]'s `injectFunction`.
+    */
+  def sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "dict_match_count" -> (es => DictMatchCount(es.head, litStrings(es(1)))),
+    "dict_match_terms" -> (es => DictMatchTerms(es.head, litStrings(es(1)))))
 }

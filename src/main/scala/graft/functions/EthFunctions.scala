@@ -107,11 +107,17 @@ object EthFunctions {
 
   private def expr(c: Column): Expression = Bridge.expression(c)
 
+  /** SQL-callable (name, builder) pairs — consumed per-session by
+    * [[registerAll]] and fleet-wide by
+    * [[graft.plans.GraftExtensions]]'s `injectFunction`.
+    */
+  def sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "keccak256" -> (es => KeccakHash(es.head)),
+    "le_u64" -> (es => LeU64(es(0), es(1))))
+
   /** Make the custom expressions SQL-callable in a session:
     * `SELECT keccak256(s), le_u64(data, 0) FROM …`.
     */
-  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Bridge.registerFunction(spark, "keccak256", es => KeccakHash(es.head))
-    Bridge.registerFunction(spark, "le_u64", es => LeU64(es(0), es(1)))
-  }
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    sqlBuilders.foreach { case (n, b) => Bridge.registerFunction(spark, n, b) }
 }

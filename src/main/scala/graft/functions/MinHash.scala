@@ -429,13 +429,17 @@ object MinHash {
     * `winnow_fp(words, k, w)` — size arguments must be literals (they fix
     * the generated code's loop bounds).
     */
-  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Bridge.registerFunction(spark, "minhash_sig",
-      es => MinHashSigF(es(0), litInt(es(1), "numHashes")))
-    Bridge.registerFunction(spark, "sig_bands",
-      es => SigBandsF(es(0), litInt(es(1), "bands")))
-    Bridge.registerFunction(spark, "simhash64", es => SimHash64F(es(0)))
-    Bridge.registerFunction(spark, "winnow_fp",
-      es => WinnowFpF(es(0), litInt(es(1), "k"), litInt(es(2), "w")))
-  }
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    sqlBuilders.foreach { case (n, b) => Bridge.registerFunction(spark, n, b) }
+
+  /** SQL-callable (name, builder) pairs — consumed per-session by
+    * [[registerAll]] and fleet-wide by
+    * [[graft.plans.GraftExtensions]]'s `injectFunction`.
+    */
+  def sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "minhash_sig" -> (es => MinHashSigF(es(0), litInt(es(1), "numHashes"))),
+    "sig_bands" -> (es => SigBandsF(es(0), litInt(es(1), "bands"))),
+    "simhash64" -> (es => SimHash64F(es(0))),
+    "winnow_fp" ->
+      (es => WinnowFpF(es(0), litInt(es(1), "k"), litInt(es(2), "w"))))
 }

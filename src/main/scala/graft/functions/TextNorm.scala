@@ -52,7 +52,16 @@ object TextNorm {
   /** Unicode-NFC-normalize a string column (codegen'd, null-preserving). */
   def nfc(c: Column): Column = Bridge.column(NfcNormalize(Bridge.expression(c)))
 
+  /** SQL-callable (name, builder) pairs — consumed per-session by
+    * [[registerAll]] and fleet-wide by
+    * [[graft.plans.GraftExtensions]]'s `injectFunction`.
+    */
+  def sqlBuilders: Seq[(String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    "nfc_normalize" -> (es => NfcNormalize(es.head)))
+
   /** Make `nfc_normalize(s)` SQL-callable (DuckDB-compatible name). */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
-    Bridge.registerFunction(spark, "nfc_normalize", es => NfcNormalize(es.head))
+    sqlBuilders.foreach { case (n, b) => Bridge.registerFunction(spark, n, b) }
 }

@@ -328,7 +328,16 @@ object VectorFunctions {
     Bridge.column(LshSigsF(Bridge.expression(vec),
       signs.toIndexedSeq.map(_.toIndexedSeq), nbits))
 
+  /** SQL-callable (name, builder) pairs — consumed per-session by
+    * [[registerAll]] and fleet-wide by
+    * [[graft.plans.GraftExtensions]]'s `injectFunction`.
+    */
+  def sqlBuilders: Seq[(String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    "vec_dot" -> (es => DotProductF(es(0), es(1))))
+
   /** SQL-callable registration: `SELECT vec_dot(a, b) FROM …`. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
-    Bridge.registerFunction(spark, "vec_dot", es => DotProductF(es(0), es(1)))
+    sqlBuilders.foreach { case (n, b) => Bridge.registerFunction(spark, n, b) }
 }

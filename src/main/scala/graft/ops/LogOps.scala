@@ -78,6 +78,44 @@ object LogOps {
     df.withColumn("indx", row_number().over(w).cast("long") + lit(base) - 1L)
   }
 
+  /** W1/S8 at scale — the ranged two-pass version of [[withAppendIndex]]:
+    * `repartitionByRange(orderCols)` gives a global ordering ACROSS
+    * partitions, `sortWithinPartitions` orders within, and zipWithIndex's
+    * per-partition counts → cumulative offsets turn local positions into
+    * the global consecutive sequence `base, base+1, …` — two narrow passes
+    * (count job + assignment pass), NO single-partition window. This is
+    * the production append path: a 20,000-block backfill batch
+    * (README.md:58 scale) fans out over the cluster instead of funneling
+    * through one task.
+    *
+    * Rows equal on every `orderCols` key are interchangeable, so which of
+    * them gets which index is immaterial (and range-boundary placement of
+    * equal keys is the only nondeterminism here). Output schema = input
+    * schema + `indx: long`.
+    */
+  def withAppendIndexRanged(
+      df: DataFrame,
+      base: Long,
+      orderCols: Seq[Column],
+      /** Explicit range-partition count; None lets AQE size the exchange
+        * (it will coalesce a small batch to few partitions — desired).
+        */
+      numPartitions: Option[Int] = None
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val ranged = numPartitions match {
+      case Some(n) => df.repartitionByRange(n, orderCols: _*)
+      case None => df.repartitionByRange(orderCols: _*)
+    }
+    val sorted = ranged.sortWithinPartitions(orderCols: _*)
+    val schema = sorted.schema
+      .add("indx", org.apache.spark.sql.types.LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (base + i))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** A2/W4 — next append index = max(indx)+1, empty → 0
     * (ref `store/store.go:25-26`, `postgresql_store.go:98-107`). Returns a
     * 1-row DataFrame (stays distributed; `.first()` it only at the driver

@@ -205,14 +205,39 @@ object SimJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
 /** `spark.sql.extensions`-style injection point:
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions` installs the
-  * similarity-join rewrite (and the library's SQL functions) on every
-  * session of the deployment.
+  * two optimizer rewrites AND the library's whole SQL function surface
+  * (keccak/minhash/simhash/winnow/dict/nfc/vec families) on every session
+  * of the deployment — a pure-SQL user gets the full engine without
+  * calling any per-module `registerAll` (the reference's extension surface
+  * reaching SQL, `README.md:95-104`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => SimJoinRewrite)
     e.injectOptimizerRule(_ => RangeJoinRewrite)
+    GraftExtensions.sqlFunctions.foreach { case (name, builder) =>
+      e.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[GraftExtensions].getName, name),
+        builder))
+    }
   }
+}
+
+object GraftExtensions {
+  /** The library's complete SQL function registry — one list shared by the
+    * fleet-wide injection above and each module's per-session
+    * `registerAll`.
+    */
+  def sqlFunctions: Seq[(String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] =
+    graft.functions.EthFunctions.sqlBuilders ++
+      graft.functions.MinHash.sqlBuilders ++
+      graft.functions.DictMatch.sqlBuilders ++
+      graft.functions.TextNorm.sqlBuilders ++
+      graft.functions.VectorFunctions.sqlBuilders
 }
 
 object SimJoin {

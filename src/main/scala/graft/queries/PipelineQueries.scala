@@ -48,9 +48,10 @@ object PipelineQueries {
     * fertility-audit queries — `bpe_pairs` remains the query that
     * measures the training cost itself — and without the memo
     * `bpe_encode`/`bpe_fertility` each re-run the full iterative trainer
-    * per bench rep. The vocab side is localCheckpointed by the trainer
-    * (checkpoint blocks are NOT in the CacheManager, so the harness's
-    * between-queries `clearCache` leaves them materialized).
+    * per bench rep. Training runs the driver-side fast path
+    * ([[graft.ext.Bpe.trainLocal]] — one Spark job however many merges;
+    * BpeSpec pins its equality to the distributed trainer); the vocab the
+    * memo holds is the parallelized final dictionary.
     */
   private val bpeModelCache = new java.util.concurrent.ConcurrentHashMap[
     (Int, Int, Int), (Seq[graft.ext.Bpe.Merge], DataFrame)]()
@@ -60,7 +61,10 @@ object PipelineQueries {
     bpeModelCache.computeIfAbsent(
       (System.identityHashCode(docs.sparkSession),
         docs.queryExecution.analyzed.semanticHash(), numMerges),
-      _ => graft.ext.Bpe.train(docs, "text", numMerges))
+      _ => {
+        val (m, v) = graft.ext.Bpe.trainLocal(docs, "text", numMerges)
+        (m, v.localCheckpoint())
+      })
 
   /** Same artifact-memo contract for the unigram-LM tokenizer:
     * `unigram_pieces` measures the EM training itself, `unigram_encode`

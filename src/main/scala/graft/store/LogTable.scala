@@ -1,7 +1,6 @@
 package graft.store
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The store layer (SURVEY.md §1.1e): per-filter append-only indexed log +
@@ -18,10 +17,11 @@ import org.apache.spark.sql.functions._
   *  - data lands partitioned by `block_range` (block_num div 10_000) so both
   *    range scans (S1) and reorg truncation (S9) touch only the tail
   *    partition directories, never the full history;
-  *  - appends assign indices as `base + row_number within the batch` — the
-  *    global sequence comes from the checkpointed LastIndex, not a global
-  *    window, so batch appends stay parallel (single-partition window only
-  *    within one micro-batch, which is bounded by the AIMD batch size);
+  *  - appends assign indices as `base + position within the batch` via the
+  *    ranged two-pass scheme (repartitionByRange + per-partition counts →
+  *    offsets, [[graft.ops.LogOps.withAppendIndexRanged]]) — the global
+  *    sequence comes from the checkpointed LastIndex and NO single-partition
+  *    sort exists anywhere on the append path, however large the batch;
   *  - truncation rewrites only the partitions holding `indx >= n` — an
   *    engine with a transactional table format (Delta/Iceberg) would issue a
   *    metadata-only DELETE; plain parquet needs the rewrite, and reorgs only
@@ -97,10 +97,13 @@ final class LogTable(spark: SparkSession, root: String, filterHash: String,
     val base = lastIndex()
     // tx_hash in the order makes the assignment deterministic when a tx
     // emits several logs (same block_num+tx_index); rows identical in all
-    // three are interchangeable, so any tie-break there is immaterial
-    val w = Window.orderBy(col("block_num"), col("tx_index"), col("tx_hash"))
-    val indexed = batch
-      .withColumn("indx", row_number().over(w).cast("long") + lit(base) - 1L)
+    // three are interchangeable, so any tie-break there is immaterial.
+    // Ranged two-pass assignment (repartitionByRange + per-partition
+    // counts → offsets) — no single-partition global window, so a
+    // 20,000-block backfill batch fans out instead of funneling through
+    // one task (see LogOps.withAppendIndexRanged).
+    val indexed = graft.ops.LogOps.withAppendIndexRanged(batch, base,
+        Seq(col("block_num"), col("tx_index"), col("tx_hash")))
       .withColumn("block_range", col("block_num") / lit(blocksPerRange))
       .withColumn("block_range", floor(col("block_range")))
       .persist()

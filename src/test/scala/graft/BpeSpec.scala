@@ -182,4 +182,73 @@ class BpeSpec extends SparkSpec {
     val (merges, _) = Bpe.train(docs, "text", 5, minCount = 2L)
     assert(merges.isEmpty) // every pair occurs once
   }
+
+  test("trainLocal equals the distributed trainer: merges and final vocab") {
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val (dMerges, dVocab) = Bpe.train(docs, "text", 10)
+    val (lMerges, lVocab) = Bpe.trainLocal(docs, "text", 10)
+    assert(lMerges == dMerges)
+    def vocabMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("word", "syms").collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    assert(vocabMap(lVocab) == vocabMap(dVocab))
+    // and the random-corpus fuzz from the distributed trainer holds here too
+    val rnd = new scala.util.Random(13)
+    val vocabW = Vector("ab", "ba", "abc", "aab", "bb", "a", "b", "cab")
+    for (iter <- 0 until 5) {
+      val fuzz = (0 until 6).map(i => (i.toLong,
+        Seq.fill(3 + rnd.nextInt(8))(vocabW(rnd.nextInt(vocabW.size)))
+          .mkString(" ")))
+      val words = fuzz.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      val (refMerges, _) = refTrain(words, 8)
+      val (got, _) = Bpe.trainLocal(fuzz.toDF("doc_id", "text"), "text", 8)
+      assert(got.map(m => (m.p1, m.p2, m.cnt)) == refMerges,
+        s"iter $iter corpus ${fuzz.map(_._2)}")
+    }
+  }
+
+  test("trainLocal runs O(1) Spark jobs however many merges") {
+    // a 1,000-merge train must not run a job per merge (the distributed
+    // trainer's weakness at production vocab sizes)
+    val rnd = new scala.util.Random(42)
+    val docs = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(30)(
+        Seq.fill(2 + rnd.nextInt(6))(('a' + rnd.nextInt(6)).toChar)
+          .mkString).mkString(" "))
+    }.toDF("doc_id", "text")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (merges, _) = Bpe.trainLocal(docs, "text", 1000, minCount = 1L)
+      // listener delivery is async; give the bus a moment to drain
+      Thread.sleep(1500)
+      assert(merges.nonEmpty)
+      assert(jobs.get() <= 4,
+        s"expected O(1) Spark jobs for a 1,000-merge train, got ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("trainLocal maxWords truncation keeps the frequency head") {
+    // with maxWords below the vocab size, only the most frequent words
+    // feed merge statistics — the standard coverage cutoff
+    val docs = Seq((0L, "aa aa aa aa zz")).toDF("doc_id", "text")
+    val (merges, vocab) = Bpe.trainLocal(docs, "text", 5, maxWords = 1)
+    assert(vocab.select("word").collect().map(_.getString(0)).toSeq ==
+      Seq("aa"))
+    // tie-break picks (a, </w>) first ('<' < 'a'), then (a, a</w>): the
+    // retained word fully collapses, and nothing from the excluded tail
+    // ever feeds a merge
+    assert(merges.map(m => (m.p1, m.p2)) ==
+      Seq(("a", Bpe.EndOfWord), ("a", "a" + Bpe.EndOfWord)))
+    assert(!merges.exists(m => m.p1.contains("z") || m.p2.contains("z")))
+    assert(vocab.select("syms").collect().head.getSeq[String](0) ==
+      Seq("aa" + Bpe.EndOfWord))
+  }
 }

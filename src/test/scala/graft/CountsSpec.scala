@@ -82,14 +82,27 @@ class CountsSpec extends AnyFunSuite {
       "(?i)(no[- ]?(sql )?oracle|rows-only|value-check|error-gated|scalatest|spec|driver-red|hash-red)".r
     // header: "oracle-exact" then a colon within 80 chars; a gap containing
     // a backtick or table pipe is prose/table noise, not a list header
+    // A span never crosses a paragraph break, never exceeds maxSpan chars,
+    // and close-parens can't drive depth negative (round-6 postmortem: an
+    // unbalanced ')' in historical prose made one span swallow 11.8k chars
+    // of later paragraphs and flag their rows-only queries).
+    val maxSpan = 1500
+    def atBlankLine(text: String, i: Int): Boolean = {
+      if (text(i) != '\n') return false
+      var j = i + 1
+      while (j < text.length && (text(j) == ' ' || text(j) == '\t')) j += 1
+      j >= text.length || text(j) == '\n'
+    }
     val spans = "(?s)oracle-exact(.{0,80}?):".r.findAllMatchIn(text).flatMap { h =>
       if (h.group(1).exists(c => c == '`' || c == '|')) None
       else {
         var i = h.end; var depth = 0
-        while (i < text.length && !(depth == 0 && text(i) == '.' &&
+        while (i < text.length && i - h.end < maxSpan &&
+            !atBlankLine(text, i) &&
+            !(depth == 0 && text(i) == '.' &&
             (i + 1 >= text.length || text(i + 1).isWhitespace))) {
           if (text(i) == '(') depth += 1
-          else if (text(i) == ')') depth -= 1
+          else if (text(i) == ')') depth = math.max(0, depth - 1)
           i += 1
         }
         Some(text.substring(h.end, math.min(i + 1, text.length)))
@@ -143,6 +156,18 @@ class CountsSpec extends AnyFunSuite {
       Map("doc_pack" -> Some(false), "agg_approx_distinct" -> None))
     assert(real.size == 1 && real.head.contains("doc_pack"),
       s"planted red claim not caught: $real")
+  }
+
+  test("claim spans stop at unbalanced parens and paragraph breaks") {
+    // an unbalanced ')' inside the span must not let it swallow the next
+    // paragraph's rows-only queries (the round-6 runaway)
+    val planted =
+      "new oracle-exact queries: `doc_pack` (per step)) done here.\n" +
+        "\n" +
+        "Later paragraph: `agg_approx_distinct` is rows-only.\n"
+    val real = oracleClaimViolations(planted,
+      Map("doc_pack" -> Some(true), "agg_approx_distinct" -> None))
+    assert(real.isEmpty, s"span ran past the paragraph break: $real")
   }
 
   test("every 'N ScalaTest' doc token matches the registered test count") {

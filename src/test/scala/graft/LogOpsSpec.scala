@@ -78,4 +78,37 @@ class LogOpsSpec extends SparkSpec {
     assert(idx.toSeq == Seq((10L, 1L, 0L), (11L, 3L, 1L),
       (12L, 5L, 0L), (13L, 5L, 1L)))
   }
+
+  test("withAppendIndexRanged equals the window path, with no global sort") {
+    // a shuffled multi-partition batch with distinct keys: the ranged
+    // two-pass assignment must produce the identical (key -> indx) map as
+    // the single-partition window it replaces
+    val rnd = new scala.util.Random(3)
+    val rows = rnd.shuffle((0 until 500).map { i =>
+      (rnd.nextLong(1000), rnd.nextLong(10), f"0x$i%04x")
+    }.distinct.toVector)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 8))
+      .toDF("block_num", "tx_index", "tx_hash")
+    val keys = Seq(col("block_num"), col("tx_index"), col("tx_hash"))
+    def asMap(out: org.apache.spark.sql.DataFrame) =
+      out.select("block_num", "tx_index", "tx_hash", "indx").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)) -> r.getLong(3))
+        .toMap
+    val ranged = LogOps.withAppendIndexRanged(df, base = 42L, keys)
+    assert(asMap(ranged) == asMap(LogOps.withAppendIndex(df, 42L, keys)))
+    // with an explicit partition count (AQE coalesces the tiny test batch
+    // otherwise) the assignment runs over a genuinely multi-partition
+    // layout — nothing funnels the batch through one task — and still
+    // produces the identical sequence
+    val wide = LogOps.withAppendIndexRanged(df, 42L, keys, Some(8))
+    assert(wide.rdd.getNumPartitions > 1,
+      s"ranged path collapsed to ${wide.rdd.getNumPartitions} partition(s)")
+    assert(asMap(wide) == asMap(ranged))
+    // and the pre-assignment exchange is ranged, not single-partition
+    val plan = df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      s"expected a range exchange in:\n$plan")
+  }
 }

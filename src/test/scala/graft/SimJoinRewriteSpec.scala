@@ -195,6 +195,43 @@ class SimJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("GraftExtensions injects the SQL function surface at build time") {
+    // a pure-SQL user (spark.sql.extensions=graft.plans.GraftExtensions,
+    // no per-module registerAll call) must see every library function
+    OptimizerLock.synchronized {
+      val saved = spark
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      try {
+        val s2 = org.apache.spark.sql.SparkSession.builder()
+          .master("local[4]")
+          .withExtensions(new graft.plans.GraftExtensions())
+          .getOrCreate()
+        assert(s2 ne saved, "builder must have created a fresh session")
+        val kec = s2.sql("SELECT keccak256('') AS h").head().getString(0)
+        // keccak-256 of empty input — the canonical known-answer vector
+        assert(kec ==
+          "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470")
+        assert(s2.sql(
+          "SELECT dict_match_count('a spam b spam', array('spam')) AS n")
+          .head().getLong(0) == 2L)
+        assert(s2.sql("SELECT nfc_normalize('e\u0301') AS s")
+          .head().getString(0) == "\u00e9")
+        assert(s2.sql(
+          "SELECT vec_dot(array(1.0F,2.0F), array(3.0F,4.0F)) AS d")
+          .head().getDouble(0) == 11.0)
+        assert(s2.sql("SELECT size(minhash_sig(array('a','b'), 8)) AS n")
+          .head().getInt(0) == 8)
+        assert(s2.sql("SELECT simhash64(array('a','b')) AS f")
+          .head().schema.head.dataType ==
+          org.apache.spark.sql.types.LongType)
+      } finally {
+        org.apache.spark.sql.SparkSession.setDefaultSession(saved)
+        org.apache.spark.sql.SparkSession.setActiveSession(saved)
+      }
+    }
+  }
+
   test("comparison orientations and strict < are recognized") {
     val (a, b) = corpus()
     val forms = Seq(
