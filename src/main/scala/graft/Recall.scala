@@ -203,7 +203,7 @@ object Recall {
       graft.ext.Multimodal.synthRasterBlobs(docs, "doc_id", "text")
     val mediaPairs = graft.ext.Multimodal
       .nearDupMedia(graft.ext.Multimodal.dedupExactMedia(mediaBlobs),
-        maxDist = 4)
+        maxDist = 4, bands = 8)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val nCopies = mediaBlobs.where(col("media_id") >= 1000000L).count()

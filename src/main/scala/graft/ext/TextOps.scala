@@ -178,8 +178,11 @@ object TextOps {
     *
     * Determinism: the within-shard order (n desc, id) is total, each
     * shard lives in exactly one partition, and the best-fit tie-break at
-    * equal remainders is first-opened pack — so the assignment is a pure
-    * function of the data, independent of cluster layout.
+    * equal remainders is the least-recently-enqueued pack at that
+    * remainder value (the TreeMap queues are FIFO by when a pack last
+    * ARRIVED at the remainder, not by pack open order) — so the
+    * assignment is a pure function of the data, independent of cluster
+    * layout (PackSpec's partitioning-invariance pins this).
     *
     * @return (idCol, shard, pack_id, pack_pos, pack_offset, oversize):
     *         pack ids are per-shard 0-based in open order; pack_pos is

@@ -44,7 +44,24 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   * expressions straddling both sides, an existing inter-side equality
   * conjunct (already hash-joinable; also the fixed-point terminator,
   * since the rewritten join carries a bin equality), non-deterministic
-  * expressions, inverted constant bounds.
+  * expressions. Inverted bounds (`lo > hi`) are safe by construction:
+  * the sequence uses an EXPLICIT step of 1, so a descending bin range
+  * generates ZERO rows — exactly the nested loop's empty result for an
+  * unsatisfiable containment — rather than Sequence's default step -1
+  * descending array (which for a pathological inversion would be a huge
+  * materialized array). Constant bounds never reach this rule at all:
+  * Catalyst's predicate pushdown moves foldable/single-side conjuncts
+  * below the join first, so only genuine column-vs-column containments
+  * are rewritten.
+  *
+  * SIZE `binWidth` TO THE DOMAIN: each interval row explodes to
+  * `(hi-lo)/binWidth + 1` bin rows, so set the width to roughly the
+  * median interval length (epoch-micros intervals want ~minutes-to-hours
+  * in micros, NOT the 1000 default, which would explode a one-hour
+  * interval into 3.6 M rows). Sentinel whole-domain intervals
+  * (`[0, Long.Max]` "always valid" rows) must be filtered or routed to a
+  * separate broadcast join BEFORE the range join — no bin width
+  * accommodates them.
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -122,6 +139,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     catch { case _: NumberFormatException => DefaultBinWidth }
   }
 
+
   private def asLong(e: Expression): Expression =
     if (e.dataType == LongType) e else Cast(e, LongType)
 
@@ -154,10 +172,21 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             nullable = false)()
           // Sequence is TimeZoneAwareExpression: without a timezone id it
           // reports unresolved even for integral sequences, and the
-          // optimizer's plan validation rejects the rewrite
-          val seq = Sequence(floorDiv(asLong(lo), b),
-            floorDiv(asLong(hi), b), None,
-            Some(conf.sessionLocalTimeZone))
+          // optimizer's plan validation rejects the rewrite. The If guard
+          // handles inverted bounds (lo > hi — an unsatisfiable
+          // containment that must match nothing): without it Sequence
+          // steps -1 and materializes a DESCENDING bin array (huge for a
+          // pathological inversion), and with an explicit step it throws
+          // "Illegal sequence boundaries". A null comparison routes to
+          // the empty branch — same no-rows outcome as the null sequence.
+          val loBin = floorDiv(asLong(lo), b)
+          val hiBin = floorDiv(asLong(hi), b)
+          val emptyBins = Literal.create(Seq.empty[Long],
+            org.apache.spark.sql.types.ArrayType(LongType, containsNull = false))
+          val seq = If(LessThanOrEqual(loBin, hiBin),
+            Sequence(loBin, hiBin, Some(Literal(1L)),
+              Some(conf.sessionLocalTimeZone)),
+            emptyBins)
           val rangeGen = Generate(Explode(seq), unrequiredChildIndex = Nil,
             outer = false, qualifier = None, generatorOutput = Seq(rBin),
             child = rangePlan)

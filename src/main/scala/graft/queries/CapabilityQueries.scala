@@ -115,18 +115,30 @@ object CapabilityQueries {
     // would leave ~10 distinct bins — no parallelism).
     "join_interval" -> { (s, d) =>
       graft.plans.RangeJoin.install(s)
+      // scope the bin-width dial: set, plan eagerly, RESTORE — leaking 16
+      // into the shared session would silently resize every later range
+      // join (the width is physical-only, so consumers that re-plan under
+      // the session default still hash-match)
+      val prev = s.conf.getOption("spark.graft.rangeJoin.binWidth")
       s.conf.set("spark.graft.rangeJoin.binWidth", "16")
-      val ev = Tables.events(s, d).select(col("event_id"))
-      val iv = Tables.orders(s, d).select(col("o_orderkey"),
-        (col("o_orderkey") * 7 % 10000).as("lo"),
-        (col("o_orderkey") * 7 % 10000 + (col("o_orderkey") % 5) * 3)
-          .as("hi"))
-      ev.join(iv, col("event_id") >= col("lo") &&
-          col("event_id") <= col("hi"))
-        .groupBy("o_orderkey")
-        .agg(count(lit(1)).as("n_events"),
-          min("event_id").as("min_eid"), max("event_id").as("max_eid"))
-        .orderBy("o_orderkey")
+      try {
+        val ev = Tables.events(s, d).select(col("event_id"))
+        val iv = Tables.orders(s, d).select(col("o_orderkey"),
+          (col("o_orderkey") * 7 % 10000).as("lo"),
+          (col("o_orderkey") * 7 % 10000 + (col("o_orderkey") % 5) * 3)
+            .as("hi"))
+        val out = ev.join(iv, col("event_id") >= col("lo") &&
+            col("event_id") <= col("hi"))
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).as("n_events"),
+            min("event_id").as("min_eid"), max("event_id").as("max_eid"))
+          .orderBy("o_orderkey")
+        out.queryExecution.executedPlan // memoize the width-16 plan
+        out
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.graft.rangeJoin.binWidth", v)
+        case None => s.conf.unset("spark.graft.rangeJoin.binWidth")
+      }
     },
     // TPC-H Q1 shape: multi-measure grouped agg with derived expressions
     "agg_group" -> { (s, d) =>

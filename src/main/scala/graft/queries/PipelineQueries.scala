@@ -1028,14 +1028,16 @@ object PipelineQueries {
     // (byte-identical uploads collapse to one keeper — the corpus's
     // duplicated texts make identical images, exactly the flood the
     // ladder exists for), THEN pHash near-dup pairs within Hamming ≤ 4,
-    // banded 4×16-bit like the SimHash tier. Surviving pairs are the
+    // banded 8×8-bit so the pigeonhole guarantee covers the declared
+    // distance (bands > maxDist; 4×16 only guaranteed ≤ 3 and measurably
+    // lost 1/1250 planted pairs). Surviving pairs are the
     // planted pixel-edited near-copies plus rare true near-hashes
     // (MultimodalSpec: every planted pair found)
     "dedup_media" -> { (s, d) =>
       Multimodal.nearDupMedia(
           Multimodal.dedupExactMedia(
             Multimodal.synthRasterBlobs(Tables.documents(s, d), "doc_id", "text")),
-          maxDist = 4)
+          maxDist = 4, bands = 8)
         .orderBy("id_a", "id_b")
     },
     // the audio rung: spectral fingerprints (Haitsma–Kalker robust-hash

@@ -324,7 +324,9 @@ class MultimodalSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val blobs = Multimodal.synthRasterBlobs(table, "doc_id", "text",
       plantEvery = 4)
-    val pairs = Multimodal.nearDupMedia(blobs, maxDist = 4)
+    // bands = 8 (the declared dedup_media config): pigeonhole covers the
+    // whole maxDist = 4 — 4×16-bit only guarantees distance ≤ 3
+    val pairs = Multimodal.nearDupMedia(blobs, maxDist = 4, bands = 8)
       .collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
         r.getAs[Long]("hamming")))

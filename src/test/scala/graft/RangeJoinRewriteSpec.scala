@@ -124,6 +124,39 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("inverted bounds generate zero bin rows, not a descending range") {
+    // lo > hi is an unsatisfiable containment: the rewrite's explicit
+    // step-1 sequence must emit NOTHING (Sequence's default would step -1
+    // and materialize a descending bin array — for a pathological
+    // inversion, a huge one)
+    val points = (0 until 50).map(i => (i.toLong, i.toLong)).toDF("pid", "p")
+    val ranges = Seq((0L, 1000000L, -1000000L)).toDF("rid", "lo", "hi")
+    val out = withRule {
+      val df = points.join(ranges, $"p" >= $"lo" && $"p" <= $"hi")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), s"not rewritten:\n$plan")
+      df.count()
+    }
+    assert(out == 0L)
+  }
+
+  test("constant bounds are pushed below the join, never exploded") {
+    withoutRules {
+      val points = (0 until 10).map(i => (i.toLong, i.toLong)).toDF("pid", "p")
+      val ranges = Seq((0L, 1L)).toDF("rid", "x")
+      def optimized(df: DataFrame) = df.queryExecution.optimizedPlan
+      // a literal whole-domain interval (the sentinel hazard) never
+      // reaches the rule as a containment: Catalyst pushes foldable
+      // conjuncts below the join first, leaving a condition-less cross
+      // join the rule ignores — so no bin explosion is even possible
+      val wide = points.join(ranges,
+        $"p" >= lit(0L) && $"p" <= lit(Long.MaxValue - 1))
+      assert(RangeJoinRewrite(optimized(wide)) eq optimized(wide),
+        "constant-bound join must be left untouched")
+    }
+  }
+
   test("fuzz: random points/intervals/widths match the nested loop") {
     val rnd = new scala.util.Random(53)
     for (round <- 0 until 5) {
