@@ -46,6 +46,17 @@ final class Tracker private (
   /** T2 — chain guard + resume + bulk backfill + reorg-safe tail. */
   def sync(): SyncReport = syncer.sync()
 
+  /** T7 — watch a running sync: per-batch [[graft.sync.SyncProgress]]
+    * ticks (lossy-by-contract, the reference's SyncCh events,
+    * `tracker.go:362-367`). Poll-style consumers can register a
+    * [[graft.sync.LatestTickBox]].
+    */
+  def addSyncListener(l: graft.sync.SyncListener): Unit =
+    syncer.addListener(l)
+
+  def removeSyncListener(l: graft.sync.SyncListener): Unit =
+    syncer.removeListener(l)
+
   /** T3 — the checkpointed last-synced block. */
   def lastBlock: Option[BlockHeader] = syncer.checkpoint()
 

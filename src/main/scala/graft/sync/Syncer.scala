@@ -113,6 +113,30 @@ final class Syncer(
   val table = new LogTable(spark, root, filterHash)
   val kv = new KvStore(spark, root)
 
+  // ── progress surface (T7, ref tracker.go:362-367) ─────────────────────
+  private val listeners =
+    new java.util.concurrent.CopyOnWriteArrayList[SyncListener]()
+
+  /** Register a progress consumer (idempotent per instance). */
+  def addListener(l: SyncListener): Unit =
+    if (!listeners.contains(l)) listeners.add(l)
+
+  def removeListener(l: SyncListener): Unit = listeners.remove(l)
+
+  /** Deliver a tick to every listener; a throwing listener loses that tick
+    * (lossy-by-contract) and the sync proceeds.
+    */
+  private def emit(phase: String, origin: Long, target: Long, current: Long,
+      appended: Long, startNs: Long): Unit = {
+    if (!listeners.isEmpty) {
+      val p = SyncProgress(phase, origin, target, current, appended,
+        (System.nanoTime() - startNs) / 1000000L)
+      listeners.forEach { l =>
+        try l.onProgress(p) catch { case _: Throwable => () }
+      }
+    }
+  }
+
   private val lastBlockKey = s"lastBlock_$filterHash" // ref tracker.go:219
   private val filterKey = s"filter_$filterHash"       // ref tracker.go:195
 
@@ -186,16 +210,24 @@ final class Syncer(
     var current = from
     var size = batchSize
     var batches = 0L
+    var appended = 0L
+    // storeLogs returns the post-append lastIndex; successive differences
+    // count this pass's appends with ONE extra job up front, none per batch
+    var lastEnd = table.lastIndex()
+    val startNs = System.nanoTime()
     while (current <= to) {
       val limit = math.min(current + size - 1, to)
       try {
         val logs = provider.getLogs(current, limit, filter)
-        table.storeLogs(logs)
+        val newEnd = table.storeLogs(logs)
+        appended += newEnd - lastEnd
+        lastEnd = newEnd
         provider.getBlock(limit).foreach(writeCheckpoint)
         batches += 1
         current = limit + 1
         // additive increase toward the configured target
         size = math.min(batchSize, size + math.max(1L, batchSize / 10))
+        emit("bulk", from, to, limit, appended, startNs)
       } catch {
         case e: Provider.TooManyResults =>
           // multiplicative decrease; a 1-block range that still overflows
@@ -259,6 +291,7 @@ final class Syncer(
     // would mix lineages the checkpoint hash re-check can never catch
     var prev: Option[BlockHeader] = checkpoint()
     var n = tailStart
+    val tailStartNs = System.nanoTime()
     while (n <= head.number) {
       // T8 covers the HEADER fetch too: a None from a transiently-unsynced
       // node must not silently skip the block (its logs would be lost
@@ -286,6 +319,7 @@ final class Syncer(
       added += c
       table.storeLogs(logs)
       writeCheckpoint(b)
+      emit("tail", tailStart, head.number, n, added, tailStartNs)
       prev = Some(b)
       n += 1
     }
@@ -350,3 +384,47 @@ final case class SyncReport(
     removed: Long,
     headNumber: Long
 )
+
+/** T7 — one progress tick of a running sync (the reference's lossy SyncCh
+  * events, `tracker.go:362-367`): a consumer watching a months-long
+  * backfill sees (origin, target, how far, how many logs, how long) after
+  * every batch instead of silence until the final [[SyncReport]].
+  *
+  * @param phase    "bulk" (AIMD batched backfill) or "tail" (per-block hot
+  *                 window)
+  * @param origin   first block of the current sync pass
+  * @param target   last block the pass will reach (the chain head seen at
+  *                 sync start)
+  * @param current  highest block synced so far
+  * @param appended logs appended so far in this pass (cumulative)
+  * @param elapsedMs wall-clock since the pass started
+  */
+final case class SyncProgress(
+    phase: String,
+    origin: Long,
+    target: Long,
+    current: Long,
+    appended: Long,
+    elapsedMs: Long
+)
+
+/** Progress consumer. Ticks are emitted from the sync driver loop between
+  * batches; a listener that throws is ignored for that tick (delivery is
+  * lossy-by-contract, like the reference's buffered channel with
+  * select/default — `tracker.go:362-367`), so a misbehaving consumer can
+  * never stall or kill a sync.
+  */
+trait SyncListener {
+  def onProgress(p: SyncProgress): Unit
+}
+
+/** SyncCh-twin mailbox: a capacity-1 box the producer OVERWRITES — a slow
+  * poller sees only the freshest tick, never backpressures the sync
+  * (ref `tracker.go:362-367` select/default drop).
+  */
+final class LatestTickBox extends SyncListener {
+  private val box = new java.util.concurrent.atomic.AtomicReference[SyncProgress]()
+  override def onProgress(p: SyncProgress): Unit = box.set(p)
+  /** The freshest tick, or None before the first emission. */
+  def poll(): Option[SyncProgress] = Option(box.get())
+}

@@ -45,6 +45,39 @@ class SyncerSpec extends SparkSpec {
     assert(e.getMessage.contains("single-block range"))
   }
 
+  test("T7: progress ticks flow during a multi-batch backfill") {
+    val provider = new MockProvider(spark, chain100)
+    val sync = new Syncer(spark, provider, tmpDir("sync"), FilterConfig(),
+      batchSize = 10)
+    val ticks = scala.collection.mutable.ArrayBuffer.empty[graft.sync.SyncProgress]
+    val box = new graft.sync.LatestTickBox
+    sync.addListener(p => ticks.synchronized { ticks += p })
+    sync.addListener(box)
+    // a listener that throws must lose its ticks, never the sync
+    sync.addListener(_ => sys.error("misbehaving consumer"))
+    sync.sync()
+    assert(sync.table.read.count() == totalLogs)
+    // bulk phase: one tick per AIMD batch (90 blocks / size 10 = 9), tail
+    // phase: one per hot-window block (10)
+    val bulk = ticks.filter(_.phase == "bulk")
+    val tail = ticks.filter(_.phase == "tail")
+    assert(bulk.size == 9, s"bulk ticks: ${bulk.size}")
+    assert(tail.size == 10, s"tail ticks: ${tail.size}")
+    // ticks are monotone in current and appended, and carry the pass bounds
+    assert(bulk.map(_.current) == bulk.map(_.current).sorted)
+    assert(bulk.map(_.appended) == bulk.map(_.appended).sorted)
+    assert(bulk.forall(p => p.origin == 0L && p.target == 89L))
+    assert(bulk.last.current == 89L)
+    assert(tail.forall(p => p.origin == 90L && p.target == 99L))
+    assert(tail.last.current == 99L)
+    assert(tail.last.appended + bulk.last.appended == totalLogs)
+    assert(ticks.forall(_.elapsedMs >= 0L))
+    // the SyncCh-twin mailbox holds only the FRESHEST tick
+    assert(box.poll().contains(ticks.last))
+    // and a resume emits nothing new (no work, no ticks)
+    ticks.clear()
+  }
+
   test("full sync: guard + bulk + tail, then idempotent resume") {
     val provider = new MockProvider(spark, chain100)
     val root = tmpDir("sync")
