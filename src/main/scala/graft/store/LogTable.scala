@@ -34,6 +34,18 @@ final class LogTable(spark: SparkSession, root: String, filterHash: String,
 
   private val dir = s"$root/logs/filter_hash=$filterHash"
 
+  /** Tiny versioned metadata store for the truncation journal — its
+    * versioned-`_SUCCESS` commit is the ATOMIC POINTER this table's
+    * crash-safe truncation pivots on (the plain-parquet analog of a
+    * Delta/Iceberg metadata commit; ref `bolt_store.go:180-197`
+    * transactional truncate).
+    */
+  private lazy val meta = new KvStore(spark, s"$root/logs_meta/filter_hash=$filterHash")
+  private def metaDirExists: Boolean =
+    new java.io.File(s"$root/logs_meta/filter_hash=$filterHash/kv").exists()
+  private val intentKey = "truncate_intent"
+  @volatile private var intentChecked = false
+
   def exists: Boolean =
     new java.io.File(dir).exists() && read.limit(1).count() > 0
 
@@ -44,7 +56,12 @@ final class LogTable(spark: SparkSession, root: String, filterHash: String,
     * `.trash-*` sibling exists, the data is sitting there mid-swap — fail
     * loudly with the recovery path instead of pretending to be fresh.
     */
-  def read: DataFrame =
+  def read: DataFrame = {
+    recoverPendingTruncation()
+    readNoRecover
+  }
+
+  private def readNoRecover: DataFrame =
     if (!new java.io.File(dir).exists()) {
       val self = new java.io.File(dir)
       val siblings = Option(self.getParentFile)
@@ -127,44 +144,131 @@ final class LogTable(spark: SparkSession, root: String, filterHash: String,
     * Returns the removed logs in ascending order (the retraction emission
     * order after revertLogs, ref `tracker.go:756-761`).
     */
-  def removeLogsFrom(n: Long): DataFrame = {
-    val current = read.cache()
-    // pin the removed set on the DRIVER before deleting its source files —
-    // a cached plan can be evicted and recomputed against the rewritten
-    // directory; the set is reorg-bounded (≤ MaxBlockBacklog blocks), so
-    // collecting is safe by construction
-    val removedRows = current.where(col("indx") >= n)
-      .orderBy(col("indx")).collect()
-    val removed = spark.createDataFrame(
-      spark.sparkContext.parallelize(removedRows.toSeq, 1),
-      current.schema)
-    // partition-dir values are type-inferred on read (int, not long)
-    val affected = removed.select(col("block_range").cast("long")).distinct()
-      .collect().map(_.getLong(0))
-    if (affected.nonEmpty) {
-      val survivors = current
-        .where(col("block_range").isin(affected.map(Long.box): _*) &&
-          col("indx") < n)
-        .cache()
-      survivors.count()
+  def removeLogsFrom(n: Long): DataFrame = removeLogsFrom(n, crashAt = "")
+
+  /** Crash-injection hook for the truncation protocol spec: throws at the
+    * named point ("after-write", "after-intent", "mid-swap") so StoreSpec
+    * can kill the process-equivalent at every window and assert what a
+    * fresh reader sees.
+    */
+  private[graft] final class InjectedCrash(at: String)
+    extends RuntimeException(s"injected crash at $at")
+  private def crash(at: String, crashAt: String): Unit =
+    if (at == crashAt) throw new InjectedCrash(at)
+
+  /** Truncation protocol (crash-safe; single writer):
+    *  1. survivors of affected partitions → a fresh tmp dir
+    *     (crash ⇒ live table untouched; the orphan tmp is swept later);
+    *  2. ONE versioned KV commit journals the intent
+    *     {tmp, swap ranges, delete-only ranges} — THE atomic pointer: the
+    *     table is old before this commit, new after it;
+    *  3. per-partition delete+rename swaps, each idempotent
+    *     (crash ⇒ the next read()'s [[recoverPendingTruncation]] replays
+    *     step 3 to completion — roll-forward, never rollback);
+    *  4. clear the intent, drop the tmp dir.
+    */
+  private[graft] def removeLogsFrom(n: Long, crashAt: String): DataFrame = {
+    val current = read.cache() // read() also recovers any pending intent
+    var survivors: Option[DataFrame] = None
+    try {
+      // pin the removed set on the DRIVER before deleting its source files —
+      // a cached plan can be evicted and recomputed against the rewritten
+      // directory; the set is reorg-bounded (≤ MaxBlockBacklog blocks), so
+      // collecting is safe by construction
+      val removedRows = current.where(col("indx") >= n)
+        .orderBy(col("indx")).collect()
+      val removed = spark.createDataFrame(
+        spark.sparkContext.parallelize(removedRows.toSeq, 1),
+        current.schema)
+      // partition-dir values are type-inferred on read (int, not long)
+      val affected = removed.select(col("block_range").cast("long")).distinct()
+        .collect().map(_.getLong(0))
+      if (affected.nonEmpty) {
+        val surv = current
+          .where(col("block_range").isin(affected.map(Long.box): _*) &&
+            col("indx") < n)
+          .cache()
+        survivors = Some(surv)
+        surv.count()
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val tmp = s"$dir.tmp-${System.nanoTime()}"
+        surv.write.mode(SaveMode.Overwrite)
+          .partitionBy("block_range").parquet(tmp)
+        crash("after-write", crashAt)
+        // a partition whose every row was removed has no tmp output — for
+        // it the delete IS the whole swap
+        val swapRanges = affected.filter(r =>
+          fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/block_range=$r")))
+        val deleteOnly = affected.filterNot(swapRanges.contains)
+        meta.set(intentKey,
+          s"$tmp|${swapRanges.mkString(",")}|${deleteOnly.mkString(",")}")
+        crash("after-intent", crashAt)
+        applySwaps(fs, tmp, swapRanges, deleteOnly, crashAt)
+        meta.set(intentKey, "")
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      removed
+    } finally {
+      // unpersist on EVERY exit: an exception mid-protocol must not leave
+      // a stale cached relation over the (possibly rewritten) directory
+      survivors.foreach(_.unpersist())
+      current.unpersist()
+    }
+  }
+
+  /** Step 3 of the protocol — idempotent per-partition swaps: a range
+    * whose tmp dir is gone was already swapped by a previous attempt.
+    */
+  private def applySwaps(fs: org.apache.hadoop.fs.FileSystem, tmp: String,
+      swapRanges: Seq[Long], deleteOnly: Seq[Long], crashAt: String = ""): Unit = {
+    var first = true
+    swapRanges.foreach { r =>
+      val dst = new org.apache.hadoop.fs.Path(s"$dir/block_range=$r")
+      val src = new org.apache.hadoop.fs.Path(s"$tmp/block_range=$r")
+      if (fs.exists(src)) {
+        fs.delete(dst, true)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"rename $src -> $dst failed")
+      }
+      if (first) { first = false; crash("mid-swap", crashAt) }
+    }
+    deleteOnly.foreach { r =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/block_range=$r"), true)
+    }
+    // files changed underneath any existing reader: drop cached plans and
+    // stale listings over this path
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** Roll a crashed truncation forward (intent journaled but swaps
+    * incomplete) and sweep orphan tmp dirs (crash BEFORE the intent
+    * commit). Runs once per LogTable instance, before the first read —
+    * single-writer contract makes that sufficient: only a crashed
+    * predecessor can leave a pending intent.
+    */
+  private def recoverPendingTruncation(): Unit = if (!intentChecked) {
+    intentChecked = true
+    if (metaDirExists) {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
-      val tmp = s"$dir.tmp-${System.nanoTime()}"
-      survivors.write.mode(SaveMode.Overwrite)
-        .partitionBy("block_range").parquet(tmp)
-      affected.foreach { r =>
-        val dst = new org.apache.hadoop.fs.Path(s"$dir/block_range=$r")
-        val src = new org.apache.hadoop.fs.Path(s"$tmp/block_range=$r")
-        fs.delete(dst, true)
-        // a partition whose every row was removed has no tmp output — the
-        // delete above is the whole operation for it
-        if (fs.exists(src)) fs.rename(src, dst)
+      meta.get(intentKey).filter(_.nonEmpty).foreach { s =>
+        val parts = s.split("\\|", 3)
+        def ranges(x: String) =
+          x.split(",").filter(_.nonEmpty).map(_.toLong).toSeq
+        applySwaps(fs, parts(0), ranges(parts(1)), ranges(parts(2)))
+        meta.set(intentKey, "")
+        fs.delete(new org.apache.hadoop.fs.Path(parts(0)), true)
       }
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-      survivors.unpersist()
+      // orphan tmp dirs from pre-intent crashes: invisible to readers,
+      // swept here so they cannot accumulate
+      val self = new java.io.File(dir)
+      Option(self.getParentFile).flatMap(p => Option(p.listFiles()))
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.startsWith(self.getName + ".tmp-"))
+        .foreach(t => fs.delete(
+          new org.apache.hadoop.fs.Path(t.getPath), true))
     }
-    current.unpersist()
-    removed
   }
 
   /** S10 — point read (pushed-down unique-key predicate). */

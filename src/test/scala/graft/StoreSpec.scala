@@ -80,6 +80,54 @@ class StoreSpec extends SparkSpec {
     assert(idx.sameElements(0L until 13L))
   }
 
+  test("truncation is crash-safe at every protocol window (bolt_store.go:180-197 parity)") {
+    // kill the writer at each failpoint; a FRESH LogTable (the restarted
+    // process) must always see a consistent table: the OLD one before the
+    // intent commit, the NEW one after it (roll-forward on first read)
+    def build(root: String): LogTable = {
+      val t = new LogTable(spark, root, "f1", blocksPerRange = 2L)
+      t.storeLogs(mkLogs(0, 9)) // 20 logs, indices 0..19, partitions 0..4
+      t
+    }
+    def idxOf(t: LogTable): Seq[Long] =
+      t.read.select("indx").as[Long].collect().sorted.toSeq
+
+    // crash after the survivor write, BEFORE the intent commit → old table
+    val rootA = tmpDir("store")
+    val tA = build(rootA)
+    intercept[RuntimeException] { tA.removeLogsFrom(13L, crashAt = "after-write") }
+    val freshA = new LogTable(spark, rootA, "f1", blocksPerRange = 2L)
+    assert(idxOf(freshA) == (0L until 20L),
+      "pre-intent crash must leave the ORIGINAL table")
+    // the orphan tmp is invisible; a later successful truncation still works
+    assert(freshA.removeLogsFrom(13L).count() == 7)
+    assert(idxOf(freshA) == (0L until 13L))
+
+    // crash after the intent commit, before any swap → new table
+    val rootB = tmpDir("store")
+    val tB = build(rootB)
+    intercept[RuntimeException] { tB.removeLogsFrom(13L, crashAt = "after-intent") }
+    val freshB = new LogTable(spark, rootB, "f1", blocksPerRange = 2L)
+    assert(idxOf(freshB) == (0L until 13L),
+      "post-intent crash must roll FORWARD to the truncated table")
+    assert(freshB.lastIndex() == 13L)
+
+    // crash mid-swap (one partition swapped, one pending) → new table
+    val rootC = tmpDir("store")
+    val tC = build(rootC)
+    intercept[RuntimeException] { tC.removeLogsFrom(13L, crashAt = "mid-swap") }
+    val freshC = new LogTable(spark, rootC, "f1", blocksPerRange = 2L)
+    assert(idxOf(freshC) == (0L until 13L),
+      "mid-swap crash must complete to the truncated table")
+    // recovery cleared the journal and swept the tmp dir
+    val strayC = new java.io.File(s"$rootC/logs").listFiles()
+      .filter(_.getName.contains(".tmp-"))
+    assert(strayC.isEmpty, s"tmp not swept: ${strayC.mkString(",")}")
+    // and the recovered store keeps working: re-append continues the seq
+    freshC.storeLogs(mkLogs(7, 9))
+    assert(idxOf(freshC) == (0L until 19L))
+  }
+
   test("point read GetLog (store.go:34-35)") {
     val t = new LogTable(spark, tmpDir("store"), "f1")
     t.storeLogs(mkLogs(0, 4))
