@@ -504,6 +504,31 @@ object PipelineQueries {
       Similarity.pcaWhiten(e, "vec_id", "embedding", mean, comps, eigs)
         .orderBy("vec_id")
     },
+    // embed_whiten's DRIVER-VISIBLE partial oracle: whitening's defining
+    // property is an identity covariance, and THAT is basis-independent —
+    // solver-dependent sign/rotation (the no-oracle rationale above)
+    // cancels out of it. One aggregate computes the 4×4 whitened
+    // covariance (population form, matching pcaFit); rounded to 4
+    // decimals it must be exactly I, which the oracle emits as literals
+    "embed_whiten_check" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val (mean, comps, eigs) =
+        Similarity.pcaFit(e, "embedding", dim = 64, k = 4)
+      val wtd = Similarity.pcaWhiten(e, "vec_id", "embedding", mean, comps, eigs)
+      val pairs = for { i <- 1 to 4; j <- i to 4 } yield (i, j)
+      val aggs = pairs.map { case (i, j) =>
+        avg(col(s"wc$i") * col(s"wc$j")).as(s"m_${i}_$j")
+      } ++ (1 to 4).map(i => avg(col(s"wc$i")).as(s"mu_$i"))
+      val r = wtd.agg(aggs.head, aggs.tail: _*).head() // 14 doubles, bounded
+      val rows = pairs.map { case (i, j) =>
+        val cov = r.getAs[Double](s"m_${i}_$j") -
+          r.getAs[Double](s"mu_$i") * r.getAs[Double](s"mu_$j")
+        (i, j, math.rint(math.abs(cov) * 10000.0) / 10000.0)
+      }
+      val spark2 = e.sparkSession
+      import spark2.implicits._
+      rows.toDF("i", "j", "cov").orderBy("i", "j")
+    },
     // per-vector L2 norm — the normalization pass before cosine ops
     "embed_norm" -> { (s, d) =>
       Tables.embeddings(s, d)
@@ -593,6 +618,48 @@ object PipelineQueries {
             .select("doc_id", "lang", "n_tokens"),
           "doc_id", "n_tokens", "lang", budget = 512L)
         .orderBy("doc_id")
+    },
+    // doc_pack_bfd's DRIVER-VISIBLE partial oracle: the assignment itself
+    // has no SQL twin, but its invariants do — per shard, every doc packed
+    // exactly once (n_docs/total_tokens match the raw corpus), no
+    // non-oversize pack over budget, oversize = singleton over-budget
+    // docs, and offsets/positions are dense prefix sums in pack order.
+    // The booleans fold the BFD-dependent structure into oracle-checkable
+    // constants; a violated invariant flips a column and the hash goes red
+    "doc_pack_bfd_check" -> { (s, d) =>
+      val budget = 512L
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tokens",
+          size(split(col("text"), "\\s+")).cast("long"))
+        .select("doc_id", "lang", "n_tokens")
+      val packed = TextOps.packBestFit(docs, "doc_id", "n_tokens", "lang",
+        budget = budget)
+      val joined = packed.join(
+        docs.select(col("doc_id"), col("n_tokens")), "doc_id")
+      val w = Window.partitionBy("lang", "pack_id").orderBy("pack_pos")
+      val perDoc = joined
+        .withColumn("exp_offset", coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("exp_pos", row_number().over(w) - 1)
+      val perPack = perDoc.groupBy("lang", "pack_id").agg(
+        sum("n_tokens").as("load"),
+        count(lit(1)).as("n_in_pack"),
+        max(when(col("pack_offset") =!= col("exp_offset") ||
+          col("pack_pos") =!= col("exp_pos"), 1).otherwise(0)).as("bad_layout"),
+        max(when(col("oversize") =!= 0L, 1).otherwise(0)).as("oversize_pack"))
+      val perShard = perDoc.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      val checks = perPack.groupBy(col("lang")).agg(
+        (max(when(col("oversize_pack") === 0 && col("load") > budget, 1)
+          .otherwise(0)) === 0).as("ok_capacity"),
+        (max(col("bad_layout")) === 0).as("ok_layout"),
+        (max(when(col("oversize_pack") === 1 &&
+          (col("n_in_pack") =!= 1 || col("load") <= budget), 1)
+          .otherwise(0)) === 0).as("ok_oversize"))
+      perShard.join(checks, "lang")
+        .select(col("lang").as("shard"), col("n_docs"), col("total_tokens"),
+          col("ok_capacity"), col("ok_layout"), col("ok_oversize"))
+        .orderBy("shard")
     },
     // fixed-size sliding-window chunking (200-char windows every 150) —
     // the LLM context-window preparation step; narrow explode, no shuffle
@@ -1239,6 +1306,33 @@ object PipelineQueries {
         .select(col("vec_id"), col("ivf_cell"))
         .orderBy("vec_id")
     },
+    // sample_coverage's DRIVER-VISIBLE partial oracle: the KMeans cells
+    // have no SQL twin, but the round-robin quota arithmetic does — the
+    // draw takes exactly min(k, corpus) rows, never more than a cell
+    // holds, and water-filled: every cell reaches within 1 of the max
+    // take unless its own size stops it. Cell structure cancels out of
+    // those three facts, so the oracle states them from the raw corpus
+    "sample_coverage_check" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val taken = Similarity.coverageSample(e, "vec_id", "embedding",
+        nlist = 16, k = 200)
+      val (indexed, _) = Similarity.ivfIndex(e, "vec_id", "embedding", 16)
+      val sizes = indexed.groupBy("ivf_cell")
+        .agg(count(lit(1)).as("cell_size"))
+      val takes = taken.groupBy("ivf_cell").agg(count(lit(1)).as("taken"))
+      val cells = sizes.join(takes, Seq("ivf_cell"), "left")
+        .na.fill(0L, Seq("taken"))
+      cells.agg(
+          sum("taken").cast("long").as("total_taken"),
+          (max(when(col("taken") > col("cell_size"), 1).otherwise(0)) === 0)
+            .as("ok_within_size"),
+          max(col("taken")).as("__max_take"),
+          collect_list(struct(col("cell_size"), col("taken"))).as("__cells"))
+        .select(col("total_taken"), col("ok_within_size"),
+          forall(col("__cells"), c =>
+            c.getField("taken") >= least(c.getField("cell_size"),
+              col("__max_take") - 1)).as("ok_balanced"))
+    },
     // DSIR data selection (Xie et al. 2023): importance-resample the raw
     // pool toward a target domain (the zh slice as the exemplar corpus)
     // under add-1-smoothed hashed-bigram bag models. The fitted model is a
@@ -1285,6 +1379,29 @@ object PipelineQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // partial oracles for the sequential/solver-dependent operators: the
+    // assignment/basis itself has no SQL twin, but per-shard accounting,
+    // capacity/layout booleans, identity covariance and quota arithmetic
+    // are oracle-constant — a violated invariant flips a value and the
+    // driver's hash goes red
+    "doc_pack_bfd_check" ->
+      """SELECT lang AS shard,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT)
+        |   AS total_tokens,
+        | TRUE AS ok_capacity, TRUE AS ok_layout, TRUE AS ok_oversize
+        |FROM documents GROUP BY lang ORDER BY shard""".stripMargin,
+    "embed_whiten_check" ->
+      """SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+        | CAST(CASE WHEN i = j THEN 1.0 ELSE 0.0 END AS DOUBLE) AS cov
+        |FROM (VALUES (1,1),(1,2),(1,3),(1,4),(2,2),(2,3),(2,4),
+        | (3,3),(3,4),(4,4)) AS t(i, j)
+        |ORDER BY i, j""".stripMargin,
+    "sample_coverage_check" ->
+      """SELECT
+        | CAST(LEAST(200, (SELECT count(*) FROM embeddings)) AS BIGINT)
+        |   AS total_taken,
+        | TRUE AS ok_within_size, TRUE AS ok_balanced""".stripMargin,
     // token counts are exact integers; p/sw/w/epochs replay the identical
     // IEEE op sequence (divide, sqrt, divide) and the Σ p^α normalizer is
     // the source-ordered fold, so every double is bit-identical
