@@ -33,6 +33,12 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   * and all. Null points/bounds never match an equi-join key, matching
   * the nested-loop behavior of null comparisons.
   *
+  * The rule also recognizes interval-interval OVERLAP joins
+  * (`aLo <= bHi && bLo <= aHi`, any orientation/strictness): both sides
+  * explode to covered bins and each qualifying pair is kept only in its
+  * canonical shared bin `greatest(firstBinA, firstBinB)` — exactly-once
+  * again without a distinct (see [[rewriteOverlap]]).
+  *
   * Scale shape: shuffle on the bin key; per-bin work is |points in bin| ×
   * |intervals covering bin| — local skew is governed by the bin width
   * dial (too wide → big bins; too narrow → long interval explosions).
@@ -119,6 +125,40 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }.headOption
   }
 
+  /** Normalize any inequality to a `l ≤ r` reading (strictness is
+    * re-applied by the riding original predicate).
+    */
+  private def asLeq(e: Expression): Option[(Expression, Expression)] =
+    e match {
+      case LessThanOrEqual(l, r)    => Some((l, r))
+      case LessThan(l, r)           => Some((l, r))
+      case GreaterThanOrEqual(l, r) => Some((r, l))
+      case GreaterThan(l, r)        => Some((r, l))
+      case _                        => None
+    }
+
+  /** Find the interval-OVERLAP pattern `aLo ≤ bHi && bLo ≤ aHi` (each
+    * conjunct straddles the sides in opposite orientations). Returns
+    * (aLo, aHi, bLo, bHi) with the a-bounds from the LEFT plan.
+    */
+  private def findOverlap(conjuncts: Seq[Expression], left: LogicalPlan,
+      right: LogicalPlan)
+      : Option[(Expression, Expression, Expression, Expression)] = {
+    val sided = conjuncts.flatMap(asLeq).collect {
+      case (l, r) if integral.contains(l.dataType) &&
+          l.dataType == r.dataType =>
+        for {
+          sl <- sideOf(l, left, right)
+          sr <- sideOf(r, left, right)
+          if sl != sr
+        } yield (l, r, sl)
+    }.flatten
+    for {
+      (alo, bhi, _) <- sided.find(_._3)
+      (blo, ahi, _) <- sided.find(!_._3)
+    } yield (alo, ahi, blo, bhi)
+  }
+
   private def hasEquiKey(conjuncts: Seq[Expression], left: LogicalPlan,
       right: LogicalPlan): Boolean =
     conjuncts.exists {
@@ -153,12 +193,57 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     IntegralDivide(Subtract(x, posMod), bb)
   }
 
+  /** Interval-interval OVERLAP rewrite (`aLo ≤ bHi && bLo ≤ aHi`): BOTH
+    * sides explode to their covered bins, equi-join on the bin, and the
+    * pair is kept only in its CANONICAL bin — `greatest(firstA, firstB)`,
+    * the first bin the two intervals share — so each qualifying pair
+    * meets exactly once with no distinct pass. Bounds are normalized
+    * per-side with least/greatest first: the overlap predicate can hold
+    * for an INVERTED interval (`lo > hi`), and the normalized span
+    * provably shares a bin whenever the predicate holds (min(a) ≤ aLo ≤
+    * bHi ≤ max(b) and symmetrically), while the riding original
+    * condition discards any normalization-induced false candidate.
+    */
+  private def rewriteOverlap(j: Join, cond: Expression, alo: Expression,
+      ahi: Expression, blo: Expression, bhi: Expression): LogicalPlan = {
+    val b = binWidth
+    val emptyBins = Literal.create(Seq.empty[Long],
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false))
+    def explodeSide(plan: LogicalPlan, lo: Expression, hi: Expression,
+        tag: String): (LogicalPlan, AttributeReference, Attribute) = {
+      val first = Alias(
+        floorDiv(asLong(Least(Seq(lo, hi))), b), s"__rj_first_$tag")()
+      val last = floorDiv(asLong(Greatest(Seq(lo, hi))), b)
+      val proj = Project(plan.output :+ first, plan)
+      val binAttr = AttributeReference(s"__rj_bin_$tag", LongType,
+        nullable = false)()
+      val seq = If(LessThanOrEqual(first.toAttribute, last),
+        Sequence(first.toAttribute, last, Some(Literal(1L)),
+          Some(conf.sessionLocalTimeZone)),
+        emptyBins)
+      val gen = Generate(Explode(seq), unrequiredChildIndex = Nil,
+        outer = false, qualifier = None, generatorOutput = Seq(binAttr),
+        child = proj)
+      (gen, binAttr, first.toAttribute)
+    }
+    val (genL, binL, firstL) = explodeSide(j.left, alo, ahi, "l")
+    val (genR, binR, firstR) = explodeSide(j.right, blo, bhi, "r")
+    val newCond = And(EqualTo(binL, binR),
+      And(EqualTo(binL, Greatest(Seq(firstL, firstR))), cond))
+    Project(j.output, Join(genL, genR, Inner, Some(newCond), j.hint))
+  }
+
   def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner | Cross, Some(cond), hint) =>
       val conjuncts = splitConjunctivePredicates(cond)
       if (hasEquiKey(conjuncts, left, right)) j
       else findRange(conjuncts, left, right) match {
-        case None => j
+        case None =>
+          findOverlap(conjuncts, left, right) match {
+            case None => j
+            case Some((alo, ahi, blo, bhi)) =>
+              rewriteOverlap(j, cond, alo, ahi, blo, bhi)
+          }
         case Some((point, pLeft, lo, hi)) =>
           val b = binWidth
           val (pointPlan, rangePlan) = if (pLeft) (left, right) else (right, left)

@@ -140,6 +140,41 @@ object CapabilityQueries {
         case None => s.conf.unset("spark.graft.rangeJoin.binWidth")
       }
     },
+    // DECLARATIVE interval-OVERLAP join (the other classic pipeline
+    // shape: time-range × time-range): the plain `aLo <= bHi AND
+    // bLo <= aHi` predicate has no equi key, so stock Spark nested-loops
+    // it; RangeJoinRewrite explodes BOTH sides to covered bins and keeps
+    // each pair only in its canonical shared bin (greatest of the two
+    // first-bins) — exactly-once with no distinct. DuckDB executes the
+    // identical SQL through IEJoin: two independent physical strategies,
+    // one hash-matched result. Same scoped binWidth discipline as
+    // join_interval
+    "join_overlap" -> { (s, d) =>
+      graft.plans.RangeJoin.install(s)
+      val prev = s.conf.getOption("spark.graft.rangeJoin.binWidth")
+      s.conf.set("spark.graft.rangeJoin.binWidth", "64")
+      try {
+        val a = Tables.orders(s, d).select(col("o_orderkey"),
+          (col("o_orderkey") * 7 % 10000).as("alo"),
+          (col("o_orderkey") * 7 % 10000 + (col("o_orderkey") % 5) * 3)
+            .as("ahi"))
+        val b = Tables.part(s, d).select(col("p_partkey"),
+          (col("p_partkey") * 11 % 10000).as("blo"),
+          (col("p_partkey") * 11 % 10000 + (col("p_partkey") % 7) * 4)
+            .as("bhi"))
+        val out = a.join(b, col("alo") <= col("bhi") &&
+            col("blo") <= col("ahi"))
+          .groupBy("p_partkey")
+          .agg(count(lit(1)).as("n_overlaps"),
+            min("o_orderkey").as("min_ord"), max("o_orderkey").as("max_ord"))
+          .orderBy("p_partkey")
+        out.queryExecution.executedPlan // memoize the width-64 plan
+        out
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.graft.rangeJoin.binWidth", v)
+        case None => s.conf.unset("spark.graft.rangeJoin.binWidth")
+      }
+    },
     // TPC-H Q1 shape: multi-measure grouped agg with derived expressions
     "agg_group" -> { (s, d) =>
       val l = Tables.lineitem(s, d)
@@ -697,6 +732,19 @@ object CapabilityQueries {
         |SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_events,
         | min(event_id) AS min_eid, max(event_id) AS max_eid
         |FROM events JOIN iv ON event_id >= lo AND event_id <= hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "join_overlap" ->
+      """WITH a AS (
+        | SELECT o_orderkey, (o_orderkey * 7) % 10000 AS alo,
+        |  (o_orderkey * 7) % 10000 + (o_orderkey % 5) * 3 AS ahi
+        | FROM orders),
+        |b AS (
+        | SELECT p_partkey, (p_partkey * 11) % 10000 AS blo,
+        |  (p_partkey * 11) % 10000 + (p_partkey % 7) * 4 AS bhi
+        | FROM part)
+        |SELECT p_partkey, CAST(count(*) AS BIGINT) AS n_overlaps,
+        | min(o_orderkey) AS min_ord, max(o_orderkey) AS max_ord
+        |FROM a JOIN b ON alo <= bhi AND blo <= ahi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_group" ->
       """SELECT l_returnflag, l_linestatus,

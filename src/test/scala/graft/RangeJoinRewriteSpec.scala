@@ -157,6 +157,52 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("overlap join: exact multiset parity with the nested loop") {
+    // intervals with duplicates, inversions and nulls on BOTH sides — the
+    // canonical-bin device must keep each qualifying pair exactly once
+    val rnd = new scala.util.Random(29)
+    def mkIvs(n: Int, tag: Long): Seq[(Long, java.lang.Long, java.lang.Long)] =
+      (0 until n).map { i =>
+        val lo = rnd.nextLong() % 20000L
+        (tag * 10000 + i, java.lang.Long.valueOf(lo),
+          java.lang.Long.valueOf(lo + rnd.nextInt(3000) - 500)) // some inverted
+      } ++ Seq(
+        (tag * 10000 + 9000, java.lang.Long.valueOf(100L),
+          java.lang.Long.valueOf(-5000L)), // deeply inverted
+        (tag * 10000 + 9001, null.asInstanceOf[java.lang.Long],
+          java.lang.Long.valueOf(50L)),
+        (tag * 10000 + 9002, java.lang.Long.valueOf(0L),
+          java.lang.Long.valueOf(0L)))
+    val a = mkIvs(120, 1L).toDF("aid", "alo", "ahi")
+    val bt = mkIvs(90, 2L).toDF("bid", "blo", "bhi")
+    def q(): DataFrame =
+      a.join(bt, $"alo" <= $"bhi" && $"blo" <= $"ahi").select($"aid", $"bid")
+    val naive = withoutRules {
+      q().collect().map(key).groupBy(identity).view.mapValues(_.length).toMap
+    }
+    assert(naive.nonEmpty)
+    val (rewritten, plan) = withRule {
+      val df = q()
+      (df.collect().map(key).groupBy(identity).view.mapValues(_.length).toMap,
+        df.queryExecution.executedPlan.toString)
+    }
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"overlap join still nested-loop:\n$plan")
+    assert(rewritten == naive)
+    // strict and flipped orientations too
+    def q2(): DataFrame =
+      a.join(bt, $"bhi" >= $"alo" && $"ahi" > $"blo" - 1L)
+        .select($"aid", $"bid")
+    val naive2 = withoutRules {
+      q2().collect().map(key).groupBy(identity).view.mapValues(_.length).toMap
+    }
+    val got2 = withRule {
+      q2().collect().map(key).groupBy(identity).view.mapValues(_.length).toMap
+    }
+    assert(got2 == naive2)
+  }
+
   test("fuzz: random points/intervals/widths match the nested loop") {
     val rnd = new scala.util.Random(53)
     for (round <- 0 until 5) {
