@@ -111,34 +111,24 @@ object CapabilityQueries {
     // turns it into an equi-join on floor(point/B), re-applying the exact
     // original predicate. DuckDB executes the same SQL through its own
     // IEJoin — two independent physical strategies, one hash-matched
-    // result. Bin width 16 fits the short synthetic spans (default 1000
-    // would leave ~10 distinct bins — no parallelism).
+    // result. The synthetic domain (1M values, spans ≤ 48) is sized to
+    // the DEFAULT bin width — ~1000 bins of join parallelism with 1–2
+    // bins per interval, the shape the rewrite's docstring prescribes —
+    // so no session conf is touched (an earlier width-16 session set
+    // leaked into later queries; see ADVICE r6)
     "join_interval" -> { (s, d) =>
       graft.plans.RangeJoin.install(s)
-      // scope the bin-width dial: set, plan eagerly, RESTORE — leaking 16
-      // into the shared session would silently resize every later range
-      // join (the width is physical-only, so consumers that re-plan under
-      // the session default still hash-match)
-      val prev = s.conf.getOption("spark.graft.rangeJoin.binWidth")
-      s.conf.set("spark.graft.rangeJoin.binWidth", "16")
-      try {
-        val ev = Tables.events(s, d).select(col("event_id"))
-        val iv = Tables.orders(s, d).select(col("o_orderkey"),
-          (col("o_orderkey") * 7 % 10000).as("lo"),
-          (col("o_orderkey") * 7 % 10000 + (col("o_orderkey") % 5) * 3)
-            .as("hi"))
-        val out = ev.join(iv, col("event_id") >= col("lo") &&
-            col("event_id") <= col("hi"))
-          .groupBy("o_orderkey")
-          .agg(count(lit(1)).as("n_events"),
-            min("event_id").as("min_eid"), max("event_id").as("max_eid"))
-          .orderBy("o_orderkey")
-        out.queryExecution.executedPlan // memoize the width-16 plan
-        out
-      } finally prev match {
-        case Some(v) => s.conf.set("spark.graft.rangeJoin.binWidth", v)
-        case None => s.conf.unset("spark.graft.rangeJoin.binWidth")
-      }
+      val ev = Tables.events(s, d).select(col("event_id"),
+        (col("event_id") * 131 % 1000000).as("p"))
+      val iv = Tables.orders(s, d).select(col("o_orderkey"),
+        (col("o_orderkey") * 700 % 1000000).as("lo"),
+        (col("o_orderkey") * 700 % 1000000 + (col("o_orderkey") % 5) * 12)
+          .as("hi"))
+      ev.join(iv, col("p") >= col("lo") && col("p") <= col("hi"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_events"),
+          min("event_id").as("min_eid"), max("event_id").as("max_eid"))
+        .orderBy("o_orderkey")
     },
     // DECLARATIVE interval-OVERLAP join (the other classic pipeline
     // shape: time-range × time-range): the plain `aLo <= bHi AND
@@ -147,33 +137,23 @@ object CapabilityQueries {
     // each pair only in its canonical shared bin (greatest of the two
     // first-bins) — exactly-once with no distinct. DuckDB executes the
     // identical SQL through IEJoin: two independent physical strategies,
-    // one hash-matched result. Same scoped binWidth discipline as
-    // join_interval
+    // one hash-matched result. Domain sized to the default bin width,
+    // like join_interval — no session conf touched
     "join_overlap" -> { (s, d) =>
       graft.plans.RangeJoin.install(s)
-      val prev = s.conf.getOption("spark.graft.rangeJoin.binWidth")
-      s.conf.set("spark.graft.rangeJoin.binWidth", "64")
-      try {
-        val a = Tables.orders(s, d).select(col("o_orderkey"),
-          (col("o_orderkey") * 7 % 10000).as("alo"),
-          (col("o_orderkey") * 7 % 10000 + (col("o_orderkey") % 5) * 3)
-            .as("ahi"))
-        val b = Tables.part(s, d).select(col("p_partkey"),
-          (col("p_partkey") * 11 % 10000).as("blo"),
-          (col("p_partkey") * 11 % 10000 + (col("p_partkey") % 7) * 4)
-            .as("bhi"))
-        val out = a.join(b, col("alo") <= col("bhi") &&
-            col("blo") <= col("ahi"))
-          .groupBy("p_partkey")
-          .agg(count(lit(1)).as("n_overlaps"),
-            min("o_orderkey").as("min_ord"), max("o_orderkey").as("max_ord"))
-          .orderBy("p_partkey")
-        out.queryExecution.executedPlan // memoize the width-64 plan
-        out
-      } finally prev match {
-        case Some(v) => s.conf.set("spark.graft.rangeJoin.binWidth", v)
-        case None => s.conf.unset("spark.graft.rangeJoin.binWidth")
-      }
+      val a = Tables.orders(s, d).select(col("o_orderkey"),
+        (col("o_orderkey") * 700 % 1000000).as("alo"),
+        (col("o_orderkey") * 700 % 1000000 + (col("o_orderkey") % 5) * 12)
+          .as("ahi"))
+      val b = Tables.part(s, d).select(col("p_partkey"),
+        (col("p_partkey") * 1100 % 1000000).as("blo"),
+        (col("p_partkey") * 1100 % 1000000 + (col("p_partkey") % 7) * 16)
+          .as("bhi"))
+      a.join(b, col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+        .groupBy("p_partkey")
+        .agg(count(lit(1)).as("n_overlaps"),
+          min("o_orderkey").as("min_ord"), max("o_orderkey").as("max_ord"))
+        .orderBy("p_partkey")
     },
     // TPC-H Q1 shape: multi-measure grouped agg with derived expressions
     "agg_group" -> { (s, d) =>
@@ -725,22 +705,24 @@ object CapabilityQueries {
         | ON bit_count(xor(a.fp, b.fp)) <= 4 AND a.doc_id < b.doc_id
         |ORDER BY 1, 2""".stripMargin,
     "join_interval" ->
-      """WITH iv AS (
-        | SELECT o_orderkey, (o_orderkey * 7) % 10000 AS lo,
-        |  (o_orderkey * 7) % 10000 + (o_orderkey % 5) * 3 AS hi
+      """WITH pts AS (
+        | SELECT event_id, (event_id * 131) % 1000000 AS p FROM events),
+        |iv AS (
+        | SELECT o_orderkey, (o_orderkey * 700) % 1000000 AS lo,
+        |  (o_orderkey * 700) % 1000000 + (o_orderkey % 5) * 12 AS hi
         | FROM orders)
         |SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_events,
         | min(event_id) AS min_eid, max(event_id) AS max_eid
-        |FROM events JOIN iv ON event_id >= lo AND event_id <= hi
+        |FROM pts JOIN iv ON p >= lo AND p <= hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_overlap" ->
       """WITH a AS (
-        | SELECT o_orderkey, (o_orderkey * 7) % 10000 AS alo,
-        |  (o_orderkey * 7) % 10000 + (o_orderkey % 5) * 3 AS ahi
+        | SELECT o_orderkey, (o_orderkey * 700) % 1000000 AS alo,
+        |  (o_orderkey * 700) % 1000000 + (o_orderkey % 5) * 12 AS ahi
         | FROM orders),
         |b AS (
-        | SELECT p_partkey, (p_partkey * 11) % 10000 AS blo,
-        |  (p_partkey * 11) % 10000 + (p_partkey % 7) * 4 AS bhi
+        | SELECT p_partkey, (p_partkey * 1100) % 1000000 AS blo,
+        |  (p_partkey * 1100) % 1000000 + (p_partkey % 7) * 16 AS bhi
         | FROM part)
         |SELECT p_partkey, CAST(count(*) AS BIGINT) AS n_overlaps,
         | min(o_orderkey) AS min_ord, max(o_orderkey) AS max_ord

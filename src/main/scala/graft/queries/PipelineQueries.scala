@@ -492,6 +492,41 @@ object PipelineQueries {
       Similarity.pcaProject(e, "vec_id", "embedding", mean, comps)
         .orderBy("vec_id")
     },
+    // embed_pca's DRIVER-VISIBLE partial oracle (embed_whiten_check's
+    // sibling): the fitted basis is solver-dependent but its defining
+    // properties are not — components orthonormal (checked exactly on the
+    // driver arrays), projected coordinates uncorrelated (correlation
+    // rounded to 4 decimals ≡ 0), per-axis variances in decreasing order
+    "embed_pca_check" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val (mean, comps, _) = Similarity.pcaFit(e, "embedding", dim = 64, k = 4)
+      def dotA(a: Array[Double], b: Array[Double]): Double =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      val okOrtho = (for { i <- comps.indices; j <- i to (comps.length - 1) }
+        yield {
+          val dp = dotA(comps(i), comps(j))
+          if (i == j) math.abs(dp - 1.0) < 1e-9 else math.abs(dp) < 1e-9
+        }).forall(identity)
+      val proj = Similarity.pcaProject(e, "vec_id", "embedding", mean, comps)
+      val pairs = for { i <- 1 to 4; j <- i to 4 } yield (i, j)
+      val aggs = pairs.map { case (i, j) =>
+        avg(col(s"pc$i") * col(s"pc$j")).as(s"m_${i}_$j")
+      } ++ (1 to 4).map(i => avg(col(s"pc$i")).as(s"mu_$i"))
+      val r = proj.agg(aggs.head, aggs.tail: _*).head() // 14 doubles, bounded
+      def cov(i: Int, j: Int): Double = r.getAs[Double](s"m_${i}_$j") -
+        r.getAs[Double](s"mu_$i") * r.getAs[Double](s"mu_$j")
+      val vars = (1 to 4).map(i => cov(i, i))
+      val okDiag = pairs.filter(p => p._1 != p._2).forall { case (i, j) =>
+        math.rint(math.abs(cov(i, j)) /
+          math.sqrt(vars(i - 1) * vars(j - 1)) * 10000.0) == 0.0
+      }
+      val okOrdered = vars.zip(vars.tail).forall { case (a, b) => a >= b } &&
+        vars.forall(_ > 0.0)
+      val spark2 = e.sparkSession
+      import spark2.implicits._
+      Seq((comps.length, okOrtho, okDiag, okOrdered))
+        .toDF("n_components", "ok_orthonormal", "ok_uncorrelated", "ok_ordered")
+    },
     // PCA whitening of the embedding corpus (embed_pca's hygiene twin):
     // per-axis 1/√λ rescale makes the projected space isotropic before
     // cosine/KMeans consumers. Same no-oracle rationale as embed_pca
@@ -1019,6 +1054,22 @@ object PipelineQueries {
       val m = graft.ext.Classifier.train(feats)
       graft.ext.Classifier.score(feats, m, "doc_id").orderBy("doc_id")
     },
+    // quality_lr's DRIVER-VISIBLE partial oracle: the fitted weights are
+    // libm/iteration-dependent, but every doc must be scored with a
+    // probability in (0,1) (a NaN/overflow flips it) and the trained
+    // model must agree with its own training labels at least at chance
+    "quality_lr_check" -> { (s, d) =>
+      val feats = graft.ext.Classifier
+        .features(Tables.documents(s, d), "doc_id", "text")
+        .localCheckpoint()
+      val m = graft.ext.Classifier.train(feats)
+      graft.ext.Classifier.score(feats, m, "doc_id").agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        (max(when(isnan(col("score")) || col("score") < 0.0 ||
+          col("score") > 1.0, 1).otherwise(0)) === 0).as("ok_unit_scores"),
+        ((sum(when(col("agree"), 1L).otherwise(0L)) / count(lit(1))) >= 0.5)
+          .as("ok_agree_chance"))
+    },
     // BPE tokenization of the corpus under a freshly trained merge table
     // (train + encode end-to-end; bpe_pairs shows round 1 of the trainer,
     // BpeSpec verifies both against a sequential reference). The merge
@@ -1351,6 +1402,31 @@ object PipelineQueries {
         .select("doc_id", "lang", "n_feats", "log_w", "gumbel_key")
         .orderBy("doc_id")
     },
+    // dsir_select's DRIVER-VISIBLE partial oracle: the importance weights
+    // are libm-bound (no SQL twin) but the selection's structure is not —
+    // exactly min(k, corpus) DISTINCT docs drawn from the corpus with
+    // finite weights, and the defining DSIR property: importance
+    // resampling toward the zh exemplar domain OVER-represents zh
+    // relative to the raw corpus
+    "dsir_select_check" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sel = graft.ext.Dsir.select(
+          docs.where(col("lang") === "zh"), docs, "doc_id", "text",
+          k = 100, buckets = 1024)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      val corpusZh = docs.agg(
+        (sum(when(col("lang") === "zh", 1L).otherwise(0L)) /
+          count(lit(1))).as("zh_rate")).head().getDouble(0)
+      sel.agg(
+        count(lit(1)).cast("long").as("n_selected"),
+        countDistinct(col("doc_id")).cast("long").as("n_distinct"),
+        (max(when(isnan(col("log_w")) ||
+          col("log_w") === Double.PositiveInfinity ||
+          col("log_w") === Double.NegativeInfinity, 1).otherwise(0)) === 0)
+          .as("ok_finite"),
+        ((sum(when(col("lang") === "zh", 1L).otherwise(0L)) /
+          count(lit(1))) >= corpusZh).as("ok_domain_shift"))
+    },
     // length-based curriculum ordering (the classic easy→hard schedule,
     // Bengio et al. 2009): per-language token-count tertiles are the
     // phases (short docs = phase 1), and WITHIN a phase the training
@@ -1402,6 +1478,20 @@ object PipelineQueries {
         | CAST(LEAST(200, (SELECT count(*) FROM embeddings)) AS BIGINT)
         |   AS total_taken,
         | TRUE AS ok_within_size, TRUE AS ok_balanced""".stripMargin,
+    "embed_pca_check" ->
+      """SELECT CAST(4 AS INT) AS n_components, TRUE AS ok_orthonormal,
+        | TRUE AS ok_uncorrelated, TRUE AS ok_ordered""".stripMargin,
+    "dsir_select_check" ->
+      """SELECT
+        | CAST(LEAST(100, (SELECT count(*) FROM documents)) AS BIGINT)
+        |   AS n_selected,
+        | CAST(LEAST(100, (SELECT count(*) FROM documents)) AS BIGINT)
+        |   AS n_distinct,
+        | TRUE AS ok_finite, TRUE AS ok_domain_shift""".stripMargin,
+    "quality_lr_check" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        | TRUE AS ok_unit_scores, TRUE AS ok_agree_chance
+        |FROM documents""".stripMargin,
     // token counts are exact integers; p/sw/w/epochs replay the identical
     // IEEE op sequence (divide, sqrt, divide) and the Σ p^α normalizer is
     // the source-ordered fold, so every double is bit-identical
