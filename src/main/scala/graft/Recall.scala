@@ -199,44 +199,44 @@ object Recall {
     // pixel-edited near-copy, which must pair with the keeper of its base
     // image; base↔base pairs are false positives (distinct SplitMix tile
     // seeds sit ~32 bits apart, so there should be ~none) ────────────────
+    // a planted copy caught by the EXACT rung (byte-identical to its
+    // base — possible when the pixel edit lands on an already-equal
+    // byte) is recalled by the ladder, not missed by the near rung:
+    // count survivors-of-exact when denominating the near tier
+    def ladderRecall(blobs: org.apache.spark.sql.Dataset[graft.ext.Multimodal.MediaBlob],
+        maxDist: Int): (Long, Long, Long, Set[(Long, Long)]) = {
+      val deduped = graft.ext.Multimodal.dedupExactMedia(blobs)
+      val pairs = graft.ext.Multimodal
+        .nearDupMedia(deduped, maxDist = maxDist, bands = 8)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val n = blobs.where(col("media_id") >= 1000000L).count()
+      val surviving = deduped.where(col("media_id") >= 1000000L).count()
+      val paired = pairs.flatMap(p => Seq(p._1, p._2)).count(_ >= 1000000L)
+      (n, paired + (n - surviving), n - surviving, pairs)
+    }
     val mediaBlobs =
       graft.ext.Multimodal.synthRasterBlobs(docs, "doc_id", "text")
-    val mediaPairs = graft.ext.Multimodal
-      .nearDupMedia(graft.ext.Multimodal.dedupExactMedia(mediaBlobs),
-        maxDist = 4, bands = 8)
-      .select("id_a", "id_b").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val nCopies = mediaBlobs.where(col("media_id") >= 1000000L).count()
-    val pairedCopies = mediaPairs
-      .flatMap(p => Seq(p._1, p._2)).count(_ >= 1000000L)
-    val mediaRecall = pairedCopies.toDouble / nCopies
+    val (nCopies, recalledCopies, exactCaught, mediaPairs) =
+      ladderRecall(mediaBlobs, maxDist = 4)
+    val mediaRecall = recalledCopies.toDouble / nCopies
     val mediaFalse = mediaPairs.count(p => p._1 < 1000000L && p._2 < 1000000L)
 
     // audio twin (the dedup_audio declared config: 8×8-bit bands,
     // Hamming ≤ 7): planted 70%-amplitude re-masters must pair
     val audioBlobs =
       graft.ext.Multimodal.synthAudioBlobs(docs, "doc_id", "text")
-    val audioPairs = graft.ext.Multimodal
-      .nearDupMedia(graft.ext.Multimodal.dedupExactMedia(audioBlobs),
-        maxDist = 7, bands = 8)
-      .select("id_a", "id_b").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val nAudioCopies = audioBlobs.where(col("media_id") >= 1000000L).count()
-    val audioRecall = audioPairs.flatMap(p => Seq(p._1, p._2))
-      .count(_ >= 1000000L).toDouble / nAudioCopies
+    val (nAudioCopies, audioRecalled, _, _) =
+      ladderRecall(audioBlobs, maxDist = 7)
+    val audioRecall = audioRecalled.toDouble / nAudioCopies
 
     // video twin (the dedup_video declared config): planted
     // per-frame-edited re-encodes must pair under the majority-vote fp
     val videoBlobs =
       graft.ext.Multimodal.synthVideoBlobs(docs, "doc_id", "text")
-    val videoPairs = graft.ext.Multimodal
-      .nearDupMedia(graft.ext.Multimodal.dedupExactMedia(videoBlobs),
-        maxDist = 7, bands = 8)
-      .select("id_a", "id_b").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val nVideoCopies = videoBlobs.where(col("media_id") >= 1000000L).count()
-    val videoRecall = videoPairs.flatMap(p => Seq(p._1, p._2))
-      .count(_ >= 1000000L).toDouble / nVideoCopies
+    val (nVideoCopies, videoRecalled, _, _) =
+      ladderRecall(videoBlobs, maxDist = 7)
+    val videoRecall = videoRecalled.toDouble / nVideoCopies
 
     val report =
       s"""# Recall at bench scale (generated by `graft.Recall`)
@@ -260,7 +260,7 @@ object Recall {
          || embedding LSH near-dup | `dedup_embedding` | 8×4-bit OR-amplified tables, maxBucket=1000 | pair recall vs exact all-pairs cosine ≥ 0.3 (${exactEmb.size} pairs) | ${f"$embRecall%.3f"} |
          || — single table |  | nbits=4, 1 table | (context: what the banding buys) | ${f"$embRecall1%.3f"} |
          || SemDeDup design point | `dedup_semantic` | planted-near-dup corpus, nlist=16, cosine ≥ 0.8, maxCell=1000 | pair recall vs exact all-pairs cosine ≥ 0.8 (${semTruth.size} planted pairs); precision ${f"$semPrecision%.3f"} | ${f"$semRecall%.3f"} |
-         || pHash media near-dup | `dedup_media` | exact-dedup → 4×16-bit bands, Hamming ≤ 4 | planted pixel-edited copies paired ($pairedCopies of $nCopies; $mediaFalse base↔base false pairs) | ${f"$mediaRecall%.3f"} |
+         || pHash media near-dup | `dedup_media` | exact-dedup → 8×8-bit bands, Hamming ≤ 4 | planted pixel-edited copies recalled by the exact→near ladder ($recalledCopies of $nCopies, $exactCaught via the exact rung; $mediaFalse base↔base false pairs) | ${f"$mediaRecall%.3f"} |
          || audio fp near-dup | `dedup_audio` | exact-dedup → 8×8-bit bands, Hamming ≤ 7 | planted 70%-amplitude re-masters paired (of $nAudioCopies) | ${f"$audioRecall%.3f"} |
          || video fp near-dup | `dedup_video` | exact-dedup → 8×8-bit bands, Hamming ≤ 7 | planted per-frame-edited re-encodes paired (of $nVideoCopies) | ${f"$videoRecall%.3f"} |
          |
