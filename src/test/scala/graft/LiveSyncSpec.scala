@@ -35,4 +35,44 @@ class LiveSyncSpec extends SparkSpec {
     val idx = table.read.select("indx").as[Long].collect().sorted
     assert(idx.sameElements(idx.indices.map(_.toLong)))
   }
+
+  test("T7 streaming twin: progress ticks bridge from the listener bus") {
+    val root = tmpDir("live")
+    val ticks = new java.util.concurrent.ConcurrentLinkedQueue[graft.sync.SyncProgress]()
+    val box = new graft.sync.LatestTickBox
+    val bridge = new graft.stream.StreamProgressBridge(p => {
+      ticks.add(p); box.onProgress(p)
+    })
+    // a second, misbehaving consumer must lose ticks, not kill the stream
+    val bad = new graft.stream.StreamProgressBridge(
+      _ => sys.error("misbehaving consumer"))
+    spark.streams.addListener(bridge)
+    spark.streams.addListener(bad)
+    try {
+      val q = LiveSync.start(spark, root, FilterConfig(), headBlock = 39,
+        batchSize = 8)
+      q.awaitTermination(120000)
+      // the listener bus is async — drain it before asserting
+      var waited = 0
+      while (ticks.size() < 5 && waited < 200) { Thread.sleep(50); waited += 1 }
+      val got = ticks.toArray(Array.empty[graft.sync.SyncProgress]).toSeq
+      assert(got.nonEmpty, "no progress ticks bridged")
+      assert(got.forall(_.phase == "stream"))
+      // the chain-source cursor is monotone across batches and reaches head
+      val cursors = got.map(_.current)
+      assert(cursors == cursors.sorted, s"cursor not monotone: $cursors")
+      assert(cursors.last == 39L, s"cursor stopped at ${cursors.last}")
+      // cumulative input rows cover the stored log count (match-all
+      // filter); a foreachBatch sink re-executes the batch frame
+      // (isEmpty / distinct / count / write), and numInputRows counts
+      // source READS — so appended can exceed, never undershoot
+      val table = new graft.store.LogTable(spark, root, FilterConfig().hash)
+      assert(got.last.appended >= table.read.count())
+      // the poll mailbox holds the freshest tick
+      assert(box.poll().contains(got.last))
+    } finally {
+      spark.streams.removeListener(bridge)
+      spark.streams.removeListener(bad)
+    }
+  }
 }

@@ -203,6 +203,34 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(got2 == naive2)
   }
 
+  test("fuzz: random interval-interval overlaps match the nested loop") {
+    val rnd = new scala.util.Random(71)
+    for (round <- 0 until 4) {
+      val width = Seq("1", "7", "100", "4096")(round)
+      def side(n: Int, span: Int): Seq[(Long, java.lang.Long, java.lang.Long)] =
+        (0 until n).map { i =>
+          val lo = rnd.nextLong() % 5000L
+          (i.toLong,
+            if (rnd.nextInt(20) == 0) null.asInstanceOf[java.lang.Long]
+            else java.lang.Long.valueOf(lo),
+            java.lang.Long.valueOf(lo + rnd.nextInt(span) - span / 4))
+        }
+      val a = side(40 + rnd.nextInt(60), 400).toDF("aid", "alo", "ahi")
+      val bt = side(30 + rnd.nextInt(50), 900).toDF("bid", "blo", "bhi")
+      def q(): DataFrame =
+        a.join(bt, $"alo" <= $"bhi" && $"blo" <= $"ahi")
+          .select($"aid", $"bid")
+      val naive = withoutRules {
+        q().collect().map(key).groupBy(identity).view.mapValues(_.length).toMap
+      }
+      spark.conf.set("spark.graft.rangeJoin.binWidth", width)
+      val got = try withRule {
+        q().collect().map(key).groupBy(identity).view.mapValues(_.length).toMap
+      } finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
+      assert(got == naive, s"round $round width $width")
+    }
+  }
+
   test("fuzz: random points/intervals/widths match the nested loop") {
     val rnd = new scala.util.Random(53)
     for (round <- 0 until 5) {
