@@ -51,18 +51,31 @@ final class LogTable(spark: SparkSession, root: String, filterHash: String,
 
   /** Missing directory = genuinely fresh store → empty; any OTHER failure
     * (I/O, corrupt footer) propagates — silently treating it as "fresh"
-    * would reset lastIndex to 0 and corrupt the monotonic sequence. That
-    * includes a crashed compaction swap: if the live dir is gone but a
-    * `.trash-*` sibling exists, the data is sitting there mid-swap — fail
-    * loudly with the recovery path instead of pretending to be fresh.
+    * would reset lastIndex to 0 and corrupt the monotonic sequence. A
+    * crashed maintenance operation self-heals first: a pending truncation
+    * intent rolls forward ([[recoverPendingTruncation]]) and a crashed
+    * compaction swap rolls forward/back ([[recoverCompaction]]) before
+    * the directory is interpreted.
     */
   def read: DataFrame = {
-    recoverPendingTruncation()
+    recoverPending()
     readNoRecover
+  }
+
+  private def recoverPending(): Unit = if (!intentChecked) {
+    intentChecked = true
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs)
+    recoverPendingTruncation(fs)
   }
 
   private def readNoRecover: DataFrame =
     if (!new java.io.File(dir).exists()) {
+      // recoverCompaction has already rolled any crashed swap forward or
+      // back, so a still-missing dir here is a genuinely fresh store —
+      // unless a trash sibling survived recovery (only possible if the
+      // heal itself failed), which must fail loudly, not read as empty
       val self = new java.io.File(dir)
       val siblings = Option(self.getParentFile)
         .flatMap(p => Option(p.listFiles()))
@@ -71,7 +84,8 @@ final class LogTable(spark: SparkSession, root: String, filterHash: String,
         siblings.find(_.getName.startsWith(self.getName + ".trash-"))
       strandedTrash.foreach(t => throw new java.io.IOException(
         s"log table $dir missing but ${t.getPath} exists — a compaction " +
-          "swap crashed mid-rename; rename the trash dir back to recover"))
+          "swap crashed mid-rename and self-heal failed; rename the trash " +
+          "dir back to recover"))
       emptyLogs
     } else if (!hasParquetFiles(new java.io.File(dir))) {
       // a reorg that truncates EVERY stored log leaves the dir with no
@@ -247,11 +261,57 @@ final class LogTable(spark: SparkSession, root: String, filterHash: String,
     * single-writer contract makes that sufficient: only a crashed
     * predecessor can leave a pending intent.
     */
-  private def recoverPendingTruncation(): Unit = if (!intentChecked) {
-    intentChecked = true
+  /** Self-heal a crashed compaction swap (the truncation journal's
+    * sibling). [[swapInto]]'s windows and their recoveries:
+    *  - crash during the tmp write (live dir untouched): the partial
+    *    `.compact-*` orphan is swept;
+    *  - crash between the two renames (live dir aside in `.trash-*`, new
+    *    table complete in `.compact-*` — Spark's `_SUCCESS` marker is the
+    *    completeness witness): roll FORWARD, renaming the tmp in;
+    *    without a complete tmp, roll BACK the trash;
+    *  - crash after the swap, before the trash delete: the trash is
+    *    post-swap garbage and is swept.
+    * Idempotent; runs once per instance before the first read
+    * (single-writer contract — only a crashed predecessor can strand
+    * these states).
+    */
+  private def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val self = new java.io.File(dir)
+    def siblings(prefix: String): Seq[java.io.File] =
+      Option(self.getParentFile).flatMap(p => Option(p.listFiles()))
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.startsWith(self.getName + prefix)).toSeq
+    val trashes = siblings(".trash-")
+    val tmps = siblings(".compact-")
+    if (trashes.isEmpty && tmps.isEmpty) return
+    def hp(f: java.io.File) = new org.apache.hadoop.fs.Path(f.getPath)
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    if (!self.exists() && trashes.nonEmpty) {
+      val complete = tmps.find(t => new java.io.File(t, "_SUCCESS").exists())
+      val src = complete.getOrElse(trashes.maxBy(_.getName))
+      if (!fs.rename(hp(src), dst))
+        throw new java.io.IOException(
+          s"compaction self-heal: rename ${src.getPath} -> $dir failed")
+      spark.catalog.refreshByPath(dir)
+    }
+    // Stranded siblings are garbage once a live dir exists — but a tmp
+    // could also belong to an IN-FLIGHT compaction by another process
+    // (readers are allowed concurrently; only writes are single-owner),
+    // so tmps are swept only when stale. Trash sweeping is always safe:
+    // with a live dir it is post-swap garbage, and the owner's own
+    // cleanup delete no-ops if we get there first.
+    val staleMs = 60L * 60 * 1000
+    if (new java.io.File(dir).exists()) {
+      siblings(".trash-").foreach(f => fs.delete(hp(f), true))
+      siblings(".compact-")
+        .filter(f => System.currentTimeMillis() - f.lastModified() > staleMs)
+        .foreach(f => fs.delete(hp(f), true))
+    }
+  }
+
+  private def recoverPendingTruncation(
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
     if (metaDirExists) {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
       meta.get(intentKey).filter(_.nonEmpty).foreach { s =>
         val parts = s.split("\\|", 3)
         def ranges(x: String) =
@@ -283,7 +343,8 @@ final class LogTable(spark: SparkSession, root: String, filterHash: String,
     * concurrent readers, which the store contract (single writer, reads
     * re-plan per query) already tolerates.
     */
-  private def swapInto(fs: org.apache.hadoop.fs.FileSystem, tmp: String): Unit = {
+  private def swapInto(fs: org.apache.hadoop.fs.FileSystem, tmp: String,
+      crashAt: String = ""): Unit = {
     // Hadoop FileSystem.rename reports failure by RETURNING FALSE, not
     // throwing — an unchecked rename-aside would let the second rename
     // move tmp INSIDE the still-present live dir (nested garbage) or
@@ -296,15 +357,17 @@ final class LogTable(spark: SparkSession, root: String, filterHash: String,
     val dst = new org.apache.hadoop.fs.Path(dir)
     val trash = new org.apache.hadoop.fs.Path(s"$dir.trash-${System.nanoTime()}")
     if (fs.exists(dst)) mustRename(dst, trash)
+    crash("compact-after-aside", crashAt)
     try mustRename(new org.apache.hadoop.fs.Path(tmp), dst)
     catch {
       case e: Throwable =>
         // roll the live dir back so a failed swap leaves the table
-        // readable in place; if even the rollback fails, read() detects
-        // the stranded trash dir and reports the recovery path
+        // readable in place; if even the rollback fails, the next read's
+        // recoverCompaction self-heals from the stranded trash dir
         if (fs.exists(trash)) fs.rename(trash, dst)
         throw e
     }
+    crash("compact-before-trash-delete", crashAt)
     fs.delete(trash, true)
   }
 
@@ -319,7 +382,8 @@ final class LogTable(spark: SparkSession, root: String, filterHash: String,
     * materialization pass (unlike removeLogsFrom, which deletes the very
     * partitions it reads and must pin rows first).
     */
-  private def rewriteClustered(sortKeys: Seq[org.apache.spark.sql.Column]): Unit = {
+  private def rewriteClustered(sortKeys: Seq[org.apache.spark.sql.Column],
+      crashAt: String = ""): Unit = {
     if (!new java.io.File(dir).exists() || read.isEmpty) return
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
@@ -331,7 +395,8 @@ final class LogTable(spark: SparkSession, root: String, filterHash: String,
       // (unstable) sort, destroying the clustering
       .sortWithinPartitions(col("block_range") +: sortKeys: _*)
       .write.mode(SaveMode.Overwrite).partitionBy("block_range").parquet(tmp)
-    swapInto(fs, tmp)
+    crash("compact-after-write", crashAt)
+    swapInto(fs, tmp, crashAt)
   }
 
   /** Layout maintenance: rewrite every partition clustered by
@@ -343,8 +408,11 @@ final class LogTable(spark: SparkSession, root: String, filterHash: String,
     * OPTIMIZE/Z-ORDER analog for plain parquet — single sort key because
     * the access pattern is one-dimensional (block order ≡ index order).
     */
-  def compact(): Unit =
-    rewriteClustered(Seq(col("block_num"), col("tx_index")))
+  def compact(): Unit = compact(crashAt = "")
+
+  /** Crash-injection twin of [[compact]] for the protocol spec. */
+  private[graft] def compact(crashAt: String): Unit =
+    rewriteClustered(Seq(col("block_num"), col("tx_index")), crashAt)
 
   /** Two-dimensional layout maintenance: like [[compact]], but clusters
     * each partition by a Morton key over (block_num, xxhash64(address)) —

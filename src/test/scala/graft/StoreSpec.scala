@@ -128,6 +128,65 @@ class StoreSpec extends SparkSpec {
     assert(idxOf(freshC) == (0L until 19L))
   }
 
+  test("compaction self-heals from a crash at every swap window") {
+    def build(root: String): LogTable = {
+      val t = new LogTable(spark, root, "f1", blocksPerRange = 2L)
+      // fragmented out-of-order appends, the compaction workload
+      Seq((8L, 9L), (0L, 1L), (6L, 7L), (2L, 3L), (4L, 5L)).foreach {
+        case (a, b) => t.storeLogs(mkLogs(a, b))
+      }
+      t
+    }
+    def idxOf(t: LogTable): Seq[Long] =
+      t.read.select("indx").as[Long].collect().sorted.toSeq
+    def noStrays(root: String): Unit = {
+      val strays = new java.io.File(s"$root/logs").listFiles()
+        .filter(f => f.getName.contains(".trash-") ||
+          f.getName.contains(".compact-"))
+      assert(strays.isEmpty, s"strays: ${strays.mkString(",")}")
+    }
+
+    // crash after the tmp write, before any rename → live table untouched
+    val rootA = tmpDir("store")
+    val tA = build(rootA)
+    intercept[RuntimeException] { tA.compact(crashAt = "compact-after-write") }
+    val freshA = new LogTable(spark, rootA, "f1", blocksPerRange = 2L)
+    assert(idxOf(freshA) == (0L until 20L))
+    // the partial/complete tmp is younger than the staleness window, so
+    // it is NOT swept (it could belong to an in-flight compaction) — but
+    // the table reads consistently around it, and a fresh compact works
+    freshA.compact()
+    assert(idxOf(freshA) == (0L until 20L))
+
+    // crash between the two renames (live dir aside, tmp complete) →
+    // roll FORWARD to the compacted table
+    val rootB = tmpDir("store")
+    val tB = build(rootB)
+    intercept[RuntimeException] { tB.compact(crashAt = "compact-after-aside") }
+    assert(!new java.io.File(s"$rootB/logs/filter_hash=f1").exists(),
+      "precondition: the live dir is aside at the crash point")
+    val freshB = new LogTable(spark, rootB, "f1", blocksPerRange = 2L)
+    assert(idxOf(freshB) == (0L until 20L),
+      "mid-swap crash must self-heal to a complete table")
+    noStrays(rootB)
+    // and the healed table is the COMPACTED one: one file per partition
+    val files = new java.io.File(s"$rootB/logs/filter_hash=f1").listFiles()
+      .filter(_.getName.startsWith("block_range="))
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(files.nonEmpty && files.forall(_ == 1),
+      s"healed table not compacted: ${files.mkString(",")}")
+
+    // crash after the swap, before the trash delete → trash swept
+    val rootC = tmpDir("store")
+    val tC = build(rootC)
+    intercept[RuntimeException] {
+      tC.compact(crashAt = "compact-before-trash-delete")
+    }
+    val freshC = new LogTable(spark, rootC, "f1", blocksPerRange = 2L)
+    assert(idxOf(freshC) == (0L until 20L))
+    noStrays(rootC)
+  }
+
   test("point read GetLog (store.go:34-35)") {
     val t = new LogTable(spark, tmpDir("store"), "f1")
     t.storeLogs(mkLogs(0, 4))
