@@ -295,5 +295,13 @@ object DictMatch {
     */
   def sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "dict_match_count" -> (es => DictMatchCount(es.head, litStrings(es(1)))),
-    "dict_match_terms" -> (es => DictMatchTerms(es.head, litStrings(es(1)))))
+    "dict_match_terms" -> (es => DictMatchTerms(es.head, litStrings(es(1)))),
+    "dict_scrub" -> (es => DictScrub(es.head, litStrings(es(1)),
+      litString(es(2)))))
+
+  private def litString(e: Expression): String = e.eval() match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+    case other => throw new IllegalArgumentException(
+      s"replacement must be a string literal, got $other")
+  }
 }

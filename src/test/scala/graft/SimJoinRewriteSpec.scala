@@ -215,6 +215,9 @@ class SimJoinRewriteSpec extends SparkSpec {
         assert(s2.sql(
           "SELECT dict_match_count('a spam b spam', array('spam')) AS n")
           .head().getLong(0) == 2L)
+        assert(s2.sql(
+          "SELECT dict_scrub('a spam b', array('spam'), '*') AS s")
+          .head().getString(0) == "a * b")
         assert(s2.sql("SELECT nfc_normalize('e\u0301') AS s")
           .head().getString(0) == "\u00e9")
         assert(s2.sql(
