@@ -355,6 +355,33 @@ object CapabilityQueries {
           "last_purchase_ts", "last_purchase_val")
         .orderBy("event_id")
     },
+    // as-of with TOLERANCE (pandas merge_asof's gap bound): same
+    // single-shuffle window formulation, then the match drops when the
+    // latest purchase is older than 12 hours — semantically the ASOF
+    // pick followed by a gap filter, which is exactly how DuckDB's
+    // native ASOF JOIN verifies it
+    "join_asof_tol" -> { (s, d) =>
+      val tolUs = 43200000000L // 12 h in micros
+      val e = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val tagged = e.select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_type"),
+        when(col("event_type") === "purchase", col("ts_us")).as("p_ts"),
+        when(col("event_type") === "purchase", col("value")).as("p_val"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("last_purchase_ts",
+          last(col("p_ts"), ignoreNulls = true).over(w))
+        .withColumn("last_purchase_val",
+          last(col("p_val"), ignoreNulls = true).over(w))
+        .where(col("event_type") === "click" &&
+          col("last_purchase_ts").isNotNull &&
+          col("ts_us") - col("last_purchase_ts") <= lit(tolUs))
+        .select("event_id", "user_id", "ts_us",
+          "last_purchase_ts", "last_purchase_val")
+        .orderBy("event_id")
+    },
     // generator / UDTF surface: positional explode of an array column
     "explode_array" -> { (s, d) =>
       val parts = split(concat_ws(",", col("event_type"),
@@ -854,6 +881,14 @@ object CapabilityQueries {
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         | ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "join_asof_tol" ->
+      """SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+        | epoch_us(p.ts) AS last_purchase_ts, p.value AS last_purchase_val
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        | ON c.user_id = p.user_id AND p.ts <= c.ts
+        |WHERE epoch_us(c.ts) - epoch_us(p.ts) <= 43200000000
         |ORDER BY c.event_id""".stripMargin,
     "explode_array" ->
       """SELECT event_id,
