@@ -43,6 +43,22 @@ object PipelineQueries {
     e.select(cols: _*).unionByName(planted)
   }
 
+  /** Once-per-(session, sf, format) materialization of the corpus in an
+    * ingest format — the ingest_* queries measure READING the format, not
+    * rewriting it per bench rep.
+    */
+  private val ingestDirs = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, String), String]()
+
+  private def ingestDir(s: SparkSession, d: String, fmt: String,
+      write: DataFrame => String => Unit): String =
+    ingestDirs.computeIfAbsent((System.identityHashCode(s), d, fmt), _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft-ingest-$fmt").toString
+      write(Tables.documents(s, d))(path)
+      path
+    })
+
   /** JVM-local memo of the trained BPE model per (session, corpus plan,
     * numMerges). The tokenizer is an input ARTIFACT to the encode and
     * fertility-audit queries — `bpe_pairs` remains the query that
@@ -296,6 +312,56 @@ object PipelineQueries {
           docs.where(pmod(col("doc_id"), lit(10)) === 0),
           "doc_id", "text", shingleN = 3)
         .orderBy("doc_id")
+    },
+    // SOURCE-FORMAT surface: the corpus round-trips through JSONL — the
+    // interchange format real text pipelines ingest — and the re-read
+    // rows must aggregate identically to the parquet originals. The
+    // JSONL is written once per (session, sf) with an EXPLICIT schema on
+    // re-read (schema inference is a full extra pass at 100 TB; never
+    // infer at scale), text goes through hex armoring (Spark's base64 is
+    // MIME-chunked — embedded newlines would break line-oriented
+    // formats; hex is continuous, so files stay SPLITTABLE), and the
+    // oracle aggregates the parquet table directly — so a codec bug
+    // anywhere in the round-trip flips the hash
+    "ingest_jsonl" -> { (s, d) =>
+      val path = ingestDir(s, d, "jsonl", { docs =>
+        docs.select(col("doc_id"), col("lang"),
+            hex(col("text").cast("binary")).as("text_hex"),
+            col("n_chars"))
+          .write.mode("overwrite").json(_: String)
+      })
+      val schema = "doc_id LONG, lang STRING, text_hex STRING, n_chars LONG"
+      s.read.schema(schema).json(path)
+        .select(col("doc_id"), col("lang"),
+          decode(unhex(col("text_hex")), "UTF-8").as("text"), col("n_chars"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("total_chars"),
+          sum(col("n_chars")).cast("long").as("sum_n_chars"),
+          max(sha2(concat(col("doc_id").cast("string"), col("text")), 256))
+            .as("max_row_sha"))
+        .orderBy("lang")
+    },
+    // CSV twin of ingest_jsonl (same once-per-session write, explicit
+    // schema, hex-armored text, oracle on the parquet originals)
+    "ingest_csv" -> { (s, d) =>
+      val path = ingestDir(s, d, "csv", { docs =>
+        docs.select(col("doc_id"), col("lang"),
+            hex(col("text").cast("binary")).as("text_hex"),
+            col("n_chars"))
+          .write.mode("overwrite").option("header", "true").csv(_: String)
+      })
+      val schema = "doc_id LONG, lang STRING, text_hex STRING, n_chars LONG"
+      s.read.schema(schema).option("header", "true").csv(path)
+        .select(col("doc_id"), col("lang"),
+          decode(unhex(col("text_hex")), "UTF-8").as("text"), col("n_chars"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("total_chars"),
+          sum(col("n_chars")).cast("long").as("sum_n_chars"),
+          max(sha2(concat(col("doc_id").cast("string"), col("text")), 256))
+            .as("max_row_sha"))
+        .orderBy("lang")
     },
     // composite quality score
     "quality_score" -> { (s, d) =>
@@ -1478,6 +1544,20 @@ object PipelineQueries {
         | CAST(LEAST(200, (SELECT count(*) FROM embeddings)) AS BIGINT)
         |   AS total_taken,
         | TRUE AS ok_within_size, TRUE AS ok_balanced""".stripMargin,
+    // the ingest round-trips must reproduce the parquet originals
+    // exactly — the oracle aggregates the source table directly
+    "ingest_jsonl" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+        | max(sha256(concat(CAST(doc_id AS VARCHAR), text))) AS max_row_sha
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "ingest_csv" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+        | max(sha256(concat(CAST(doc_id AS VARCHAR), text))) AS max_row_sha
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "embed_pca_check" ->
       """SELECT CAST(4 AS INT) AS n_components, TRUE AS ok_orthonormal,
         | TRUE AS ok_uncorrelated, TRUE AS ok_ordered""".stripMargin,
