@@ -1386,6 +1386,21 @@ object PipelineQueries {
         .select(col("piece"), col("logp"))
         .orderBy(col("logp").desc, col("piece"))
     },
+    // bpe_encode's DRIVER-VISIBLE partial oracle: the merge table is
+    // data-dependent (no SQL twin), but tokenization must be LOSSLESS —
+    // concatenating every doc's subword tokens and turning the </w>
+    // markers back into spaces must reproduce the doc's exact word
+    // sequence, which the oracle computes from the raw text. A dropped
+    // word, corrupted merge, or reordered token stream flips the hash
+    "bpe_encode_check" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val (_, vocab) = trainedBpe(docs, numMerges = 12)
+      graft.ext.Bpe.encodeWithVocab(docs, "doc_id", "text", vocab)
+        .select(col("doc_id"),
+          rtrim(regexp_replace(concat_ws("", col("tokens")),
+            graft.ext.Bpe.EndOfWord, " ")).as("detok"))
+        .orderBy("doc_id")
+    },
     // Viterbi tokenization under the trained unigram model — the encode
     // twin of bpe_encode (model broadcast, one narrow pass)
     "unigram_encode" -> { (s, d) =>
@@ -1395,6 +1410,18 @@ object PipelineQueries {
         .select(col("doc_id"),
           size(col("tokens")).cast("long").as("n_tokens"),
           sha2(concat_ws(" ", col("tokens")), 256).as("tok_hash"))
+        .orderBy("doc_id")
+    },
+    // unigram_encode's DRIVER-VISIBLE partial oracle: pieces carry no
+    // word marker, so the reconstructable invariant is the space-free
+    // character stream — concatenating every doc's pieces must equal the
+    // doc's words concatenated (unk chars fall back to single-char
+    // pieces, so nothing is ever dropped)
+    "unigram_encode_check" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ext.Unigram.encode(docs, "doc_id", "text",
+          trainedUnigram(docs, vocabSize = 300))
+        .select(col("doc_id"), concat_ws("", col("tokens")).as("detok"))
         .orderBy("doc_id")
     },
     // subword-regularized tokenization: SAMPLED segmentations from the
@@ -1558,6 +1585,19 @@ object PipelineQueries {
         | CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
         | max(sha256(concat(CAST(doc_id AS VARCHAR), text))) AS max_row_sha
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // tokenization losslessness: detok(tokens) must equal the word
+    // sequence (BPE, spaces restored from </w>) or the space-free char
+    // stream (unigram) — both computable from the raw text
+    "bpe_encode_check" ->
+      """SELECT doc_id,
+        | array_to_string(list_filter(string_split(text, ' '),
+        |   x -> x <> ''), ' ') AS detok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "unigram_encode_check" ->
+      """SELECT doc_id,
+        | array_to_string(list_filter(string_split(text, ' '),
+        |   x -> x <> ''), '') AS detok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "embed_pca_check" ->
       """SELECT CAST(4 AS INT) AS n_components, TRUE AS ok_orthonormal,
         | TRUE AS ok_uncorrelated, TRUE AS ok_ordered""".stripMargin,
