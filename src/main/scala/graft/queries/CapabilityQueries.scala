@@ -508,6 +508,37 @@ object CapabilityQueries {
           count(lit(1)).as("n_events"))
         .orderBy("event_type")
     },
+    // the sketch tiers' DRIVER-VISIBLE partial oracles: the estimates
+    // themselves are engine-specific, but their ERROR CONTRACTS are not —
+    // HLL++ at rsd=0.01 must land within 5% of the exact distinct count
+    // (the oracle recomputes the exact side), and percentile_approx with
+    // a 10k accuracy on a quartile must sit BETWEEN the exact adjacent
+    // quantile ranks. A sketch gone wrong flips a boolean
+    "agg_approx_distinct_check" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), rsd = 0.01).as("est"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("est") - col("exact_users")) <=
+            greatest(lit(1L), (col("exact_users") * 0.05).cast("long")))
+            .as("ok_within_5pct"))
+        .orderBy("event_type")
+    },
+    "agg_quantiles_approx_check" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_quantity").cast("double"),
+            lit(0.5), lit(10000)).as("est_p50"),
+          expr("percentile(CAST(l_quantity AS DOUBLE), 0.45)").as("lo"),
+          expr("percentile(CAST(l_quantity AS DOUBLE), 0.55)").as("hi"))
+        .select(col("l_returnflag"),
+          (col("est_p50") >= col("lo") && col("est_p50") <= col("hi"))
+            .as("ok_p50_bracketed"))
+        .orderBy("l_returnflag")
+    },
     // sessionization: gap-based session windows per user (batch twin of
     // stream_session; Spark's session_window vs a gaps-and-islands oracle)
     "agg_session" -> { (s, d) =>
@@ -882,6 +913,16 @@ object CapabilityQueries {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         | ON c.user_id = p.user_id AND p.ts <= c.ts
         |ORDER BY c.event_id""".stripMargin,
+    // sketch error contracts: the oracle recomputes the exact side and
+    // states the bound booleans as constants
+    "agg_approx_distinct_check" ->
+      """SELECT event_type,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        | TRUE AS ok_within_5pct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_quantiles_approx_check" ->
+      """SELECT l_returnflag, TRUE AS ok_p50_bracketed
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_asof_tol" ->
       """SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
         | epoch_us(p.ts) AS last_purchase_ts, p.value AS last_purchase_val

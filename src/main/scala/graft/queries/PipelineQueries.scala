@@ -363,6 +363,33 @@ object PipelineQueries {
             .as("max_row_sha"))
         .orderBy("lang")
     },
+    // contamination_bloom's DRIVER-VISIBLE partial oracle: the filter's
+    // defining guarantee is NO FALSE NEGATIVES — every train doc that
+    // exactly shares a 3-gram with the eval set must be flagged by the
+    // Bloom tier (false positives are allowed and expected). The oracle
+    // recomputes the exact side in SQL
+    "contamination_bloom_check" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val train = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      val evalD = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      val bloom = Dedup.contaminationBloom(train, evalD, "doc_id", "text",
+        shingleN = 3)
+      val evGrams = Dedup.shingleRows(evalD, "doc_id", "text", 3)
+        .select("s").distinct()
+      val exactHit = Dedup.shingleRows(train, "doc_id", "text", 3)
+        .join(evGrams, Seq("s"), "left_semi")
+        .select(col("doc").as("doc_id")).distinct()
+        .withColumn("exact_hit", lit(true))
+      bloom.select(col("doc_id"), col("contaminated"))
+        .join(exactHit, Seq("doc_id"), "left")
+        .na.fill(false, Seq("exact_hit"))
+        .agg(
+          count(lit(1)).cast("long").as("n_train_docs"),
+          sum(when(col("exact_hit"), 1L).otherwise(0L)).cast("long")
+            .as("n_exact_contaminated"),
+          (max(when(col("exact_hit") && !col("contaminated"), 1)
+            .otherwise(0)) === 0).as("ok_no_false_negatives"))
+    },
     // composite quality score
     "quality_score" -> { (s, d) =>
       TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text")
@@ -1585,6 +1612,18 @@ object PipelineQueries {
         | CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
         | max(sha256(concat(CAST(doc_id AS VARCHAR), text))) AS max_row_sha
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "contamination_bloom_check" ->
+      """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+        |        i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS s FROM sp),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+        |hit AS (SELECT DISTINCT doc_id FROM sh
+        |        WHERE doc_id % 10 <> 0 AND s IN (SELECT s FROM ev))
+        |SELECT
+        | CAST((SELECT count(*) FROM documents WHERE doc_id % 10 <> 0)
+        |   AS BIGINT) AS n_train_docs,
+        | CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_exact_contaminated,
+        | TRUE AS ok_no_false_negatives""".stripMargin,
     // tokenization losslessness: detok(tokens) must equal the word
     // sequence (BPE, spaces restored from </w>) or the space-free char
     // stream (unigram) — both computable from the raw text
