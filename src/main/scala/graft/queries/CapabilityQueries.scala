@@ -515,10 +515,15 @@ object CapabilityQueries {
     // a 10k accuracy on a quartile must sit BETWEEN the exact adjacent
     // quantile ranks. A sketch gone wrong flips a boolean
     "agg_approx_distinct_check" -> { (s, d) =>
+      // two-level aggregate, ONE shuffle: Spark's countDistinct forms an
+      // expand + double exchange, but HLL is duplicate-insensitive, so
+      // pre-distincting (type, user) serves BOTH the exact count (row
+      // count of level 2) and an identical estimate
       Tables.events(s, d)
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("__n"))
         .groupBy("event_type")
         .agg(
-          countDistinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("exact_users"),
           approx_count_distinct(col("user_id"), rsd = 0.01).as("est"))
         .select(col("event_type"), col("exact_users"),
           (abs(col("est") - col("exact_users")) <=
