@@ -226,8 +226,18 @@ object Recall {
     // Hamming ≤ 7): planted 70%-amplitude re-masters must pair
     val audioBlobs =
       graft.ext.Multimodal.synthAudioBlobs(docs, "doc_id", "text")
-    val (nAudioCopies, audioRecalled, _, _) =
-      ladderRecall(audioBlobs, maxDist = 7)
+    val (nAudioCopies, audioRecalled, audioFalse) = {
+      val deduped = graft.ext.Multimodal.dedupExactMedia(audioBlobs)
+      val pairs = graft.ext.Multimodal
+        .nearDupAudioAmplified(deduped, maxDist = 7, bands = 8)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val n = audioBlobs.where(col("media_id") >= 1000000L).count()
+      val surviving = deduped.where(col("media_id") >= 1000000L).count()
+      val paired = pairs.flatMap(p => Seq(p._1, p._2)).count(_ >= 1000000L)
+      (n, paired + (n - surviving),
+        pairs.count(p => p._1 < 1000000L && p._2 < 1000000L))
+    }
     val audioRecall = audioRecalled.toDouble / nAudioCopies
 
     // video twin (the dedup_video declared config): planted
@@ -261,7 +271,7 @@ object Recall {
          || — single table |  | nbits=4, 1 table | (context: what the banding buys) | ${f"$embRecall1%.3f"} |
          || SemDeDup design point | `dedup_semantic` | planted-near-dup corpus, nlist=16, cosine ≥ 0.8, maxCell=1000 | pair recall vs exact all-pairs cosine ≥ 0.8 (${semTruth.size} planted pairs); precision ${f"$semPrecision%.3f"} | ${f"$semRecall%.3f"} |
          || pHash media near-dup | `dedup_media` | exact-dedup → 8×8-bit bands, Hamming ≤ 4 | planted pixel-edited copies recalled by the exact→near ladder ($recalledCopies of $nCopies, $exactCaught via the exact rung; $mediaFalse base↔base false pairs) | ${f"$mediaRecall%.3f"} |
-         || audio fp near-dup | `dedup_audio` | exact-dedup → 8×8-bit bands, Hamming ≤ 7 | planted 70%-amplitude re-masters paired (of $nAudioCopies) | ${f"$audioRecall%.3f"} |
+         || audio fp near-dup | `dedup_audio` | exact→near ladder, 2 OR-amplified phases (≤7 / ≤5), 8×8-bit bands | planted 70%-amplitude re-masters recalled (of $nAudioCopies; $audioFalse base↔base pairs) | ${f"$audioRecall%.3f"} |
          || video fp near-dup | `dedup_video` | exact-dedup → 8×8-bit bands, Hamming ≤ 7 | planted per-frame-edited re-encodes paired (of $nVideoCopies) | ${f"$videoRecall%.3f"} |
          |
          |Notes: cosine ≥ 0.3 (θ ≈ 72°) is a HARD regime for hyperplane
@@ -312,7 +322,7 @@ object Recall {
       f"dedup_media planted-copy recall regressed: $mediaRecall%.3f")
     require(mediaFalse <= 5,
       s"dedup_media base-base false pairs regressed: $mediaFalse")
-    require(audioRecall >= 0.93,
+    require(audioRecall >= 0.98,
       f"dedup_audio planted re-master recall regressed: $audioRecall%.3f")
     require(videoRecall >= 0.93,
       f"dedup_video planted re-encode recall regressed: $videoRecall%.3f")

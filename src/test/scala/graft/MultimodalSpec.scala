@@ -482,4 +482,40 @@ class MultimodalSpec extends SparkSpec {
     assert((pairs -- planted).size <= 3,
       s"too many near-collisions: ${pairs -- planted}")
   }
+
+  test("nearDupAudioAmplified: OR of phase views, superset of phase 0") {
+    val table = (0 until 24)
+      .map(i => (i.toLong, s"audio document $i humming its own tune $i"))
+      .toDF("doc_id", "text")
+    val blobs = Multimodal.dedupExactMedia(
+      Multimodal.synthAudioBlobs(table, "doc_id", "text", plantEvery = 4))
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val single = pairSet(Multimodal.nearDupMedia(blobs, maxDist = 7, bands = 8))
+    val amp = pairSet(Multimodal.nearDupAudioAmplified(blobs, maxDist = 7))
+    // OR-amplification can only ADD pairs over the primary phase
+    assert(single.subsetOf(amp),
+      s"amplified lost phase-0 pairs: ${single -- amp}")
+    // with one phase it IS the primary tier (phase 0 is bit-identical)
+    val onePhase = pairSet(
+      Multimodal.nearDupAudioAmplified(blobs, maxDist = 7, phases = 1))
+    assert(onePhase == single,
+      s"single-phase amplified must equal nearDupMedia: " +
+        s"${onePhase.diff(single)} / ${single.diff(onePhase)}")
+    // every planted pair is recalled by the amplified tier here too
+    val planted = (0 until 24 by 4)
+      .map(i => (i.toLong, i.toLong + 1000000L)).toSet
+    planted.foreach(p => assert(amp.contains(p), s"missed planted pair $p"))
+    // hamming reports the MINIMUM across phases: never above the single
+    // phase's distance for a shared pair
+    val ampD = Multimodal.nearDupAudioAmplified(blobs, maxDist = 7).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    val singleD = Multimodal.nearDupMedia(blobs, maxDist = 7, bands = 8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    singleD.foreach { case (k, d0) =>
+      assert(ampD(k) <= d0, s"min-hamming violated for $k: ${ampD(k)} > $d0")
+    }
+  }
 }
