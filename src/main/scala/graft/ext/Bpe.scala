@@ -134,11 +134,14 @@ object Bpe {
     * Bit-equal to [[train]] (same greedy argmax, same (cnt desc, p1, p2)
     * tie-break — ASCII corpora; UTF-16 vs UTF-8 order can differ on astral
     * chars) whenever `maxWords` covers the full vocabulary; with a smaller
-    * `maxWords` it is the standard frequency-coverage approximation
-    * (rare-word tail excluded from merge statistics, still encodable).
+    * `maxWords` it is the standard frequency-coverage approximation: the
+    * rare-word tail is excluded from merge STATISTICS but stays encodable
+    * — the returned vocabulary appends the tail as single-char fallback
+    * rows so encodeWithVocab never drops a word.
     *
     * @return the merge table and the final (word, freq, syms) vocabulary
-    *         of the RETAINED words, parallelized back out for encode.
+    *         (retained words merged, any excluded tail as single-char
+    *         fallback rows), covering every corpus word for encode.
     */
   def trainLocal(docs: DataFrame, textCol: String, numMerges: Int,
       minCount: Long = 2L, maxWords: Int = 1 << 22): (Seq[Merge], DataFrame) = {
@@ -238,8 +241,23 @@ object Bpe {
       words.indices.map(i => (words(i), freqs(i), syms(i).toSeq))
     val slices = math.max(1,
       math.min(spark.sparkContext.defaultParallelism, rows.size))
-    val vocabDf = spark.sparkContext.parallelize(rows, slices)
+    val retained = spark.sparkContext.parallelize(rows, slices)
       .toDF("word", "freq", "syms")
+    // Losslessness with maxWords below the vocabulary size: the rare-word
+    // tail was excluded from MERGE STATISTICS, but encodeWithVocab
+    // inner-joins on word — returning only retained rows would silently
+    // DROP excluded words from the token stream (bpe_encode_check pins
+    // detokenize(encode(x)) == x). Append the tail as single-char
+    // fallback rows (unmerged, like any OOV fallback): distributed
+    // anti-join, no extra driver collect, and skipped entirely when the
+    // collect wasn't truncated.
+    val vocabDf =
+      if (collected.length < maxWords) retained
+      else retained.unionByName(
+        wordFreqs(docs, textCol)
+          .join(retained.select("word"), Seq("word"), "left_anti")
+          .withColumn("syms", initSymbols(col("word")))
+          .select("word", "freq", "syms"))
     (merges.result(), vocabDf)
   }
 

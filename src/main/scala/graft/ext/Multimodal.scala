@@ -503,23 +503,27 @@ object Multimodal {
       */
     def audioFp64(content: Array[Byte]): Option[Long] = audioFp64(content, 0)
 
-    /** `phase` shifts every frame boundary by `phase/2` of a frame — the
-      * second "view" OR-amplified dedup pairs on. Quantization-induced
+    /** `phase` shifts every frame boundary by `phase/(phase+1)` of a
+      * frame (0, 1/2, 2/3, 3/4, … — every phase a DISTINCT alignment, so
+      * OR-amplification keeps buying independence at any phase count) —
+      * the extra "views" OR-amplified dedup pairs on. Quantization-induced
       * sign flips of near-zero energy deltas are boundary-dependent, so
-      * the two phases' flips are largely independent (measured: 2.8% of
+      * the phases' flips are largely independent (measured: 2.8% of
       * planted re-masters beyond Hamming 7 at phase 0 alone, ~0.2% when
-      * either phase may match). phase 0 = the historical fingerprint,
-      * bit-identical.
+      * either of the first two phases may match). phase 0 = the historical
+      * fingerprint, bit-identical; phase 1 = the historical half-frame
+      * shift, bit-identical.
       */
     def audioFp64(content: Array[Byte], phase: Int): Option[Long] =
       pcm16(content).flatMap { s =>
+        require(phase >= 0, s"phase must be >= 0, got $phase")
         val frames = 9; val bands = 9
         // the shifted view re-derives its frame length from the remaining
         // samples, so all 9 frames stay disjoint (a tail clamp would make
         // the last two frames overlap and turn their delta bits into
         // quantization noise); phase 0 reduces to the historical framing,
         // bit-identical
-        val shift = (s.length / frames / 2) * (phase % 2)
+        val shift = (s.length / frames) * phase / (phase + 1)
         if (s.length - shift < frames * 2) None
         else {
           val e = Array.ofDim[Double](frames, bands)
@@ -1061,8 +1065,9 @@ object Multimodal {
   }
 
   /** OR-amplified audio near-dup: each blob is fingerprinted at
-    * `phases` frame alignments ([[Codecs.audioFp64]] with a half-frame
-    * shift) and a pair qualifies when ANY phase's fingerprints sit
+    * `phases` DISTINCT frame alignments ([[Codecs.audioFp64]] shifts
+    * phase p by p/(p+1) of a frame) and a pair qualifies when ANY
+    * phase's fingerprints sit
     * within `maxDist` — the media twin of the embedding tier's
     * OR-amplified LSH tables. Quantization flips of near-zero energy
     * deltas are frame-boundary-dependent, so the phases miss (mostly)

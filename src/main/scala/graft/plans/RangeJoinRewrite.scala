@@ -153,10 +153,19 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           if sl != sr
         } yield (l, r, sl)
     }.flatten
-    for {
-      (alo, bhi, _) <- sided.find(_._3)
-      (blo, ahi, _) <- sided.find(!_._3)
-    } yield (alo, ahi, blo, bhi)
+    // ALL FOUR bounds must share one data type, not just the two within
+    // each conjunct: pairing `a.ts <= b.ts` (long) with `b.id <= a.id`
+    // (int) would hand rewriteOverlap mixed-type Least/Greatest children —
+    // an unresolved expression injected mid-optimizer — and would also
+    // fuse two unrelated column pairs into one phantom interval. A shared
+    // type does not prove the bounds are semantically one interval, but
+    // the rewrite stays CORRECT regardless (the original predicate rides
+    // along verbatim; normalization covers inverted spans) — the type
+    // gate removes the only case that could fail to resolve.
+    sided.view.filter(_._3).flatMap { case (alo, bhi, _) =>
+      sided.find(c => !c._3 && c._1.dataType == alo.dataType)
+        .map { case (blo, ahi, _) => (alo, ahi, blo, bhi) }
+    }.headOption
   }
 
   private def hasEquiKey(conjuncts: Seq[Expression], left: LogicalPlan,

@@ -321,11 +321,18 @@ final class LogTable(spark: SparkSession, root: String, filterHash: String,
         fs.delete(new org.apache.hadoop.fs.Path(parts(0)), true)
       }
       // orphan tmp dirs from pre-intent crashes: invisible to readers,
-      // swept here so they cannot accumulate
+      // swept here so they cannot accumulate. Stale-only, like the
+      // `.compact-*` sweep: the store allows concurrent READERS, and a
+      // fresh reader racing a live writer (between its survivor write and
+      // its intent commit) must not delete the in-flight tmp — the writer
+      // would then journal a delete-only intent and drop partitions
+      // without replacing survivors.
+      val staleMs = 60L * 60 * 1000
       val self = new java.io.File(dir)
       Option(self.getParentFile).flatMap(p => Option(p.listFiles()))
         .getOrElse(Array.empty[java.io.File])
         .filter(_.getName.startsWith(self.getName + ".tmp-"))
+        .filter(t => System.currentTimeMillis() - t.lastModified() > staleMs)
         .foreach(t => fs.delete(
           new org.apache.hadoop.fs.Path(t.getPath), true))
     }

@@ -240,15 +240,24 @@ class BpeSpec extends SparkSpec {
     // feed merge statistics — the standard coverage cutoff
     val docs = Seq((0L, "aa aa aa aa zz")).toDF("doc_id", "text")
     val (merges, vocab) = Bpe.trainLocal(docs, "text", 5, maxWords = 1)
-    assert(vocab.select("word").collect().map(_.getString(0)).toSeq ==
-      Seq("aa"))
     // tie-break picks (a, </w>) first ('<' < 'a'), then (a, a</w>): the
     // retained word fully collapses, and nothing from the excluded tail
     // ever feeds a merge
     assert(merges.map(m => (m.p1, m.p2)) ==
       Seq(("a", Bpe.EndOfWord), ("a", "a" + Bpe.EndOfWord)))
     assert(!merges.exists(m => m.p1.contains("z") || m.p2.contains("z")))
-    assert(vocab.select("syms").collect().head.getSeq[String](0) ==
-      Seq("aa" + Bpe.EndOfWord))
+    // but the excluded tail stays ENCODABLE: the returned vocabulary
+    // appends it as single-char fallback rows, so encodeWithVocab keeps
+    // the losslessness contract bpe_encode_check pins
+    val byWord = vocab.collect()
+      .map(r => r.getAs[String]("word") -> r.getSeq[String](2)).toMap
+    assert(byWord.keySet == Set("aa", "zz"))
+    assert(byWord("aa") == Seq("aa" + Bpe.EndOfWord))
+    assert(byWord("zz") == Seq("z", "z", Bpe.EndOfWord))
+    val enc = Bpe.encodeWithVocab(docs, "doc_id", "text", vocab)
+    assert(enc.collect().head.getSeq[String](1) ==
+      Seq("aa" + Bpe.EndOfWord, "aa" + Bpe.EndOfWord,
+        "aa" + Bpe.EndOfWord, "aa" + Bpe.EndOfWord,
+        "z", "z", Bpe.EndOfWord))
   }
 }

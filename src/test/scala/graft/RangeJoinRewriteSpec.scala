@@ -203,6 +203,36 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(got2 == naive2)
   }
 
+  test("mixed-type overlap-shaped condition stays executable (not a broken rewrite)") {
+    // `a.ts <= b.ts && b.id <= a.id` with ts:long and id:int matches the
+    // overlap SHAPE but pairs bounds of different types — without the
+    // cross-conjunct type gate the rule built Least/Greatest over
+    // mixed-type children (unresolved mid-optimizer) and a query that
+    // previously ran as a nested loop started FAILING at planning. The
+    // rewrite must either skip or stay correct; it must never brick.
+    val a = Seq((1L, 10), (5L, 3), (9L, 7)).toDF("ats", "aid")
+    val bt = Seq((2L, 4), (7L, 8), (0L, 1)).toDF("bts", "bid")
+    def q(): DataFrame =
+      a.join(bt, $"ats" <= $"bts" && $"bid" <= $"aid")
+        .select($"ats", $"aid", $"bts", $"bid")
+    val naive = withoutRules {
+      q().collect().map(_.toString).sorted.toSeq
+    }
+    val got = withRule { q().collect().map(_.toString).sorted.toSeq }
+    assert(got == naive)
+    // same-type unrelated column pairs may still be treated as one
+    // phantom interval — the rewrite stays CORRECT regardless (original
+    // predicate rides along; normalization covers inversions)
+    val a2 = Seq((1L, 10L), (5L, 3L), (9L, 7L)).toDF("ats", "aid")
+    val b2 = Seq((2L, 4L), (7L, 8L), (0L, 1L)).toDF("bts", "bid")
+    def q2(): DataFrame =
+      a2.join(b2, $"ats" <= $"bts" && $"bid" <= $"aid")
+        .select($"ats", $"aid", $"bts", $"bid")
+    val naive2 = withoutRules { q2().collect().map(_.toString).sorted.toSeq }
+    val got2 = withRule { q2().collect().map(_.toString).sorted.toSeq }
+    assert(got2 == naive2)
+  }
+
   test("fuzz: random interval-interval overlaps match the nested loop") {
     val rnd = new scala.util.Random(71)
     for (round <- 0 until 4) {
