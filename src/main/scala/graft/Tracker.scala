@@ -5,7 +5,6 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.model.{BlockHeader, FilterConfig}
 import graft.reorg.Reconciler
-import graft.store.LogTable
 import graft.stream.LiveSync
 import graft.sync.{FirstLogLocator, Provider, SyncReport, Syncer}
 
@@ -38,7 +37,7 @@ final class Tracker private (
 ) {
 
   /** The per-filter log table (S6–S11 store surface). */
-  def table: LogTable = syncer.table
+  def table: graft.store.LogStore = syncer.table
 
   /** The tracked log as a queryable DataFrame. */
   def logs: DataFrame = syncer.table.read

@@ -23,6 +23,52 @@ object ParityQueries {
 
   private def tsUs = expr("ts div 1000").as("ts_us")
 
+  /** Once-per-(session, sf) build of the tx-store lifecycle the
+    * `tx_store_roundtrip` query reads — the store is an input ARTIFACT
+    * (same memo contract as the ingest/tokenizer caches): appends and the
+    * truncation run once; each bench rep measures the snapshot READ.
+    */
+  private val txStoreDirs = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), String]()
+
+  private def txStoreSnapshot(s: SparkSession, d: String): DataFrame = {
+    val root = txStoreDirs.computeIfAbsent(
+      (System.identityHashCode(s), d), _ => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-txstore").toString
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(): Unit
+          }
+          rm(new java.io.File(path))
+        }))
+        val t = new graft.store.TxLogTable(s, path, "q")
+        // deterministic event→log mapping: block = id div 10, tx = id mod
+        // 10, so the append order key (block_num, tx_index, tx_hash) is
+        // exactly event_id order and the oracle can name every index
+        def logsOf(lo: Long, hi: Long): DataFrame =
+          Tables.events(s, d)
+            .where(col("event_id") >= lo && col("event_id") < hi)
+            .select(
+              (col("event_id") % 10).as("tx_index"),
+              col("event_id").cast("string").as("tx_hash"),
+              floor(col("event_id") / 10).cast("long").as("block_num"),
+              concat(lit("h"), floor(col("event_id") / 10)).as("block_hash"),
+              col("event_type").as("address"),
+              array(col("event_type")).as("topics"),
+              lit("0x").as("data"))
+        t.storeLogs(logsOf(0L, 600L))    // indices 0..599
+        t.storeLogs(logsOf(600L, 900L))  // indices 600..899
+        t.removeLogsFrom(750L)           // metadata-only: cap commit 2
+        t.storeLogs(logsOf(900L, 1000L)) // indices 750..849
+        path
+      })
+    new graft.store.TxLogTable(s, root, "q").read
+      .select(col("indx"), col("tx_hash"), col("block_num"), col("address"))
+      .orderBy("indx")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1 — ranged scan with address+topic filter, decoded payload, stable order
     "scan_range" -> { (s, d) =>
@@ -216,7 +262,14 @@ object ParityQueries {
         .select(col("event_id"), raw.as("raw"),
           LogOps.parseU64(raw).as("parsed"))
         .orderBy("event_id")
-    }
+    },
+    // S8+S9 over the TRANSACTIONAL backend ([[graft.store.TxLogTable]]):
+    // a real store lifecycle — two appends, a metadata-only truncation
+    // landing INSIDE the second commit (drop + cap), a post-truncation
+    // append continuing the sequence — then the visible snapshot, which
+    // the oracle recomputes from first principles (batch bases + per-batch
+    // (block, tx) order ≡ event_id order by construction of the mapping).
+    "tx_store_roundtrip" -> { (s, d) => txStoreSnapshot(s, d) }
   )
 
   val oracle: Map[String, String] = Map(
@@ -252,6 +305,19 @@ object ParityQueries {
     "truncate_from" ->
       """SELECT event_id, user_id, event_type FROM events
         |WHERE event_id < 800 ORDER BY event_id""".stripMargin,
+    // batches at bases 0/600/750; within each batch the (block, tx) order
+    // is event_id order, so indx is event_id (first two batches; the
+    // truncation at 750 keeps event_id < 750) and event_id - 150 for the
+    // post-truncation batch of events 900..999
+    "tx_store_roundtrip" ->
+      """SELECT event_id AS indx, CAST(event_id AS VARCHAR) AS tx_hash,
+        | event_id // 10 AS block_num, event_type AS address
+        |FROM events WHERE event_id < 750
+        |UNION ALL
+        |SELECT event_id - 150, CAST(event_id AS VARCHAR),
+        | event_id // 10, event_type
+        |FROM events WHERE event_id >= 900 AND event_id < 1000
+        |ORDER BY indx""".stripMargin,
     "get_log" ->
       """SELECT event_type, indx, event_id, user_id, value FROM (
         | SELECT event_type,

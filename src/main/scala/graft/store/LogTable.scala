@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   */
 final class LogTable(spark: SparkSession, root: String, filterHash: String,
     /** Blocks per at-rest partition directory. */
-    val blocksPerRange: Long = 10000L) {
+    val blocksPerRange: Long = 10000L) extends LogStore {
 
   private val dir = s"$root/logs/filter_hash=$filterHash"
 

@@ -1,0 +1,261 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The backend-agnostic store surface (ref `store/store.go:6-36`): what
+  * the sync engine and the streaming ingest actually consume. Two
+  * implementations ship:
+  *
+  *  - [[LogTable]] — plain partitioned parquet; truncation physically
+  *    rewrites the affected tail partitions under a crash-safe journal;
+  *  - [[TxLogTable]] — a manifest-committed table where truncation and
+  *    append are METADATA-ONLY commits (the Delta/Iceberg shape, built
+  *    natively: this build deliberately adds no table-format dependency).
+  */
+trait LogStore {
+  def read: DataFrame
+  def lastIndex(): Long
+  def storeLogs(batch: DataFrame): Long
+  def removeLogsFrom(n: Long): DataFrame
+  def getLog(n: Long): DataFrame
+  def compact(): Unit
+}
+
+/** Transactional log table: immutable per-commit parquet directories plus
+  * a versioned MANIFEST naming the live directories — the snapshot-
+  * isolation design of Delta Lake / Iceberg, built on the machinery this
+  * store layer already trusts ([[KvStore]]'s versioned `_SUCCESS` commits
+  * are the atomic pointer).
+  *
+  * Why: [[LogTable]]'s truncation is crash-safe but PHYSICAL — survivors
+  * of the affected tail partitions are rewritten and swapped under a
+  * journal. The reference's backends truncate atomically in the store
+  * (`/root/reference/store/boltdb/bolt_store.go:180-197`,
+  * `postgresql_store.go:153-158`); here a truncation is ONE manifest
+  * commit that drops whole entries and puts an exclusive index CAP on the
+  * boundary entry (a deletion-vector-lite readers apply as an `indx <
+  * cap` filter) — O(1) files touched at ANY table size, no journal, no
+  * rename windows, no recovery protocol beyond the manifest pointer
+  * itself.
+  *
+  * Commit protocol (single writer, concurrent readers):
+  *  1. append: write the batch to a fresh `data/c<nanos>` directory
+  *     (invisible — not in any manifest), then commit a manifest that
+  *     appends one entry {dir, minIndx, maxIndx, minBlock, maxBlock,
+  *     cap=∞}. A crash before the commit leaves an orphan dir that
+  *     [[vacuum]] sweeps once stale; a crash after is a complete append.
+  *  2. truncate at n: commit a manifest that drops entries with
+  *     minIndx ≥ n and caps the boundary entry at n. NO data I/O —
+  *     dropped directories stay on disk (still serving any in-flight
+  *     reader of the OLD snapshot) until [[vacuum]].
+  *  3. compact: rewrite the live rows (caps applied) into one fresh
+  *     directory, then commit a single-entry manifest — same two-step
+  *     append shape, so it needs no swap/trash/self-heal machinery at
+  *     all (contrast [[LogTable.swapInto]]).
+  *
+  * Scale: the manifest is O(live commits) driver-side metadata (bounded
+  * by compaction), never row data; reads prune whole directories by the
+  * manifest's [minIndx, effective-max] (and [minBlock, maxBlock]) before
+  * parquet footer stats prune within them; appends use the same ranged
+  * two-pass index assignment as [[LogTable.storeLogs]] — no
+  * single-partition stage anywhere.
+  */
+final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
+    val blocksPerRange: Long = 10000L) extends LogStore {
+
+  private val dir = s"$root/txlogs/filter_hash=$filterHash"
+  private val dataDir = s"$dir/data"
+
+  /** The manifest lives in a KvStore — its versioned-`_SUCCESS` commit is
+    * the table's atomic pointer. One key, one value: the encoded manifest.
+    */
+  private val meta = new KvStore(spark, s"$root/txlogs_meta/filter_hash=$filterHash")
+  private val manifestKey = "manifest"
+
+  /** One live data directory: `[minIndx, maxIndx]` as written, `cap` an
+    * EXCLUSIVE upper bound on visible indices (Long.MaxValue = uncapped);
+    * block bounds for range pruning. Effective range =
+    * [minIndx, min(maxIndx, cap-1)].
+    */
+  private[store] case class Entry(name: String, minIndx: Long, maxIndx: Long,
+      minBlock: Long, maxBlock: Long, cap: Long) {
+    def effectiveMax: Long = math.min(maxIndx, cap - 1)
+    def capped: Boolean = cap <= maxIndx
+  }
+  private[store] case class Manifest(lastIndex: Long, entries: Seq[Entry])
+
+  // encoding mirrors the truncation journal's pipe/semicolon style — no
+  // JSON dependency, dir names are `c<digits>` so the charset is safe
+  private def enc(m: Manifest): String =
+    (m.lastIndex.toString +: m.entries.map(e =>
+      s"${e.name};${e.minIndx};${e.maxIndx};${e.minBlock};${e.maxBlock};${e.cap}"))
+      .mkString("|")
+
+  private def dec(s: String): Manifest = {
+    val parts = s.split("\\|", -1).filter(_.nonEmpty)
+    Manifest(parts.head.toLong, parts.tail.toSeq.map { p =>
+      val f = p.split(";", -1)
+      Entry(f(0), f(1).toLong, f(2).toLong, f(3).toLong, f(4).toLong,
+        f(5).toLong)
+    })
+  }
+
+  private[store] def manifest(): Manifest =
+    meta.get(manifestKey).filter(_.nonEmpty).map(dec)
+      .getOrElse(Manifest(0L, Seq.empty))
+
+  private def commit(m: Manifest): Unit = meta.set(manifestKey, enc(m))
+
+  private val logSchema = StructType(Seq(
+    StructField("tx_index", LongType), StructField("tx_hash", StringType),
+    StructField("block_num", LongType), StructField("block_hash", StringType),
+    StructField("address", StringType),
+    StructField("topics", ArrayType(StringType)),
+    StructField("data", StringType), StructField("indx", LongType),
+    StructField("block_range", LongType)))
+
+  private def emptyLogs: DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logSchema)
+
+  private def path(e: Entry): String = s"$dataDir/${e.name}"
+
+  def exists: Boolean = manifest().entries.nonEmpty
+
+  /** Snapshot read: the union of live directories with each capped
+    * entry's deletion filter applied. Uncapped entries (the overwhelming
+    * majority — at most a handful of boundary entries carry caps between
+    * compactions) scan as ONE multi-path parquet relation, so file
+    * listing, schema and footer pruning stay a single scan node.
+    */
+  def read: DataFrame = {
+    val m = manifest()
+    if (m.entries.isEmpty) emptyLogs
+    else {
+      val (capped, uncapped) = m.entries.partition(_.capped)
+      val parts =
+        (if (uncapped.nonEmpty)
+          Seq(spark.read.schema(logSchema).parquet(uncapped.map(path): _*))
+        else Seq.empty) ++
+        capped.map(e => spark.read.schema(logSchema).parquet(path(e))
+          .where(col("indx") < e.cap))
+      parts.reduce(_ unionByName _)
+    }
+  }
+
+  /** O(1): the manifest carries the watermark — no scan, no max() job
+    * (contrast [[LogTable.lastIndex]], which aggregates the table).
+    */
+  def lastIndex(): Long = manifest().lastIndex
+
+  def storeLogs(batch: DataFrame): Long = storeLogs(batch, crashAt = "")
+
+  private[graft] final class InjectedCrash(at: String)
+    extends RuntimeException(s"injected crash at $at")
+
+  /** Append = one invisible data write + one manifest commit. */
+  private[graft] def storeLogs(batch: DataFrame, crashAt: String): Long = {
+    val m = manifest()
+    val base = m.lastIndex
+    val indexed = graft.ops.LogOps.withAppendIndexRanged(batch, base,
+        Seq(col("block_num"), col("tx_index"), col("tx_hash")))
+      .withColumn("block_range", floor(col("block_num") / lit(blocksPerRange)))
+      .select(logSchema.fieldNames.map(col): _*)
+      .persist()
+    try {
+      val n = indexed.count()
+      if (n == 0L) return base
+      val name = s"c${System.nanoTime()}"
+      indexed.write.parquet(s"$dataDir/$name")
+      if (crashAt == "after-data-write") throw new InjectedCrash(crashAt)
+      val stats = indexed.agg(min("block_num"), max("block_num")).head()
+      commit(Manifest(base + n, m.entries :+ Entry(name, base, base + n - 1,
+        stats.getLong(0), stats.getLong(1), Long.MaxValue)))
+      base + n
+    } finally indexed.unpersist()
+  }
+
+  /** S9 — truncation as ONE metadata commit: drop entries fully above
+    * `n`, cap the boundary entries at `n`. Zero data I/O on the live
+    * table — the store parity point this class exists for (bolt/postgres
+    * truncate transactionally in the store; LogTable must rewrite).
+    * Returns the removed logs ascending, pinned driver-side before the
+    * commit (reorg-bounded by construction, same as [[LogTable]]): the
+    * dropped directories outlive the commit until [[vacuum]], but a lazy
+    * result must not race it.
+    */
+  def removeLogsFrom(n: Long): DataFrame = {
+    val m = manifest()
+    val hit = m.entries.filter(_.effectiveMax >= n)
+    if (hit.isEmpty) return emptyLogs
+    // per-entry reads so an already-capped entry's INVISIBLE tail (rows a
+    // previous truncation removed) cannot resurface in this removal's
+    // result; `hit` is the reorg-bounded table tail, a handful of entries
+    val removedRows = hit.map { e =>
+      spark.read.schema(logSchema).parquet(path(e))
+        .where(col("indx") >= n && col("indx") < e.cap)
+    }.reduce(_ unionByName _).orderBy("indx").collect()
+    val survivors = m.entries.flatMap { e =>
+      if (e.minIndx >= n) None
+      else if (e.effectiveMax >= n) Some(e.copy(cap = n))
+      else Some(e)
+    }
+    commit(Manifest(math.min(m.lastIndex, n), survivors))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(removedRows.toSeq, 1), logSchema)
+  }
+
+  /** S10 — point read: the manifest prunes to the ONE directory whose
+    * effective range contains `n` before any file is listed.
+    */
+  def getLog(n: Long): DataFrame = {
+    val hits = manifest().entries
+      .filter(e => e.minIndx <= n && n <= e.effectiveMax)
+    if (hits.isEmpty) emptyLogs
+    else spark.read.schema(logSchema).parquet(hits.map(path): _*)
+      .where(col("indx") === n)
+  }
+
+  /** Layout maintenance, transactionally: rewrite the live rows (caps
+    * applied) clustered by block order into ONE fresh directory, commit a
+    * single-entry manifest. The old directories become unreferenced
+    * garbage for [[vacuum]] — no rename swap, no trash dir, no self-heal
+    * protocol, because the manifest pointer IS the swap.
+    */
+  def compact(): Unit = {
+    val m = manifest()
+    if (m.entries.isEmpty) return
+    val live = read
+    val name = s"c${System.nanoTime()}"
+    live.repartitionByRange(col("indx"))
+      .sortWithinPartitions("indx")
+      .write.parquet(s"$dataDir/$name")
+    val minIndx = m.entries.map(_.minIndx).min
+    val maxIndx = m.entries.map(_.effectiveMax).max
+    // block bounds carried conservatively (a cap can only shrink them;
+    // pruning stays correct with the wider bound)
+    commit(Manifest(m.lastIndex, Seq(Entry(name, minIndx, maxIndx,
+      m.entries.map(_.minBlock).min, m.entries.map(_.maxBlock).max,
+      Long.MaxValue))))
+  }
+
+  /** Sweep data directories no manifest references — truncation/compaction
+    * garbage and crashed pre-commit appends. `olderThanMs` protects an
+    * in-flight append's not-yet-committed directory (and any reader still
+    * draining an old snapshot); tests pass 0.
+    */
+  def vacuum(olderThanMs: Long = 60L * 60 * 1000): Int = {
+    val live = manifest().entries.map(_.name).toSet
+    val base = new java.io.File(dataDir)
+    val victims = Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !live.contains(f.getName))
+      .filter(f => System.currentTimeMillis() - f.lastModified() > olderThanMs)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    victims.foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(f.getPath), true))
+    victims.length
+  }
+}

@@ -374,7 +374,7 @@ object EventStream {
     * per-batch store transaction).
     */
   def applyCdc(
-      table: graft.store.LogTable,
+      table: graft.store.LogStore,
       liveLogs: DataFrame
   )(batch: Dataset[HeaderAction], batchId: Long): Unit = {
     // One micro-batch can carry several reorgs of the SAME height — e.g.

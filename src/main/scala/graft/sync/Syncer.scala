@@ -86,7 +86,14 @@ final class Syncer(
     maxBlockBacklog: Int = 10,       // ref tracker.go:34
     locator: Option[FirstLogLocator] = None, // S5 fastTrack (tracker.go:446)
     fetchRetries: Int = 5,           // ref tracker.go:806-811
-    fetchRetryDelayMs: Long = 0L     // 500 in the reference; 0 in tests
+    fetchRetryDelayMs: Long = 0L,    // 500 in the reference; 0 in tests
+    /** Store backend: false = partitioned parquet ([[graft.store.LogTable]],
+      * journaled physical truncation), true = the manifest-committed
+      * [[graft.store.TxLogTable]] (metadata-only truncation/append — the
+      * reference's in-store transactional truncate,
+      * `bolt_store.go:180-197`, without the rewrite).
+      */
+    transactionalStore: Boolean = false
 ) {
 
   /** T8 — fixed-backoff retry for per-block tail fetches (a freshly
@@ -110,7 +117,9 @@ final class Syncer(
   }
 
   val filterHash: String = filter.hash
-  val table = new LogTable(spark, root, filterHash)
+  val table: graft.store.LogStore =
+    if (transactionalStore) new graft.store.TxLogTable(spark, root, filterHash)
+    else new LogTable(spark, root, filterHash)
   val kv = new KvStore(spark, root)
 
   // ── progress surface (T7, ref tracker.go:362-367) ─────────────────────

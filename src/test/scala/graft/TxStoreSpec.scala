@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.FilterConfig
+import graft.store.TxLogTable
+import graft.sync.Syncer
+
+/** The manifest-committed store: the backend-conformance suite
+  * (`store/testing.go:10-242`) over [[TxLogTable]], plus the
+  * transactionality proofs the backend exists for — truncation touches
+  * METADATA ONLY (`bolt_store.go:180-197` parity without the rewrite),
+  * the journal machinery is bypassed entirely, and crash/garbage handling
+  * reduces to the manifest pointer + vacuum.
+  */
+class TxStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkLogs(blockFrom: Long, blockTo: Long, perBlock: Int = 2) =
+    (blockFrom to blockTo).flatMap { b =>
+      (0 until perBlock).map(i =>
+        (i.toLong, s"tx-$b-$i", b, s"h$b", s"a${b % 3}",
+          Seq("sig"), "0x"))
+    }.toDF("tx_index", "tx_hash", "block_num", "block_hash", "address",
+      "topics", "data")
+
+  private def idxOf(t: TxLogTable): Seq[Long] =
+    t.read.select("indx").as[Long].collect().sorted.toSeq
+
+  test("store/read-back round trip with consecutive indices") {
+    val t = new TxLogTable(spark, tmpDir("txstore"), "f1")
+    assert(t.lastIndex() == 0L)
+    val next = t.storeLogs(mkLogs(0, 4)) // 10 logs
+    assert(next == 10L)
+    assert(t.lastIndex() == 10L)
+    assert(idxOf(t) == (0L until 10L))
+  }
+
+  test("remove-then-reappend continues the sequence (testing.go:104-143)") {
+    val t = new TxLogTable(spark, tmpDir("txstore"), "f1")
+    t.storeLogs(mkLogs(0, 4))
+    val removed = t.removeLogsFrom(6L)
+    assert(removed.count() == 4)
+    assert(removed.select("indx").as[Long].collect().toSeq == (6L until 10L))
+    assert(t.lastIndex() == 6L)
+    t.storeLogs(mkLogs(3, 4))
+    assert(idxOf(t) == (0L until 10L))
+  }
+
+  test("multiple independent entries (testing.go:22-63)") {
+    val root = tmpDir("txstore")
+    val t1 = new TxLogTable(spark, root, "f1")
+    val t2 = new TxLogTable(spark, root, "f2")
+    t1.storeLogs(mkLogs(0, 1))
+    assert(t1.lastIndex() == 4L)
+    assert(t2.lastIndex() == 0L)
+    t2.storeLogs(mkLogs(0, 0))
+    assert(t2.lastIndex() == 2L)
+    assert(t1.lastIndex() == 4L)
+  }
+
+  test("point read GetLog (store.go:34-35)") {
+    val t = new TxLogTable(spark, tmpDir("txstore"), "f1")
+    t.storeLogs(mkLogs(0, 4))
+    val row = t.getLog(7L).collect()
+    assert(row.length == 1 && row.head.getAs[Long]("indx") == 7L)
+    // and a point above a later truncation cap is GONE
+    t.removeLogsFrom(6L)
+    assert(t.getLog(7L).collect().isEmpty)
+    assert(t.getLog(5L).count() == 1)
+  }
+
+  test("truncation is metadata-only: zero data I/O, no journal, no tmp dirs") {
+    val root = tmpDir("txstore")
+    val t = new TxLogTable(spark, root, "f1")
+    t.storeLogs(mkLogs(0, 4))   // indices 0..9
+    t.storeLogs(mkLogs(5, 9))   // indices 10..19
+    val dataDir = new java.io.File(s"$root/txlogs/filter_hash=f1/data")
+    def fileState(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isFile) Seq(f)
+        else Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      walk(dataDir).map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = fileState()
+    Thread.sleep(1100)
+    // drop the whole second commit AND cap the first mid-way
+    val removed = t.removeLogsFrom(7L)
+    assert(removed.count() == 13)
+    assert(removed.select("indx").as[Long].collect().toSeq == (7L until 20L))
+    // THE point of this backend: every data file byte-identical in place
+    assert(fileState() == before,
+      "truncation touched data files — it must be a manifest commit only")
+    // no journal/tmp/trash artifacts anywhere under the table root
+    def names(f: java.io.File): Seq[String] =
+      Option(f.listFiles()).getOrElse(Array.empty).toSeq
+        .flatMap(x => x.getName +: names(x))
+    assert(!names(new java.io.File(root)).exists(n =>
+      n.contains(".tmp-") || n.contains(".trash-") || n.contains(".compact-")))
+    // and the visible table is exact
+    assert(idxOf(t) == (0L until 7L))
+    assert(t.lastIndex() == 7L)
+    // survivors below the cap read from the UNTOUCHED first commit
+    assert(t.read.where(col("indx") === 6L).count() == 1)
+  }
+
+  test("repeated truncate/append cycles keep caps and sequence exact") {
+    val t = new TxLogTable(spark, tmpDir("txstore"), "f1")
+    t.storeLogs(mkLogs(0, 9))      // 0..19
+    t.removeLogsFrom(15L)          // cap first commit at 15
+    t.storeLogs(mkLogs(8, 9))      // 15..18
+    assert(idxOf(t) == (0L until 19L))
+    // truncate INTO the already-capped entry: re-cap lower, drop the new one
+    val removed = t.removeLogsFrom(12L)
+    assert(removed.select("indx").as[Long].collect().toSeq == (12L until 19L))
+    assert(idxOf(t) == (0L until 12L))
+    t.storeLogs(mkLogs(6, 6))
+    assert(idxOf(t) == (0L until 14L))
+    // removing at/above lastIndex is a no-op
+    assert(t.removeLogsFrom(99L).count() == 0)
+    assert(t.lastIndex() == 14L)
+  }
+
+  test("append crash before the manifest commit leaves the OLD table; vacuum sweeps the orphan") {
+    val root = tmpDir("txstore")
+    val t = new TxLogTable(spark, root, "f1")
+    t.storeLogs(mkLogs(0, 4))
+    intercept[RuntimeException] {
+      t.storeLogs(mkLogs(5, 9), crashAt = "after-data-write")
+    }
+    // a fresh instance (the restarted process) sees the pre-crash table
+    val fresh = new TxLogTable(spark, root, "f1")
+    assert(idxOf(fresh) == (0L until 10L))
+    assert(fresh.lastIndex() == 10L)
+    // the orphan directory exists but is invisible…
+    val dataDir = new java.io.File(s"$root/txlogs/filter_hash=f1/data")
+    assert(dataDir.listFiles().count(_.isDirectory) == 2)
+    // …and is NOT swept while fresh (in-flight protection), IS once stale
+    assert(fresh.vacuum() == 0)
+    assert(fresh.vacuum(olderThanMs = 0L) == 1)
+    assert(dataDir.listFiles().count(_.isDirectory) == 1)
+    // the recovered store keeps working
+    fresh.storeLogs(mkLogs(5, 9))
+    assert(idxOf(fresh) == (0L until 20L))
+  }
+
+  test("vacuum reclaims truncation garbage without touching live commits") {
+    val root = tmpDir("txstore")
+    val t = new TxLogTable(spark, root, "f1")
+    t.storeLogs(mkLogs(0, 4))  // 0..9
+    t.storeLogs(mkLogs(5, 9))  // 10..19, fully dropped below
+    t.removeLogsFrom(10L)
+    val dataDir = new java.io.File(s"$root/txlogs/filter_hash=f1/data")
+    assert(dataDir.listFiles().count(_.isDirectory) == 2)
+    assert(t.vacuum(olderThanMs = 0L) == 1)
+    assert(dataDir.listFiles().count(_.isDirectory) == 1)
+    assert(idxOf(t) == (0L until 10L))
+  }
+
+  test("compact collapses entries transactionally and materializes caps away") {
+    val root = tmpDir("txstore")
+    val t = new TxLogTable(spark, root, "f1")
+    Seq((8L, 9L), (0L, 1L), (6L, 7L), (2L, 3L), (4L, 5L)).foreach {
+      case (a, b) => t.storeLogs(mkLogs(a, b))
+    }
+    t.removeLogsFrom(18L) // cap the last commit
+    assert(idxOf(t) == (0L until 18L))
+    t.compact()
+    assert(idxOf(t) == (0L until 18L))
+    assert(t.lastIndex() == 18L)
+    // one live entry; the pre-compaction commits are vacuumable garbage
+    val dataDir = new java.io.File(s"$root/txlogs/filter_hash=f1/data")
+    assert(t.vacuum(olderThanMs = 0L) == 5)
+    assert(dataDir.listFiles().count(_.isDirectory) == 1)
+    // rows inside the compacted commit are index-clustered
+    val byFile = t.read
+      .select(input_file_name().as("f"), col("indx"))
+      .collect().groupBy(_.getString(0))
+    byFile.values.foreach { rows =>
+      val ix = rows.map(_.getLong(1))
+      assert(ix.sameElements(ix.sorted), "compacted file not index-sorted")
+    }
+    // a fresh reader sees the same table
+    assert(idxOf(new TxLogTable(spark, root, "f1")) == (0L until 18L))
+  }
+
+  test("sync engine over the tx backend: backfill + reorg retraction match the canonical chain") {
+    val root = tmpDir("txsync")
+    val chain = MockChain.linear(60, n => if (n % 2 == 0) 2 else 5)
+    new Syncer(spark, new MockProvider(spark, chain), root, FilterConfig(),
+      transactionalStore = true).sync()
+    val forked = MockChain.fork(chain, depth = 3, extend = 1)
+    val s2 = new Syncer(spark, new MockProvider(spark, forked), root,
+      FilterConfig(), transactionalStore = true)
+    val r = s2.sync()
+    assert(r.removed == (57L to 59L).map(n => if (n % 2 == 0) 2 else 5).sum)
+    assert(r.added == 4)
+    val stored = s2.table.read.select("tx_hash").as[String].collect().sorted
+    val canonical = new MockProvider(spark, forked).allLogs
+      .select("tx_hash").as[String].collect().sorted
+    assert(stored.sameElements(canonical))
+    // the reorg retraction ran as a manifest commit: no journal artifacts
+    def names(f: java.io.File): Seq[String] =
+      Option(f.listFiles()).getOrElse(Array.empty).toSeq
+        .flatMap(x => x.getName +: names(x))
+    assert(!names(new java.io.File(root)).exists(_.contains(".tmp-")))
+  }
+}
