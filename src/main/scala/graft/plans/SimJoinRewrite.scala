@@ -215,6 +215,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => SimJoinRewrite)
     e.injectOptimizerRule(_ => RangeJoinRewrite)
+    // consumes `df.hint("range_join", w)` BEFORE the analyzer drops
+    // unknown hints — per-join bin widths for the range rewrites
+    e.injectHintResolutionRule(_ => RangeJoinHint)
     GraftExtensions.sqlFunctions.foreach { case (name, builder) =>
       e.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),

@@ -203,6 +203,91 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(got2 == naive2)
   }
 
+  test("per-join range_join hint: two joins in one session each bin at their own width") {
+    // the conf dial can only size EVERY range join identically; the hint
+    // (consumed by RangeJoinHint before the analyzer drops unknown hints
+    // — GraftExtensions sessions only) sizes each join independently
+    OptimizerLock.synchronized {
+      val saved = spark
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      try {
+        val s2 = org.apache.spark.sql.SparkSession.builder()
+          .master("local[4]")
+          .withExtensions(new graft.plans.GraftExtensions())
+          .getOrCreate()
+        assert(s2 ne saved)
+        import s2.implicits._
+        // two DIFFERENT interval scales: short spans (~40) and long
+        // spans (~30000) — one conf width cannot fit both
+        val pts = (0 until 400).map(i => (i.toLong, i * 37L % 9000L))
+          .toDF("pid", "p")
+        val shortIvs = (0 until 60).map(i => (i.toLong, i * 150L, i * 150L + 40L))
+          .toDF("rid", "lo", "hi")
+        val longIvs = (0 until 40)
+          .map(i => (i.toLong, i * 900L, i * 900L + 30000L))
+          .toDF("rid", "lo", "hi")
+        def naive(ivs: org.apache.spark.sql.DataFrame) = pts
+          .join(ivs.withColumnRenamed("lo", "l").withColumnRenamed("hi", "h"),
+            $"p" >= $"l" && $"p" <= $"h")
+          .select($"pid", $"rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(identity).view.mapValues(_.length).toMap
+        // hint on the interval side — the common "size to THIS dim" shape
+        val q1 = pts.join(shortIvs.hint("range_join", 50),
+          $"p" >= $"lo" && $"p" <= $"hi").select($"pid", $"rid")
+        // hint on the join output — the other placement the rule accepts
+        val q2 = pts.join(longIvs, $"p" >= $"lo" && $"p" <= $"hi")
+          .hint("range_join", 20000).select($"pid", $"rid")
+        val p1 = q1.queryExecution.optimizedPlan.toString
+        val p2 = q2.queryExecution.optimizedPlan.toString
+        assert(p1.contains(" 50)") && !p1.contains(" 1000)"),
+          s"q1 not binned at its hinted width 50:\n$p1")
+        assert(p2.contains(" 20000)") && !p2.contains(" 1000)"),
+          s"q2 not binned at its hinted width 20000:\n$p2")
+        // no nested loop in either physical plan
+        Seq(q1, q2).foreach { q =>
+          val phys = q.queryExecution.executedPlan.toString
+          assert(!phys.contains("BroadcastNestedLoopJoin") &&
+            !phys.contains("CartesianProduct"), s"still nested-loop:\n$phys")
+        }
+        // and the hinted plans stay EXACT vs the nested loop
+        def multiset(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => (r.getLong(0), r.getLong(1)))
+            .groupBy(identity).view.mapValues(_.length).toMap
+        assert(multiset(q1) == naive(shortIvs))
+        assert(multiset(q2) == naive(longIvs))
+        // both widths live in ONE composed query too (union of the joins)
+        val both = q1.union(q2).queryExecution.optimizedPlan.toString
+        assert(both.contains(" 50)") && both.contains(" 20000)"),
+          s"composed query lost a per-join width:\n$both")
+      } finally {
+        org.apache.spark.sql.SparkSession.setDefaultSession(saved)
+        org.apache.spark.sql.SparkSession.setActiveSession(saved)
+      }
+    }
+  }
+
+  test("range_join hint on a session WITHOUT the analyzer rule degrades to the conf dial") {
+    // session-local installs (experimental.extraOptimizations) cannot add
+    // analyzer rules: the hint is dropped with Spark's standard warning
+    // and the rewrite sizes from the conf — results stay exact either way
+    val pts = (0 until 100).map(i => (i.toLong, i * 11L)).toDF("pid", "p")
+    val ivs = (0 until 20).map(i => (i.toLong, i * 50L, i * 50L + 30L))
+      .toDF("rid", "lo", "hi")
+    def q(): DataFrame = pts.join(ivs.hint("range_join", 64),
+      $"p" >= $"lo" && $"p" <= $"hi").select($"pid", $"rid")
+    val naive = withoutRules {
+      q().collect().map(key).groupBy(identity).view.mapValues(_.length).toMap
+    }
+    val (got, plan) = withRule {
+      (q().collect().map(key).groupBy(identity).view.mapValues(_.length).toMap,
+        q().queryExecution.optimizedPlan.toString)
+    }
+    assert(got == naive)
+    assert(plan.contains(" 1000)"), // the conf default, not the hint
+      s"expected the conf fallback width in:\n$plan")
+  }
+
   test("mixed-type overlap-shaped condition stays executable (not a broken rewrite)") {
     // `a.ts <= b.ts && b.id <= a.id` with ts:long and id:int matches the
     // overlap SHAPE but pairs bounds of different types — without the
