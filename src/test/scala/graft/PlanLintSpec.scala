@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.execution._
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+
+/** The automated twin of PLANS.md's snapshot discipline: every declared
+  * query's EXECUTED SparkPlan is walked and the scale anti-patterns fail
+  * the build —
+  *
+  *  - CartesianProduct anywhere;
+  *  - BroadcastNestedLoopJoin whose broadcast side is not provably
+  *    bounded (a 1-row stat frame joined cross-wise is the one legitimate
+  *    shape in the inventory — ungrouped aggregates, limits and tiny
+  *    local relations count as bounds);
+  *  - an unpartitioned WindowExec whose input is not limit-bounded (the
+  *    "Moving all data to a single partition" shape; search_rrf's
+  *    100-row-limited rank windows are the accepted case).
+  *
+  * A planted offender per class proves the lint actually bites. Plans are
+  * linted at sf0.001 — plan SHAPE is scale-free; values are not needed.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Every node of the physical tree, descending through AQE roots and
+    * reused exchanges/subqueries.
+    */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+    case r: exchange.ReusedExchangeExec => r +: allNodes(r.child)
+    case other => other +: other.children.flatMap(allNodes)
+  }
+
+  /** A subtree is BOUNDED when something below guarantees few rows:
+    * a limit, a top-k, an ungrouped (single-row) aggregate, a window
+    * group-limit, a small literal relation, or a point-equality filter
+    * (a key-filtered dim lookup — sim_search's broadcast query vector is
+    * `embeddings WHERE vec_id = 0`; the anti-patterns this lint hunts are
+    * corpus × corpus shapes, which carry no such filter).
+    */
+  private def bounded(p: SparkPlan): Boolean = allNodes(p).exists {
+    case _: GlobalLimitExec | _: LocalLimitExec | _: CollectLimitExec |
+        _: TakeOrderedAndProjectExec | _: WindowGroupLimitExec => true
+    case h: HashAggregateExec       => h.groupingExpressions.isEmpty
+    case s: SortAggregateExec       => s.groupingExpressions.isEmpty
+    case o: ObjectHashAggregateExec => o.groupingExpressions.isEmpty
+    case l: LocalTableScanExec      => l.rows.lengthCompare(1000) <= 0
+    case r: RDDScanExec             => r.name == "ParallelCollectionRDD"
+    case f: FilterExec =>
+      import org.apache.spark.sql.catalyst.expressions._
+      f.condition.exists {
+        case EqualTo(_: AttributeReference, _: Literal) => true
+        case EqualTo(_: Literal, _: AttributeReference) => true
+        case _ => false
+      }
+    case _ => false
+  }
+
+  /** Lint one physical plan; returns the violations (empty = clean). */
+  private def lint(plan: SparkPlan): Seq[String] = allNodes(plan).flatMap {
+    case c: CartesianProductExec =>
+      Some(s"CartesianProduct: ${c.simpleStringWithNodeId()}")
+    case b: BroadcastNestedLoopJoinExec =>
+      val bc = b.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+        case _ => b.right
+      }
+      if (bounded(bc)) None
+      else Some(s"unbounded BroadcastNestedLoopJoin: ${b.simpleStringWithNodeId()}")
+    case w: WindowExec if w.partitionSpec.isEmpty =>
+      if (bounded(w.child)) None
+      else Some(s"unpartitioned unbounded Window: ${w.simpleStringWithNodeId()}")
+    case _ => None
+  }
+
+  test("planted offenders are caught (the lint bites)") {
+    import spark.implicits._
+    val big = spark.range(0, 2000).toDF("a")
+    val big2 = spark.range(0, 2000).toDF("b")
+    // a genuine unbounded cartesian (hinted, else Spark broadcasts the
+    // small side into a BNLJ — also caught, but as the other class)
+    val cart = big.hint("shuffle_replicate_nl").crossJoin(big2)
+    assert(lint(cart.queryExecution.executedPlan)
+      .exists(_.contains("CartesianProduct")), "planted cartesian not caught")
+    // a genuine unbounded nested loop (non-equi, no bound on either side)
+    val bnlj = big.join(big2, $"a" * 2 =!= $"b" * 3)
+    assert(lint(bnlj.queryExecution.executedPlan).nonEmpty,
+      "planted nested loop not caught")
+    // a genuine unpartitioned window over unbounded input
+    val win = big.withColumn("rn",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("a")))
+    assert(lint(win.queryExecution.executedPlan)
+      .exists(_.contains("Window")), "planted global window not caught")
+    // and the accepted shapes pass: 1-row stat cross join, limited window
+    val stat = big.agg(org.apache.spark.sql.functions.max("a").as("m"))
+    assert(lint(big.crossJoin(stat).queryExecution.executedPlan).isEmpty,
+      "1-row stat broadcast join must be accepted")
+    val limWin = big.limit(100).withColumn("rn",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("a")))
+    assert(lint(limWin.queryExecution.executedPlan).isEmpty,
+      "limit-bounded global window must be accepted")
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"plan lint: $name") {
+      val df = fn(spark, sf)
+      val bad = lint(df.queryExecution.executedPlan)
+      assert(bad.isEmpty,
+        s"$name has scale anti-patterns:\n${bad.mkString("\n")}\n" +
+          df.queryExecution.executedPlan.toString)
+    }
+  }
+}
