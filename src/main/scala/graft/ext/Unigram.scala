@@ -182,6 +182,94 @@ object Unigram {
     Model(pieces, unkLogp = math.log(1e-10))
   }
 
+  /** Train driver-side over the collected word table — the fast path for
+    * production vocab sizes, mirroring [[Bpe.trainLocal]]. [[train]] runs
+    * `emIters × shrink-rounds` distributed EM jobs (bounded ≤ 64, but
+    * still serial driver-synchronized passes); SentencePiece itself
+    * trains sequentially over exactly this Zipf-bounded word table, so
+    * once it is collected (ONE Spark job — the same
+    * TakeOrderedAndProject-shaped bound as `Bpe.trainLocal`), the whole
+    * seed + EM + prune loop runs in memory: zero Spark jobs per
+    * iteration. Distributed encode/encodeSampled are unchanged.
+    *
+    * Equality vs [[train]] is APPROXIMATE by nature: expected counts are
+    * double sums whose order differs between the map-side-combined
+    * distributed aggregate and this sequential loop — probs agree to
+    * ~1e-9 relative (UnigramSpec pins piece-set equality and prob
+    * tolerance), and Viterbi output is far from tie boundaries on real
+    * corpora. `maxWords` below the vocabulary size trains on the
+    * frequency head only — encode still covers every word (single chars
+    * ride at the unk floor; nothing is dropped).
+    */
+  def trainLocal(docs: DataFrame, textCol: String, vocabSize: Int,
+      maxPieceLen: Int = 6, seedSize: Int = 2000, emIters: Int = 2,
+      pruneFactor: Double = 0.75, maxWords: Int = 1 << 22): Model = {
+    // the one Spark job: the Zipf-bounded (word, freq) head
+    val words: Array[(String, Long)] = Bpe.wordFreqs(docs, textCol)
+      .orderBy(col("freq").desc, col("word"))
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    // sequential seed: identical ordering contract to [[seedPieces]]
+    // (weight desc, piece; all single chars kept first)
+    val weight = scala.collection.mutable.HashMap.empty[String, Long]
+      .withDefaultValue(0L)
+    words.foreach { case (w, f) =>
+      var i = 0
+      while (i < w.length) {
+        var l = 1
+        val maxL = math.min(maxPieceLen, w.length - i)
+        while (l <= maxL) {
+          val s = w.substring(i, i + l)
+          weight(s) += f
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val (charsW, multiW) = weight.toSeq.partition(_._1.length == 1)
+    val ord = Ordering.Tuple2(Ordering.Long.reverse, Ordering.String)
+    val chars = charsW.sortBy { case (s, w) => (w, s) }(ord).take(seedSize)
+    val multi = multiW.sortBy { case (s, w) => (w, s) }(ord)
+      .take(math.max(0, seedSize - chars.length))
+    val seed = chars ++ multi
+
+    def emLocal(logp: Map[String, Double]): Map[String, Double] = {
+      val counts = scala.collection.mutable.HashMap.empty[String, Double]
+        .withDefaultValue(0.0)
+      words.foreach { case (w, f) =>
+        expectedCounts(w, f, logp, maxPieceLen)
+          .foreach { case (s, c) => counts(s) += c }
+      }
+      val total = counts.valuesIterator.sum
+      val floor = 1e-10
+      logp.map { case (s, _) =>
+        s -> math.log(math.max(counts(s), floor) / total)
+      }
+    }
+
+    // identical shrink loop to [[train]], EM swapped for the local step
+    val totalW = seed.map(_._2.toDouble).sum
+    var logp: Map[String, Double] =
+      seed.map { case (s, w) => s -> math.log(w.toDouble / totalW) }.toMap
+    var iterGuard = 0
+    while (logp.size > vocabSize && iterGuard < 32) {
+      (0 until emIters).foreach(_ => logp = emLocal(logp))
+      val (cs, ms) = logp.partition(_._1.length == 1)
+      val keepMulti = math.max(0,
+        math.min((ms.size * pruneFactor).toInt, vocabSize - cs.size))
+      val kept = ms.toSeq
+        .sortBy { case (s, lp) => (-lp, s) }
+        .take(keepMulti)
+      logp = cs ++ kept
+      iterGuard += 1
+    }
+    logp = emLocal(logp)
+    val pieces = logp.toSeq.sortBy { case (s, lp) => (-lp, s) }
+      .map { case (s, lp) => Piece(s, lp) }
+    Model(pieces, unkLogp = math.log(1e-10))
+  }
+
   /** Viterbi segmentation of one word under the model: the max-log-prob
     * piece sequence; characters outside the inventory are emitted as
     * single-char pieces at the unk floor (nothing is dropped).

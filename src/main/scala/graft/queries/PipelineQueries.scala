@@ -93,8 +93,12 @@ object PipelineQueries {
       })
 
   /** Same artifact-memo contract for the unigram-LM tokenizer:
-    * `unigram_pieces` measures the EM training itself, `unigram_encode`
-    * consumes the trained model.
+    * `unigram_pieces` measures the training itself, `unigram_encode`
+    * consumes the trained model. Training runs the driver-side fast path
+    * ([[graft.ext.Unigram.trainLocal]] — one Spark job however many
+    * EM/prune rounds, SentencePiece's own sequential shape over the
+    * collected word table; UnigramSpec pins approximate equality with
+    * the distributed trainer and identical encode output).
     */
   private val unigramModelCache = new java.util.concurrent.ConcurrentHashMap[
     (Int, Int, Int), graft.ext.Unigram.Model]()
@@ -104,7 +108,7 @@ object PipelineQueries {
     unigramModelCache.computeIfAbsent(
       (System.identityHashCode(docs.sparkSession),
         docs.queryExecution.analyzed.semanticHash(), vocabSize),
-      _ => graft.ext.Unigram.train(docs, "text", vocabSize,
+      _ => graft.ext.Unigram.trainLocal(docs, "text", vocabSize,
         maxPieceLen = 4, seedSize = 600, emIters = 1, pruneFactor = 0.6))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,0 +1,197 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale-soak harness: synthesizes an sf1-equivalent documents +
+  * embeddings corpus (testdata stops at sf0.1), runs the dedup / ANN /
+  * media / text tiers at both scales, and reports per-query wall-clock
+  * ratios — the "would the plan survive a scale-up" evidence, measured
+  * rather than argued. A tier is healthy when its ratio stays near the
+  * data ratio (linear work: scans, banded joins, narrow fingerprints) or
+  * matches its DOCUMENTED candidate growth (knn_exact is block-quadratic
+  * by contract; nothing else is allowed to be).
+  *
+  * Corpus synthesis is bootstrap-×F with controlled structure: every
+  * source doc yields F variants — the original, one EXACT copy, one
+  * near-copy (~2.5% word edits), and F−3 fresh texts (same length and
+  * word distribution, order shuffled and half the words resampled, so
+  * they are NOT near anything). Duplicate-cluster sizes stay bounded
+  * (2–3) as the corpus grows — duplicate RATE is scale-free, exactly the
+  * regime the banded/bucketed designs assume; a generator that let
+  * clusters grow with the corpus would measure hot-key caps, not scaling.
+  * Embeddings mirror the same scheme (original / tight-noise near-dup /
+  * fresh norm-matched vectors, labels inherited).
+  */
+object ScaleSoak {
+
+  /** The soaked tiers: every declared query whose input is the documents
+    * or embeddings corpus and whose design claims a scale path. Paired
+    * with the growth the design documents (ratio gate = factor × slack;
+    * knn_exact is quadratic by contract and gated at factor²).
+    */
+  val tier: Seq[(String, String)] = Seq(
+    "dedup_exact" -> "linear",
+    "dedup_normalized" -> "linear",
+    "dedup_minhash" -> "linear",
+    "dedup_ngram" -> "linear",
+    "dedup_cluster" -> "linear",
+    "dedup_purge" -> "linear",
+    "dedup_containment" -> "linear",
+    "dedup_simhash" -> "linear",
+    "dedup_span" -> "linear",
+    "winnow_pairs" -> "linear",
+    "edit_distance" -> "linear",
+    "dedup_embedding" -> "linear",
+    "dedup_semantic" -> "linear",
+    "dedup_semantic_purge" -> "linear",
+    "sim_search" -> "linear",
+    "sim_search_lsh" -> "linear",
+    "sim_search_ivf" -> "linear",
+    "sim_search_pq" -> "linear",
+    "knn_join" -> "linear",
+    "knn_exact" -> "quadratic",
+    "media_phash" -> "linear",
+    "dedup_media" -> "linear",
+    "dedup_audio" -> "linear",
+    "dedup_video" -> "linear",
+    "heavy_hitters" -> "linear",
+    "text_fingerprint" -> "linear",
+    "quality_filter" -> "linear",
+    "lang_id" -> "linear",
+    "bm25" -> "linear",
+    "tfidf" -> "linear"
+  )
+
+  def generate(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int): Unit = {
+    import spark.implicits._
+    val docsDone = new java.io.File(s"$outDir/documents.parquet/_SUCCESS")
+    val vecsDone = new java.io.File(s"$outDir/embeddings.parquet/_SUCCESS")
+    if (docsDone.exists() && vecsDone.exists()) return
+
+    // global vocab for the fresh-text resampling (one tiny job)
+    val vocab = spark.read.parquet(s"$srcDir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").count()
+      .orderBy(col("count").desc, col("w"))
+      .limit(2000).select("w").as[String].collect()
+    val bc = spark.sparkContext.broadcast(vocab)
+
+    val srcDocs = spark.read.parquet(s"$srcDir/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+      .as[(Long, String, String, String)]
+      .repartition(32)
+    srcDocs.flatMap { case (id, text, lang, source) =>
+      val words = text.split(" ").filter(_.nonEmpty)
+      (0 until factor).map { v =>
+        val rnd = new scala.util.Random(id * 1315423911L + v)
+        val t = v match {
+          case 0 | 1 => text // original + one exact copy
+          case 2 => // near-copy: ~2.5% of words resampled
+            val w = words.clone()
+            val edits = math.max(1, w.length / 40)
+            (0 until edits).foreach { _ =>
+              w(rnd.nextInt(w.length)) = bc.value(rnd.nextInt(bc.value.length))
+            }
+            w.mkString(" ")
+          case _ => // fresh: same length, shuffled order, half resampled
+            Array.tabulate(words.length) { _ =>
+              if (rnd.nextBoolean()) bc.value(rnd.nextInt(bc.value.length))
+              else words(rnd.nextInt(words.length))
+            }.mkString(" ")
+        }
+        (id * factor + v, t, lang, source, t.length.toLong)
+      }
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val srcVecs = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      .select("vec_id", "embedding", "label")
+      .as[(Long, Array[Float], Int)]
+      .repartition(32)
+    srcVecs.flatMap { case (id, vec, label) =>
+      val norm = math.sqrt(vec.map(x => x.toDouble * x).sum)
+      (0 until factor).map { v =>
+        val rnd = new scala.util.Random(id * 2654435761L + v)
+        val out = v match {
+          case 0 => vec
+          case 1 => // tight-noise near-dup (cosine ≈ 0.999)
+            vec.map(x => x + (rnd.nextGaussian() * 0.01 * norm /
+              math.sqrt(vec.length.toDouble)).toFloat)
+          case _ => // fresh norm-matched vector, label inherited
+            val g = Array.fill(vec.length)(rnd.nextGaussian())
+            val gn = math.sqrt(g.map(x => x * x).sum)
+            g.map(x => (x / gn * norm).toFloat)
+        }
+        (id * factor + v, out, label)
+      }
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SOAK_DIR",
+      s"/tmp/graft-soak-x$factor")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    generate(spark, srcDir, outDir, factor)
+    // the scaled dir carries only documents/embeddings; every soaked
+    // query reads nothing else
+
+    def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = tier.filter { case (n, _) => only.forall(_.contains(n)) }
+
+    // warmup both corpora (footers + codegen), untimed
+    Seq(srcDir, outDir).foreach { d =>
+      Seq("documents", "embeddings").foreach(t =>
+        spark.read.parquet(s"$d/$t.parquet").limit(1).count())
+    }
+    try time(graft.SparkEntry.queries(selected.head._1), srcDir)
+    catch { case _: Throwable => }
+
+    // interleaved whole sweeps (the Bench noise discipline), min per cell
+    val base = scala.collection.mutable.Map.empty[String, Double]
+    val scaled = scala.collection.mutable.Map.empty[String, Double]
+    (0 until reps).foreach { _ =>
+      selected.foreach { case (name, _) =>
+        val fn = graft.SparkEntry.queries(name)
+        val b = time(fn, srcDir)
+        val s = time(fn, outDir)
+        base(name) = math.min(base.getOrElse(name, Double.MaxValue), b)
+        scaled(name) = math.min(scaled.getOrElse(name, Double.MaxValue), s)
+      }
+    }
+
+    val rows = selected.map { case (name, growth) =>
+      val r = scaled(name) / math.max(base(name), 1e-9)
+      (name, growth, base(name), scaled(name), r)
+    }
+    def f(d: Double) = f"$d%.2f"
+    val json = rows.map { case (n, g, b, s, r) =>
+      s""""$n":{"growth":"$g","base_s":${f(b)},"scaled_s":${f(s)},"ratio":${f(r)}}"""
+    }.mkString(",")
+    println(s"""{"metric":"scale_soak","factor":$factor,"reps":$reps,""" +
+      s""""queries":{$json}}""")
+    spark.stop()
+  }
+}

@@ -84,6 +84,48 @@ class UnigramSpec extends SparkSpec {
     assert(chars.subsetOf(m.pieces.map(_.piece).toSet))
   }
 
+  test("trainLocal matches the distributed trainer (approximate: summation order)") {
+    val dist = Unigram.train(corpus, "text", vocabSize = 40,
+      maxPieceLen = 4, seedSize = 120)
+    val local = Unigram.trainLocal(corpus, "text", vocabSize = 40,
+      maxPieceLen = 4, seedSize = 120)
+    // identical piece inventories (the prune decisions agree)…
+    assert(local.pieces.map(_.piece).toSet == dist.pieces.map(_.piece).toSet,
+      "piece sets diverged")
+    // …and probabilities equal up to cross-partition double-sum order
+    val dm = dist.logpOf
+    local.pieces.foreach { p =>
+      assert(math.abs(p.logp - dm(p.piece)) < 1e-6,
+        s"logp diverged for '${p.piece}': ${p.logp} vs ${dm(p.piece)}")
+    }
+    // encode output is identical under both models
+    val a = Unigram.encode(corpus, "doc_id", "text", dist)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val b = Unigram.encode(corpus, "doc_id", "text", local)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(a == b)
+  }
+
+  test("trainLocal is O(1) Spark jobs regardless of EM iterations") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // many shrink rounds × EM iterations — distributed train would run
+      // one job per emStep; the local path collects the word table once
+      val m = Unigram.trainLocal(corpus, "text", vocabSize = 30,
+        maxPieceLen = 4, seedSize = 200, emIters = 4)
+      Thread.sleep(1500) // listener bus is async
+      assert(m.pieces.nonEmpty)
+      assert(jobs.get() <= 3,
+        s"expected O(1) Spark jobs for a local train, got ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("Viterbi reconstructs every word; frequent substrings become pieces") {
     val m = Unigram.train(corpus, "text", vocabSize = 50,
       maxPieceLen = 4, seedSize = 120)
