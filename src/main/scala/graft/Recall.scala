@@ -248,6 +248,69 @@ object Recall {
       ladderRecall(videoBlobs, maxDist = 7)
     val videoRecall = videoRecalled.toDouble / nVideoCopies
 
+    // ── Speedup vs the exact twin at EQUAL (measured-above) recall: the
+    // wall-time each approximate tier buys at its declared config, same
+    // session, corpus cached, min-of-2 (offline index/codebook builds are
+    // excluded — they are amortized artifacts, like the tokenizer memo).
+    // At 2k vectors / 5k docs the exact twins are already cheap, so these
+    // are LOWER BOUNDS on the at-scale gain: the exact side grows
+    // quadratically (all-pairs) or linearly-per-query (brute top-k) while
+    // the approximate side's candidate sets stay bucket-bounded — the 10×
+    // soak (SOAK.md) carries the scaled wall-clocks. ─────────────────────
+    def timed(f: => Unit): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    val tExactTopK = timed(queryIds.foreach(q =>
+      Similarity.cosineTopK(e, e.where(col("vec_id") === q),
+        "vec_id", "embedding", k).collect()))
+    val tLsh = timed(queryIds.foreach(q =>
+      Similarity.annTopK(e, e.where(col("vec_id") === q).select("embedding"),
+        "vec_id", "embedding", dim = 64, nbits = 4, k = k,
+        probeHamming = 2).collect()))
+    val tIvf = timed(queryIds.foreach(q =>
+      Similarity.ivfTopK(indexedC, centroids, qv(q), "vec_id", "embedding",
+        nprobe = 8, k = k).collect()))
+    val tPq = timed(queryIds.foreach(q =>
+      Similarity.pqTopK(encodedC, codebooks, qv(q), "vec_id", "embedding",
+        k = k, rerank = 400).collect()))
+    val tKnnExact = timed {
+      val wn = e.withColumn("__n", sqrt(Similarity.norm2(col("embedding"))))
+      val qa = wn.select(col("vec_id").as("id"),
+        col("embedding").as("va"), col("__n").as("na"))
+      val qb = wn.select(col("vec_id").as("neighbor"),
+        col("embedding").as("vb"), col("__n").as("nb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("cosine").desc, col("neighbor"))
+      qa.crossJoin(qb).where(col("id") =!= col("neighbor"))
+        .select(col("id"), col("neighbor"),
+          (Similarity.dot(col("va"), col("vb")) /
+            (col("na") * col("nb"))).as("cosine"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= knnK).count(): Unit
+    }
+    val tKnnJoin = timed(Similarity.knnJoin(e, "vec_id", "embedding",
+      dim = 64, nbits = 4, k = knnK, maxBucket = 1000, tables = 8)
+      .count(): Unit)
+    val tJaccard = timed(Dedup.ngramJaccard(docs, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.3, maxDf = 1000L).count(): Unit)
+    val tMinhash = timed(Dedup.minHashLsh(docs, "doc_id", "text",
+      maxBucket = 1000).count(): Unit)
+    val tSimhash = timed(Dedup.simHashPairs(docs, "doc_id", "text",
+      maxDist = 6).count(): Unit)
+    val tWinnow = timed(Dedup.winnowPairs(docs, "doc_id", "text",
+      k = 3, w = 4, minShared = 2L, maxDf = 1000L).count(): Unit)
+    val tEmbExact = timed(a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .where(Similarity.dot(col("va"), col("vb")) /
+        (col("na") * col("nb")) >= 0.3).count(): Unit)
+    val tEmbLsh = timed(Dedup.embeddingNearDup(e, "vec_id", "embedding",
+      dim = 64, nbits = 4, minCosine = 0.3, maxBucket = 1000,
+      tables = 8).count(): Unit)
+    def speed(exact: Double, approx: Double): String =
+      f"${exact / approx}%.1f×"
+
     val report =
       s"""# Recall at bench scale (generated by `graft.Recall`)
          |
@@ -255,24 +318,38 @@ object Recall {
          |Each approximate tier is measured in its DECLARED query
          |configuration against its exact twin on the same corpus.
          |
-         || tier | declared query | config | metric | recall |
-         ||---|---|---|---|---|
-         || hyperplane LSH top-k | `sim_search_lsh` | nbits=4, Hamming-2 multiprobe (11/16 buckets) | mean recall@$k over $nQueries queries vs `sim_search` | ${f"$lshRecall%.3f"} |
-         || — Hamming-1 probe |  | nbits=4, 5/16 buckets | (context: the round-4 declared depth) | ${f"$lshRecall1%.3f"} |
-         || — single-bucket probe |  | nbits=4, 1/16 buckets | (context: what the multiprobe buys) | ${f"$lshRecall0%.3f"} |
-         || IVF top-k | `sim_search_ivf` | nlist=16, nprobe=8 | mean recall@$k over $nQueries queries vs `sim_search` | ${f"$ivfRecall%.3f"} |
-         || PQ ADC top-k | `sim_search_pq` | m=8, k=16, rerank=400 | mean recall@$k over $nQueries queries vs `sim_search` | ${f"$pqRecall%.3f"} |
-         || LSH knn self-join | `knn_join` | nbits=4, 8 tables, maxBucket=1000 | neighbour recall vs exact global top-$knnK (${exactKnn.size} edges) | ${f"$knnRecall%.3f"} |
-         || — 6 tables |  | nbits=4, 6 tables | (context: the cost-trim candidate) | ${f"$knnRecall6%.3f"} |
-         || MinHash LSH candidates | `dedup_minhash` | 32 hashes / 16 bands, maxBucket=1000 | pair recall vs exact Jaccard ≥ 0.3 (`dedup_ngram`, ${exactPairs.size} pairs) | ${f"$minhashRecall%.3f"} |
-         || SimHash candidates | `dedup_simhash` | 64-bit, Hamming ≤ 6 | pair recall vs the same exact Jaccard tier | ${f"$simhashRecall%.3f"} |
-         || winnowing candidates | `winnow_pairs` | k=3, w=4, minShared=2, maxDf=1000 | pair recall vs the same exact Jaccard tier (signature table ~1/w of gram sites) | ${f"$winnowRecall%.3f"} |
-         || embedding LSH near-dup | `dedup_embedding` | 8×4-bit OR-amplified tables, maxBucket=1000 | pair recall vs exact all-pairs cosine ≥ 0.3 (${exactEmb.size} pairs) | ${f"$embRecall%.3f"} |
-         || — single table |  | nbits=4, 1 table | (context: what the banding buys) | ${f"$embRecall1%.3f"} |
-         || SemDeDup design point | `dedup_semantic` | planted-near-dup corpus, nlist=16, cosine ≥ 0.8, maxCell=1000 | pair recall vs exact all-pairs cosine ≥ 0.8 (${semTruth.size} planted pairs); precision ${f"$semPrecision%.3f"} | ${f"$semRecall%.3f"} |
-         || pHash media near-dup | `dedup_media` | exact-dedup → 8×8-bit bands, Hamming ≤ 4 | planted pixel-edited copies recalled by the exact→near ladder ($recalledCopies of $nCopies, $exactCaught via the exact rung; $mediaFalse base↔base false pairs) | ${f"$mediaRecall%.3f"} |
-         || audio fp near-dup | `dedup_audio` | exact→near ladder, 2 OR-amplified phases (≤7 / ≤5), 8×8-bit bands | planted 70%-amplitude re-masters recalled (of $nAudioCopies; $audioFalse base↔base pairs) | ${f"$audioRecall%.3f"} |
-         || video fp near-dup | `dedup_video` | exact-dedup → 8×8-bit bands, Hamming ≤ 7 | planted per-frame-edited re-encodes paired (of $nVideoCopies) | ${f"$videoRecall%.3f"} |
+         || tier | declared query | config | metric | recall | speedup vs exact |
+         ||---|---|---|---|---|---|
+         || hyperplane LSH top-k | `sim_search_lsh` | nbits=4, Hamming-2 multiprobe (11/16 buckets) | mean recall@$k over $nQueries queries vs `sim_search` | ${f"$lshRecall%.3f"} | ${speed(tExactTopK, tLsh)} (${f"$tExactTopK%.1f"}s → ${f"$tLsh%.1f"}s) |
+         || — Hamming-1 probe |  | nbits=4, 5/16 buckets | (context: the round-4 declared depth) | ${f"$lshRecall1%.3f"} | — |
+         || — single-bucket probe |  | nbits=4, 1/16 buckets | (context: what the multiprobe buys) | ${f"$lshRecall0%.3f"} | — |
+         || IVF top-k | `sim_search_ivf` | nlist=16, nprobe=8 | mean recall@$k over $nQueries queries vs `sim_search` | ${f"$ivfRecall%.3f"} | ${speed(tExactTopK, tIvf)} (→ ${f"$tIvf%.1f"}s) |
+         || PQ ADC top-k | `sim_search_pq` | m=8, k=16, rerank=400 | mean recall@$k over $nQueries queries vs `sim_search` | ${f"$pqRecall%.3f"} | ${speed(tExactTopK, tPq)} (→ ${f"$tPq%.1f"}s) |
+         || LSH knn self-join | `knn_join` | nbits=4, 8 tables, maxBucket=1000 | neighbour recall vs exact global top-$knnK (${exactKnn.size} edges) | ${f"$knnRecall%.3f"} | ${speed(tKnnExact, tKnnJoin)} (${f"$tKnnExact%.1f"}s → ${f"$tKnnJoin%.1f"}s) |
+         || — 6 tables |  | nbits=4, 6 tables | (context: the cost-trim candidate) | ${f"$knnRecall6%.3f"} | — |
+         || MinHash LSH candidates | `dedup_minhash` | 32 hashes / 16 bands, maxBucket=1000 | pair recall vs exact Jaccard ≥ 0.3 (`dedup_ngram`, ${exactPairs.size} pairs) | ${f"$minhashRecall%.3f"} | ${speed(tJaccard, tMinhash)} (${f"$tJaccard%.1f"}s → ${f"$tMinhash%.1f"}s) |
+         || SimHash candidates | `dedup_simhash` | 64-bit, Hamming ≤ 6 | pair recall vs the same exact Jaccard tier | ${f"$simhashRecall%.3f"} | ${speed(tJaccard, tSimhash)} (→ ${f"$tSimhash%.1f"}s) |
+         || winnowing candidates | `winnow_pairs` | k=3, w=4, minShared=2, maxDf=1000 | pair recall vs the same exact Jaccard tier (signature table ~1/w of gram sites) | ${f"$winnowRecall%.3f"} | ${speed(tJaccard, tWinnow)} (→ ${f"$tWinnow%.1f"}s) |
+         || embedding LSH near-dup | `dedup_embedding` | 8×4-bit OR-amplified tables, maxBucket=1000 | pair recall vs exact all-pairs cosine ≥ 0.3 (${exactEmb.size} pairs) | ${f"$embRecall%.3f"} | ${speed(tEmbExact, tEmbLsh)} (${f"$tEmbExact%.1f"}s → ${f"$tEmbLsh%.1f"}s) |
+         || — single table |  | nbits=4, 1 table | (context: what the banding buys) | ${f"$embRecall1%.3f"} | — |
+         || SemDeDup design point | `dedup_semantic` | planted-near-dup corpus, nlist=16, cosine ≥ 0.8, maxCell=1000 | pair recall vs exact all-pairs cosine ≥ 0.8 (${semTruth.size} planted pairs); precision ${f"$semPrecision%.3f"} | ${f"$semRecall%.3f"} | — |
+         || pHash media near-dup | `dedup_media` | exact-dedup → 8×8-bit bands, Hamming ≤ 4 | planted pixel-edited copies recalled by the exact→near ladder ($recalledCopies of $nCopies, $exactCaught via the exact rung; $mediaFalse base↔base false pairs) | ${f"$mediaRecall%.3f"} | — |
+         || audio fp near-dup | `dedup_audio` | exact→near ladder, 2 OR-amplified phases (≤7 / ≤5), 8×8-bit bands | planted 70%-amplitude re-masters recalled (of $nAudioCopies; $audioFalse base↔base pairs) | ${f"$audioRecall%.3f"} | — |
+         || video fp near-dup | `dedup_video` | exact-dedup → 8×8-bit bands, Hamming ≤ 7 | planted per-frame-edited re-encodes paired (of $nVideoCopies) | ${f"$videoRecall%.3f"} | — |
+         |
+         |Speedup = exact-twin wall-time / approximate-tier wall-time at the
+         |measured recall, same session, corpus cached, min-of-2; offline
+         |index/codebook builds excluded (amortized artifacts). Read the
+         |column honestly: the PAIR-MINING tiers already win at this corpus
+         |size (the exact side is an all-pairs/shingle join that grows
+         |quadratically), while the ANN top-k tiers sit BELOW the
+         |brute-force crossover (< 1×) — scanning 2k×64 floats is cheaper
+         |than a multiprobe bucket union, and stays so at the 10× soak
+         |scale. That is expected and is why the ANN tiers are justified at
+         |test scale by the recall ladder plus plan shape (bucket-pruned
+         |scans that stay flat as the corpus grows — SOAK.md), not by
+         |wall-time at 2k vectors; the crossover needs corpus sizes where a
+         |full scan per query stops being trivial.
          |
          |Notes: cosine ≥ 0.3 (θ ≈ 72°) is a HARD regime for hyperplane
          |LSH — per-table collision is (1−θ/π)^4 ≈ 0.13, which is why the
