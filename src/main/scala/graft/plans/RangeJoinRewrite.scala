@@ -368,6 +368,12 @@ object RangeJoinHint extends Rule[LogicalPlan] {
   private val names = Set("range_join")
 
   def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // The SQL `/*+ range_join(w) */` form reaches this rule with a
+    // still-UNRESOLVED child (the Hints batch runs before Resolution) —
+    // that is fine: the marker is an ordinary UnaryNode, so it reports
+    // resolved=false until its child resolves and nothing forces its
+    // output before then; the later Resolution batch resolves straight
+    // through it (spec'd: the SQL form bins at the hinted width).
     case UnresolvedHint(name, Seq(Literal(w, dt)), child)
         if names(name.toLowerCase(java.util.Locale.ROOT)) &&
           (dt == IntegerType || dt == LongType) =>

@@ -260,6 +260,15 @@ class RangeJoinRewriteSpec extends SparkSpec {
         val both = q1.union(q2).queryExecution.optimizedPlan.toString
         assert(both.contains(" 50)") && both.contains(" 20000)"),
           s"composed query lost a per-join width:\n$both")
+        // the pure-SQL hint form works on the same session
+        pts.createOrReplaceTempView("__rj_pts")
+        shortIvs.createOrReplaceTempView("__rj_ivs")
+        val sqlQ = s2.sql("SELECT /*+ range_join(64) */ pid, rid " +
+          "FROM __rj_pts JOIN __rj_ivs ON p >= lo AND p <= hi")
+        val sqlPlan = sqlQ.queryExecution.optimizedPlan.toString
+        assert(sqlPlan.contains(" 64)") && !sqlPlan.contains(" 1000)"),
+          s"SQL hint not honored:\n$sqlPlan")
+        assert(multiset(sqlQ) == naive(shortIvs))
       } finally {
         org.apache.spark.sql.SparkSession.setDefaultSession(saved)
         org.apache.spark.sql.SparkSession.setActiveSession(saved)
