@@ -33,7 +33,8 @@ final class Tracker private (
     val filter: FilterConfig,
     syncer: Syncer,
     maxBlockBacklog: Int,
-    batchSize: Long
+    batchSize: Long,
+    transactionalStore: Boolean
 ) {
 
   /** The per-filter log table (S6–S11 store surface). */
@@ -66,7 +67,8 @@ final class Tracker private (
     */
   def live(headBlock: Long, batchSize: Long = this.batchSize,
       maxLogsPerBatch: Long = Long.MaxValue): StreamingQuery =
-    LiveSync.start(spark, root, filter, headBlock, batchSize, maxLogsPerBatch)
+    LiveSync.start(spark, root, filter, headBlock, batchSize,
+      maxLogsPerBatch, transactionalStore)
 
   /** T4 — CDC delta (add/del rows, retractions oldest-first) for an
     * incoming canonical header set, without mutating the store.
@@ -93,9 +95,15 @@ object Tracker {
       filter: FilterConfig = FilterConfig(),
       batchSize: Long = 100L,
       maxBlockBacklog: Int = 10,
-      locator: Option[FirstLogLocator] = None
+      locator: Option[FirstLogLocator] = None,
+      /** Store backend for BOTH the batch sync and [[Tracker.live]]:
+        * false = journaled parquet, true = the manifest-committed
+        * transactional table (see [[graft.store.TxLogTable]]).
+        */
+      transactionalStore: Boolean = false
   ): Tracker =
     new Tracker(spark, provider, root, filter,
       new Syncer(spark, provider, root, filter, batchSize, maxBlockBacklog,
-        locator), maxBlockBacklog, batchSize)
+        locator, transactionalStore = transactionalStore),
+      maxBlockBacklog, batchSize, transactionalStore)
 }

@@ -30,9 +30,17 @@ object LiveSync {
       filter: FilterConfig,
       headBlock: Long,
       batchSize: Long = 100L,
-      maxLogsPerBatch: Long = Long.MaxValue
+      maxLogsPerBatch: Long = Long.MaxValue,
+      /** false = journaled parquet [[LogTable]]; true = the
+        * manifest-committed [[graft.store.TxLogTable]] (each micro-batch
+        * append is one invisible data write + one metadata commit).
+        */
+      transactionalStore: Boolean = false
   ): StreamingQuery = {
-    val table = new LogTable(spark, root, filter.hash)
+    val table: graft.store.LogStore =
+      if (transactionalStore)
+        new graft.store.TxLogTable(spark, root, filter.hash)
+      else new LogTable(spark, root, filter.hash)
     val logs = spark.readStream
       .format("graft.stream.ChainSourceProvider")
       .option("headBlock", headBlock)

@@ -36,6 +36,40 @@ class LiveSyncSpec extends SparkSpec {
     assert(idx.sameElements(idx.indices.map(_.toLong)))
   }
 
+  test("streaming over the transactional backend: same end-to-end contract, manifest commits per batch") {
+    val root = tmpDir("live-tx")
+    val filter = FilterConfig(addresses = Seq("a1"), topics = Seq(Some("sig1")))
+    val q1 = LiveSync.start(spark, root, filter, headBlock = 59,
+      batchSize = 7, maxLogsPerBatch = 12, transactionalStore = true)
+    q1.awaitTermination(120000)
+    val table = new graft.store.TxLogTable(spark, root, filter.hash)
+    def expected(head: Long) =
+      (0L to head).filter(n => n % 3 == 1 && n % 2 == 1).map(_ => 5L).sum
+    assert(table.read.count() == expected(59))
+    // restart with a longer chain: only the delta appends, exactly once
+    val q2 = LiveSync.start(spark, root, filter, headBlock = 99,
+      batchSize = 7, maxLogsPerBatch = 12, transactionalStore = true)
+    q2.awaitTermination(120000)
+    assert(table.read.count() == expected(99))
+    val txs = table.read.select("tx_hash").as[String].collect()
+    assert(txs.length == txs.distinct.length)
+    val idx = table.read.select("indx").as[Long].collect().sorted
+    assert(idx.sameElements(idx.indices.map(_.toLong)))
+    // the micro-batch appends landed as manifest commits (one data dir
+    // per non-empty batch, no journal artifacts anywhere)
+    val dataDirs = new java.io.File(
+      s"$root/txlogs/filter_hash=${filter.hash}/data").listFiles()
+    assert(dataDirs != null && dataDirs.count(_.isDirectory) > 1)
+    def names(f: java.io.File): Seq[String] =
+      Option(f.listFiles()).getOrElse(Array.empty).toSeq
+        .flatMap(x => x.getName +: names(x))
+    assert(!names(new java.io.File(root)).exists(_.contains(".tmp-")))
+    // compaction collapses the streaming fragments transactionally
+    table.compact()
+    assert(table.vacuum(olderThanMs = 0L) >= 1)
+    assert(table.read.count() == expected(99))
+  }
+
   test("T7 streaming twin: progress ticks bridge from the listener bus") {
     val root = tmpDir("live")
     val ticks = new java.util.concurrent.ConcurrentLinkedQueue[graft.sync.SyncProgress]()
