@@ -224,14 +224,32 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
     * garbage for [[vacuum]] — no rename swap, no trash dir, no self-heal
     * protocol, because the manifest pointer IS the swap.
     */
-  def compact(): Unit = {
+  def compact(): Unit =
+    compactClustered(df => df.repartitionByRange(col("indx"))
+      .sortWithinPartitions("indx"))
+
+  /** Two-dimensional layout maintenance, transactionally — the
+    * [[LogTable.compactZOrdered]] twin: one fresh commit clustered by a
+    * Morton key over (partition-relative block, address hash), so both
+    * ranged scans and address-filtered standing queries prune row
+    * groups; the manifest pointer is the whole swap.
+    */
+  def compactZOrdered(bits: Int = 16): Unit = {
+    require(blocksPerRange <= (1L << bits),
+      s"blocksPerRange=$blocksPerRange exceeds the $bits-bit Z budget")
+    val z = graft.ops.Layout.zorderKey(
+      pmod(col("block_num"), lit(blocksPerRange)),
+      xxhash64(col("address")).bitwiseAND((1L << bits) - 1), bits)
+    compactClustered(df => df.repartition(col("block_range"))
+      .sortWithinPartitions(z))
+  }
+
+  private def compactClustered(
+      cluster: DataFrame => DataFrame): Unit = {
     val m = manifest()
     if (m.entries.isEmpty) return
-    val live = read
     val name = s"c${System.nanoTime()}"
-    live.repartitionByRange(col("indx"))
-      .sortWithinPartitions("indx")
-      .write.parquet(s"$dataDir/$name")
+    cluster(read).write.parquet(s"$dataDir/$name")
     val minIndx = m.entries.map(_.minIndx).min
     val maxIndx = m.entries.map(_.effectiveMax).max
     // block bounds carried conservatively (a cap can only shrink them;

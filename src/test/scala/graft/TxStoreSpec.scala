@@ -184,6 +184,27 @@ class TxStoreSpec extends SparkSpec {
     assert(idxOf(new TxLogTable(spark, root, "f1")) == (0L until 18L))
   }
 
+  test("compactZOrdered clusters by the Z key, transactionally") {
+    val root = tmpDir("txstore")
+    val t = new TxLogTable(spark, root, "f1", blocksPerRange = 100L)
+    t.storeLogs(mkLogs(0, 49, perBlock = 4))
+    val before = t.read.count()
+    t.compactZOrdered(bits = 8)
+    assert(t.read.count() == before)
+    val z = graft.ops.Layout.zorderKey(
+      pmod(col("block_num"), lit(100L)),
+      xxhash64(col("address")).bitwiseAND(255L), 8)
+    val byFile = t.read
+      .select(input_file_name().as("f"), z.as("z"))
+      .collect().groupBy(_.getString(0))
+    byFile.values.foreach { rows =>
+      val zs = rows.map(_.getLong(1))
+      assert(zs.sameElements(zs.sorted), "file not z-ordered")
+    }
+    assert(idxOf(t) == (0L until before))
+    assert(t.vacuum(olderThanMs = 0L) == 1)
+  }
+
   test("sync engine over the tx backend: backfill + reorg retraction match the canonical chain") {
     val root = tmpDir("txsync")
     val chain = MockChain.linear(60, n => if (n % 2 == 0) 2 else 5)
