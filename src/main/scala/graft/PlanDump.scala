@@ -20,7 +20,8 @@ object PlanDump {
     "lm_kn", "quality_lr", "mix_weights", "media_phash", "dedup_media",
     "dedup_audio", "join_hamming", "join_interval", "media_keyframes",
     "unigram_encode", "sample_coverage", "media_resize",
-    "search_rrf", "dict_filter", "join_overlap", "tx_store_roundtrip")
+    "search_rrf", "dict_filter", "join_overlap", "tx_store_roundtrip",
+    "tx_time_travel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -31,8 +31,23 @@ object ParityQueries {
   private val txStoreDirs = new java.util.concurrent.ConcurrentHashMap[
     (Int, String), String]()
 
-  private def txStoreSnapshot(s: SparkSession, d: String): DataFrame = {
-    val root = txStoreDirs.computeIfAbsent(
+  private def txStoreSnapshot(s: SparkSession, d: String): DataFrame =
+    txStoreColumns(new graft.store.TxLogTable(s, txStoreRoot(s, d), "q").read)
+
+  /** Time travel over the same lifecycle artifact: the table AS OF commit
+    * 2 — after both appends, BEFORE the truncation — read with snapshot
+    * isolation from data files the truncation never touched.
+    */
+  private def txStoreTimeTravel(s: SparkSession, d: String): DataFrame =
+    txStoreColumns(
+      new graft.store.TxLogTable(s, txStoreRoot(s, d), "q").readAt(2L))
+
+  private def txStoreColumns(df: DataFrame): DataFrame =
+    df.select(col("indx"), col("tx_hash"), col("block_num"), col("address"))
+      .orderBy("indx")
+
+  private def txStoreRoot(s: SparkSession, d: String): String = {
+    txStoreDirs.computeIfAbsent(
       (System.identityHashCode(s), d), _ => {
         val path = java.nio.file.Files
           .createTempDirectory("graft-txstore").toString
@@ -64,9 +79,6 @@ object ParityQueries {
         t.storeLogs(logsOf(900L, 1000L)) // indices 750..849
         path
       })
-    new graft.store.TxLogTable(s, root, "q").read
-      .select(col("indx"), col("tx_hash"), col("block_num"), col("address"))
-      .orderBy("indx")
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -269,7 +281,12 @@ object ParityQueries {
     // append continuing the sequence — then the visible snapshot, which
     // the oracle recomputes from first principles (batch bases + per-batch
     // (block, tx) order ≡ event_id order by construction of the mapping).
-    "tx_store_roundtrip" -> { (s, d) => txStoreSnapshot(s, d) }
+    "tx_store_roundtrip" -> { (s, d) => txStoreSnapshot(s, d) },
+    // VERSION AS OF over the same lifecycle: the pre-truncation snapshot
+    // (commit 2) read through the retained manifest — rows the truncation
+    // dropped are back, from byte-identical data files; the oracle knows
+    // that state is exactly events 0..899 at indx = event_id
+    "tx_time_travel" -> { (s, d) => txStoreTimeTravel(s, d) }
   )
 
   val oracle: Map[String, String] = Map(
@@ -317,6 +334,12 @@ object ParityQueries {
         |SELECT event_id - 150, CAST(event_id AS VARCHAR),
         | event_id // 10, event_type
         |FROM events WHERE event_id >= 900 AND event_id < 1000
+        |ORDER BY indx""".stripMargin,
+    // the AS-OF-commit-2 state: both appends visible, truncation not yet
+    "tx_time_travel" ->
+      """SELECT event_id AS indx, CAST(event_id AS VARCHAR) AS tx_hash,
+        | event_id // 10 AS block_num, event_type AS address
+        |FROM events WHERE event_id < 900
         |ORDER BY indx""".stripMargin,
     "get_log" ->
       """SELECT event_type, indx, event_id, user_id, value FROM (

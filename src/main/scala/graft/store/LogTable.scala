@@ -464,6 +464,14 @@ final class LogTable(spark: SparkSession, root: String, filterHash: String,
   * goroutine per filter (`tracker.go:582`) and this engine keeps that
   * contract — the KV is per-tracker metadata, not a shared database.
   */
+/** A compare-and-set commit lost its race: the expected version was no
+  * longer the newest committed one, or another writer claimed the next
+  * version number first. Callers rebase on the fresh state and retry
+  * (see [[TxLogTable.storeLogs]]).
+  */
+final class ConcurrentCommitException(msg: String)
+  extends RuntimeException(msg)
+
 final class KvStore(spark: SparkSession, root: String) {
   private val dir = s"$root/kv"
 
@@ -497,29 +505,102 @@ final class KvStore(spark: SparkSession, root: String) {
     read.where(col("key") === key).select("value")
       .collect().headOption.map(_.getString(0))
 
+  /** One key plus the commit version it was read at — the snapshot a
+    * compare-and-set commit ([[setAll]] with `expectedVersion`) validates
+    * against. Version 0 = no committed version yet.
+    */
+  def getWithVersion(key: String): (Option[String], Long) =
+    versions().lastOption match {
+      case None => (None, 0L)
+      case Some((v, p)) =>
+        (spark.read.parquet(p.toString).where(col("key") === key)
+          .select("value").collect().headOption.map(_.getString(0)), v)
+    }
+
   /** Upsert (ref `postgresql_store.go:72` ON CONFLICT DO UPDATE). */
   def set(key: String, value: String): Unit = setAll(Map(key -> value))
 
   /** Batched upsert — one versioned rewrite for any number of keys (a
     * checkpoint writes lastBlock + header backlog together).
+    *
+    * `drop` removes matching keys in the SAME commit (bounded-history
+    * pruning); `expectedVersion` turns the write into a compare-and-set:
+    * the commit aborts with [[ConcurrentCommitException]] unless the
+    * newest committed version still equals it. Losing a claim race for
+    * the next version number also aborts — the per-version `.claim` file
+    * is the mutual-exclusion primitive (put-if-absent; atomic on HDFS
+    * `create(overwrite=false)`, conditional-put on object stores). Stale
+    * claims (a claimant that crashed pre-commit) unblock after
+    * `claimStaleMs`.
     */
-  def setAll(kvs: Map[String, String]): Unit = {
-    val updated = read.where(!col("key").isin(kvs.keys.toSeq: _*))
+  def setAll(kvs: Map[String, String], drop: String => Boolean = _ => false,
+      expectedVersion: Option[Long] = None,
+      claimStaleMs: Long = 10L * 60 * 1000): Unit = {
+    def requireAt(e: Long): Unit = {
+      val have = versions().lastOption.map(_._1).getOrElse(0L)
+      if (have != e) throw new ConcurrentCommitException(
+        s"expected version $e but newest committed is $have")
+    }
+    val cur = versions().lastOption
+    expectedVersion.foreach(requireAt)
+    val updated = read
+      .where(!col("key").isin(kvs.keys.toSeq: _*))
+      .filter(r => !drop(r.getString(0)))
       .unionByName(spark.createDataFrame(kvs.toSeq).toDF("key", "value"))
       .collect() // tiny by construction; pin before touching directories
     // Monotonic across JVM restarts: nanoTime's origin is arbitrary per JVM
     // (boot-relative on Linux), so a restart could mint a version SMALLER
     // than an existing one and read() would pin to the stale dir forever.
-    val v = versions().lastOption.map(_._1 + 1L)
-      .getOrElse(System.currentTimeMillis())
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(updated.toSeq, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("key",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("value",
-          org.apache.spark.sql.types.StringType))))
-      .write.parquet(s"$dir/v$v")
+    val v = cur.map(_._1 + 1L).getOrElse(System.currentTimeMillis())
+    // the claim is named by the version the writer is advancing FROM, so
+    // any two writers that read the same snapshot contend on one file —
+    // including on an empty store, where the target version is minted
+    // from the clock and would otherwise differ between them
+    val claim = new org.apache.hadoop.fs.Path(
+      s"$dir/cas${expectedVersion.getOrElse(0L)}.claim")
+    if (expectedVersion.isDefined) {
+      // sweep dead claims: their base version is already superseded, or
+      // the claimant crashed pre-commit and the claim went stale
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".claim"))
+        .filter { f =>
+          val cv = f.getName.stripPrefix("cas").stripSuffix(".claim")
+          (cv.forall(_.isDigit) && cv.nonEmpty &&
+            cv.toLong < cur.map(_._1).getOrElse(0L)) ||
+            System.currentTimeMillis() - f.lastModified() > claimStaleMs
+        }
+        .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f.getPath), false))
+      try fs.create(claim, false).close()
+      catch {
+        case _: java.io.IOException => throw new ConcurrentCommitException(
+          s"advance from version ${expectedVersion.get} already claimed " +
+            "by a concurrent writer")
+      }
+      // re-validate INSIDE the claim: a winner may have committed and
+      // released between the entry check and our acquisition — without
+      // this, the loser would proceed to overwrite the winner's version
+      try requireAt(expectedVersion.get)
+      catch { case e: ConcurrentCommitException =>
+        fs.delete(claim, false); throw e
+      }
+    }
+    try {
+      // a crashed earlier commit can leave a partial target dir; clear it
+      // or the write below stalls forever. _SUCCESS-guarded: a committed
+      // dir is never deleted, whatever state the version math is in
+      val target = new org.apache.hadoop.fs.Path(s"$dir/v$v")
+      if (fs.exists(target) && !fs.exists(
+          new org.apache.hadoop.fs.Path(target, "_SUCCESS")))
+        fs.delete(target, true)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(updated.toSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("key",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.StringType))))
+        .write.parquet(target.toString)
+    } finally if (expectedVersion.isDefined) fs.delete(claim, false): Unit
     versions().filter(_._1 < v).foreach(x => fs.delete(x._2, true))
   }
 

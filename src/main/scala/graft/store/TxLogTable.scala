@@ -40,7 +40,16 @@ trait LogStore {
   * rename windows, no recovery protocol beyond the manifest pointer
   * itself.
   *
-  * Commit protocol (single writer, concurrent readers):
+  * The manifest is VERSIONED: every commit advances `version` by one and
+  * retains the last [[retainVersions]] manifests in the same atomic KV
+  * commit, giving `VERSION AS OF` time travel ([[readAt]]), a
+  * `DESCRIBE HISTORY` surface ([[history]]), and snapshot-protected
+  * [[vacuum]]. Commits are optimistic compare-and-sets: a writer that
+  * loses the race gets [[ConcurrentCommitException]] and REBASES (an
+  * append recomputes its indices from the fresh watermark), so
+  * concurrent appenders serialize with contiguous indices and no loss.
+  *
+  * Commit protocol (optimistic writers, concurrent readers):
   *  1. append: write the batch to a fresh `data/c<nanos>` directory
   *     (invisible — not in any manifest), then commit a manifest that
   *     appends one entry {dir, minIndx, maxIndx, minBlock, maxBlock,
@@ -63,7 +72,8 @@ trait LogStore {
   * single-partition stage anywhere.
   */
 final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
-    val blocksPerRange: Long = 10000L) extends LogStore {
+    val blocksPerRange: Long = 10000L,
+    val retainVersions: Int = 32) extends LogStore {
 
   private val dir = s"$root/txlogs/filter_hash=$filterHash"
   private val dataDir = s"$dir/data"
@@ -84,29 +94,64 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
     def effectiveMax: Long = math.min(maxIndx, cap - 1)
     def capped: Boolean = cap <= maxIndx
   }
-  private[store] case class Manifest(lastIndex: Long, entries: Seq[Entry])
+  private[store] case class Manifest(lastIndex: Long, entries: Seq[Entry],
+      version: Long = 0L, op: String = "")
 
   // encoding mirrors the truncation journal's pipe/semicolon style — no
-  // JSON dependency, dir names are `c<digits>` so the charset is safe
+  // JSON dependency, dir names are `c<digits>` and ops are bare words so
+  // the charset is safe. Head is `lastIndex@version@op`; a bare-digit
+  // head (the pre-versioning format) decodes as version 0.
   private def enc(m: Manifest): String =
-    (m.lastIndex.toString +: m.entries.map(e =>
+    (s"${m.lastIndex}@${m.version}@${m.op}" +: m.entries.map(e =>
       s"${e.name};${e.minIndx};${e.maxIndx};${e.minBlock};${e.maxBlock};${e.cap}"))
       .mkString("|")
 
   private def dec(s: String): Manifest = {
     val parts = s.split("\\|", -1).filter(_.nonEmpty)
-    Manifest(parts.head.toLong, parts.tail.toSeq.map { p =>
+    val head = parts.head.split("@", -1)
+    val entries = parts.tail.toSeq.map { p =>
       val f = p.split(";", -1)
       Entry(f(0), f(1).toLong, f(2).toLong, f(3).toLong, f(4).toLong,
         f(5).toLong)
-    })
+    }
+    if (head.length >= 3)
+      Manifest(head(0).toLong, entries, head(1).toLong, head(2))
+    else Manifest(head(0).toLong, entries)
   }
 
   private[store] def manifest(): Manifest =
     meta.get(manifestKey).filter(_.nonEmpty).map(dec)
       .getOrElse(Manifest(0L, Seq.empty))
 
-  private def commit(m: Manifest): Unit = meta.set(manifestKey, enc(m))
+  /** Current manifest plus the KV commit version it was read at — the
+    * snapshot every mutation validates against at commit time (optimistic
+    * concurrency: the manifest pointer can only advance from the state
+    * the mutation was computed on).
+    */
+  private def current(): (Manifest, Long) = {
+    val (v, kv) = meta.getWithVersion(manifestKey)
+    (v.filter(_.nonEmpty).map(dec).getOrElse(Manifest(0L, Seq.empty)), kv)
+  }
+
+  /** One atomic KV commit carries the advanced pointer, the new history
+    * snapshot, and the history prune — so time travel can never observe a
+    * pointer/history mismatch. `expectedKv` makes it a compare-and-set:
+    * a concurrent committer's interleaved commit aborts this one with
+    * [[ConcurrentCommitException]] and the caller rebases.
+    */
+  private def commit(m: Manifest, expectedKv: Long): Unit = {
+    // locals only — the drop closure ships to executors and must not
+    // capture `this` (SparkSession field)
+    val floorV = m.version - retainVersions + 1
+    val prefix = s"$manifestKey@v"
+    meta.setAll(
+      Map(manifestKey -> enc(m), s"$prefix${m.version}" -> enc(m)),
+      drop = k => k.startsWith(prefix) && {
+        val p = k.stripPrefix(prefix)
+        p.forall(_.isDigit) && p.toLong < floorV
+      },
+      expectedVersion = Some(expectedKv))
+  }
 
   private val logSchema = StructType(Seq(
     StructField("tx_index", LongType), StructField("tx_hash", StringType),
@@ -130,8 +175,9 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
     * compactions) scan as ONE multi-path parquet relation, so file
     * listing, schema and footer pruning stay a single scan node.
     */
-  def read: DataFrame = {
-    val m = manifest()
+  def read: DataFrame = readOf(manifest())
+
+  private def readOf(m: Manifest): DataFrame =
     if (m.entries.isEmpty) emptyLogs
     else {
       val (capped, uncapped) = m.entries.partition(_.capped)
@@ -143,6 +189,41 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
           .where(col("indx") < e.cap))
       parts.reduce(_ unionByName _)
     }
+
+  /** Current table version — advances by one per committed mutation. */
+  def version(): Long = manifest().version
+
+  private def retained(): Seq[Manifest] =
+    meta.listPrefix(s"$manifestKey@v").select("value")
+      .collect().toSeq.map(r => dec(r.getString(0)))
+      .sortBy(_.version)
+
+  /** Time travel: the table exactly as of commit `version` — dropped
+    * directories outlive their manifest until [[vacuum]] (which protects
+    * every RETAINED snapshot), so any of the last [[retainVersions]]
+    * states reads with full snapshot isolation. This is the Delta/Iceberg
+    * `VERSION AS OF` shape, free once commits are immutable manifests.
+    */
+  def readAt(version: Long): DataFrame =
+    retained().find(_.version == version) match {
+      case Some(m) => readOf(m)
+      case None =>
+        val have = retained().map(_.version)
+        throw new IllegalArgumentException(
+          s"version $version not retained (have ${have.mkString(",")}; " +
+            s"retainVersions=$retainVersions)")
+    }
+
+  /** Commit log, newest first — `DESCRIBE HISTORY` parity: one row per
+    * retained commit (version, operation, resulting watermark, live
+    * entry/capped-entry counts).
+    */
+  def history(): DataFrame = {
+    import spark.implicits._
+    retained().sortBy(-_.version)
+      .map(m => (m.version, m.op, m.lastIndex, m.entries.length.toLong,
+        m.entries.count(_.capped).toLong))
+      .toDF("version", "operation", "last_index", "entries", "capped_entries")
   }
 
   /** O(1): the manifest carries the watermark — no scan, no max() job
@@ -155,26 +236,49 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
   private[graft] final class InjectedCrash(at: String)
     extends RuntimeException(s"injected crash at $at")
 
-  /** Append = one invisible data write + one manifest commit. */
+  /** Test seam: runs between the invisible data write and the manifest
+    * commit — a spec injects a competing committer here to exercise the
+    * rebase path deterministically (thread races would be flaky).
+    */
+  private[graft] var beforeCommit: () => Unit = () => ()
+
+  /** Append = one invisible data write + one manifest commit. The commit
+    * is a compare-and-set against the manifest read at entry; losing the
+    * race REBASES — the batch's indices derive from the stale lastIndex,
+    * so the data is rewritten from the fresh base and the stale directory
+    * becomes vacuum garbage. Two concurrent appenders thus serialize with
+    * contiguous indices and no loss (contrast the blind read-modify-write
+    * this replaces, which would silently drop the first committer's rows).
+    */
   private[graft] def storeLogs(batch: DataFrame, crashAt: String): Long = {
-    val m = manifest()
-    val base = m.lastIndex
-    val indexed = graft.ops.LogOps.withAppendIndexRanged(batch, base,
-        Seq(col("block_num"), col("tx_index"), col("tx_hash")))
-      .withColumn("block_range", floor(col("block_num") / lit(blocksPerRange)))
-      .select(logSchema.fieldNames.map(col): _*)
-      .persist()
-    try {
-      val n = indexed.count()
-      if (n == 0L) return base
-      val name = s"c${System.nanoTime()}"
-      indexed.write.parquet(s"$dataDir/$name")
-      if (crashAt == "after-data-write") throw new InjectedCrash(crashAt)
-      val stats = indexed.agg(min("block_num"), max("block_num")).head()
-      commit(Manifest(base + n, m.entries :+ Entry(name, base, base + n - 1,
-        stats.getLong(0), stats.getLong(1), Long.MaxValue)))
-      base + n
-    } finally indexed.unpersist()
+    var attempt = 0
+    while (true) {
+      val (m, kv) = current()
+      val base = m.lastIndex
+      val indexed = graft.ops.LogOps.withAppendIndexRanged(batch, base,
+          Seq(col("block_num"), col("tx_index"), col("tx_hash")))
+        .withColumn("block_range",
+          floor(col("block_num") / lit(blocksPerRange)))
+        .select(logSchema.fieldNames.map(col): _*)
+        .persist()
+      try {
+        val n = indexed.count()
+        if (n == 0L) return base
+        val name = s"c${System.nanoTime()}"
+        indexed.write.parquet(s"$dataDir/$name")
+        if (crashAt == "after-data-write") throw new InjectedCrash(crashAt)
+        beforeCommit()
+        val stats = indexed.agg(min("block_num"), max("block_num")).head()
+        commit(Manifest(base + n, m.entries :+ Entry(name, base,
+          base + n - 1, stats.getLong(0), stats.getLong(1), Long.MaxValue),
+          m.version + 1, "append"), kv)
+        return base + n
+      } catch {
+        case _: ConcurrentCommitException if attempt < 4 => attempt += 1
+        // the stale `name` dir is unreferenced garbage for vacuum
+      } finally indexed.unpersist()
+    }
+    sys.error("unreachable")
   }
 
   /** S9 — truncation as ONE metadata commit: drop entries fully above
@@ -187,24 +291,34 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
     * result must not race it.
     */
   def removeLogsFrom(n: Long): DataFrame = {
-    val m = manifest()
-    val hit = m.entries.filter(_.effectiveMax >= n)
-    if (hit.isEmpty) return emptyLogs
-    // per-entry reads so an already-capped entry's INVISIBLE tail (rows a
-    // previous truncation removed) cannot resurface in this removal's
-    // result; `hit` is the reorg-bounded table tail, a handful of entries
-    val removedRows = hit.map { e =>
-      spark.read.schema(logSchema).parquet(path(e))
-        .where(col("indx") >= n && col("indx") < e.cap)
-    }.reduce(_ unionByName _).orderBy("indx").collect()
-    val survivors = m.entries.flatMap { e =>
-      if (e.minIndx >= n) None
-      else if (e.effectiveMax >= n) Some(e.copy(cap = n))
-      else Some(e)
+    var attempt = 0
+    while (true) {
+      val (m, kv) = current()
+      val hit = m.entries.filter(_.effectiveMax >= n)
+      if (hit.isEmpty) return emptyLogs
+      // per-entry reads so an already-capped entry's INVISIBLE tail (rows
+      // a previous truncation removed) cannot resurface in this removal's
+      // result; `hit` is the reorg-bounded table tail, a few entries
+      val removedRows = hit.map { e =>
+        spark.read.schema(logSchema).parquet(path(e))
+          .where(col("indx") >= n && col("indx") < e.cap)
+      }.reduce(_ unionByName _).orderBy("indx").collect()
+      val survivors = m.entries.flatMap { e =>
+        if (e.minIndx >= n) None
+        else if (e.effectiveMax >= n) Some(e.copy(cap = n))
+        else Some(e)
+      }
+      try {
+        commit(Manifest(math.min(m.lastIndex, n), survivors,
+          m.version + 1, "truncate"), kv)
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(removedRows.toSeq, 1), logSchema)
+      } catch {
+        // pure metadata recompute — rebase by re-reading the manifest
+        case _: ConcurrentCommitException if attempt < 4 => attempt += 1
+      }
     }
-    commit(Manifest(math.min(m.lastIndex, n), survivors))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(removedRows.toSeq, 1), logSchema)
+    sys.error("unreachable")
   }
 
   /** S10 — point read: the manifest prunes to the ONE directory whose
@@ -226,7 +340,7 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
     */
   def compact(): Unit =
     compactClustered(df => df.repartitionByRange(col("indx"))
-      .sortWithinPartitions("indx"))
+      .sortWithinPartitions("indx"), "compact")
 
   /** Two-dimensional layout maintenance, transactionally — the
     * [[LogTable.compactZOrdered]] twin: one fresh commit clustered by a
@@ -241,31 +355,46 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
       pmod(col("block_num"), lit(blocksPerRange)),
       xxhash64(col("address")).bitwiseAND((1L << bits) - 1), bits)
     compactClustered(df => df.repartition(col("block_range"))
-      .sortWithinPartitions(z))
+      .sortWithinPartitions(z), "zorder")
   }
 
   private def compactClustered(
-      cluster: DataFrame => DataFrame): Unit = {
-    val m = manifest()
-    if (m.entries.isEmpty) return
-    val name = s"c${System.nanoTime()}"
-    cluster(read).write.parquet(s"$dataDir/$name")
-    val minIndx = m.entries.map(_.minIndx).min
-    val maxIndx = m.entries.map(_.effectiveMax).max
-    // block bounds carried conservatively (a cap can only shrink them;
-    // pruning stays correct with the wider bound)
-    commit(Manifest(m.lastIndex, Seq(Entry(name, minIndx, maxIndx,
-      m.entries.map(_.minBlock).min, m.entries.map(_.maxBlock).max,
-      Long.MaxValue))))
+      cluster: DataFrame => DataFrame, op: String): Unit = {
+    var attempt = 0
+    while (attempt <= 4) {
+      val (m, kv) = current()
+      if (m.entries.isEmpty) return
+      val name = s"c${System.nanoTime()}"
+      cluster(readOf(m)).write.parquet(s"$dataDir/$name")
+      val minIndx = m.entries.map(_.minIndx).min
+      val maxIndx = m.entries.map(_.effectiveMax).max
+      // block bounds carried conservatively (a cap can only shrink them;
+      // pruning stays correct with the wider bound)
+      try {
+        commit(Manifest(m.lastIndex, Seq(Entry(name, minIndx, maxIndx,
+          m.entries.map(_.minBlock).min, m.entries.map(_.maxBlock).max,
+          Long.MaxValue)), m.version + 1, op), kv)
+        return
+      } catch {
+        // a concurrent append/truncate invalidated the rewrite; the stale
+        // dir is vacuum garbage — redo over the fresh snapshot
+        case _: ConcurrentCommitException if attempt < 4 => attempt += 1
+      }
+    }
   }
 
-  /** Sweep data directories no manifest references — truncation/compaction
-    * garbage and crashed pre-commit appends. `olderThanMs` protects an
+  /** Sweep data directories no RETAINED manifest references —
+    * truncation/compaction garbage (once its snapshots age out of the
+    * history window), crashed pre-commit appends, and rebased-away append
+    * attempts. Time-travel safety: every directory any retained snapshot
+    * names survives, so [[readAt]] stays whole for the full
+    * [[retainVersions]] window. `olderThanMs` additionally protects an
     * in-flight append's not-yet-committed directory (and any reader still
-    * draining an old snapshot); tests pass 0.
+    * draining a snapshot that just aged out); tests pass 0.
     */
   def vacuum(olderThanMs: Long = 60L * 60 * 1000): Int = {
-    val live = manifest().entries.map(_.name).toSet
+    val live = (manifest().entries ++ retained().flatMap(_.entries))
+      .map(_.name).toSet
     val base = new java.io.File(dataDir)
     val victims = Option(base.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && !live.contains(f.getName))

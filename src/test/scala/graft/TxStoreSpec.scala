@@ -146,7 +146,9 @@ class TxStoreSpec extends SparkSpec {
 
   test("vacuum reclaims truncation garbage without touching live commits") {
     val root = tmpDir("txstore")
-    val t = new TxLogTable(spark, root, "f1")
+    // retainVersions = 1: no history window, so truncation garbage is
+    // reclaimable immediately (the time-travel tests cover retention > 1)
+    val t = new TxLogTable(spark, root, "f1", retainVersions = 1)
     t.storeLogs(mkLogs(0, 4))  // 0..9
     t.storeLogs(mkLogs(5, 9))  // 10..19, fully dropped below
     t.removeLogsFrom(10L)
@@ -159,7 +161,7 @@ class TxStoreSpec extends SparkSpec {
 
   test("compact collapses entries transactionally and materializes caps away") {
     val root = tmpDir("txstore")
-    val t = new TxLogTable(spark, root, "f1")
+    val t = new TxLogTable(spark, root, "f1", retainVersions = 1)
     Seq((8L, 9L), (0L, 1L), (6L, 7L), (2L, 3L), (4L, 5L)).foreach {
       case (a, b) => t.storeLogs(mkLogs(a, b))
     }
@@ -186,7 +188,8 @@ class TxStoreSpec extends SparkSpec {
 
   test("compactZOrdered clusters by the Z key, transactionally") {
     val root = tmpDir("txstore")
-    val t = new TxLogTable(spark, root, "f1", blocksPerRange = 100L)
+    val t = new TxLogTable(spark, root, "f1", blocksPerRange = 100L,
+      retainVersions = 1)
     t.storeLogs(mkLogs(0, 49, perBlock = 4))
     val before = t.read.count()
     t.compactZOrdered(bits = 8)
@@ -225,5 +228,110 @@ class TxStoreSpec extends SparkSpec {
       Option(f.listFiles()).getOrElse(Array.empty).toSeq
         .flatMap(x => x.getName +: names(x))
     assert(!names(new java.io.File(root)).exists(_.contains(".tmp-")))
+  }
+
+  test("time travel: readAt reproduces every retained snapshot; history logs the commits") {
+    val t = new TxLogTable(spark, tmpDir("txstore"), "f1")
+    t.storeLogs(mkLogs(0, 4))   // v1: 0..9
+    t.storeLogs(mkLogs(5, 9))   // v2: 0..19
+    t.removeLogsFrom(15L)       // v3: 0..14
+    t.storeLogs(mkLogs(8, 9))   // v4: 0..18
+    assert(t.version() == 4L)
+    def at(v: Long): Seq[Long] =
+      t.readAt(v).select("indx").as[Long].collect().sorted.toSeq
+    assert(at(1L) == (0L until 10L))
+    assert(at(2L) == (0L until 20L))
+    assert(at(3L) == (0L until 15L))
+    assert(at(4L) == (0L until 19L))
+    // snapshot isolation: the v2 read sees rows the v3 truncation removed,
+    // from data files that were never touched
+    assert(t.readAt(2L).where(col("indx") === 17L).count() == 1)
+    val h = t.history()
+      .select("version", "operation", "last_index")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(h == Seq((4L, "append", 19L), (3L, "truncate", 15L),
+      (2L, "append", 20L), (1L, "append", 10L)))
+    intercept[IllegalArgumentException](t.readAt(99L))
+  }
+
+  test("time travel across compaction; vacuum protects retained snapshots until they age out") {
+    val root = tmpDir("txstore")
+    val t = new TxLogTable(spark, root, "f1", retainVersions = 2)
+    t.storeLogs(mkLogs(0, 4))   // v1: dir c1
+    t.storeLogs(mkLogs(5, 9))   // v2: dir c2
+    t.compact()                 // v3: dir c3; retained = {v2, v3}
+    // v2 still names BOTH pre-compaction dirs — vacuum must spare them
+    assert(t.vacuum(olderThanMs = 0L) == 0)
+    assert(t.readAt(2L).select("indx").as[Long].collect().sorted.toSeq
+      == (0L until 20L))
+    intercept[IllegalArgumentException](t.readAt(1L)) // aged out
+    t.storeLogs(mkLogs(0, 0))   // v4: retained = {v3, v4}; c1+c2 now garbage
+    assert(t.vacuum(olderThanMs = 0L) == 2)
+    assert(idxOf(t) == (0L until 22L))
+    assert(t.history().count() == 2)
+  }
+
+  test("concurrent appenders serialize via commit CAS + rebase: no loss, contiguous indices") {
+    val root = tmpDir("txstore")
+    val t1 = new TxLogTable(spark, root, "f1")
+    val t2 = new TxLogTable(spark, root, "f1")
+    t1.storeLogs(mkLogs(0, 1))  // v1: indices 0..3
+    // inject a competing committer between t1's data write and its commit
+    var injected = false
+    t1.beforeCommit = () => if (!injected) {
+      injected = true
+      assert(t2.storeLogs(mkLogs(50, 52)) == 10L) // 6 rows -> 4..9
+    }
+    try {
+      // t1's first attempt indexed from the stale watermark 4; the CAS
+      // aborts it and the rebase re-indexes from 10
+      assert(t1.storeLogs(mkLogs(10, 12)) == 16L)
+    } finally t1.beforeCommit = () => ()
+    assert(injected)
+    assert(idxOf(t1) == (0L until 16L))
+    // the interleaved committer's rows won the race and hold 4..9
+    val byBlock = t1.read.select("block_num", "indx").as[(Long, Long)]
+      .collect().toSeq
+    assert(byBlock.filter(_._1 >= 50L).map(_._2).sorted == (4L until 10L))
+    assert(byBlock.filter(b => b._1 >= 10L && b._1 < 50L).map(_._2).sorted
+      == (10L until 16L))
+    // history recorded three serialized appends
+    assert(t1.history().select("operation").as[String].collect()
+      .forall(_ == "append"))
+    assert(t1.version() == 3L)
+    // t1's abandoned first attempt is unreferenced garbage for vacuum
+    assert(t1.vacuum(olderThanMs = 0L) == 1)
+    // both stores observe the same final table
+    assert(idxOf(t2) == (0L until 16L))
+  }
+
+  test("KvStore compare-and-set aborts on a stale expected version or a live claim") {
+    val kv = new graft.store.KvStore(spark, tmpDir("kvcas"))
+    val (_, v0) = kv.getWithVersion("x")
+    assert(v0 == 0L)
+    kv.setAll(Map("x" -> "1"), expectedVersion = Some(0L))
+    val (x1, v1) = kv.getWithVersion("x")
+    assert(x1.contains("1") && v1 > 0L)
+    kv.setAll(Map("x" -> "2"), expectedVersion = Some(v1))
+    val (x2, v2) = kv.getWithVersion("x")
+    assert(x2.contains("2") && v2 == v1 + 1L)
+    // stale expected -> conflict, nothing written
+    intercept[graft.store.ConcurrentCommitException] {
+      kv.setAll(Map("x" -> "3"), expectedVersion = Some(v1))
+    }
+    assert(kv.get("x").contains("2"))
+    // a live claim from another writer blocks the same advance...
+    val claimDir = kv.read.inputFiles.head
+      .replaceAll("/v[0-9]+/.*$", "")
+    val claim = new java.io.File(
+      new java.net.URI(s"$claimDir/cas$v2.claim").getPath)
+    assert(claim.createNewFile())
+    intercept[graft.store.ConcurrentCommitException] {
+      kv.setAll(Map("x" -> "3"), expectedVersion = Some(v2))
+    }
+    // ...until it goes stale, after which the advance proceeds
+    Thread.sleep(10)
+    kv.setAll(Map("x" -> "3"), expectedVersion = Some(v2), claimStaleMs = 1L)
+    assert(kv.get("x").contains("3"))
   }
 }
