@@ -21,7 +21,7 @@ object PlanDump {
     "dedup_audio", "join_hamming", "join_interval", "media_keyframes",
     "unigram_encode", "sample_coverage", "media_resize",
     "search_rrf", "dict_filter", "join_overlap", "tx_store_roundtrip",
-    "tx_time_travel")
+    "tx_time_travel", "tx_changes")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

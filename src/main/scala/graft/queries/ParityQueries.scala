@@ -46,6 +46,20 @@ object ParityQueries {
     df.select(col("indx"), col("tx_hash"), col("block_num"), col("address"))
       .orderBy("indx")
 
+  /** Change data feed over the lifecycle: every per-commit insert/delete
+    * between the first append and the post-truncation append — the v2
+    * append's rows, the truncation's retraction of 750+, and the
+    * replacement rows. Pure manifest-interval arithmetic; the oracle
+    * recomputes each commit's delta from the event→index mapping.
+    */
+  private def txStoreChanges(s: SparkSession, d: String): DataFrame =
+    new graft.store.TxLogTable(s, txStoreRoot(s, d), "q")
+      .changesBetween(1L, 4L)
+      .select(col("_commit_version").as("commit_version"),
+        col("_change_type").as("change_type"),
+        col("indx"), col("tx_hash"), col("block_num"), col("address"))
+      .orderBy("commit_version", "change_type", "indx")
+
   private def txStoreRoot(s: SparkSession, d: String): String = {
     txStoreDirs.computeIfAbsent(
       (System.identityHashCode(s), d), _ => {
@@ -286,7 +300,11 @@ object ParityQueries {
     // (commit 2) read through the retained manifest — rows the truncation
     // dropped are back, from byte-identical data files; the oracle knows
     // that state is exactly events 0..899 at indx = event_id
-    "tx_time_travel" -> { (s, d) => txStoreTimeTravel(s, d) }
+    "tx_time_travel" -> { (s, d) => txStoreTimeTravel(s, d) },
+    // change data feed between retained commits (Delta CDF table_changes
+    // shape): a reorg reads as the truncation's deletes + the next
+    // append's inserts, each carrying full row data
+    "tx_changes" -> { (s, d) => txStoreChanges(s, d) }
   )
 
   val oracle: Map[String, String] = Map(
@@ -335,6 +353,22 @@ object ParityQueries {
         | event_id // 10, event_type
         |FROM events WHERE event_id >= 900 AND event_id < 1000
         |ORDER BY indx""".stripMargin,
+    // per-commit deltas: v2 appended events 600..899 at indx=event_id,
+    // v3 truncated indx>=750, v4 appended events 900..999 at indx-150
+    "tx_changes" ->
+      """SELECT CAST(2 AS BIGINT) AS commit_version, 'insert' AS change_type,
+        | event_id AS indx, CAST(event_id AS VARCHAR) AS tx_hash,
+        | event_id // 10 AS block_num, event_type AS address
+        |FROM events WHERE event_id >= 600 AND event_id < 900
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'delete', event_id,
+        | CAST(event_id AS VARCHAR), event_id // 10, event_type
+        |FROM events WHERE event_id >= 750 AND event_id < 900
+        |UNION ALL
+        |SELECT CAST(4 AS BIGINT), 'insert', event_id - 150,
+        | CAST(event_id AS VARCHAR), event_id // 10, event_type
+        |FROM events WHERE event_id >= 900 AND event_id < 1000
+        |ORDER BY commit_version, change_type, indx""".stripMargin,
     // the AS-OF-commit-2 state: both appends visible, truncation not yet
     "tx_time_travel" ->
       """SELECT event_id AS indx, CAST(event_id AS VARCHAR) AS tx_hash,

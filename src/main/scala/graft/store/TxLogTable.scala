@@ -84,40 +84,7 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
   private val meta = new KvStore(spark, s"$root/txlogs_meta/filter_hash=$filterHash")
   private val manifestKey = "manifest"
 
-  /** One live data directory: `[minIndx, maxIndx]` as written, `cap` an
-    * EXCLUSIVE upper bound on visible indices (Long.MaxValue = uncapped);
-    * block bounds for range pruning. Effective range =
-    * [minIndx, min(maxIndx, cap-1)].
-    */
-  private[store] case class Entry(name: String, minIndx: Long, maxIndx: Long,
-      minBlock: Long, maxBlock: Long, cap: Long) {
-    def effectiveMax: Long = math.min(maxIndx, cap - 1)
-    def capped: Boolean = cap <= maxIndx
-  }
-  private[store] case class Manifest(lastIndex: Long, entries: Seq[Entry],
-      version: Long = 0L, op: String = "")
-
-  // encoding mirrors the truncation journal's pipe/semicolon style — no
-  // JSON dependency, dir names are `c<digits>` and ops are bare words so
-  // the charset is safe. Head is `lastIndex@version@op`; a bare-digit
-  // head (the pre-versioning format) decodes as version 0.
-  private def enc(m: Manifest): String =
-    (s"${m.lastIndex}@${m.version}@${m.op}" +: m.entries.map(e =>
-      s"${e.name};${e.minIndx};${e.maxIndx};${e.minBlock};${e.maxBlock};${e.cap}"))
-      .mkString("|")
-
-  private def dec(s: String): Manifest = {
-    val parts = s.split("\\|", -1).filter(_.nonEmpty)
-    val head = parts.head.split("@", -1)
-    val entries = parts.tail.toSeq.map { p =>
-      val f = p.split(";", -1)
-      Entry(f(0), f(1).toLong, f(2).toLong, f(3).toLong, f(4).toLong,
-        f(5).toLong)
-    }
-    if (head.length >= 3)
-      Manifest(head(0).toLong, entries, head(1).toLong, head(2))
-    else Manifest(head(0).toLong, entries)
-  }
+  import TxLogTable.{dec, enc, Entry, Manifest}
 
   private[store] def manifest(): Manifest =
     meta.get(manifestKey).filter(_.nonEmpty).map(dec)
@@ -153,13 +120,7 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
       expectedVersion = Some(expectedKv))
   }
 
-  private val logSchema = StructType(Seq(
-    StructField("tx_index", LongType), StructField("tx_hash", StringType),
-    StructField("block_num", LongType), StructField("block_hash", StringType),
-    StructField("address", StringType),
-    StructField("topics", ArrayType(StringType)),
-    StructField("data", StringType), StructField("indx", LongType),
-    StructField("block_range", LongType)))
+  private def logSchema = TxLogTable.logSchema
 
   private def emptyLogs: DataFrame =
     spark.createDataFrame(
@@ -213,6 +174,57 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
           s"version $version not retained (have ${have.mkString(",")}; " +
             s"retainVersions=$retainVersions)")
     }
+
+  /** Change-data-feed between two retained versions — the Delta CDF
+    * `table_changes` shape: one row per changed log per commit, tagged
+    * `_change_type` (insert | delete) and `_commit_version`.
+    *
+    * The table's visible content at any version is exactly the contiguous
+    * index interval `[0, lastIndex)` (appends extend it, truncations cut
+    * it, compactions preserve it), so the feed is pure INTERVAL
+    * arithmetic over the retained manifests — no join, no diff shuffle:
+    * an append contributes its `[prev, cur)` inserts read from its own
+    * snapshot, a truncation contributes `[cur, prev)` deletes read from
+    * the PRE-truncation snapshot (the dropped rows live on in its
+    * retained data files), and compaction/zorder contribute nothing. The
+    * per-commit index filters push down to the parquet scans, so each
+    * step reads only its delta. A reorg shows up exactly as the
+    * reference's reconciler emits it: deletes of the orphaned suffix at
+    * the truncation commit, inserts of the canonical replacement at the
+    * next append.
+    */
+  def changesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    // version 0 is the implicit empty table, so from=0 means "everything
+    // since creation" (valid while commit 1 is still retained)
+    val byV = retained().map(m => m.version -> m).toMap +
+      (0L -> Manifest(0L, Seq.empty))
+    (fromVersion to toVersion).foreach(v => require(byV.contains(v),
+      s"version $v not retained (have ${byV.keys.toSeq.sorted.mkString(",")})"))
+    val tagged = (fromVersion + 1 to toVersion).flatMap { v =>
+      val (prev, cur) = (byV(v - 1), byV(v))
+      cur.op match {
+        case "append" =>
+          Some(readOf(cur)
+            .where(col("indx") >= prev.lastIndex &&
+              col("indx") < cur.lastIndex)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v)))
+        case "truncate" =>
+          Some(readOf(prev)
+            .where(col("indx") >= cur.lastIndex &&
+              col("indx") < prev.lastIndex)
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_version", lit(v)))
+        case _ => None // compact/zorder: physical only, no logical change
+      }
+    }
+    if (tagged.isEmpty)
+      emptyLogs.withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0L)).limit(0)
+    else tagged.reduce(_ unionByName _)
+  }
 
   /** Commit log, newest first — `DESCRIBE HISTORY` parity: one row per
     * retained commit (version, operation, resulting watermark, live
@@ -404,5 +416,55 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
     victims.foreach(f =>
       fs.delete(new org.apache.hadoop.fs.Path(f.getPath), true))
     victims.length
+  }
+}
+
+/** Manifest model + codec, shared with the driver-side loader the
+  * streaming CDC source uses ([[graft.stream.TxCdcSource]] polls the
+  * commit log without spinning Spark jobs).
+  */
+private[graft] object TxLogTable {
+
+  private[graft] val logSchema = StructType(Seq(
+    StructField("tx_index", LongType), StructField("tx_hash", StringType),
+    StructField("block_num", LongType), StructField("block_hash", StringType),
+    StructField("address", StringType),
+    StructField("topics", ArrayType(StringType)),
+    StructField("data", StringType), StructField("indx", LongType),
+    StructField("block_range", LongType)))
+
+  /** One live data directory: `[minIndx, maxIndx]` as written, `cap` an
+    * EXCLUSIVE upper bound on visible indices (Long.MaxValue = uncapped);
+    * block bounds for range pruning. Effective range =
+    * [minIndx, min(maxIndx, cap-1)].
+    */
+  private[graft] case class Entry(name: String, minIndx: Long, maxIndx: Long,
+      minBlock: Long, maxBlock: Long, cap: Long) {
+    def effectiveMax: Long = math.min(maxIndx, cap - 1)
+    def capped: Boolean = cap <= maxIndx
+  }
+  private[graft] case class Manifest(lastIndex: Long, entries: Seq[Entry],
+      version: Long = 0L, op: String = "")
+
+  // encoding mirrors the truncation journal's pipe/semicolon style — no
+  // JSON dependency, dir names are `c<digits>` and ops are bare words so
+  // the charset is safe. Head is `lastIndex@version@op`; a bare-digit
+  // head (the pre-versioning format) decodes as version 0.
+  private[graft] def enc(m: Manifest): String =
+    (s"${m.lastIndex}@${m.version}@${m.op}" +: m.entries.map(e =>
+      s"${e.name};${e.minIndx};${e.maxIndx};${e.minBlock};${e.maxBlock};${e.cap}"))
+      .mkString("|")
+
+  private[graft] def dec(s: String): Manifest = {
+    val parts = s.split("\\|", -1).filter(_.nonEmpty)
+    val head = parts.head.split("@", -1)
+    val entries = parts.tail.toSeq.map { p =>
+      val f = p.split(";", -1)
+      Entry(f(0), f(1).toLong, f(2).toLong, f(3).toLong, f(4).toLong,
+        f(5).toLong)
+    }
+    if (head.length >= 3)
+      Manifest(head(0).toLong, entries, head(1).toLong, head(2))
+    else Manifest(head(0).toLong, entries)
   }
 }

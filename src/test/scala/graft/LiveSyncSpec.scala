@@ -64,9 +64,13 @@ class LiveSyncSpec extends SparkSpec {
       Option(f.listFiles()).getOrElse(Array.empty).toSeq
         .flatMap(x => x.getName +: names(x))
     assert(!names(new java.io.File(root)).exists(_.contains(".tmp-")))
-    // compaction collapses the streaming fragments transactionally
-    table.compact()
-    assert(table.vacuum(olderThanMs = 0L) >= 1)
+    // compaction collapses the streaming fragments transactionally; a
+    // retention-1 maintainer prunes the manifest history it commits, so
+    // the streaming fragments become reclaimable immediately
+    val maintainer = new graft.store.TxLogTable(spark, root, filter.hash,
+      retainVersions = 1)
+    maintainer.compact()
+    assert(maintainer.vacuum(olderThanMs = 0L) >= 1)
     assert(table.read.count() == expected(99))
   }
 

@@ -305,6 +305,53 @@ class TxStoreSpec extends SparkSpec {
     assert(idxOf(t2) == (0L until 16L))
   }
 
+  test("change data feed: interval-exact per-commit inserts/deletes; replay reconstructs any snapshot") {
+    val t = new TxLogTable(spark, tmpDir("txstore"), "f1")
+    t.storeLogs(mkLogs(0, 4))   // v1: insert 0..9
+    t.storeLogs(mkLogs(5, 9))   // v2: insert 10..19
+    t.removeLogsFrom(15L)       // v3: delete 15..19 (the reorg retraction)
+    t.storeLogs(mkLogs(8, 9))   // v4: insert 15..18 (the canonical replacement)
+    def feed(a: Long, b: Long): Seq[(Long, String, Long)] =
+      t.changesBetween(a, b)
+        .select("_commit_version", "_change_type", "indx")
+        .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(feed(0L, 4L) ==
+      ((0L until 10L).map((1L, "insert", _)) ++
+        (10L until 20L).map((2L, "insert", _)) ++
+        (15L until 20L).map((3L, "delete", _)) ++
+        (15L until 19L).map((4L, "insert", _))).sorted)
+    // per-commit granularity: the truncation's deletes carry the DATA of
+    // the rows they removed, read from the pre-truncation snapshot
+    val del = t.changesBetween(2L, 3L)
+    assert(del.select("_change_type").as[String].collect()
+      .forall(_ == "delete"))
+    assert(del.where(col("indx") === 17L).select("tx_hash").as[String]
+      .collect().head.nonEmpty)
+    // replaying the feed onto the v1 snapshot reproduces the CURRENT table
+    var state = t.readAt(1L).select("indx", "tx_hash").as[(Long, String)]
+      .collect().toMap
+    t.changesBetween(1L, 4L)
+      .select("_commit_version", "_change_type", "indx", "tx_hash")
+      .as[(Long, String, Long, String)].collect().sortBy(_._1)
+      .foreach {
+        case (_, "insert", i, h) => state += (i -> h)
+        case (_, "delete", i, _) => state -= i
+        case other => fail(s"unexpected change $other")
+      }
+    assert(state == t.read.select("indx", "tx_hash").as[(Long, String)]
+      .collect().toMap)
+    // physical maintenance is invisible to the feed; empty ranges are empty
+    t.compact() // v5
+    assert(t.changesBetween(4L, 5L).count() == 0)
+    assert(t.changesBetween(3L, 3L).count() == 0)
+    // and the feed refuses a range that fell out of retention
+    val tiny = new TxLogTable(spark, tmpDir("txstore"), "f1",
+      retainVersions = 1)
+    tiny.storeLogs(mkLogs(0, 1))
+    tiny.storeLogs(mkLogs(2, 3))
+    intercept[IllegalArgumentException](tiny.changesBetween(0L, 2L))
+  }
+
   test("KvStore compare-and-set aborts on a stale expected version or a live claim") {
     val kv = new graft.store.KvStore(spark, tmpDir("kvcas"))
     val (_, v0) = kv.getWithVersion("x")
