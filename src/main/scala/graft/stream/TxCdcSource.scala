@@ -1,0 +1,291 @@
+package graft.stream
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.FilterApi
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.store.TxLogTable
+
+/** Structured Streaming source over a [[graft.store.TxLogTable]] commit
+  * log — the Delta streaming-source shape: OFFSETS ARE TABLE VERSIONS,
+  * and each micro-batch delivers exactly the change feed between two
+  * committed versions (`_change_type` insert|delete, `_commit_version`),
+  * so a downstream materialization sees a reorg as the same
+  * retract-then-replace delta the batch reconciler emits.
+  *
+  * Scale shape:
+  *  - the driver never runs a Spark job to poll: `latestOffset` reads the
+  *    newest manifest directly through parquet-hadoop (the KV is one tiny
+  *    file), once per trigger;
+  *  - planning is manifest-interval arithmetic (appends insert
+  *    `[prev, cur)`, truncations delete `[cur, prev)`, compactions are
+  *    invisible) — one input partition per affected parquet file, so a
+  *    batch spanning many commits fans out across executors;
+  *  - readers push the index range down as a parquet row-group +
+  *    record-level filter (`FilterApi`), so a delta touching the tail of
+  *    a large commit reads only the matching row groups.
+  *
+  * Exactly-once: versions are monotone and checkpointed by the engine;
+  * restart replans `(lastCommitted, latest]` from the retained manifests.
+  * The retention window must cover the checkpoint lag
+  * (`retainVersions` on the writing table; planning fails loudly if a
+  * needed version aged out rather than silently skipping commits).
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format("graft.stream.TxCdcSourceProvider")
+  *     .option("root", root).option("filterHash", hash)
+  *     .option("startingVersion", 0)   // default: version at stream start
+  *     .load()
+  * }}}
+  */
+class TxCdcSourceProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TxCdcSource.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new TxCdcTable(new CaseInsensitiveStringMap(properties))
+}
+
+object TxCdcSource {
+  val schema: StructType = StructType(
+    TxLogTable.logSchema.fields.toSeq ++ Seq(
+      StructField("_change_type", StringType),
+      StructField("_commit_version", LongType)))
+
+  /** One contiguous index interval of one data directory contributing to
+    * one commit's delta; `hi` exclusive.
+    */
+  private[stream] case class Slice(version: Long, changeType: String,
+      dir: String, lo: Long, hi: Long)
+
+  /** Manifest-interval arithmetic: the per-commit change slices between
+    * two versions. Fails loudly when a needed version is no longer
+    * retained — a silent skip would drop changes downstream.
+    */
+  private[stream] def slices(dataDir: String,
+      byV: Map[Long, TxLogTable.Manifest],
+      from: Long, to: Long): Seq[Slice] = {
+    (from to to).foreach(v => require(byV.contains(v),
+      s"commit $v no longer retained (have " +
+        s"${byV.keys.toSeq.sorted.mkString(",")}); raise retainVersions " +
+        "on the writing table to cover the stream's checkpoint lag"))
+    (from + 1 to to).flatMap { v =>
+      val (prev, cur) = (byV(v - 1), byV(v))
+      val (tag, lo, hi, entries) = cur.op match {
+        case "append" =>
+          ("insert", prev.lastIndex, cur.lastIndex, cur.entries)
+        case "truncate" =>
+          ("delete", cur.lastIndex, prev.lastIndex, prev.entries)
+        case _ => ("", 0L, 0L, Seq.empty) // compact/zorder: physical only
+      }
+      entries.flatMap { e =>
+        val l = math.max(lo, e.minIndx)
+        val h = math.min(hi, math.min(e.cap, e.maxIndx + 1))
+        if (l < h) Some(Slice(v, tag, s"$dataDir/${e.name}", l, h)) else None
+      }
+    }
+  }
+}
+
+final class TxCdcTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = "graft_tx_cdc"
+  override def schema(): StructType = TxCdcSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = TxCdcSource.schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+        def opt(k: String): Option[String] =
+          Option(opts.get(k)).orElse(Option(options.get(k)))
+        val root = opt("root").getOrElse(
+          sys.error("TxCdcSource requires option 'root'"))
+        val hash = opt("filterHash").getOrElse(
+          sys.error("TxCdcSource requires option 'filterHash'"))
+        new TxCdcMicroBatchStream(root, hash,
+          startingVersion = opt("startingVersion").map(_.toLong))
+      }
+    }
+}
+
+final case class VersionOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+final class TxCdcMicroBatchStream(root: String, filterHash: String,
+    startingVersion: Option[Long])
+  extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private val tableDir = s"$root/txlogs/filter_hash=$filterHash"
+  private val dataDir = s"$tableDir/data"
+  private val kvDir = s"$root/txlogs_meta/filter_hash=$filterHash/kv"
+
+  override def initialOffset(): Offset =
+    VersionOffset(startingVersion.getOrElse(
+      TxManifests.currentVersion(kvDir)))
+
+  private def latest(): VersionOffset =
+    VersionOffset(TxManifests.currentVersion(kvDir))
+
+  override def latestOffset(): Offset = latest()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    latest()
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  // AvailableNow pins the target to the version seen at preparation, so
+  // the run drains a fixed prefix even while writers keep committing
+  private var availableNowTarget: Long = -1L
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = TxManifests.currentVersion(kvDir)
+  override def reportLatestOffset(): Offset =
+    VersionOffset(
+      if (availableNowTarget >= 0) availableNowTarget
+      else TxManifests.currentVersion(kvDir))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[VersionOffset].version
+    val to = end.asInstanceOf[VersionOffset].version
+    if (from >= to) return Array.empty
+    val byV = TxManifests.retainedByVersion(kvDir)
+    TxCdcSource.slices(dataDir, byV, from, to).flatMap { s =>
+      val files = Option(new java.io.File(s.dir).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      require(files.nonEmpty,
+        s"data dir ${s.dir} of commit ${s.version} has no parquet files — " +
+          "vacuumed before the stream consumed it?")
+      files.map(f => TxCdcInputPartition(f.getPath, s.lo, s.hi,
+        s.changeType, s.version): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val p = partition.asInstanceOf[TxCdcInputPartition]
+      new PartitionReader[InternalRow] {
+        // row-group + record-level pushdown of the commit's index range
+        private val pred = FilterApi.and(
+          FilterApi.gtEq(FilterApi.longColumn("indx"),
+            java.lang.Long.valueOf(p.lo)),
+          FilterApi.lt(FilterApi.longColumn("indx"),
+            java.lang.Long.valueOf(p.hi)))
+        private val reader: ParquetReader[Group] =
+          ParquetReader.builder(new GroupReadSupport(), new Path(p.file))
+            .withConf(new Configuration())
+            .withFilter(FilterCompat.get(pred))
+            .build()
+        private val tag = UTF8String.fromString(p.changeType)
+        private var current: InternalRow = _
+
+        private def str(g: Group, field: String): UTF8String =
+          if (g.getFieldRepetitionCount(field) == 0) null
+          else UTF8String.fromString(g.getString(field, 0))
+
+        private def topics(g: Group): GenericArrayData =
+          if (g.getFieldRepetitionCount("topics") == 0) null
+          else {
+            val lst = g.getGroup("topics", 0)
+            val n = lst.getFieldRepetitionCount("list")
+            new GenericArrayData((0 until n).map { i =>
+              val el = lst.getGroup("list", i)
+              if (el.getFieldRepetitionCount("element") == 0) null
+              else UTF8String.fromString(el.getString("element", 0))
+            }.toArray[Any])
+          }
+
+        override def next(): Boolean = {
+          val g = reader.read()
+          if (g == null) false
+          else {
+            current = new GenericInternalRow(Array[Any](
+              g.getLong("tx_index", 0), str(g, "tx_hash"),
+              g.getLong("block_num", 0), str(g, "block_hash"),
+              str(g, "address"), topics(g), str(g, "data"),
+              g.getLong("indx", 0), g.getLong("block_range", 0),
+              tag, p.version))
+            true
+          }
+        }
+        override def get(): InternalRow = current
+        override def close(): Unit = reader.close()
+      }
+    }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(json.toLong)
+}
+
+final case class TxCdcInputPartition(file: String, lo: Long, hi: Long,
+    changeType: String, version: Long) extends InputPartition
+
+/** Driver-side manifest access WITHOUT Spark jobs: the KV store's newest
+  * committed version is one tiny parquet directory; reading it through
+  * parquet-hadoop keeps the per-trigger poll at file-listing cost.
+  */
+private[graft] object TxManifests {
+
+  private def newestKv(kvDir: String): Option[java.io.File] = {
+    val base = new java.io.File(kvDir)
+    Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
+        f.getName.drop(1).forall(_.isDigit) &&
+        new java.io.File(f, "_SUCCESS").isFile)
+      .sortBy(_.getName.drop(1).toLong)
+      .lastOption
+  }
+
+  private def readKv(dir: java.io.File): Map[String, String] = {
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    files.flatMap { f =>
+      val r = ParquetReader
+        .builder(new GroupReadSupport(), new Path(f.getPath))
+        .withConf(new Configuration()).build()
+      try Iterator.continually(r.read()).takeWhile(_ != null)
+        .map(g => g.getString("key", 0) -> g.getString("value", 0))
+        .toList
+      finally r.close()
+    }.toMap
+  }
+
+  def currentVersion(kvDir: String): Long =
+    newestKv(kvDir).map(d => readKv(d).get("manifest")
+      .filter(_.nonEmpty).map(TxLogTable.dec(_).version).getOrElse(0L))
+      .getOrElse(0L)
+
+  /** All retained manifests keyed by version, plus the implicit empty
+    * version 0.
+    */
+  def retainedByVersion(kvDir: String): Map[Long, TxLogTable.Manifest] = {
+    val kv = newestKv(kvDir).map(readKv).getOrElse(Map.empty)
+    kv.collect {
+      case (k, v) if k.startsWith("manifest@v") && v.nonEmpty =>
+        val m = TxLogTable.dec(v)
+        m.version -> m
+    } + (0L -> TxLogTable.Manifest(0L, Seq.empty))
+  }
+}
