@@ -202,23 +202,27 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
       (0L -> Manifest(0L, Seq.empty))
     (fromVersion to toVersion).foreach(v => require(byV.contains(v),
       s"version $v not retained (have ${byV.keys.toSeq.sorted.mkString(",")})"))
+    // entries pruned per commit BEFORE any scan exists (same arithmetic
+    // as the streaming source's planner) — a capped boundary entry whose
+    // visible range misses the interval contributes no plan branch at all
+    def slice(m: Manifest, lo: Long, hi: Long): Option[DataFrame] =
+      m.entries.flatMap { e =>
+        val l = math.max(lo, e.minIndx)
+        val h = math.min(hi, math.min(e.cap, e.maxIndx + 1))
+        if (l < h)
+          Some(spark.read.schema(logSchema).parquet(path(e))
+            .where(col("indx") >= l && col("indx") < h))
+        else None
+      }.reduceOption(_ unionByName _)
     val tagged = (fromVersion + 1 to toVersion).flatMap { v =>
       val (prev, cur) = (byV(v - 1), byV(v))
-      cur.op match {
-        case "append" =>
-          Some(readOf(cur)
-            .where(col("indx") >= prev.lastIndex &&
-              col("indx") < cur.lastIndex)
-            .withColumn("_change_type", lit("insert"))
-            .withColumn("_commit_version", lit(v)))
-        case "truncate" =>
-          Some(readOf(prev)
-            .where(col("indx") >= cur.lastIndex &&
-              col("indx") < prev.lastIndex)
-            .withColumn("_change_type", lit("delete"))
-            .withColumn("_commit_version", lit(v)))
+      (cur.op match {
+        case "append" => slice(cur, prev.lastIndex, cur.lastIndex)
+          .map(_.withColumn("_change_type", lit("insert")))
+        case "truncate" => slice(prev, cur.lastIndex, prev.lastIndex)
+          .map(_.withColumn("_change_type", lit("delete")))
         case _ => None // compact/zorder: physical only, no logical change
-      }
+      }).map(_.withColumn("_commit_version", lit(v)))
     }
     if (tagged.isEmpty)
       emptyLogs.withColumn("_change_type", lit(""))
