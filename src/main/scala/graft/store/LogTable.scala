@@ -472,6 +472,15 @@ final class LogTable(spark: SparkSession, root: String, filterHash: String,
 final class ConcurrentCommitException(msg: String)
   extends RuntimeException(msg)
 
+object KvStore {
+  // one monitor per store directory (same-JVM compare-and-set writers
+  // serialize here; see setAll)
+  private val monitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[store] def commitMonitor(dir: String): Object =
+    monitors.computeIfAbsent(dir, _ => new Object)
+}
+
 final class KvStore(spark: SparkSession, root: String) {
   private val dir = s"$root/kv"
 
@@ -535,7 +544,22 @@ final class KvStore(spark: SparkSession, root: String) {
     */
   def setAll(kvs: Map[String, String], drop: String => Boolean = _ => false,
       expectedVersion: Option[Long] = None,
-      claimStaleMs: Long = 10L * 60 * 1000): Unit = {
+      claimStaleMs: Long = 10L * 60 * 1000): Unit =
+    // same-JVM writers serialize on a per-store monitor: the claim file
+    // arbitrates distinct PROCESSES (atomic create on HDFS, conditional
+    // put on object stores), but a local filesystem's exclusive create is
+    // check-then-act, so two threads of one driver need the lock the
+    // filesystem can't give them. Cross-process local-FS writers remain
+    // best-effort — documented, and not the deployment shape (one driver
+    // per store root).
+    if (expectedVersion.isDefined)
+      KvStore.commitMonitor(dir).synchronized {
+        setAllLocked(kvs, drop, expectedVersion, claimStaleMs)
+      }
+    else setAllLocked(kvs, drop, expectedVersion, claimStaleMs)
+
+  private def setAllLocked(kvs: Map[String, String], drop: String => Boolean,
+      expectedVersion: Option[Long], claimStaleMs: Long): Unit = {
     def requireAt(e: Long): Unit = {
       val have = versions().lastOption.map(_._1).getOrElse(0L)
       if (have != e) throw new ConcurrentCommitException(

@@ -290,7 +290,7 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
           m.version + 1, "append"), kv)
         return base + n
       } catch {
-        case _: ConcurrentCommitException if attempt < 4 => attempt += 1
+        case _: ConcurrentCommitException if attempt < 16 => attempt += 1
         // the stale `name` dir is unreferenced garbage for vacuum
       } finally indexed.unpersist()
     }
@@ -331,7 +331,7 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
           spark.sparkContext.parallelize(removedRows.toSeq, 1), logSchema)
       } catch {
         // pure metadata recompute — rebase by re-reading the manifest
-        case _: ConcurrentCommitException if attempt < 4 => attempt += 1
+        case _: ConcurrentCommitException if attempt < 16 => attempt += 1
       }
     }
     sys.error("unreachable")
@@ -377,7 +377,7 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
   private def compactClustered(
       cluster: DataFrame => DataFrame, op: String): Unit = {
     var attempt = 0
-    while (attempt <= 4) {
+    while (attempt <= 16) {
       val (m, kv) = current()
       if (m.entries.isEmpty) return
       val name = s"c${System.nanoTime()}"
@@ -394,7 +394,7 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
       } catch {
         // a concurrent append/truncate invalidated the rewrite; the stale
         // dir is vacuum garbage — redo over the fresh snapshot
-        case _: ConcurrentCommitException if attempt < 4 => attempt += 1
+        case _: ConcurrentCommitException if attempt < 16 => attempt += 1
       }
     }
   }

@@ -352,6 +352,36 @@ class TxStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](tiny.changesBetween(0L, 2L))
   }
 
+  test("racing appender threads all serialize: every batch lands once, indices stay dense") {
+    val root = tmpDir("txstore")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val tables = (0 until 4).map(_ => new TxLogTable(spark, root, "f1"))
+      val futures = (0 until 4).map { th =>
+        pool.submit(new Runnable {
+          def run(): Unit = (0 until 3).foreach { i =>
+            // disjoint block ranges per thread -> globally unique tx hashes
+            val base = th * 100 + i * 10
+            tables(th).storeLogs(mkLogs(base, base + 1)): Unit
+          }
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      val t = tables.head
+      // 12 commits x 4 rows, all present exactly once, indices dense
+      assert(t.version() == 12L)
+      assert(idxOf(t) == (0L until 48L))
+      val txs = t.read.select("tx_hash").as[String].collect()
+      assert(txs.length == 48 && txs.distinct.length == 48)
+      assert(t.history().select("operation").as[String].collect()
+        .forall(_ == "append"))
+      // rebased-away first attempts are unreferenced garbage, not data
+      assert(t.read.count() == 48L)
+      t.vacuum(olderThanMs = 0L): Unit
+      assert(idxOf(t) == (0L until 48L))
+    } finally pool.shutdown()
+  }
+
   test("KvStore compare-and-set aborts on a stale expected version or a live claim") {
     val kv = new graft.store.KvStore(spark, tmpDir("kvcas"))
     val (_, v0) = kv.getWithVersion("x")
