@@ -225,6 +225,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[GraftExtensions].getName, name),
         builder))
     }
+    // table-valued surface: the transactional table's time-travel, CDC
+    // and history reads from pure SQL (Delta's table_changes TVF shape)
+    GraftExtensions.tableFunctions.foreach { case (name, builder) =>
+      e.injectTableFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[GraftExtensions].getName, name),
+        builder))
+    }
   }
 }
 
@@ -241,6 +250,63 @@ object GraftExtensions {
       graft.functions.DictMatch.sqlBuilders ++
       graft.functions.TextNorm.sqlBuilders ++
       graft.functions.VectorFunctions.sqlBuilders
+
+  /** Table-valued functions over [[graft.store.TxLogTable]] — the SQL
+    * face of the transactional store (Delta's `table_changes` shape):
+    *
+    *  - `tx_table_at(root, filter_hash, version)`    — VERSION AS OF
+    *  - `tx_table_changes(root, filter_hash, from, to)` — the change feed
+    *  - `tx_table_history(root, filter_hash)`        — DESCRIBE HISTORY
+    *
+    * Arguments must be literals (they select a TABLE, so they are
+    * resolution-time inputs, not row data). The builder runs during
+    * analysis on the driver with the querying session active, so the
+    * produced plan is exactly the DataFrame API's plan — pushed-down
+    * index ranges and all.
+    */
+  def tableFunctions: Seq[(String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = {
+    def str(fn: String, args: Seq[Expression], i: Int): String = {
+      val e = args(i)
+      require(e.foldable &&
+        e.dataType == org.apache.spark.sql.types.StringType,
+        s"$fn: argument ${i + 1} must be a string literal")
+      e.eval().toString
+    }
+    def long(fn: String, args: Seq[Expression], i: Int): Long = {
+      val e = args(i)
+      require(e.foldable, s"$fn: argument ${i + 1} must be a literal")
+      e.eval() match {
+        case i: java.lang.Integer => i.longValue()
+        case l: java.lang.Long => l
+        case other => throw new IllegalArgumentException(
+          s"$fn: argument ${i + 1} must be an integer literal, got $other")
+      }
+    }
+    def table(fn: String, args: Seq[Expression]) =
+      new graft.store.TxLogTable(
+        org.apache.spark.sql.SparkSession.active,
+        str(fn, args, 0), str(fn, args, 1))
+    def arity(fn: String, args: Seq[Expression], n: Int): Unit =
+      require(args.length == n, s"$fn expects $n arguments, got ${args.length}")
+    Seq(
+      "tx_table_at" -> { args =>
+        arity("tx_table_at", args, 3)
+        table("tx_table_at", args)
+          .readAt(long("tx_table_at", args, 2)).queryExecution.logical
+      },
+      "tx_table_changes" -> { args =>
+        arity("tx_table_changes", args, 4)
+        table("tx_table_changes", args)
+          .changesBetween(long("tx_table_changes", args, 2),
+            long("tx_table_changes", args, 3)).queryExecution.logical
+      },
+      "tx_table_history" -> { args =>
+        arity("tx_table_history", args, 2)
+        table("tx_table_history", args).history().queryExecution.logical
+      })
+  }
 }
 
 object SimJoin {

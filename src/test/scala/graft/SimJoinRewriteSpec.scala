@@ -235,6 +235,59 @@ class SimJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("GraftExtensions injects the transactional table-valued functions") {
+    // pure-SQL time travel / change feed / history over a TxLogTable —
+    // the Delta table_changes TVF shape
+    val root = tmpDir("tvf")
+    locally {
+      import spark.implicits._
+      val t = new graft.store.TxLogTable(spark, root, "f1")
+      def logs(b0: Long, b1: Long) = (b0 to b1).flatMap(b =>
+        (0 until 2).map(i => (i.toLong, s"tx-$b-$i", b, s"h$b", "a0",
+          Seq("sig"), "0x")))
+        .toDF("tx_index", "tx_hash", "block_num", "block_hash", "address",
+          "topics", "data")
+      t.storeLogs(logs(0, 4))   // v1: 0..9
+      t.storeLogs(logs(5, 9))   // v2: 10..19
+      t.removeLogsFrom(15L)     // v3
+    }
+    OptimizerLock.synchronized {
+      val saved = spark
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      try {
+        val s2 = org.apache.spark.sql.SparkSession.builder()
+          .master("local[4]")
+          .withExtensions(new graft.plans.GraftExtensions())
+          .getOrCreate()
+        assert(s2 ne saved, "builder must have created a fresh session")
+        assert(s2.sql(
+          s"SELECT count(*) AS n FROM tx_table_at('$root', 'f1', 2)")
+          .head().getLong(0) == 20L)
+        assert(s2.sql(
+          s"SELECT count(*) AS n FROM tx_table_at('$root', 'f1', 3)")
+          .head().getLong(0) == 15L)
+        val ch = s2.sql(
+          s"""SELECT _commit_version, _change_type, count(*) AS n
+             |FROM tx_table_changes('$root', 'f1', 0, 3)
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin)
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        assert(ch.toSeq == Seq((1L, "insert", 10L), (2L, "insert", 10L),
+          (3L, "delete", 5L)))
+        assert(s2.sql(
+          s"SELECT operation FROM tx_table_history('$root', 'f1') " +
+            "ORDER BY version").collect().map(_.getString(0)).toSeq ==
+          Seq("append", "append", "truncate"))
+        // literal-argument contract errors out, not silently misreads
+        intercept[Exception](s2.sql(
+          s"SELECT * FROM tx_table_at('$root', 'f1', 1 + version)"))
+      } finally {
+        org.apache.spark.sql.SparkSession.setDefaultSession(saved)
+        org.apache.spark.sql.SparkSession.setActiveSession(saved)
+      }
+    }
+  }
+
   test("comparison orientations and strict < are recognized") {
     val (a, b) = corpus()
     val forms = Seq(
