@@ -304,7 +304,14 @@ object ParityQueries {
     // change data feed between retained commits (Delta CDF table_changes
     // shape): a reorg reads as the truncation's deletes + the next
     // append's inserts, each carrying full row data
-    "tx_changes" -> { (s, d) => txStoreChanges(s, d) }
+    "tx_changes" -> { (s, d) => txStoreChanges(s, d) },
+    // DESCRIBE HISTORY of the lifecycle — the commit log itself as a
+    // query; the oracle names every commit's op/watermark/entry counts
+    // from first principles
+    "tx_history" -> { (s, d) =>
+      new graft.store.TxLogTable(s, txStoreRoot(s, d), "q").history()
+        .orderBy("version")
+    }
   )
 
   val oracle: Map[String, String] = Map(
@@ -369,6 +376,20 @@ object ParityQueries {
         | CAST(event_id AS VARCHAR), event_id // 10, event_type
         |FROM events WHERE event_id >= 900 AND event_id < 1000
         |ORDER BY commit_version, change_type, indx""".stripMargin,
+    // the commit log from first principles: append(600) → append(900) →
+    // truncate(750: second entry capped) → append(850)
+    "tx_history" ->
+      """SELECT * FROM (VALUES
+        | (CAST(1 AS BIGINT), 'append',   CAST(600 AS BIGINT),
+        |  CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        | (CAST(2 AS BIGINT), 'append',   CAST(900 AS BIGINT),
+        |  CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+        | (CAST(3 AS BIGINT), 'truncate', CAST(750 AS BIGINT),
+        |  CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+        | (CAST(4 AS BIGINT), 'append',   CAST(850 AS BIGINT),
+        |  CAST(3 AS BIGINT), CAST(1 AS BIGINT)))
+        | AS t(version, operation, last_index, entries, capped_entries)
+        |ORDER BY version""".stripMargin,
     // the AS-OF-commit-2 state: both appends visible, truncation not yet
     "tx_time_travel" ->
       """SELECT event_id AS indx, CAST(event_id AS VARCHAR) AS tx_hash,

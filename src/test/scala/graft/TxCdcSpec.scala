@@ -93,6 +93,40 @@ class TxCdcSpec extends SparkSpec {
       .collect().toMap)
   }
 
+  test("incremental view maintenance: folding the feed tracks the live aggregate across a reorg") {
+    val root = tmpDir("txcdc-ivm")
+    val t = new TxLogTable(spark, root, "f1")
+    t.storeLogs(mkLogs(0, 9))    // v1: 20 rows
+    t.removeLogsFrom(12L)        // v2: the reorg retraction
+    t.storeLogs(mkLogs(30, 34))  // v3: the canonical replacement
+    // the materialized view (address -> row count), maintained purely
+    // from the feed: each batch aggregates its deltas DISTRIBUTED and
+    // only per-address counts reach the fold — deletes subtract, so the
+    // reorg needs no rebuild
+    val view = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val q = spark.readStream
+      .format("graft.stream.TxCdcSourceProvider")
+      .option("root", root).option("filterHash", "f1")
+      .option("startingVersion", 0)
+      .load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.groupBy("address", "_change_type").agg(count(lit(1)).as("n"))
+          .collect().foreach { r =>
+            val d = if (r.getString(1) == "insert") r.getLong(2)
+              else -r.getLong(2)
+            view(r.getString(0)) = view(r.getString(0)) + d
+          }
+      }
+      .option("checkpointLocation", tmpDir("txcdc-ivm-cp"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val want = t.read.groupBy("address").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(view.toMap.filter(_._2 != 0L) == want)
+  }
+
   test("a version that aged out of retention fails the stream loudly") {
     val root = tmpDir("txcdc")
     val t = new TxLogTable(spark, root, "f1", retainVersions = 1)
