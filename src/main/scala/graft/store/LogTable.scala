@@ -585,15 +585,16 @@ final class KvStore(spark: SparkSession, root: String) {
     if (expectedVersion.isDefined) {
       // sweep dead claims: their base version is already superseded, or
       // the claimant crashed pre-commit and the claim went stale
-      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".claim"))
-        .filter { f =>
-          val cv = f.getName.stripPrefix("cas").stripSuffix(".claim")
+      val basePath = new org.apache.hadoop.fs.Path(dir)
+      (if (fs.exists(basePath)) fs.listStatus(basePath).toSeq else Seq.empty)
+        .filter(_.getPath.getName.endsWith(".claim"))
+        .filter { st =>
+          val cv = st.getPath.getName.stripPrefix("cas").stripSuffix(".claim")
           (cv.forall(_.isDigit) && cv.nonEmpty &&
             cv.toLong < cur.map(_._1).getOrElse(0L)) ||
-            System.currentTimeMillis() - f.lastModified() > claimStaleMs
+            System.currentTimeMillis() - st.getModificationTime > claimStaleMs
         }
-        .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f.getPath), false))
+        .foreach(st => fs.delete(st.getPath, false))
       try fs.create(claim, false).close()
       catch {
         case _: java.io.IOException => throw new ConcurrentCommitException(

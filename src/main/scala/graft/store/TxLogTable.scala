@@ -411,14 +411,14 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
   def vacuum(olderThanMs: Long = 60L * 60 * 1000): Int = {
     val live = (manifest().entries ++ retained().flatMap(_.entries))
       .map(_.name).toSet
-    val base = new java.io.File(dataDir)
-    val victims = Option(base.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && !live.contains(f.getName))
-      .filter(f => System.currentTimeMillis() - f.lastModified() > olderThanMs)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    victims.foreach(f =>
-      fs.delete(new org.apache.hadoop.fs.Path(f.getPath), true))
+    val base = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return 0
+    val victims = fs.listStatus(base).toSeq
+      .filter(st => st.isDirectory && !live.contains(st.getPath.getName))
+      .filter(st => System.currentTimeMillis() -
+        st.getModificationTime > olderThanMs)
+    victims.foreach(st => fs.delete(st.getPath, true))
     victims.length
   }
 }

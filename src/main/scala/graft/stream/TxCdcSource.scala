@@ -169,14 +169,19 @@ final class TxCdcMicroBatchStream(root: String, filterHash: String,
     val to = end.asInstanceOf[VersionOffset].version
     if (from >= to) return Array.empty
     val byV = TxManifests.retainedByVersion(kvDir)
+    // Hadoop FS listing (not java.io.File): commit dirs live wherever
+    // the table does — HDFS/object store on a cluster
+    val conf = TxManifests.driverConf()
     TxCdcSource.slices(dataDir, byV, from, to).flatMap { s =>
-      val files = Option(new java.io.File(s.dir).listFiles())
-        .getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      val dirPath = new Path(s.dir)
+      val fs = dirPath.getFileSystem(conf)
+      val files =
+        (if (fs.exists(dirPath)) fs.listStatus(dirPath).toSeq else Seq.empty)
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       require(files.nonEmpty,
         s"data dir ${s.dir} of commit ${s.version} has no parquet files — " +
           "vacuumed before the stream consumed it?")
-      files.map(f => TxCdcInputPartition(f.getPath, s.lo, s.hi,
+      files.map(st => TxCdcInputPartition(st.getPath.toString, s.lo, s.hi,
         s.changeType, s.version): InputPartition)
     }.toArray
   }
@@ -248,28 +253,41 @@ final case class TxCdcInputPartition(file: String, lo: Long, hi: Long,
   */
 private[graft] object TxManifests {
 
-  private def newestKv(kvDir: String): Option[java.io.File] = {
-    val base = new java.io.File(kvDir)
-    Option(base.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
-        f.getName.drop(1).forall(_.isDigit) &&
-        new java.io.File(f, "_SUCCESS").isFile)
+  /** The driver's Hadoop conf when a session is up (cluster FS creds,
+    * defaultFS); a bare Configuration otherwise (tests, tools).
+    */
+  private[stream] def driverConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  private def newestKv(kvDir: String): Option[Path] = {
+    val base = new Path(kvDir)
+    val fs = base.getFileSystem(driverConf())
+    if (!fs.exists(base)) return None
+    fs.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v") &&
+        st.getPath.getName.drop(1).forall(_.isDigit) &&
+        fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath)
       .sortBy(_.getName.drop(1).toLong)
       .lastOption
   }
 
-  private def readKv(dir: java.io.File): Map[String, String] = {
-    val files = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-    files.flatMap { f =>
-      val r = ParquetReader
-        .builder(new GroupReadSupport(), new Path(f.getPath))
-        .withConf(new Configuration()).build()
-      try Iterator.continually(r.read()).takeWhile(_ != null)
-        .map(g => g.getString("key", 0) -> g.getString("value", 0))
-        .toList
-      finally r.close()
-    }.toMap
+  private def readKv(dir: Path): Map[String, String] = {
+    val conf = driverConf()
+    val fs = dir.getFileSystem(conf)
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .flatMap { st =>
+        val r = ParquetReader
+          .builder(new GroupReadSupport(), st.getPath)
+          .withConf(conf).build()
+        try Iterator.continually(r.read()).takeWhile(_ != null)
+          .map(g => g.getString("key", 0) -> g.getString("value", 0))
+          .toList
+        finally r.close()
+      }.toMap
   }
 
   def currentVersion(kvDir: String): Long =
