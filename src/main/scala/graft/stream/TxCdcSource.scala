@@ -125,7 +125,9 @@ final class TxCdcTable(options: CaseInsensitiveStringMap)
         val hash = opt("filterHash").getOrElse(
           sys.error("TxCdcSource requires option 'filterHash'"))
         new TxCdcMicroBatchStream(root, hash,
-          startingVersion = opt("startingVersion").map(_.toLong))
+          startingVersion = opt("startingVersion").map(_.toLong),
+          maxCommitsPerBatch =
+            opt("maxCommitsPerBatch").map(_.toLong).getOrElse(Long.MaxValue))
       }
     }
 }
@@ -135,7 +137,8 @@ final case class VersionOffset(version: Long) extends Offset {
 }
 
 final class TxCdcMicroBatchStream(root: String, filterHash: String,
-    startingVersion: Option[Long])
+    startingVersion: Option[Long],
+    maxCommitsPerBatch: Long = Long.MaxValue)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val tableDir = s"$root/txlogs/filter_hash=$filterHash"
@@ -149,9 +152,26 @@ final class TxCdcMicroBatchStream(root: String, filterHash: String,
   private def latest(): VersionOffset =
     VersionOffset(TxManifests.currentVersion(kvDir))
 
+  /** Admission: at most `maxCommitsPerBatch` commits per micro-batch —
+    * bounds each batch to the ingest batches that produced those
+    * commits, so a CDC consumer far behind a bulk backfill catches up
+    * in controlled steps instead of one giant batch (the same
+    * admission-control posture as [[ChainMicroBatchStream]]'s AIMD,
+    * with the table's own commit granularity as the unit).
+    */
+  private def admit(committed: Long): VersionOffset = {
+    val head = TxManifests.currentVersion(kvDir)
+    // never below the committed offset (a startingVersion ahead of the
+    // table is simply "no data yet"); overflow-safe at the unbounded
+    // default
+    VersionOffset(math.max(committed, math.min(head,
+      if (maxCommitsPerBatch > head - committed) head
+      else committed + maxCommitsPerBatch)))
+  }
+
   override def latestOffset(): Offset = latest()
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    latest()
+    admit(start.asInstanceOf[VersionOffset].version)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   // AvailableNow pins the target to the version seen at preparation, so

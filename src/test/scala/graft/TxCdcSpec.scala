@@ -127,6 +127,35 @@ class TxCdcSpec extends SparkSpec {
     assert(view.toMap.filter(_._2 != 0L) == want)
   }
 
+  test("maxCommitsPerBatch admission: a far-behind consumer catches up in per-commit steps") {
+    val root = tmpDir("txcdc-adm")
+    val t = new TxLogTable(spark, root, "f1")
+    t.storeLogs(mkLogs(0, 1))   // v1
+    t.storeLogs(mkLogs(2, 3))   // v2
+    t.removeLogsFrom(6L)        // v3
+    val batches =
+      new ConcurrentLinkedQueue[(Long, Seq[Long])]() // (batchId, versions)
+    val q = spark.readStream
+      .format("graft.stream.TxCdcSourceProvider")
+      .option("root", root).option("filterHash", "f1")
+      .option("startingVersion", 0)
+      .option("maxCommitsPerBatch", 1)
+      .load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val vs = df.select("_commit_version").as[Long].collect().toSeq
+        if (vs.nonEmpty) batches.add((id, vs)): Unit
+      }
+      .option("checkpointLocation", tmpDir("txcdc-adm-cp"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val bs = batches.asScala.toSeq.sortBy(_._1)
+    // three commits drained as three single-commit batches, in order
+    assert(bs.map(_._2.distinct) == Seq(Seq(1L), Seq(2L), Seq(3L)),
+      s"expected one commit per batch, got $bs")
+  }
+
   test("a version that aged out of retention fails the stream loudly") {
     val root = tmpDir("txcdc")
     val t = new TxLogTable(spark, root, "f1", retainVersions = 1)
