@@ -399,6 +399,21 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
     }
   }
 
+  /** Auto-compaction policy for commit-per-micro-batch writers (the
+    * streaming ingest appends one entry per batch): when the live
+    * manifest exceeds `maxEntries`, rewrite it to one entry. Bounds both
+    * the manifest metadata and the small-file count, amortized O(1)
+    * compactions per `maxEntries` appends; the feed and time travel are
+    * unaffected (compaction is a physical-only commit, and history
+    * retention protects the pre-compaction snapshots until they age
+    * out). Returns true when it compacted.
+    */
+  def maintain(maxEntries: Int = 64): Boolean = {
+    require(maxEntries > 0, s"maxEntries must be positive, got $maxEntries")
+    if (manifest().entries.length <= maxEntries) false
+    else { compact(); true }
+  }
+
   /** Sweep data directories no RETAINED manifest references —
     * truncation/compaction garbage (once its snapshots age out of the
     * history window), crashed pre-commit appends, and rebased-away append

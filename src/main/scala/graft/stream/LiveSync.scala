@@ -35,7 +35,13 @@ object LiveSync {
         * manifest-committed [[graft.store.TxLogTable]] (each micro-batch
         * append is one invisible data write + one metadata commit).
         */
-      transactionalStore: Boolean = false
+      transactionalStore: Boolean = false,
+      /** Tx-store manifest bound: the streaming sink appends one entry
+        * per non-empty micro-batch, so a long tail fragments the table;
+        * past this many entries the sink compacts transactionally
+        * ([[graft.store.TxLogTable.maintain]]).
+        */
+      autoCompactEntries: Int = 64
   ): StreamingQuery = {
     val table: graft.store.LogStore =
       if (transactionalStore)
@@ -63,8 +69,14 @@ object LiveSync {
             .select("block_hash").distinct()
             .collect().map(_.getString(0)).toSet
           val fresh = hashes.filterNot(existing)
-          if (fresh.nonEmpty)
+          if (fresh.nonEmpty) {
             table.storeLogs(batch.where(col("block_hash").isin(fresh: _*))): Unit
+            table match {
+              case tx: graft.store.TxLogTable =>
+                tx.maintain(autoCompactEntries): Unit
+              case _ => ()
+            }
+          }
         }
       }
       .option("checkpointLocation", s"$root/ckpt/${filter.hash}")

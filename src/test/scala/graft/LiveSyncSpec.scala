@@ -40,7 +40,8 @@ class LiveSyncSpec extends SparkSpec {
     val root = tmpDir("live-tx")
     val filter = FilterConfig(addresses = Seq("a1"), topics = Seq(Some("sig1")))
     val q1 = LiveSync.start(spark, root, filter, headBlock = 59,
-      batchSize = 7, maxLogsPerBatch = 12, transactionalStore = true)
+      batchSize = 7, maxLogsPerBatch = 12, transactionalStore = true,
+      autoCompactEntries = 3)
     q1.awaitTermination(120000)
     val table = new graft.store.TxLogTable(spark, root, filter.hash)
     def expected(head: Long) =
@@ -48,7 +49,8 @@ class LiveSyncSpec extends SparkSpec {
     assert(table.read.count() == expected(59))
     // restart with a longer chain: only the delta appends, exactly once
     val q2 = LiveSync.start(spark, root, filter, headBlock = 99,
-      batchSize = 7, maxLogsPerBatch = 12, transactionalStore = true)
+      batchSize = 7, maxLogsPerBatch = 12, transactionalStore = true,
+      autoCompactEntries = 3)
     q2.awaitTermination(120000)
     assert(table.read.count() == expected(99))
     val txs = table.read.select("tx_hash").as[String].collect()
@@ -64,6 +66,12 @@ class LiveSyncSpec extends SparkSpec {
       Option(f.listFiles()).getOrElse(Array.empty).toSeq
         .flatMap(x => x.getName +: names(x))
     assert(!names(new java.io.File(root)).exists(_.contains(".tmp-")))
+    // the per-batch maintain() kept the live manifest bounded, via
+    // transactional compactions recorded in the history
+    val hist = table.history()
+    assert(hist.orderBy($"version".desc).select("entries")
+      .as[Long].head() <= 4, "auto-compaction did not bound the manifest")
+    assert(hist.select("operation").as[String].collect().contains("compact"))
     // compaction collapses the streaming fragments transactionally; a
     // retention-1 maintainer prunes the manifest history it commits, so
     // the streaming fragments become reclaimable immediately

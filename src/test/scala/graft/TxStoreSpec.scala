@@ -352,6 +352,27 @@ class TxStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](tiny.changesBetween(0L, 2L))
   }
 
+  test("maintain bounds the manifest for commit-per-batch writers") {
+    val t = new TxLogTable(spark, tmpDir("txstore"), "f1")
+    var compactions = 0
+    (0 until 10).foreach { i =>
+      t.storeLogs(mkLogs(i * 2, i * 2 + 1)) // 4 rows per commit
+      if (t.maintain(maxEntries = 3)) compactions += 1
+    }
+    assert(compactions >= 2, s"expected repeated compactions, got $compactions")
+    // the live manifest never exceeds threshold+1 entries, data is exact
+    val latest = t.history().orderBy(col("version").desc)
+      .select("entries").as[Long].head()
+    assert(latest <= 4)
+    assert(idxOf(t) == (0L until 40L))
+    assert(t.history().select("operation").as[String].collect()
+      .count(_ == "compact") == compactions)
+    // physical commits never enter the change feed
+    val feed = t.changesBetween(0L, t.version())
+      .select("_change_type").as[String].collect()
+    assert(feed.length == 40 && feed.forall(_ == "insert"))
+  }
+
   test("racing appender threads all serialize: every batch lands once, indices stay dense") {
     val root = tmpDir("txstore")
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
