@@ -255,6 +255,7 @@ object GraftExtensions {
     * face of the transactional store (Delta's `table_changes` shape):
     *
     *  - `tx_table_at(root, filter_hash, version)`    — VERSION AS OF
+    *  - `tx_table_at_time(root, filter_hash, millis)` — TIMESTAMP AS OF
     *  - `tx_table_changes(root, filter_hash, from, to)` — the change feed
     *  - `tx_table_history(root, filter_hash)`        — DESCRIBE HISTORY
     *
@@ -305,6 +306,12 @@ object GraftExtensions {
       "tx_table_history" -> { args =>
         arity("tx_table_history", args, 2)
         table("tx_table_history", args).history().queryExecution.logical
+      },
+      "tx_table_at_time" -> { args =>
+        arity("tx_table_at_time", args, 3)
+        table("tx_table_at_time", args)
+          .readAtTimestamp(long("tx_table_at_time", args, 2))
+          .queryExecution.logical
       })
   }
 }

@@ -310,6 +310,9 @@ object ParityQueries {
     // from first principles
     "tx_history" -> { (s, d) =>
       new graft.store.TxLogTable(s, txStoreRoot(s, d), "q").history()
+        // deterministic columns only (commit_ts is wall-clock)
+        .select("version", "operation", "last_index", "entries",
+          "capped_entries")
         .orderBy("version")
     }
   )

@@ -106,7 +106,10 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
     * a concurrent committer's interleaved commit aborts this one with
     * [[ConcurrentCommitException]] and the caller rebases.
     */
-  private def commit(m: Manifest, expectedKv: Long): Unit = {
+  private def commit(m0: Manifest, expectedKv: Long): Unit = {
+    // stamp the commit wall-clock (TIMESTAMP AS OF; best-effort across
+    // writers, the Delta caveat — versions, not clocks, are the truth)
+    val m = m0.copy(ts = System.currentTimeMillis())
     // locals only — the drop closure ships to executors and must not
     // capture `this` (SparkSession field)
     val floorV = m.version - retainVersions + 1
@@ -175,6 +178,24 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
             s"retainVersions=$retainVersions)")
     }
 
+  /** `TIMESTAMP AS OF`: the newest retained snapshot committed at or
+    * before `tsMillis` — the Delta shape, resolved against the commit
+    * stamps the manifests carry. Commit clocks are best-effort across
+    * writers (versions are the truth; a wall-clock regression between
+    * racing writers resolves to the highest qualifying VERSION, not the
+    * latest clock).
+    */
+  def readAtTimestamp(tsMillis: Long): DataFrame = {
+    val candidates = retained().filter(_.ts <= tsMillis)
+    if (candidates.isEmpty) {
+      val oldest = retained().headOption.map(_.ts)
+      throw new IllegalArgumentException(
+        s"no retained commit at or before $tsMillis" +
+          oldest.map(t => s" (oldest retained committed at $t)").getOrElse(""))
+    }
+    readOf(candidates.maxBy(_.version))
+  }
+
   /** Change-data-feed between two retained versions — the Delta CDF
     * `table_changes` shape: one row per changed log per commit, tagged
     * `_change_type` (insert | delete) and `_commit_version`.
@@ -231,15 +252,16 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
   }
 
   /** Commit log, newest first — `DESCRIBE HISTORY` parity: one row per
-    * retained commit (version, operation, resulting watermark, live
-    * entry/capped-entry counts).
+    * retained commit (version, operation, commit wall-clock, resulting
+    * watermark, live entry/capped-entry counts).
     */
   def history(): DataFrame = {
     import spark.implicits._
     retained().sortBy(-_.version)
-      .map(m => (m.version, m.op, m.lastIndex, m.entries.length.toLong,
-        m.entries.count(_.capped).toLong))
-      .toDF("version", "operation", "last_index", "entries", "capped_entries")
+      .map(m => (m.version, m.op, m.ts, m.lastIndex,
+        m.entries.length.toLong, m.entries.count(_.capped).toLong))
+      .toDF("version", "operation", "commit_ts", "last_index", "entries",
+        "capped_entries")
   }
 
   /** O(1): the manifest carries the watermark — no scan, no max() job
@@ -463,14 +485,14 @@ private[graft] object TxLogTable {
     def capped: Boolean = cap <= maxIndx
   }
   private[graft] case class Manifest(lastIndex: Long, entries: Seq[Entry],
-      version: Long = 0L, op: String = "")
+      version: Long = 0L, op: String = "", ts: Long = 0L)
 
   // encoding mirrors the truncation journal's pipe/semicolon style — no
   // JSON dependency, dir names are `c<digits>` and ops are bare words so
-  // the charset is safe. Head is `lastIndex@version@op`; a bare-digit
-  // head (the pre-versioning format) decodes as version 0.
+  // the charset is safe. Head is `lastIndex@version@op@tsMillis`; shorter
+  // heads (the earlier formats) decode with version 0 / ts 0.
   private[graft] def enc(m: Manifest): String =
-    (s"${m.lastIndex}@${m.version}@${m.op}" +: m.entries.map(e =>
+    (s"${m.lastIndex}@${m.version}@${m.op}@${m.ts}" +: m.entries.map(e =>
       s"${e.name};${e.minIndx};${e.maxIndx};${e.minBlock};${e.maxBlock};${e.cap}"))
       .mkString("|")
 
@@ -482,7 +504,10 @@ private[graft] object TxLogTable {
       Entry(f(0), f(1).toLong, f(2).toLong, f(3).toLong, f(4).toLong,
         f(5).toLong)
     }
-    if (head.length >= 3)
+    if (head.length >= 4)
+      Manifest(head(0).toLong, entries, head(1).toLong, head(2),
+        head(3).toLong)
+    else if (head.length >= 3)
       Manifest(head(0).toLong, entries, head(1).toLong, head(2))
     else Manifest(head(0).toLong, entries)
   }

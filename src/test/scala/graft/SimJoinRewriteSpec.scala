@@ -278,6 +278,11 @@ class SimJoinRewriteSpec extends SparkSpec {
           s"SELECT operation FROM tx_table_history('$root', 'f1') " +
             "ORDER BY version").collect().map(_.getString(0)).toSeq ==
           Seq("append", "append", "truncate"))
+        // TIMESTAMP AS OF "now" = the current (post-truncation) state
+        val now = System.currentTimeMillis() + 1000
+        assert(s2.sql(
+          s"SELECT count(*) AS n FROM tx_table_at_time('$root', 'f1', $now)")
+          .head().getLong(0) == 15L)
         // literal-argument contract errors out, not silently misreads
         intercept[Exception](s2.sql(
           s"SELECT * FROM tx_table_at('$root', 'f1', 1 + version)"))

@@ -352,6 +352,23 @@ class TxStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](tiny.changesBetween(0L, 2L))
   }
 
+  test("TIMESTAMP AS OF: readAtTimestamp resolves the newest commit at or before the clock") {
+    val t = new TxLogTable(spark, tmpDir("txstore"), "f1")
+    val before = System.currentTimeMillis() - 1
+    t.storeLogs(mkLogs(0, 4))   // v1: 0..9
+    Thread.sleep(5)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(5)
+    t.storeLogs(mkLogs(5, 9))   // v2: 0..19
+    assert(t.readAtTimestamp(mid).count() == 10L)
+    assert(t.readAtTimestamp(System.currentTimeMillis()).count() == 20L)
+    intercept[IllegalArgumentException](t.readAtTimestamp(before))
+    val stamps = t.history().orderBy(col("version"))
+      .select("commit_ts").as[Long].collect()
+    assert(stamps.length == 2 && stamps(0) <= stamps(1) &&
+      stamps.forall(_ > 0L))
+  }
+
   test("maintain bounds the manifest for commit-per-batch writers") {
     val t = new TxLogTable(spark, tmpDir("txstore"), "f1")
     var compactions = 0
