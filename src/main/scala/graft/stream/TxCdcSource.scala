@@ -206,7 +206,11 @@ final class TxCdcMicroBatchStream(root: String, filterHash: String,
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // ship the driver's Hadoop conf to the executor readers (FS
+    // credentials, defaultFS) — the standard DSv2 connector shape
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      TxManifests.driverConf())
     (partition: InputPartition) => {
       val p = partition.asInstanceOf[TxCdcInputPartition]
       new PartitionReader[InternalRow] {
@@ -218,7 +222,7 @@ final class TxCdcMicroBatchStream(root: String, filterHash: String,
             java.lang.Long.valueOf(p.hi)))
         private val reader: ParquetReader[Group] =
           ParquetReader.builder(new GroupReadSupport(), new Path(p.file))
-            .withConf(new Configuration())
+            .withConf(conf.value)
             .withFilter(FilterCompat.get(pred))
             .build()
         private val tag = UTF8String.fromString(p.changeType)
@@ -257,6 +261,7 @@ final class TxCdcMicroBatchStream(root: String, filterHash: String,
         override def close(): Unit = reader.close()
       }
     }
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
