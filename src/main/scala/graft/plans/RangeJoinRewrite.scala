@@ -269,8 +269,10 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // transformUp below always finds markers BELOW the join it is
     // rewriting. Intervening operators are stepped through (earlier
     // optimizer rules slide Projects and Filters across the marker), and
-    // a marker directly above another marker stops — the INNER (nearer)
-    // hint wins.
+    // a marker directly above another marker stops and stacks — the
+    // OUTER (topmost) hint wins, because binWidthFor's pre-order
+    // collectFirst meets it first: the hint nearest the join being
+    // rewritten overrides any hint set deeper on its inputs.
     val normalized = plan.transformDown {
       case RangeJoinWidth(w, j: Join) =>
         j.withNewChildren(Seq(RangeJoinWidth(w, j.left),

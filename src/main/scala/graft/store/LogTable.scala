@@ -479,13 +479,49 @@ object KvStore {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[store] def commitMonitor(dir: String): Object =
     monitors.computeIfAbsent(dir, _ => new Object)
+
+  /** How many committed KV versions a commit retains (newest inclusive).
+    * Non-atomic list-then-read readers stay whole as long as a concurrent
+    * committer can't burn through this many commits between their list
+    * and their read.
+    */
+  private[store] val retainKvVersions = 4
 }
 
 final class KvStore(spark: SparkSession, root: String) {
   private val dir = s"$root/kv"
 
-  private def fs = org.apache.hadoop.fs.FileSystem.get(
+  // scheme-aware: the store root decides the filesystem (HDFS/object
+  // store/local), not fs.defaultFS — a table on s3a:// must not be probed
+  // through the cluster's default HDFS
+  private def fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
     spark.sparkContext.hadoopConfiguration)
+
+  /** Readers list-then-read non-atomically; a concurrent committer prunes
+    * superseded versions, so the version a reader just listed can vanish
+    * before the read lands. Two defenses: commits RETAIN the last
+    * [[KvStore.retainKvVersions]] versions (the common window), and this
+    * retry re-lists on a missing-path failure (the pathological one) —
+    * the re-list pins the new newest version, so the retried read is
+    * against a version the pruner must retain.
+    */
+  private def withReadRetry[A](body: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: Exception if attempt < 8 && isMissingPath(e) => attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def isMissingPath(e: Throwable): Boolean =
+    e != null && (e.isInstanceOf[java.io.FileNotFoundException] ||
+      (e.getMessage != null && (e.getMessage.contains("Path does not exist") ||
+        e.getMessage.contains("PATH_NOT_FOUND") ||
+        e.getMessage.contains("No such file"))) ||
+      isMissingPath(e.getCause))
 
   /** Complete (committed) versions, oldest→newest. */
   private def versions(): Seq[(Long, org.apache.hadoop.fs.Path)] = {
@@ -510,21 +546,23 @@ final class KvStore(spark: SparkSession, root: String) {
         spark.createDataFrame(Seq.empty[(String, String)]).toDF("key", "value")
     }
 
-  def get(key: String): Option[String] =
+  def get(key: String): Option[String] = withReadRetry {
     read.where(col("key") === key).select("value")
       .collect().headOption.map(_.getString(0))
+  }
 
   /** One key plus the commit version it was read at — the snapshot a
     * compare-and-set commit ([[setAll]] with `expectedVersion`) validates
     * against. Version 0 = no committed version yet.
     */
-  def getWithVersion(key: String): (Option[String], Long) =
+  def getWithVersion(key: String): (Option[String], Long) = withReadRetry {
     versions().lastOption match {
       case None => (None, 0L)
       case Some((v, p)) =>
         (spark.read.parquet(p.toString).where(col("key") === key)
           .select("value").collect().headOption.map(_.getString(0)), v)
     }
+  }
 
   /** Upsert (ref `postgresql_store.go:72` ON CONFLICT DO UPDATE). */
   def set(key: String, value: String): Unit = setAll(Map(key -> value))
@@ -557,6 +595,23 @@ final class KvStore(spark: SparkSession, root: String) {
         setAllLocked(kvs, drop, expectedVersion, claimStaleMs)
       }
     else setAllLocked(kvs, drop, expectedVersion, claimStaleMs)
+
+  /** Test seam: the commit path WITHOUT the same-JVM monitor — the claim
+    * contract test drives two writer "processes" through it over a
+    * deliberately non-atomic filesystem to prove the protocol's
+    * cross-process guarantees don't secretly lean on the monitor.
+    */
+  private[store] def setAllNoMonitor(kvs: Map[String, String],
+      expectedVersion: Option[Long]): Unit =
+    setAllLocked(kvs, _ => false, expectedVersion, 10L * 60 * 1000)
+
+  /** Test seam: runs after claim acquisition + in-claim re-validation and
+    * before the target write — the claim contract test interleaves a
+    * competing committer here DETERMINISTICALLY (thread races would be
+    * flaky) to prove the protocol's behavior on both atomic and
+    * non-atomic filesystems.
+    */
+  private[store] var beforeWrite: () => Unit = () => ()
 
   private def setAllLocked(kvs: Map[String, String], drop: String => Boolean,
       expectedVersion: Option[Long], claimStaleMs: Long): Unit = {
@@ -610,12 +665,23 @@ final class KvStore(spark: SparkSession, root: String) {
       }
     }
     try {
+      beforeWrite()
       // a crashed earlier commit can leave a partial target dir; clear it
       // or the write below stalls forever. _SUCCESS-guarded: a committed
       // dir is never deleted, whatever state the version math is in
       val target = new org.apache.hadoop.fs.Path(s"$dir/v$v")
-      if (fs.exists(target) && !fs.exists(
-          new org.apache.hadoop.fs.Path(target, "_SUCCESS")))
+      val committed = fs.exists(target) &&
+        fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))
+      if (committed && expectedVersion.isDefined)
+        // LAST line of defense on filesystems whose exclusive create is
+        // itself check-then-act (plain local FS): if two writers both
+        // "won" the claim, the versions they mint collide — the loser
+        // detects the winner's committed target here and aborts instead
+        // of silently overwriting it. Lost CLAIM, never a lost UPDATE.
+        throw new ConcurrentCommitException(
+          s"version $v already committed by a concurrent writer " +
+            "(non-atomic claim detected at the target)")
+      if (fs.exists(target) && !committed)
         fs.delete(target, true)
       spark.createDataFrame(
         spark.sparkContext.parallelize(updated.toSeq, 1),
@@ -626,10 +692,26 @@ final class KvStore(spark: SparkSession, root: String) {
             org.apache.spark.sql.types.StringType))))
         .write.parquet(target.toString)
     } finally if (expectedVersion.isDefined) fs.delete(claim, false): Unit
-    versions().filter(_._1 < v).foreach(x => fs.delete(x._2, true))
+    // prune superseded versions but RETAIN a short window: readers
+    // list-then-read non-atomically, so deleting the version a reader just
+    // listed fails its read with FileNotFound — retaining the last few
+    // (plus the reader-side re-list retry) closes the window. Tiny dirs;
+    // the retained count is versions, not data.
+    versions().filter(_._1 < v).dropRight(KvStore.retainKvVersions - 1)
+      .foreach(x => fs.delete(x._2, true))
   }
 
   /** S7 — prefix scan (ref `store/store.go:11`). */
   def listPrefix(prefix: String): DataFrame =
     read.where(col("key").startsWith(prefix)).orderBy("key")
+
+  /** Materialized prefix scan with the reader retry applied — for callers
+    * that collect anyway (manifest/history loads); the lazy [[listPrefix]]
+    * can't be retried once it leaves this class.
+    */
+  def getPrefix(prefix: String): Seq[(String, String)] = withReadRetry {
+    read.where(col("key").startsWith(prefix))
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+      .sortBy(_._1)
+  }
 }

@@ -158,8 +158,7 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
   def version(): Long = manifest().version
 
   private def retained(): Seq[Manifest] =
-    meta.listPrefix(s"$manifestKey@v").select("value")
-      .collect().toSeq.map(r => dec(r.getString(0)))
+    meta.getPrefix(s"$manifestKey@v").map(kv => dec(kv._2))
       .sortBy(_.version)
 
   /** Time travel: the table exactly as of commit `version` — dropped
@@ -323,10 +322,16 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
     * `n`, cap the boundary entries at `n`. Zero data I/O on the live
     * table — the store parity point this class exists for (bolt/postgres
     * truncate transactionally in the store; LogTable must rewrite).
-    * Returns the removed logs ascending, pinned driver-side before the
-    * commit (reorg-bounded by construction, same as [[LogTable]]): the
-    * dropped directories outlive the commit until [[vacuum]], but a lazy
-    * result must not race it.
+    *
+    * Returns the removed logs ascending as a LAZY, DISTRIBUTED frame
+    * over the retained pre-truncation snapshot — no driver
+    * materialization, so `removeLogsFrom(0)` on a billion-row table is a
+    * metadata commit plus a DataFrame the caller scans like any other
+    * (contrast [[LogTable.removeLogsFrom]], which pins the reorg-bounded
+    * removed set driver-side). The dropped directories outlive the
+    * commit under snapshot retention, and [[vacuum]] additionally gates
+    * deletion on age-since-dereference, so the result stays readable for
+    * the full retention + grace window.
     */
   def removeLogsFrom(n: Long): DataFrame = {
     var attempt = 0
@@ -336,11 +341,11 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
       if (hit.isEmpty) return emptyLogs
       // per-entry reads so an already-capped entry's INVISIBLE tail (rows
       // a previous truncation removed) cannot resurface in this removal's
-      // result; `hit` is the reorg-bounded table tail, a few entries
-      val removedRows = hit.map { e =>
+      // result
+      val removed = hit.map { e =>
         spark.read.schema(logSchema).parquet(path(e))
           .where(col("indx") >= n && col("indx") < e.cap)
-      }.reduce(_ unionByName _).orderBy("indx").collect()
+      }.reduce(_ unionByName _)
       val survivors = m.entries.flatMap { e =>
         if (e.minIndx >= n) None
         else if (e.effectiveMax >= n) Some(e.copy(cap = n))
@@ -349,8 +354,7 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
       try {
         commit(Manifest(math.min(m.lastIndex, n), survivors,
           m.version + 1, "truncate"), kv)
-        return spark.createDataFrame(
-          spark.sparkContext.parallelize(removedRows.toSeq, 1), logSchema)
+        return removed.orderBy("indx")
       } catch {
         // pure metadata recompute — rebase by re-reading the manifest
         case _: ConcurrentCommitException if attempt < 16 => attempt += 1
@@ -423,17 +427,63 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
 
   /** Auto-compaction policy for commit-per-micro-batch writers (the
     * streaming ingest appends one entry per batch): when the live
-    * manifest exceeds `maxEntries`, rewrite it to one entry. Bounds both
-    * the manifest metadata and the small-file count, amortized O(1)
-    * compactions per `maxEntries` appends; the feed and time travel are
-    * unaffected (compaction is a physical-only commit, and history
-    * retention protects the pre-compaction snapshots until they age
-    * out). Returns true when it compacted.
+    * manifest exceeds `maxEntries`, INCREMENTALLY bin-pack it — the
+    * Delta OPTIMIZE / Iceberg binpack shape, not a full rewrite.
+    *
+    * Policy (one physical commit, op `optimize`):
+    *  1. adjacent entries below `smallRows` visible rows merge into one
+    *     directory each run — under streaming this collapses the tail of
+    *     per-batch micro-commits into one growing entry that FREEZES once
+    *     it crosses `smallRows`, so per-maintain I/O is bounded by
+    *     `smallRows + maxEntries·batch` rows NO MATTER HOW LARGE the
+    *     table is (the old policy rewrote the whole table: O(table)
+    *     amortized per `maxEntries` appends);
+    *  2. if the manifest would still exceed `maxEntries ⁄ 2` entries
+    *     (many frozen runs), the adjacent pair with the fewest combined
+    *     rows merges, repeatedly — an LSM-style ladder that bounds the
+    *     manifest at O(maxEntries) with amortized O(log table) rewrites
+    *     per row, the floor for bounded-metadata compaction.
+    *
+    * Untouched entries keep their directories byte-identical (physical-
+    * only commit for them), the feed and time travel are unaffected
+    * (`optimize` contributes nothing to the CDF), and history retention
+    * protects pre-optimize snapshots until they age out. Explicit
+    * [[compact]]/[[compactZOrdered]] remain the full-rewrite tools.
+    * Returns true when it committed an optimize.
     */
-  def maintain(maxEntries: Int = 64): Boolean = {
+  def maintain(maxEntries: Int = 64, smallRows: Long = 64L * 1024): Boolean = {
     require(maxEntries > 0, s"maxEntries must be positive, got $maxEntries")
-    if (manifest().entries.length <= maxEntries) false
-    else { compact(); true }
+    var attempt = 0
+    while (attempt <= 16) {
+      val (m, kv) = current()
+      if (m.entries.length <= maxEntries) return false
+      val groups = TxLogTable.binpackGroups(m.entries,
+        math.max(1, maxEntries / 2), smallRows)
+      if (!groups.exists(_.length > 1)) return false
+      val newEntries = groups.map { g =>
+        if (g.length == 1) g.head
+        else {
+          val name = s"c${System.nanoTime()}"
+          g.map(e => spark.read.schema(logSchema).parquet(path(e))
+              .where(col("indx") < e.cap))
+            .reduce(_ unionByName _)
+            .repartitionByRange(col("indx")).sortWithinPartitions("indx")
+            .write.parquet(s"$dataDir/$name")
+          Entry(name, g.map(_.minIndx).min, g.map(_.effectiveMax).max,
+            g.map(_.minBlock).min, g.map(_.maxBlock).max, Long.MaxValue)
+        }
+      }
+      try {
+        commit(Manifest(m.lastIndex, newEntries, m.version + 1, "optimize"),
+          kv)
+        return true
+      } catch {
+        // a concurrent append/truncate moved the manifest; the stale
+        // rewrite dirs are vacuum garbage — replan over the fresh snapshot
+        case _: ConcurrentCommitException => attempt += 1
+      }
+    }
+    false
   }
 
   /** Sweep data directories no RETAINED manifest references —
@@ -441,9 +491,18 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
     * history window), crashed pre-commit appends, and rebased-away append
     * attempts. Time-travel safety: every directory any retained snapshot
     * names survives, so [[readAt]] stays whole for the full
-    * [[retainVersions]] window. `olderThanMs` additionally protects an
-    * in-flight append's not-yet-committed directory (and any reader still
-    * draining a snapshot that just aged out); tests pass 0.
+    * [[retainVersions]] window.
+    *
+    * `olderThanMs` is AGE SINCE DEREFERENCE, not age since write: the
+    * first vacuum pass that observes a directory unreferenced stamps a
+    * hidden `.dropped` marker inside it (hidden files are invisible to
+    * every reader); deletion requires the marker itself to be at least
+    * `olderThanMs` old. A directory written hours ago whose snapshot
+    * aged out a moment ago therefore survives a full grace window for
+    * any in-flight reader of that just-expired snapshot — as does an
+    * in-flight append's not-yet-committed directory (it sheds its marker
+    * harmlessly when its commit makes it live). Tests pass 0 to collect
+    * immediately.
     */
   def vacuum(olderThanMs: Long = 60L * 60 * 1000): Int = {
     val live = (manifest().entries ++ retained().flatMap(_.entries))
@@ -451,10 +510,21 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
     val base = new org.apache.hadoop.fs.Path(dataDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return 0
+    val now = System.currentTimeMillis()
     val victims = fs.listStatus(base).toSeq
       .filter(st => st.isDirectory && !live.contains(st.getPath.getName))
-      .filter(st => System.currentTimeMillis() -
-        st.getModificationTime > olderThanMs)
+      .filter { st =>
+        val marker = new org.apache.hadoop.fs.Path(st.getPath, ".dropped")
+        val droppedAt =
+          try Some(fs.getFileStatus(marker).getModificationTime)
+          catch {
+            case _: java.io.FileNotFoundException =>
+              // first observation unreferenced — stamp the grace clock
+              try { fs.create(marker, false).close(); Some(now) }
+              catch { case _: java.io.IOException => None } // racing vacuum
+          }
+        droppedAt.exists(now - _ >= olderThanMs)
+      }
     victims.foreach(st => fs.delete(st.getPath, true))
     victims.length
   }
@@ -486,6 +556,34 @@ private[graft] object TxLogTable {
   }
   private[graft] case class Manifest(lastIndex: Long, entries: Seq[Entry],
       version: Long = 0L, op: String = "", ts: Long = 0L)
+
+  /** Bin-packing plan for [[TxLogTable.maintain]]: partition the entries
+    * (in index order) into groups; each multi-entry group is rewritten
+    * into one directory, singletons stay byte-identical. Phase 1 merges
+    * ADJACENT runs of entries below `smallRows` visible rows (the
+    * streaming micro-commit tail); phase 2 ladders the adjacent pair with
+    * the fewest combined rows until at most `targetGroups` remain, so the
+    * manifest stays bounded even as frozen runs accumulate. Pure
+    * planning — no I/O — so it unit-tests exhaustively.
+    */
+  private[graft] def binpackGroups(entries: Seq[Entry], targetGroups: Int,
+      smallRows: Long): Vector[Vector[Entry]] = {
+    def rows(e: Entry): Long = e.effectiveMax - e.minIndx + 1
+    def small(e: Entry): Boolean = rows(e) < smallRows
+    val sorted = entries.sortBy(_.minIndx).toVector
+    var groups = Vector.empty[Vector[Entry]]
+    for (e <- sorted) {
+      if (groups.nonEmpty && small(e) && groups.last.forall(small))
+        groups = groups.init :+ (groups.last :+ e)
+      else groups = groups :+ Vector(e)
+    }
+    while (groups.length > targetGroups) {
+      val i = (0 until groups.length - 1).minBy(j =>
+        (groups(j) ++ groups(j + 1)).map(rows).sum)
+      groups = groups.patch(i, Seq(groups(i) ++ groups(i + 1)), 2)
+    }
+    groups
+  }
 
   // encoding mirrors the truncation journal's pipe/semicolon style — no
   // JSON dependency, dir names are `c<digits>` and ops are bare words so

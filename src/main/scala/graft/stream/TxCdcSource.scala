@@ -158,9 +158,18 @@ final class TxCdcMicroBatchStream(root: String, filterHash: String,
     * in controlled steps instead of one giant batch (the same
     * admission-control posture as [[ChainMicroBatchStream]]'s AIMD,
     * with the table's own commit granularity as the unit).
+    *
+    * Under Trigger.AvailableNow the head is CLAMPED to the version
+    * pinned at [[prepareForTriggerAvailableNow]] — without the clamp a
+    * continuously committing writer keeps the run alive forever, the
+    * opposite of the AvailableNow contract (drain a fixed prefix, then
+    * terminate).
     */
   private def admit(committed: Long): VersionOffset = {
-    val head = TxManifests.currentVersion(kvDir)
+    val live = TxManifests.currentVersion(kvDir)
+    val head =
+      if (availableNowTarget >= 0) math.min(availableNowTarget, live)
+      else live
     // never below the committed offset (a startingVersion ahead of the
     // table is simply "no data yet"); overflow-safe at the unbounded
     // default
@@ -286,6 +295,22 @@ private[graft] object TxManifests {
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
 
+  /** The KV commit prune retains a short version window, but a poller
+    * could still list a version a fast committer burns through — re-list
+    * on a missing-path read rather than fail the trigger.
+    */
+  private def withReadRetry[A](body: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: java.io.FileNotFoundException if attempt < 8 =>
+          val _ = e; attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
   private def newestKv(kvDir: String): Option[Path] = {
     val base = new Path(kvDir)
     val fs = base.getFileSystem(driverConf())
@@ -315,16 +340,18 @@ private[graft] object TxManifests {
       }.toMap
   }
 
-  def currentVersion(kvDir: String): Long =
+  def currentVersion(kvDir: String): Long = withReadRetry {
     newestKv(kvDir).map(d => readKv(d).get("manifest")
       .filter(_.nonEmpty).map(TxLogTable.dec(_).version).getOrElse(0L))
       .getOrElse(0L)
+  }
 
   /** All retained manifests keyed by version, plus the implicit empty
     * version 0.
     */
   def retainedByVersion(kvDir: String): Map[Long, TxLogTable.Manifest] = {
-    val kv = newestKv(kvDir).map(readKv).getOrElse(Map.empty)
+    val kv = withReadRetry(newestKv(kvDir).map(readKv).getOrElse(
+      Map.empty[String, String]))
     kv.collect {
       case (k, v) if k.startsWith("manifest@v") && v.nonEmpty =>
         val m = TxLogTable.dec(v)

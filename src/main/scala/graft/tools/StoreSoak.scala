@@ -95,8 +95,32 @@ object StoreSoak {
           t.storeLogs(mkBatch(spark, start, batch)): Unit
           (System.nanoTime() - t0) / 1e9
         }.min
+        // the incremental-compaction claim, measured: simulate the
+        // commit-per-micro-batch streaming tail (64 small commits), then
+        // time ONE maintain() — healthy = flat across N, because the
+        // binpack merges only the small tail and never rewrites the big
+        // frozen chunks. `full_compact_s` is the old policy's cost (a
+        // whole-table rewrite) for contrast — expected to grow with N.
+        val extra =
+          if (kind != "tx") ""
+          else {
+            val tx = t.asInstanceOf[TxLogTable]
+            val maintainS = (0 until reps).map { _ =>
+              val start = t.lastIndex()
+              (0 until 64).foreach(i =>
+                t.storeLogs(mkBatch(spark, start + i * 200L, 200L)): Unit)
+              val t0 = System.nanoTime()
+              require(tx.maintain(maxEntries = 64, smallRows = 16384L),
+                "maintain did not trigger")
+              (System.nanoTime() - t0) / 1e9
+            }.min
+            val compactT0 = System.nanoTime()
+            tx.compact()
+            val compactS = (System.nanoTime() - compactT0) / 1e9
+            s""","maintain_s":${f(maintainS)},"full_compact_s":${f(compactS)}"""
+          }
         s""""$kind-$n":{"rows":$n,"backend":"$kind","truncate_s":${f(truncS)},""" +
-          s""""last_index_s":${f(lastS)},"append_s":${f(appendS)}}"""
+          s""""last_index_s":${f(lastS)},"append_s":${f(appendS)}$extra}"""
       }
     }
     println(s"""{"metric":"store_soak","depth":$depth,"batch":$batch,""" +

@@ -71,7 +71,7 @@ class LiveSyncSpec extends SparkSpec {
     val hist = table.history()
     assert(hist.orderBy($"version".desc).select("entries")
       .as[Long].head() <= 4, "auto-compaction did not bound the manifest")
-    assert(hist.select("operation").as[String].collect().contains("compact"))
+    assert(hist.select("operation").as[String].collect().contains("optimize"))
     // compaction collapses the streaming fragments transactionally; a
     // retention-1 maintainer prunes the manifest history it commits, so
     // the streaming fragments become reclaimable immediately

@@ -281,9 +281,14 @@ class StoreSpec extends SparkSpec {
     val kv2 = new KvStore(spark, dir)
     kv2.set("k", "2")
     val v2 = vers()
-    assert(v2.size == 1 && v2.head == v1.head + 1)
+    assert(v2.max == v1.head + 1)
     assert(kv2.get("k").contains("2"))
     assert(new KvStore(spark, dir).get("k").contains("2"))
+    // prune retains a short window (concurrent list-then-read readers must
+    // never see the version they just listed vanish), never more
+    (0 until 6).foreach(i => kv2.set("k", s"x$i"))
+    assert(vers().size == 4 && vers().max == v1.head + 7)
+    assert(kv2.get("k").contains("x5"))
   }
 
   test("prefix listing (testing.go:199-242)") {

@@ -383,7 +383,7 @@ class TxStoreSpec extends SparkSpec {
     assert(latest <= 4)
     assert(idxOf(t) == (0L until 40L))
     assert(t.history().select("operation").as[String].collect()
-      .count(_ == "compact") == compactions)
+      .count(_ == "optimize") == compactions)
     // physical commits never enter the change feed
     val feed = t.changesBetween(0L, t.version())
       .select("_change_type").as[String].collect()
