@@ -111,6 +111,37 @@ object PipelineQueries {
       _ => graft.ext.Unigram.trainLocal(docs, "text", vocabSize,
         maxPieceLen = 4, seedSize = 600, emIters = 1, pruneFactor = 0.6))
 
+  /** Shared media-ladder check twin: runs the banded near-dup join TWICE
+    * with independent band decompositions — 8×8-bit and 16×4-bit, BOTH
+    * pigeonhole-complete for the declared distance (d < bands), both
+    * uncapped — and asserts they produce the same pair set: a broken band
+    * mask, explode, join key or verify filter desynchronizes the two
+    * wirings and flips `ok_bands_agree`. `n_media_kept` grounds the
+    * synth + content-hash rungs in SQL (identical text ⇒ identical bytes
+    * ⇒ one keeper per distinct text, plus one planted near-copy per
+    * distinct text holding a `doc_id % 4 == 0` doc).
+    */
+  private def mediaLadderCheck(
+      media: org.apache.spark.sql.Dataset[Multimodal.MediaBlob],
+      maxDist: Int): DataFrame = {
+    val f8 = Multimodal.nearDupMedia(media, maxDist = maxDist,
+      maxBucket = 0, bands = 8)
+    val f16 = Multimodal.nearDupMedia(media, maxDist = maxDist,
+      maxBucket = 0, bands = 16)
+    val only8 = f8.select("id_a", "id_b")
+      .join(f16.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+    val only16 = f16.select("id_a", "id_b")
+      .join(f8.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+    media.toDF().agg(count(lit(1)).cast("long").as("n_media_kept"))
+      .crossJoin(broadcast(only8.unionByName(only16)
+        .agg((count(lit(1)) === 0L).as("ok_bands_agree"))))
+      .crossJoin(broadcast(f8.agg(
+        coalesce(max(col("hamming")) <= maxDist.toLong, lit(true))
+          .as("ok_within_distance"),
+        coalesce(max(when(col("id_a") >= col("id_b"), 1).otherwise(0))
+          === 0, lit(true)).as("ok_canonical"))))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact content-hash dedup
     "dedup_exact" -> { (s, d) =>
@@ -151,6 +182,125 @@ object PipelineQueries {
       Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text",
           maxDist = 6)
         .orderBy("id_a", "id_b")
+    },
+    // ---- fingerprint-tier CHECK TWINS: the xxhash64/perceptual tiers
+    // are rows-only end-to-end, but their GUARANTEES are SQL facts. Same
+    // device as contamination_bloom_check: Spark computes the system
+    // output AND its invariants; DuckDB independently reproduces the
+    // invariant values from the raw tables — a broken band mask, join
+    // key, verify filter or signature flips a column and the driver's
+    // hash goes red. ----
+    // MinHash guarantees: identical shingle SETS ⇒ identical signatures
+    // ⇒ candidates in EVERY band with est_jaccard exactly 1 (uncapped
+    // here so the guarantee is unconditional; the declared query keeps
+    // the skew cap); pairs are canonical (id_a < id_b); the exact tier's
+    // pair count is reproduced independently in SQL
+    "dedup_minhash_check" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val found = Dedup.minHashLsh(docs, "doc_id", "text", maxBucket = 0)
+      val setKey = Dedup.shingleRows(docs, "doc_id", "text", 3)
+        .groupBy("doc")
+        .agg(sha2(concat_ws("\u0001", sort_array(collect_set(col("s")))),
+          256).as("k"))
+      val ident = setKey.as("x").join(setKey.as("y"),
+          col("x.k") === col("y.k") && col("x.doc") < col("y.doc"))
+        .select(col("x.doc").as("id_a"), col("y.doc").as("id_b"))
+      val exact = Dedup.ngramJaccard(docs, "doc_id", "text", shingleN = 3,
+        minJaccard = 0.3, maxDf = 1000L)
+      ident.agg(count(lit(1)).cast("long").as("n_identical_pairs"))
+        .crossJoin(broadcast(
+          exact.agg(count(lit(1)).cast("long").as("n_exact_pairs"))))
+        .crossJoin(broadcast(ident.join(found, Seq("id_a", "id_b"), "left")
+          .agg((count(lit(1)) === count(col("est_jaccard")))
+              .as("ok_identical_found"),
+            coalesce(min(col("est_jaccard")) === 1.0, lit(true))
+              .as("ok_identical_est_one"))))
+        .crossJoin(broadcast(found.agg(
+          coalesce(max(when(col("id_a") >= col("id_b"), 1).otherwise(0))
+            === 0, lit(true)).as("ok_canonical"))))
+    },
+    // SimHash guarantees: identical TEXT ⇒ identical word array ⇒
+    // identical 64-bit fingerprint ⇒ Hamming 0, found through every band;
+    // every emitted pair respects the declared distance + canonical order
+    "dedup_simhash_check" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val found = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 6)
+      val elig = docs.where(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val ident = elig.as("x").join(elig.as("y"),
+          col("x.text") === col("y.text") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      ident.agg(count(lit(1)).cast("long").as("n_identical_pairs"))
+        .crossJoin(broadcast(ident.join(found, Seq("id_a", "id_b"), "left")
+          .agg((count(lit(1)) === count(col("hamming")))
+              .as("ok_identical_found"),
+            coalesce(max(col("hamming")) === 0L, lit(true))
+              .as("ok_identical_zero"))))
+        .crossJoin(broadcast(found.agg(
+          coalesce(max(col("hamming")) <= 6L, lit(true))
+            .as("ok_within_distance"),
+          coalesce(max(when(col("id_a") >= col("id_b"), 1).otherwise(0))
+            === 0, lit(true)).as("ok_canonical"))))
+    },
+    // Media-ladder check twins — one per modality, via [[mediaLadderCheck]]:
+    // two INDEPENDENT band decompositions must produce the same pair set
+    // (both are pigeonhole-complete at the declared distance), and the
+    // synth + content-hash rungs are grounded in SQL through n_media_kept
+    // (identical text ⇒ identical bytes ⇒ one keeper; every 4th doc
+    // plants a distinct near-copy)
+    "dedup_media_check" -> { (s, d) =>
+      mediaLadderCheck(Multimodal.dedupExactMedia(
+        Multimodal.synthRasterBlobs(Tables.documents(s, d), "doc_id",
+          "text")), maxDist = 4)
+    },
+    "dedup_audio_check" -> { (s, d) =>
+      mediaLadderCheck(Multimodal.dedupExactMedia(
+        Multimodal.synthAudioBlobs(Tables.documents(s, d), "doc_id",
+          "text")), maxDist = 7)
+    },
+    "dedup_video_check" -> { (s, d) =>
+      mediaLadderCheck(Multimodal.dedupExactMedia(
+        Multimodal.synthVideoBlobs(Tables.documents(s, d), "doc_id",
+          "text")), maxDist = 7)
+    },
+    // knn_join's check twin: ranks are dense 1..k per id with no self
+    // pairs, and each reported cosine is recomputed bit-exactly by an
+    // INDEPENDENT SQL-level fold (zip_with/aggregate, same left-to-right
+    // order as the codegen'd dot — the equality knn_exact's DuckDB oracle
+    // already proves transitively)
+    "knn_join_check" -> { (s, d) =>
+      val embs = Tables.embeddings(s, d)
+      val found = Similarity.knnJoin(embs, "vec_id", "embedding", dim = 64,
+        nbits = 4, k = 5, maxBucket = 1000, tables = 8)
+      val va = embs.select(col("vec_id").as("id"),
+        col("embedding").as("__va"))
+      val vb = embs.select(col("vec_id").as("neighbor"),
+        col("embedding").as("__vb"))
+      def n2(c: org.apache.spark.sql.Column) = aggregate(
+        transform(c, x => x.cast("double") * x.cast("double")),
+        lit(0.0), (a, v) => a + v)
+      val re = found.join(va, "id").join(vb, "neighbor")
+        .withColumn("__cos", aggregate(
+          zip_with(col("__va"), col("__vb"),
+            (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (a, v) => a + v) /
+          (sqrt(n2(col("__va"))) * sqrt(n2(col("__vb")))))
+      embs.agg(count(lit(1)).cast("long").as("n_vectors"))
+        .crossJoin(broadcast(re.agg(
+          coalesce(max(abs(col("cosine") - col("__cos"))) === 0.0,
+            lit(true)).as("ok_cosine_exact"),
+          coalesce(max(when(col("id") === col("neighbor"), 1).otherwise(0))
+            === 0, lit(true)).as("ok_no_self"),
+          coalesce(max(col("rnk")) <= 5L, lit(true)).as("ok_k_bound"))))
+        .crossJoin(broadcast(found.groupBy("id")
+          .agg(count(lit(1)).as("n"), max("rnk").as("mx"),
+            min("rnk").as("mn"), countDistinct("rnk").as("dr"))
+          .agg(coalesce(max(when(col("mx") =!= col("n") ||
+            col("mn") =!= 1L || col("dr") =!= col("n"), 1).otherwise(0))
+            === 0, lit(true)).as("ok_rnk_dense"))))
+        .select(col("n_vectors"), col("ok_cosine_exact"), col("ok_no_self"),
+          col("ok_k_bound"), col("ok_rnk_dense"))
     },
     // embedding cosine near-dup via OR-amplified LSH (8 independent 4-bit
     // hyperplane tables — single-table recall at cosine 0.3 is ~0.14, the
@@ -1643,6 +1793,68 @@ object PipelineQueries {
         |   AS BIGINT) AS n_train_docs,
         | CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_exact_contaminated,
         | TRUE AS ok_no_false_negatives""".stripMargin,
+    // fingerprint-tier check twins: DuckDB reproduces the invariant
+    // values (identical-key pair counts, the exact tier's pair count,
+    // the synth corpus's keeper count) — the LSH/fingerprint guarantees
+    // themselves are Spark-verified booleans, constant TRUE
+    "dedup_minhash_check" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+        |        i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS s FROM w),
+        |k AS (SELECT doc_id, string_agg(s, chr(1) ORDER BY s) AS k
+        |      FROM sh0 GROUP BY doc_id),
+        |g AS (SELECT k, count(*) AS g FROM k GROUP BY k),
+        |sh AS (SELECT doc_id, s FROM sh0
+        |       QUALIFY count(*) OVER (PARTITION BY s) <= 1000),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        CAST(count(*) AS BIGINT) AS inter
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |e AS (SELECT count(*) AS ne FROM p
+        |      JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+        |      WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.3)
+        |SELECT CAST((SELECT COALESCE(SUM(g * (g - 1) // 2), 0) FROM g) AS BIGINT)
+        |   AS n_identical_pairs,
+        | CAST((SELECT ne FROM e) AS BIGINT) AS n_exact_pairs,
+        | TRUE AS ok_identical_found, TRUE AS ok_identical_est_one,
+        | TRUE AS ok_canonical""".stripMargin,
+    "dedup_simhash_check" ->
+      """SELECT CAST(COALESCE(SUM(g * (g - 1) // 2), 0) AS BIGINT)
+        |   AS n_identical_pairs,
+        | TRUE AS ok_identical_found, TRUE AS ok_identical_zero,
+        | TRUE AS ok_within_distance, TRUE AS ok_canonical
+        |FROM (SELECT count(*) AS g FROM documents
+        |      WHERE text IS NOT NULL GROUP BY text) t""".stripMargin,
+    "dedup_media_check" ->
+      """SELECT CAST((SELECT count(DISTINCT text) FROM documents
+        |   WHERE doc_id IS NOT NULL AND text IS NOT NULL) +
+        | (SELECT count(DISTINCT text) FROM documents
+        |   WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 4 = 0)
+        |   AS BIGINT) AS n_media_kept,
+        | TRUE AS ok_bands_agree, TRUE AS ok_within_distance,
+        | TRUE AS ok_canonical""".stripMargin,
+    "dedup_audio_check" ->
+      """SELECT CAST((SELECT count(DISTINCT text) FROM documents
+        |   WHERE doc_id IS NOT NULL AND text IS NOT NULL) +
+        | (SELECT count(DISTINCT text) FROM documents
+        |   WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 4 = 0)
+        |   AS BIGINT) AS n_media_kept,
+        | TRUE AS ok_bands_agree, TRUE AS ok_within_distance,
+        | TRUE AS ok_canonical""".stripMargin,
+    "dedup_video_check" ->
+      """SELECT CAST((SELECT count(DISTINCT text) FROM documents
+        |   WHERE doc_id IS NOT NULL AND text IS NOT NULL) +
+        | (SELECT count(DISTINCT text) FROM documents
+        |   WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 4 = 0)
+        |   AS BIGINT) AS n_media_kept,
+        | TRUE AS ok_bands_agree, TRUE AS ok_within_distance,
+        | TRUE AS ok_canonical""".stripMargin,
+    "knn_join_check" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT)
+        |   AS n_vectors,
+        | TRUE AS ok_cosine_exact, TRUE AS ok_no_self,
+        | TRUE AS ok_k_bound, TRUE AS ok_rnk_dense""".stripMargin,
     // tokenization losslessness: detok(tokens) must equal the word
     // sequence (BPE, spaces restored from </w>) or the space-free char
     // stream (unigram) — both computable from the raw text
