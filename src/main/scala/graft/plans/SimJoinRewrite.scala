@@ -259,25 +259,59 @@ object GraftExtensions {
     *  - `tx_table_changes(root, filter_hash, from, to)` — the change feed
     *  - `tx_table_history(root, filter_hash)`        — DESCRIBE HISTORY
     *
-    * Arguments must be literals (they select a TABLE, so they are
-    * resolution-time inputs, not row data). The builder runs during
-    * analysis on the driver with the querying session active, so the
-    * produced plan is exactly the DataFrame API's plan — pushed-down
-    * index ranges and all.
+    * Arguments must be FOLDABLE (they select a TABLE, so they are
+    * resolution-time inputs, not row data) — literals, constant
+    * arithmetic (`1 + 1`), constant function calls (`concat(root, '/x')`)
+    * and session variables all qualify: the builder resolves each
+    * argument against a one-row plan first, so expressions that arrive
+    * unresolved from the parser (function calls, variable references)
+    * fold cleanly instead of erroring. The builder runs during analysis
+    * on the driver with the querying session active, so the produced
+    * plan is exactly the DataFrame API's plan — pushed-down index ranges
+    * and all.
     */
   def tableFunctions: Seq[(String,
       Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = {
+    // TVF arguments arrive as PARSED trees: a bare literal is resolved,
+    // but `concat('a','b')` is an UnresolvedFunction (whose `.foldable`
+    // throws) and a session variable is an unresolved reference — resolve
+    // them the way any scalar expression resolves, against OneRowRelation
+    // the analyzer hands some pre-resolved arguments wrapped in an Alias
+    // (session variables resolve to `variablereference(...) AS name`),
+    // and Alias.foldable is unconditionally false — unwrap to the child
+    def stripAlias(e: Expression): Expression = e match {
+      case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+        stripAlias(a.child)
+      case other => other
+    }
+    def resolvedArg(fn: String, args: Seq[Expression], i: Int): Expression = {
+      val e = stripAlias(args(i))
+      if (e.resolved) e
+      else try {
+        import org.apache.spark.sql.catalyst.expressions.Alias
+        import org.apache.spark.sql.catalyst.plans.logical.{OneRowRelation, Project}
+        org.apache.spark.sql.SparkSession.active.sessionState.analyzer
+          .execute(Project(Seq(Alias(e, "v")()), OneRowRelation()))
+          .asInstanceOf[Project].projectList.head
+          .asInstanceOf[Alias].child match { case r => stripAlias(r) }
+      } catch {
+        case scala.util.control.NonFatal(ex) =>
+          throw new IllegalArgumentException(
+            s"$fn: argument ${i + 1} must be a foldable expression " +
+              "(no column references)", ex)
+      }
+    }
     def str(fn: String, args: Seq[Expression], i: Int): String = {
-      val e = args(i)
+      val e = resolvedArg(fn, args, i)
       require(e.foldable &&
         e.dataType == org.apache.spark.sql.types.StringType,
-        s"$fn: argument ${i + 1} must be a string literal")
+        s"$fn: argument ${i + 1} must be a foldable string expression")
       e.eval().toString
     }
     def long(fn: String, args: Seq[Expression], i: Int): Long = {
-      val e = args(i)
-      require(e.foldable, s"$fn: argument ${i + 1} must be a literal")
+      val e = resolvedArg(fn, args, i)
+      require(e.foldable, s"$fn: argument ${i + 1} must be foldable")
       e.eval() match {
         case i: java.lang.Integer => i.longValue()
         case l: java.lang.Long => l

@@ -283,7 +283,20 @@ class SimJoinRewriteSpec extends SparkSpec {
         assert(s2.sql(
           s"SELECT count(*) AS n FROM tx_table_at_time('$root', 'f1', $now)")
           .head().getLong(0) == 15L)
-        // literal-argument contract errors out, not silently misreads
+        // FOLDABLE (non-literal) arguments resolve to the same plan:
+        // constant arithmetic, constant function calls, session variables
+        assert(s2.sql(
+          s"SELECT count(*) AS n FROM tx_table_at('$root', 'f1', 1 + 1)")
+          .head().getLong(0) == 20L)
+        val (head, tail) = root.splitAt(root.length / 2)
+        assert(s2.sql("SELECT count(*) AS n FROM tx_table_at(" +
+          s"concat('$head', '$tail'), 'f1', 2)").head().getLong(0) == 20L)
+        s2.sql("DECLARE VARIABLE tvf_root STRING")
+        s2.sql(s"SET VARIABLE tvf_root = '$root'")
+        assert(s2.sql(
+          "SELECT count(*) AS n FROM tx_table_at(tvf_root, 'f1', 2)")
+          .head().getLong(0) == 20L)
+        // non-foldable arguments still error out, not silently misread
         intercept[Exception](s2.sql(
           s"SELECT * FROM tx_table_at('$root', 'f1', 1 + version)"))
       } finally {
