@@ -147,7 +147,11 @@ object Dedup {
     // fingerprints per-row via the codegen'd WinnowFpF expression —
     // bit-identical to winnowFingerprints(winnowSites(…)) (DedupSpec
     // parity case) with no site explode and no doc-partitioned window
-    // shuffle; only the selected (doc, fp) rows ever leave the scan stage
+    // shuffle; only the selected (doc, fp) rows ever leave the scan stage.
+    // localCheckpoint: BOTH self-join legs and the hot-key aggregate
+    // would otherwise recompute the scan + WinnowFpF + explode + anti-join
+    // pipeline (the cappedShingleRows lesson; the x10 soak flagged this
+    // tier's constant)
     val fp = dropHotKeys(
       docs.select(col(idCol),
           graft.functions.MinHash.winnowFingerprints(
@@ -155,6 +159,7 @@ object Dedup {
         .where(col("fps").isNotNull)
         .select(col(idCol), explode(col("fps")).as("h")),
       Seq("h"), maxDf)
+      .localCheckpoint(false)
     val a = fp.select(col(idCol).as("id_a"), col("h"))
     val b = fp.select(col(idCol).as("id_b"), col("h"))
     a.join(b, "h").where(col("id_a") < col("id_b"))
@@ -376,8 +381,14 @@ object Dedup {
     * would re-shuffle every consumer on the shingle key).
     */
   def cappedShingleRows(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, maxDf: Long): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, shingleN)
+      shingleN: Int, maxDf: Long, hashKeys: Boolean = false): DataFrame = {
+    // hashKeys: replace the gram text with xxhash64(s) at the SOURCE —
+    // consumers that only count/join on the key (the pair tiers) shuffle
+    // and checkpoint 8-byte longs instead of strings; consumers that need
+    // the text (contamination reporting) keep the default
+    val sh0 = shingleRows(docs, idCol, textCol, shingleN)
+    val sh = if (hashKeys) sh0.select(col("doc"), xxhash64(col("s")).as("s"))
+      else sh0
     if (maxDf <= 0) sh
     else
       // LAZY local checkpoint: with the cap on, every consumer (counts +
@@ -417,7 +428,14 @@ object Dedup {
     */
   private def pairCounts(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, maxDf: Long): DataFrame = {
-    val sh = cappedShingleRows(docs, idCol, textCol, shingleN, maxDf)
+    // 8-byte join keys: the pair self-join (the dominant shuffle of every
+    // exact tier — the x10 soak's fattest curves) moves xxhash64(s), not
+    // the gram TEXT. Per-doc counts and intersection sizes are unchanged
+    // short of a 64-bit collision inside one document's shingle set
+    // (~|shingles|²/2⁻⁶⁴). Hashing sits BEFORE the cap/checkpoint, so the
+    // materialized table and the hot-key aggregate also move longs.
+    val sh = cappedShingleRows(docs, idCol, textCol, shingleN, maxDf,
+      hashKeys = true)
     val counts = sh.groupBy("doc").agg(count(lit(1)).as("n"))
     sh.as("x")
       .join(sh.as("y"), col("x.s") === col("y.s") &&
@@ -502,8 +520,10 @@ object Dedup {
     // localCheckpoint: three consumers (per-doc counts, the a-side and
     // b-side joins) partition this subtree on three DIFFERENT keys, so
     // exchange reuse never fires and the explode + hot-shingle-cap
-    // pipeline would run three times per query
-    val sh = cappedShingleRows(docs, idCol, textCol, shingleN, maxDf)
+    // pipeline would run three times per query. hashKeys: the verify
+    // joins shuffle 8-byte gram hashes, not gram text (see pairCounts)
+    val sh = cappedShingleRows(docs, idCol, textCol, shingleN, maxDf,
+        hashKeys = true)
       .localCheckpoint(false)
     val counts = sh.groupBy("doc").agg(count(lit(1)).as("n"))
     val inter = cand
@@ -1161,7 +1181,14 @@ object Dedup {
     */
   def duplicateSpanStats(docs: DataFrame, idCol: String, textCol: String,
       k: Int, minSites: Long = 2L): DataFrame = {
+    // both the per-gram aggregate and the join-back probe consume the
+    // exploded sites on the GRAM key: hash it to 8 bytes (site counts are
+    // collision-tolerant) and checkpoint once so the explode doesn't run
+    // twice — the two fixes the x10 soak flagged on this tier (the gram
+    // text was the dominant shuffle payload)
     val sites = spanSites(docs, idCol, textCol, k)
+      .select(col("doc"), xxhash64(col("g")).as("g"))
+      .localCheckpoint(false)
     val cnt = sites.groupBy("g").agg(count(lit(1)).as("__sites"))
     sites.join(cnt, "g")
       .groupBy("doc")
@@ -1186,7 +1213,10 @@ object Dedup {
     */
   def scrubDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int, minSites: Long = 2L): DataFrame = {
+    // same hashed-gram + shared-checkpoint shape as duplicateSpanStats
     val sites = spanSites(docs, idCol, textCol, k)
+      .select(col("doc"), col("pos"), xxhash64(col("g")).as("g"))
+      .localCheckpoint(false)
     val cnt = sites.groupBy("g").agg(count(lit(1)).as("__sites"))
     val dupPos = sites.join(cnt, "g")
       .where(col("__sites") >= minSites)

@@ -107,6 +107,18 @@ object ScaleSoak {
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
+    generateVectors(spark, srcDir, outDir, factor)
+  }
+
+  /** The embeddings half of [[generate]], callable on its own — the ANN
+    * crossover harness ([[AnnCrossover]]) scales vectors to 50× without
+    * paying for a 50× text corpus it never reads.
+    */
+  def generateVectors(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int): Unit = {
+    import spark.implicits._
+    if (new java.io.File(s"$outDir/embeddings.parquet/_SUCCESS").exists())
+      return
     val srcVecs = spark.read.parquet(s"$srcDir/embeddings.parquet")
       .select("vec_id", "embedding", "label")
       .as[(Long, Array[Float], Int)]
