@@ -488,7 +488,8 @@ object KvStore {
   private[store] val retainKvVersions = 4
 }
 
-final class KvStore(spark: SparkSession, root: String) {
+final class KvStore(spark: SparkSession, root: String)
+    extends KeyValueStore {
   private val dir = s"$root/kv"
 
   // scheme-aware: the store root decides the filesystem (HDFS/object

@@ -93,7 +93,14 @@ final class Syncer(
       * reference's in-store transactional truncate,
       * `bolt_store.go:180-197`, without the rewrite).
       */
-    transactionalStore: Boolean = false
+    transactionalStore: Boolean = false,
+    /** Explicit backend injection — how a THIRD conformant backend (the
+      * RDBMS pair [[graft.store.JdbcLogStore]]/[[graft.store.JdbcKvStore]],
+      * the reference's `postgresql_store.go` shape) plugs in without a
+      * boolean per backend. Overrides `transactionalStore` when set.
+      */
+    storeOverride: Option[graft.store.LogStore] = None,
+    kvOverride: Option[graft.store.KeyValueStore] = None
 ) {
 
   /** T8 — fixed-backoff retry for per-block tail fetches (a freshly
@@ -117,10 +124,12 @@ final class Syncer(
   }
 
   val filterHash: String = filter.hash
-  val table: graft.store.LogStore =
+  val table: graft.store.LogStore = storeOverride.getOrElse {
     if (transactionalStore) new graft.store.TxLogTable(spark, root, filterHash)
     else new LogTable(spark, root, filterHash)
-  val kv = new KvStore(spark, root)
+  }
+  val kv: graft.store.KeyValueStore =
+    kvOverride.getOrElse(new KvStore(spark, root))
 
   // ── progress surface (T7, ref tracker.go:362-367) ─────────────────────
   private val listeners =
