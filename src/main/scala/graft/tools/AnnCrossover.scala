@@ -121,7 +121,12 @@ object AnnCrossover {
         idx.unpersist()
         out
       }
-      val nlistScaled = math.max(16, math.sqrt(n.toDouble).round.toInt)
+      // √N capped at 256: ivfIndex's driver-local Lloyd's fit is
+      // O(sample·nlist·dim) and the sample is nlist·64 — beyond ~256
+      // cells the FIT would dominate the harness (a cluster deployment
+      // distributes the fit; the crossover question is about QUERY cost)
+      val nlistScaled = math.min(256,
+        math.max(16, math.sqrt(n.toDouble).round.toInt))
 
       // PQ declared (m=8, 16-way codebooks, rerank 400)
       def pqCell(name: String): String = {

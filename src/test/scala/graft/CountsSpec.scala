@@ -174,12 +174,17 @@ class CountsSpec extends AnyFunSuite {
     // instantiate each suite and count its REGISTERED tests — QueriesSpec
     // et al. generate tests from SparkEntry.queries at construction, so a
     // source-level `test(` grep would undercount
-    val specDir = new java.io.File("src/test/scala/graft")
-    val total = specDir.listFiles().map(_.getName)
-      .filter(_.endsWith("Spec.scala")).sorted
-      .map { f =>
-        Class.forName("graft." + f.stripSuffix(".scala"))
-          .getDeclaredConstructor().newInstance()
+    def specs(dir: java.io.File, pkg: String): Seq[String] =
+      dir.listFiles().toSeq.flatMap { f =>
+        if (f.isDirectory) specs(f, s"$pkg${f.getName}.")
+        else if (f.getName.endsWith("Spec.scala"))
+          Seq(pkg + f.getName.stripSuffix(".scala"))
+        else Seq.empty
+      }
+    val total = specs(new java.io.File("src/test/scala/graft"), "graft.")
+      .sorted
+      .map { cn =>
+        Class.forName(cn).getDeclaredConstructor().newInstance()
           .asInstanceOf[AnyFunSuite].testNames.size
       }.sum
     val got = tokens("(\\d+) ScalaTest".r)
