@@ -107,6 +107,37 @@ object AnnCrossover {
       val nbitsScaled = math.min(12, math.max(4,
         (math.log(n.toDouble / 4096.0) / math.log(2.0)).ceil.toInt))
 
+      // LSH with a PERSISTED bucket table (the writeBandIndex deployment
+      // shape — the on-the-fly form recomputes every corpus signature per
+      // query, which is what keeps it below crossover): buckets built
+      // once, each query probes Hamming≤2 neighbors of its own bucket
+      def lshIndexedCell(name: String, nbits: Int): String = {
+        val t0 = System.nanoTime()
+        val bucketed = Similarity.lshBucketed(embs, "embedding", 64, nbits)
+          .persist()
+        bucketed.count()
+        val build = (System.nanoTime() - t0) / 1e9
+        val flips = (0 until nbits).map(j => 1L << j) ++
+          (for { i <- 0 until nbits; j <- i + 1 until nbits }
+            yield (1L << i) | (1L << j))
+        def run(qv: Array[Float]): DataFrame = {
+          val q = Similarity.lshBucketed(qDf(qv), "embedding", 64, nbits)
+            .select(col("embedding").as("__q"),
+              col("lsh_bucket").as("__qb"))
+          val probes = q.select(col("__q"), explode(array(
+            (col("__qb") +: flips.map(m =>
+              col("__qb").bitwiseXOR(lit(m)))): _*)).as("__qb"))
+          bucketed.join(broadcast(probes),
+              col("lsh_bucket") === col("__qb"))
+            .select(col("vec_id"),
+              Similarity.cosine(col("embedding"), col("__q")).as("cosine"))
+            .orderBy(col("cosine").desc, col("vec_id")).limit(k)
+        }
+        val out = cell(name, build, run)
+        bucketed.unpersist()
+        out
+      }
+
       // IVF declared (nlist=16, nprobe=8) + scaled (nlist ≈ √N, same
       // probe fraction) — index built & persisted once per config
       def ivfCell(name: String, nlist: Int, nprobe: Int): String = {
@@ -146,9 +177,11 @@ object AnnCrossover {
         f""""exact":{"query_s":$exactS%.4f,"recall":1.000,"speedup":1.00,"index_s":0.00}""",
         cell("lsh", 0.0, lsh(4)),
         cell(s"lsh_scaled_b$nbitsScaled", 0.0, lsh(nbitsScaled)),
+        lshIndexedCell("lsh_indexed_b4", 4),
+        lshIndexedCell(s"lsh_indexed_b$nbitsScaled", nbitsScaled),
         ivfCell("ivf", 16, 8),
         ivfCell(s"ivf_scaled_l$nlistScaled", nlistScaled,
-          math.max(1, nlistScaled / 2)),
+          math.max(8, nlistScaled / 8)),
         pqCell("pq"))
       embs.unpersist()
       Seq(s""""x$factor":{"n_vectors":$n,${out.mkString(",")}}""")
