@@ -142,6 +142,39 @@ object PipelineQueries {
           === 0, lit(true)).as("ok_canonical"))))
   }
 
+  /** Cosine recomputed by an INDEPENDENT SQL-level fold (zip_with +
+    * aggregate, same left-to-right order as the codegen'd dot — the
+    * bit-equality knn_exact's DuckDB oracle proves transitively). The
+    * check twins use it so a broken codegen path cannot verify itself.
+    */
+  private def foldCosine(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def n2(c: org.apache.spark.sql.Column) = aggregate(
+      transform(c, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v) / (sqrt(n2(a)) * sqrt(n2(b)))
+  }
+
+  /** Shared ANN top-k check twin: the query vector is corpus member 0,
+    * so self-retrieval at the top (cosine exactly the maximum) is the
+    * tier's guarantee; every reported cosine must equal the independent
+    * fold recompute bit-exactly, and at most k rows come back.
+    */
+  private def annTopKCheck(e: DataFrame, res: DataFrame, k: Int): DataFrame = {
+    val q = e.where(col("vec_id") === 0L).select(col("embedding").as("__q"))
+    val re = res.join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("__cos", foldCosine(col("embedding"), col("__q")))
+    e.agg(count(lit(1)).cast("long").as("n_vectors"))
+      .crossJoin(broadcast(re.agg(
+        coalesce(max(abs(col("cosine") - col("__cos"))) === 0.0, lit(true))
+          .as("ok_cosine_exact"),
+        (count(lit(1)) <= k).as("ok_k_bound"),
+        coalesce(max(when(col("vec_id") === 0L, col("cosine"))) ===
+          max(col("cosine")), lit(false)).as("ok_self_found"))))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact content-hash dedup
     "dedup_exact" -> { (s, d) =>
@@ -242,6 +275,149 @@ object PipelineQueries {
             .as("ok_within_distance"),
           coalesce(max(when(col("id_a") >= col("id_b"), 1).otherwise(0))
             === 0, lit(true)).as("ok_canonical"))))
+    },
+    // ANN top-k check twins: the query vector IS corpus member 0, so the
+    // LSH probe (own bucket always probed) and IVF (own cell is the
+    // nearest cell) GUARANTEE self-retrieval at cosine 1 — plus every
+    // reported cosine recomputed bit-exactly by the independent SQL-level
+    // fold, and the k bound. PQ's rerank re-scores exactly, so the same
+    // invariants hold once the self vector survives the ADC cut (it is
+    // rank-1 by construction of the quantized dot on this corpus).
+    "sim_search_lsh_check" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      annTopKCheck(e, Similarity.annTopK(e,
+        e.where(col("vec_id") === 0L).select("embedding"),
+        "vec_id", "embedding", dim = 64, nbits = 4, k = 20,
+        probeHamming = 2), k = 20)
+    },
+    "sim_search_ivf_check" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val (indexed, centroids) = Similarity.ivfIndex(e, "vec_id",
+        "embedding", nlist = 16)
+      val qv = e.where(col("vec_id") === 0L).select("embedding")
+        .head().getSeq[Float](0).toArray
+      annTopKCheck(e, Similarity.ivfTopK(indexed, centroids, qv, "vec_id",
+        "embedding", nprobe = 8, k = 20), k = 20)
+    },
+    "sim_search_pq_check" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val (encoded, codebooks) = Similarity.pqIndex(e, "vec_id",
+        "embedding", m = 8, k = 16)
+      val qv = e.where(col("vec_id") === 0L).select("embedding")
+        .head().getSeq[Float](0).toArray
+      annTopKCheck(e, Similarity.pqTopK(encoded, codebooks, qv, "vec_id",
+        "embedding", k = 20, rerank = 400), k = 20)
+    },
+    // embedding near-dup invariants: every emitted pair's EXACT cosine
+    // clears the declared threshold (the refine stage's contract) in
+    // canonical order — the LSH tables only decide WHICH pairs are
+    // considered, never whether a reported pair qualifies
+    "dedup_embedding_check" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val found = Dedup.embeddingNearDup(e, "vec_id", "embedding",
+        dim = 64, nbits = 4, minCosine = 0.3, maxBucket = 1000, tables = 8)
+      val vecs = e.select(col("vec_id"), col("embedding"))
+      val re = found
+        .join(vecs.select(col("vec_id").as("id_a"),
+          col("embedding").as("__va")), "id_a")
+        .join(vecs.select(col("vec_id").as("id_b"),
+          col("embedding").as("__vb")), "id_b")
+        .withColumn("__cos", foldCosine(col("__va"), col("__vb")))
+      e.agg(count(lit(1)).cast("long").as("n_vectors"))
+        .crossJoin(broadcast(re.agg(
+          coalesce(min(col("__cos")) >= 0.3, lit(true))
+            .as("ok_no_false_positives"),
+          coalesce(max(when(col("id_a") >= col("id_b"), 1).otherwise(0))
+            === 0, lit(true)).as("ok_canonical"))))
+    },
+    // SemDeDup at the design point: this corpus has NO natural pair at
+    // cosine ≥ 0.8 (the plants at ≈0.99 are the only ones), so every
+    // emitted pair must be a (source, planted-copy) pair in canonical
+    // form with exact cosine clearing the threshold — and there can be
+    // at most one per planted copy
+    "dedup_semantic_check" -> { (s, d) =>
+      val base = Tables.embeddings(s, d)
+      val planted = plantedNearDups(base)
+      val found = Similarity.semanticPairs(planted, "vec_id", "embedding",
+        nlist = 16, minCosine = 0.8, maxCell = 1000L)
+      val vecs = planted.select(col("vec_id"), col("embedding"))
+      val re = found
+        .join(vecs.select(col("vec_id").as("id_a"),
+          col("embedding").as("__va")), "id_a")
+        .join(vecs.select(col("vec_id").as("id_b"),
+          col("embedding").as("__vb")), "id_b")
+        .withColumn("__cos", foldCosine(col("__va"), col("__vb")))
+      base.where(pmod(col("vec_id"), lit(4)) === 0)
+        .agg(count(lit(1)).cast("long").as("n_planted"))
+        .crossJoin(broadcast(re.agg(
+          count(lit(1)).as("__nf"),
+          coalesce(max(when(col("id_b") =!= col("id_a") + 1000000L ||
+            pmod(col("id_a"), lit(4)) =!= 0, 1).otherwise(0)) === 0,
+            lit(true)).as("ok_pairs_planted_form"),
+          coalesce(min(col("__cos")) >= 0.8, lit(true))
+            .as("ok_min_cosine"))))
+        .select(col("n_planted"), col("ok_pairs_planted_form"),
+          col("ok_min_cosine"),
+          (col("__nf") <= col("n_planted")).as("ok_within_count"))
+    },
+    // media fingerprint twins: blob counts are doc arithmetic (one blob
+    // per doc + one planted near-copy per 4th doc), identical text ⇒
+    // identical bytes ⇒ identical fingerprint, keyframes keep frame 0
+    // and never exceed the synthesized frame count
+    "media_phash_check" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val fp = Multimodal.perceptualHash(
+        Multimodal.synthRasterBlobs(docs, "doc_id", "text"))
+      val okSame = fp.where(col("media_id") < 1000000L)
+        .join(docs.select(col("doc_id").as("media_id"), col("text")),
+          "media_id")
+        .groupBy("text").agg(countDistinct(col("phash")).as("nh"))
+        .agg(coalesce(max(col("nh")) === 1L, lit(true))
+          .as("ok_identical_text_same_hash"))
+      fp.agg(count(lit(1)).cast("long").as("n_media"))
+        .crossJoin(broadcast(okSame))
+    },
+    "media_resize_check" -> { (s, d) =>
+      val fp = Multimodal.perceptualHash(Multimodal.resizeAll(
+        Multimodal.synthRasterBlobs(Tables.documents(s, d), "doc_id",
+          "text"), 16, 16))
+      fp.agg(count(lit(1)).cast("long").as("n_media"),
+        (count(col("phash")) === count(lit(1))).as("ok_all_fingerprinted"))
+    },
+    "media_keyframes_check" -> { (s, d) =>
+      Multimodal.keyFrames(
+          Multimodal.synthVideoBlobs(Tables.documents(s, d), "doc_id",
+            "text"), minDist = 8)
+        .toDF()
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("nk"), min("frame_no").as("f0"))
+        .agg(count(lit(1)).cast("long").as("n_media"),
+          (max(when(col("f0") =!= 0, 1).otherwise(0)) === 0)
+            .as("ok_first_frame_kept"),
+          (min(col("nk")) >= 1L && max(col("nk")) <= 4L).as("ok_bounds"))
+    },
+    // BPE fertility accounting: the per-language doc/word/char sums are
+    // raw corpus facts DuckDB reproduces; the tokenizer invariants (≥ 1
+    // token per nonempty word, > 0 tokens for nonempty docs) fold to
+    // booleans
+    "bpe_fertility_check" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val (_, vocab) = trainedBpe(docs, numMerges = 12)
+      graft.ext.Bpe.encodeWithVocab(docs, "doc_id", "text", vocab)
+        .select(col("doc_id"), size(col("tokens")).cast("long").as("nt"))
+        .join(docs.select(col("doc_id"), col("lang"),
+          size(filter(split(col("text"), " "), w => w =!= ""))
+            .cast("long").as("nw"),
+          length(col("text")).cast("long").as("nc")), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("nw").cast("long").as("n_words"),
+          sum("nc").cast("long").as("n_chars"),
+          (max(when(col("nt") < col("nw"), 1).otherwise(0)) === 0)
+            .as("ok_fertility_ge1"),
+          (max(when(col("nw") > 0 && col("nt") === 0, 1).otherwise(0))
+            === 0).as("ok_nonempty_tokenized"))
+        .orderBy("lang")
     },
     // Media-ladder check twins — one per modality, via [[mediaLadderCheck]]:
     // two INDEPENDENT band decompositions must produce the same pair set
@@ -1855,6 +2031,54 @@ object PipelineQueries {
         |   AS n_vectors,
         | TRUE AS ok_cosine_exact, TRUE AS ok_no_self,
         | TRUE AS ok_k_bound, TRUE AS ok_rnk_dense""".stripMargin,
+    "sim_search_lsh_check" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT)
+        |   AS n_vectors, TRUE AS ok_cosine_exact, TRUE AS ok_k_bound,
+        | TRUE AS ok_self_found""".stripMargin,
+    "sim_search_ivf_check" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT)
+        |   AS n_vectors, TRUE AS ok_cosine_exact, TRUE AS ok_k_bound,
+        | TRUE AS ok_self_found""".stripMargin,
+    "sim_search_pq_check" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT)
+        |   AS n_vectors, TRUE AS ok_cosine_exact, TRUE AS ok_k_bound,
+        | TRUE AS ok_self_found""".stripMargin,
+    "dedup_embedding_check" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT)
+        |   AS n_vectors, TRUE AS ok_no_false_positives,
+        | TRUE AS ok_canonical""".stripMargin,
+    "dedup_semantic_check" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id % 4 = 0)
+        |   AS BIGINT) AS n_planted, TRUE AS ok_pairs_planted_form,
+        | TRUE AS ok_min_cosine, TRUE AS ok_within_count""".stripMargin,
+    "media_phash_check" ->
+      """SELECT CAST((SELECT count(*) FROM documents
+        |   WHERE doc_id IS NOT NULL AND text IS NOT NULL) +
+        | (SELECT count(*) FROM documents
+        |   WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 4 = 0)
+        |   AS BIGINT) AS n_media,
+        | TRUE AS ok_identical_text_same_hash""".stripMargin,
+    "media_resize_check" ->
+      """SELECT CAST((SELECT count(*) FROM documents
+        |   WHERE doc_id IS NOT NULL AND text IS NOT NULL) +
+        | (SELECT count(*) FROM documents
+        |   WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 4 = 0)
+        |   AS BIGINT) AS n_media,
+        | TRUE AS ok_all_fingerprinted""".stripMargin,
+    "media_keyframes_check" ->
+      """SELECT CAST((SELECT count(*) FROM documents
+        |   WHERE doc_id IS NOT NULL AND text IS NOT NULL) +
+        | (SELECT count(*) FROM documents
+        |   WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 4 = 0)
+        |   AS BIGINT) AS n_media,
+        | TRUE AS ok_first_frame_kept, TRUE AS ok_bounds""".stripMargin,
+    "bpe_fertility_check" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(len(list_filter(string_split(text, ' '),
+        |   x -> x <> ''))) AS BIGINT) AS n_words,
+        | CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        | TRUE AS ok_fertility_ge1, TRUE AS ok_nonempty_tokenized
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // tokenization losslessness: detok(tokens) must equal the word
     // sequence (BPE, spaces restored from </w>) or the space-free char
     // stream (unigram) — both computable from the raw text
