@@ -384,6 +384,94 @@ object PipelineQueries {
       fp.agg(count(lit(1)).cast("long").as("n_media"),
         (count(col("phash")) === count(lit(1))).as("ok_all_fingerprinted"))
     },
+    // the audio/video fingerprint rungs, same device as media_phash_check:
+    // blob counts are doc arithmetic; identical text ⇒ identical WAV/AVI
+    // bytes ⇒ identical fingerprint
+    "media_audio_fp_check" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val fp = Multimodal.perceptualHash(
+        Multimodal.synthAudioBlobs(docs, "doc_id", "text"))
+      val okSame = fp.where(col("media_id") < 1000000L)
+        .join(docs.select(col("doc_id").as("media_id"), col("text")),
+          "media_id")
+        .groupBy("text").agg(countDistinct(col("phash")).as("nh"))
+        .agg(coalesce(max(col("nh")) === 1L, lit(true))
+          .as("ok_identical_text_same_hash"))
+      fp.agg(count(lit(1)).cast("long").as("n_media"))
+        .crossJoin(broadcast(okSame))
+    },
+    "media_video_fp_check" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val fp = Multimodal.perceptualHash(
+        Multimodal.synthVideoBlobs(docs, "doc_id", "text"))
+      val okSame = fp.where(col("media_id") < 1000000L)
+        .join(docs.select(col("doc_id").as("media_id"), col("text")),
+          "media_id")
+        .groupBy("text").agg(countDistinct(col("phash")).as("nh"))
+        .agg(coalesce(max(col("nh")) === 1L, lit(true))
+          .as("ok_identical_text_same_hash"))
+      fp.agg(count(lit(1)).cast("long").as("n_media"))
+        .crossJoin(broadcast(okSame))
+    },
+    // SemDeDup purge accounting: clusters PARTITION the planted corpus
+    // (sum of member counts = base + planted copies), the keeper is the
+    // cluster minimum so every base vector survives (a copy is its
+    // source + 1e6), and the removed set is at most the planted copies
+    "dedup_semantic_purge_check" -> { (s, d) =>
+      val base = Tables.embeddings(s, d)
+      val kept = Similarity.semanticDedupCorpus(plantedNearDups(base),
+        "vec_id", "embedding", nlist = 16, minCosine = 0.8, maxCell = 1000L)
+      base.agg(count(lit(1)).cast("long").as("n_base"),
+          sum(when(pmod(col("vec_id"), lit(4)) === 0, 1L).otherwise(0L))
+            .cast("long").as("n_planted"))
+        .crossJoin(broadcast(kept.agg(
+          count(lit(1)).as("__nkept"),
+          sum(col("n_members")).as("__members"),
+          sum(when(col("vec_id") < 1000000L, 1L).otherwise(0L))
+            .as("__baseKept"),
+          (min(col("n_members")) >= 1L).as("ok_members_ge1"))))
+        .select(col("n_base"), col("n_planted"), col("ok_members_ge1"),
+          (col("__members") === col("n_base") + col("n_planted"))
+            .as("ok_partition"),
+          (col("__baseKept") === col("n_base")).as("ok_all_base_kept"),
+          (col("__nkept") >= col("n_base") &&
+            col("__nkept") <= col("n_base") + col("n_planted"))
+            .as("ok_survivor_bounds"))
+    },
+    // unigram invariants: the SAMPLED tokenization is as lossless as the
+    // Viterbi one (concatenating tokens reproduces the space-free char
+    // stream — the unigram_encode_check device, full per-doc oracle),
+    // and the trained vocabulary covers every corpus character (the
+    // losslessness precondition), with bounded piece lengths and
+    // negative log-probs
+    "unigram_sample_check" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ext.Unigram.encodeSampled(docs, "doc_id", "text",
+          trainedUnigram(docs, vocabSize = 300), alpha = 0.3, salt = 7L)
+        .select(col("doc_id"), concat_ws("", col("tokens")).as("detok"))
+        .orderBy("doc_id")
+    },
+    "unigram_pieces_check" -> { (s, d) =>
+      import s.implicits._
+      val m = trainedUnigram(Tables.documents(s, d), vocabSize = 300)
+      val pieces = m.pieces.toDF("piece", "logp")
+      val chars = Tables.documents(s, d).where(col("text").isNotNull)
+        .select(explode(split(regexp_replace(col("text"), " ", ""), ""))
+          .as("c"))
+        .where(col("c") =!= "").distinct()
+      val uncovered = chars.join(
+        pieces.where(length(col("piece")) === 1)
+          .select(col("piece").as("c")), Seq("c"), "left_anti")
+      chars.agg(count(lit(1)).cast("long").as("n_corpus_chars"))
+        .crossJoin(broadcast(pieces.agg(
+          (count(lit(1)) === countDistinct(col("piece")))
+            .as("ok_distinct_pieces"),
+          (max(length(col("piece"))) <= 4).as("ok_piece_len"),
+          (max(col("logp")) < 0.0).as("ok_logp_negative"),
+          (count(lit(1)) <= 300L).as("ok_vocab_bound"))))
+        .crossJoin(broadcast(uncovered.agg(
+          (count(lit(1)) === 0L).as("ok_char_coverage"))))
+    },
     "media_keyframes_check" -> { (s, d) =>
       Multimodal.keyFrames(
           Multimodal.synthVideoBlobs(Tables.documents(s, d), "doc_id",
@@ -2072,6 +2160,40 @@ object PipelineQueries {
         |   WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 4 = 0)
         |   AS BIGINT) AS n_media,
         | TRUE AS ok_first_frame_kept, TRUE AS ok_bounds""".stripMargin,
+    "media_audio_fp_check" ->
+      """SELECT CAST((SELECT count(*) FROM documents
+        |   WHERE doc_id IS NOT NULL AND text IS NOT NULL) +
+        | (SELECT count(*) FROM documents
+        |   WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 4 = 0)
+        |   AS BIGINT) AS n_media,
+        | TRUE AS ok_identical_text_same_hash""".stripMargin,
+    "media_video_fp_check" ->
+      """SELECT CAST((SELECT count(*) FROM documents
+        |   WHERE doc_id IS NOT NULL AND text IS NOT NULL) +
+        | (SELECT count(*) FROM documents
+        |   WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 4 = 0)
+        |   AS BIGINT) AS n_media,
+        | TRUE AS ok_identical_text_same_hash""".stripMargin,
+    "dedup_semantic_purge_check" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_base,
+        | CAST((SELECT count(*) FROM embeddings WHERE vec_id % 4 = 0)
+        |   AS BIGINT) AS n_planted,
+        | TRUE AS ok_members_ge1, TRUE AS ok_partition,
+        | TRUE AS ok_all_base_kept, TRUE AS ok_survivor_bounds""".stripMargin,
+    "unigram_sample_check" ->
+      """SELECT doc_id,
+        | array_to_string(list_filter(string_split(text, ' '),
+        |   x -> x <> ''), '') AS detok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "unigram_pieces_check" ->
+      """SELECT CAST(count(DISTINCT c) AS BIGINT) AS n_corpus_chars,
+        | TRUE AS ok_distinct_pieces, TRUE AS ok_piece_len,
+        | TRUE AS ok_logp_negative, TRUE AS ok_vocab_bound,
+        | TRUE AS ok_char_coverage
+        |FROM (SELECT unnest(regexp_split_to_array(replace(text, ' ', ''),
+        |        '')) AS c
+        |      FROM documents WHERE text IS NOT NULL) t
+        |WHERE c <> ''""".stripMargin,
     "bpe_fertility_check" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(len(list_filter(string_split(text, ' '),
