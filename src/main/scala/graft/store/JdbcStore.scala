@@ -154,6 +154,22 @@ final class JdbcKvStore(spark: SparkSession, url: String)
         upsert(c, versionKey, (cur + 1L).toString)
         c.commit()
       } catch {
+        // two first-writers on an EMPTY store race the version row's
+        // INSERT (no row yet ⇒ nothing for FOR UPDATE to lock); the
+        // loser's duplicate-key violation IS the detected conflict —
+        // surface it as the same exception every backend's CAS throws,
+        // so the caller's rebase loop handles all three identically
+        case e: java.sql.SQLIntegrityConstraintViolationException =>
+          c.rollback()
+          throw new ConcurrentCommitException(
+            s"concurrent first commit detected (${e.getMessage})")
+        // serialization failures (deadlock victim / lock timeout under
+        // SERIALIZABLE) are the database's "you lost the race" — same
+        // retry contract
+        case e: java.sql.SQLTransactionRollbackException =>
+          c.rollback()
+          throw new ConcurrentCommitException(
+            s"transaction serialization conflict (${e.getMessage})")
         case t: Throwable => c.rollback(); throw t
       } finally c.setAutoCommit(true)
     }

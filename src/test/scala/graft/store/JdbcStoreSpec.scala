@@ -96,6 +96,38 @@ class JdbcStoreSpec extends SparkSpec {
     assert(new JdbcKvStore(spark, u).get("b").contains("2"))
   }
 
+  test("kv CAS: racing first commits on an empty store — one winner, one ConcurrentCommitException") {
+    // the empty-store corner: no version row exists yet, so FOR UPDATE
+    // has nothing to lock and both writers reach their INSERTs — the
+    // loser's duplicate-key (or serialization) failure must surface as
+    // the standard CAS conflict, not a raw SQLException
+    val u = url()
+    val kv = new JdbcKvStore(spark, u) // creates the table
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val results = (0 until 2).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+          def call(): Option[Throwable] = {
+            gate.await()
+            try {
+              new JdbcKvStore(spark, u).setAll(Map("w" -> s"t$i"),
+                expectedVersion = Some(0L))
+              None
+            } catch { case t: Throwable => Some(t) }
+          }
+        })
+      }
+      gate.countDown()
+      val failures = results.map(_.get()).flatten
+      assert(failures.size == 1,
+        s"exactly one loser expected, got ${failures.size}: $failures")
+      assert(failures.head.isInstanceOf[ConcurrentCommitException],
+        s"loser must see the CAS conflict, got ${failures.head}")
+      assert(kv.get("w").exists(v => v == "t0" || v == "t1"))
+    } finally pool.shutdown()
+  }
+
   test("predicate pushdown: the point read reaches the JDBC scan") {
     val t = new JdbcLogStore(spark, url(), "f1")
     t.storeLogs(mkLogs(0, 9))
