@@ -121,6 +121,11 @@ object PipelineQueries {
     * ⇒ one keeper per distinct text, plus one planted near-copy per
     * distinct text holding a `doc_id % 4 == 0` doc).
     */
+  /** Scale posture: the twin runs UNCAPPED on purpose — the pigeonhole
+    * completeness it asserts is only unconditional without the hot-bucket
+    * drop. It is a conformance device over the test corpus; the DECLARED
+    * queries keep `maxBucket` and are the 100 TB path.
+    */
   private def mediaLadderCheck(
       media: org.apache.spark.sql.Dataset[Multimodal.MediaBlob],
       maxDist: Int): DataFrame = {

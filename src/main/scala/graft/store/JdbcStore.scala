@@ -215,10 +215,14 @@ final class JdbcLogStore(spark: SparkSession, url: String,
     */
   override def read: DataFrame = {
     val hi = lastIndex()
+    // one range query per partition, capped so small tables don't fan
+    // out into empty queries and large ones use the cluster's width
+    val parts = math.min(
+      math.max(1L, spark.sparkContext.defaultParallelism.toLong),
+      math.max(1L, hi / 1024L + 1L)).toInt
     val base =
       if (hi <= 0) spark.read.jdbc(url, table, jdbcProps)
-      else spark.read.jdbc(url, table, "INDX", 0L, hi,
-        math.min(8, math.max(1, (hi / 1024L) + 1L)).toInt, jdbcProps)
+      else spark.read.jdbc(url, table, "INDX", 0L, hi, parts, jdbcProps)
     base.select(
       col("TX_INDEX").as("tx_index"), col("TX_HASH").as("tx_hash"),
       col("BLOCK_NUM").as("block_num"), col("BLOCK_HASH").as("block_hash"),
