@@ -21,7 +21,11 @@ object PlanDump {
     "dedup_audio", "join_hamming", "join_interval", "media_keyframes",
     "unigram_encode", "sample_coverage", "media_resize",
     "search_rrf", "dict_filter", "join_overlap", "tx_store_roundtrip",
-    "tx_time_travel", "tx_changes")
+    "tx_time_travel", "tx_changes",
+    // round 9: the exact pair tiers after the hashed-gram-key pass, and
+    // a representative of the new fingerprint-tier check twins
+    "dedup_ngram", "dedup_containment", "edit_distance",
+    "dedup_minhash_check")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
