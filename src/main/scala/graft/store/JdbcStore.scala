@@ -79,10 +79,14 @@ final class JdbcKvStore(spark: SparkSession, url: String)
 
   private val versionKey = "__kv_version"
 
+  // V is a CLOB: checkpoint/registry blobs stored through the kv seam
+  // have no practical size bound (the reference's PostgreSQL backend
+  // uses TEXT); a VARCHAR cap would fail large values with an opaque
+  // Derby 22001 truncation error
   withConn(url)(ensureTable(_,
     """CREATE TABLE GRAFT_KV (
       | K VARCHAR(512) NOT NULL PRIMARY KEY,
-      | V VARCHAR(32000) NOT NULL)""".stripMargin))
+      | V CLOB NOT NULL)""".stripMargin))
 
   override def get(key: String): Option[String] = withConn(url) { c =>
     val ps = c.prepareStatement("SELECT V FROM GRAFT_KV WHERE K = ?")
@@ -205,7 +209,7 @@ final class JdbcLogStore(spark: SparkSession, url: String,
        | BLOCK_HASH VARCHAR(256) NOT NULL,
        | ADDRESS VARCHAR(256) NOT NULL,
        | TOPICS_CSV VARCHAR(4096),
-       | LOG_DATA VARCHAR(32000))""".stripMargin))
+       | LOG_DATA CLOB)""".stripMargin))
 
   private def jdbcProps = new java.util.Properties()
 
@@ -249,6 +253,19 @@ final class JdbcLogStore(spark: SparkSession, url: String,
     * then Spark's distributed JDBC sink appends (each partition writes
     * its own batch inserts; the INDX primary key makes a double-fire
     * loudly violate a constraint instead of silently duplicating).
+    *
+    * The distributed sink commits per partition on separate connections,
+    * so a mid-job failure (or a task retry dying on the PK violation
+    * after a partially-inserted partition) can leave SOME partitions'
+    * rows durably committed — a permanent gap in the INDX sequence that
+    * `lastIndex() = max+1` would then build past, silently breaking the
+    * consecutive-index contract the reference's single-transaction
+    * StoreLogs guarantees (`postgresql_store.go:110-150`). On any write
+    * failure the append is therefore REPAIRED to the pre-append
+    * watermark (one transactional `DELETE WHERE INDX >= base` — the
+    * same statement truncation uses) before the failure is rethrown, so
+    * an observer sees the batch entirely or not at all and a caller
+    * retry starts from a clean table.
     */
   override def storeLogs(batch: DataFrame): Long = {
     val base = lastIndex()
@@ -265,7 +282,17 @@ final class JdbcLogStore(spark: SparkSession, url: String,
     try {
       val count = n.count()
       if (count == 0L) return base
-      n.write.mode("append").jdbc(url, table, jdbcProps)
+      try n.write.mode("append").jdbc(url, table, jdbcProps)
+      catch {
+        case t: Throwable =>
+          try withConn(url) { c =>
+            val del = c.prepareStatement(
+              s"DELETE FROM $table WHERE INDX >= ?")
+            try { del.setLong(1, base); del.executeUpdate(): Unit }
+            finally del.close()
+          } catch { case r: Throwable => t.addSuppressed(r) }
+          throw t
+      }
       base + count
     } finally n.unpersist()
   }

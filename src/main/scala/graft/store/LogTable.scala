@@ -486,10 +486,27 @@ object KvStore {
     * and their read.
     */
   private[store] val retainKvVersions = 4
+
+  /** Missing-path detector shared by every list-then-read retry (this
+    * store's readers and the CDC manifest poller): walks the cause chain
+    * and matches the message variants different filesystems / wrapping
+    * layers surface a pruned path as — a bare FileNotFoundException case
+    * misses object-store and Spark-wrapped forms.
+    */
+  private[graft] def isMissingPath(e: Throwable): Boolean =
+    e != null && (e.isInstanceOf[java.io.FileNotFoundException] ||
+      (e.getMessage != null && (e.getMessage.contains("Path does not exist") ||
+        e.getMessage.contains("PATH_NOT_FOUND") ||
+        e.getMessage.contains("No such file"))) ||
+      isMissingPath(e.getCause))
 }
 
-final class KvStore(spark: SparkSession, root: String)
+final class KvStore(spark: SparkSession, root: String,
+    val retainVersions: Int = KvStore.retainKvVersions)
     extends KeyValueStore {
+  require(retainVersions >= 2,
+    s"retainVersions must be >= 2 (newest + at least one reader window), " +
+      s"got $retainVersions")
   private val dir = s"$root/kv"
 
   // scheme-aware: the store root decides the filesystem (HDFS/object
@@ -501,28 +518,32 @@ final class KvStore(spark: SparkSession, root: String)
   /** Readers list-then-read non-atomically; a concurrent committer prunes
     * superseded versions, so the version a reader just listed can vanish
     * before the read lands. Two defenses: commits RETAIN the last
-    * [[KvStore.retainKvVersions]] versions (the common window), and this
-    * retry re-lists on a missing-path failure (the pathological one) —
-    * the re-list pins the new newest version, so the retried read is
-    * against a version the pruner must retain.
+    * [[retainVersions]] versions (the common window — a DIAL, sized to
+    * how many commits a committer storm can land inside one reader's
+    * list-to-read gap), and this retry re-lists on a missing-path failure
+    * (the pathological one) — the re-list pins the new newest version, so
+    * the retried read is against a version the pruner must retain. A
+    * reader that STILL loses after every retry (a storm sustained through
+    * all 8 re-lists) fails LOUDLY with the dial named, not with the raw
+    * FileNotFound of whichever version vanished last.
     */
   private def withReadRetry[A](body: => A): A = {
     var attempt = 0
     while (true) {
       try return body
       catch {
-        case e: Exception if attempt < 8 && isMissingPath(e) => attempt += 1
+        case e: Exception if KvStore.isMissingPath(e) =>
+          if (attempt >= 8) throw new IllegalStateException(
+            s"kv read at $dir outlived the retention window across " +
+              s"$attempt re-list retries (retainVersions=$retainVersions); " +
+              "a sustained commit storm is pruning versions faster than " +
+              "this reader re-lists — raise retainVersions on the writer",
+            e)
+          attempt += 1
       }
     }
     sys.error("unreachable")
   }
-
-  private def isMissingPath(e: Throwable): Boolean =
-    e != null && (e.isInstanceOf[java.io.FileNotFoundException] ||
-      (e.getMessage != null && (e.getMessage.contains("Path does not exist") ||
-        e.getMessage.contains("PATH_NOT_FOUND") ||
-        e.getMessage.contains("No such file"))) ||
-      isMissingPath(e.getCause))
 
   /** Complete (committed) versions, oldest→newest. */
   private def versions(): Seq[(Long, org.apache.hadoop.fs.Path)] = {
@@ -540,9 +561,16 @@ final class KvStore(spark: SparkSession, root: String)
       .sortBy(_._1)
   }
 
+  /** Test seam: runs after a reader pins the newest version path and
+    * before the pinned read executes — the retention-boundary spec
+    * interleaves a deterministic concurrent-committer storm here (a real
+    * thread race between lister and pruner would be flaky).
+    */
+  private[graft] var afterPin: () => Unit = () => ()
+
   def read: DataFrame =
     versions().lastOption match {
-      case Some((_, p)) => spark.read.parquet(p.toString)
+      case Some((_, p)) => afterPin(); spark.read.parquet(p.toString)
       case None =>
         spark.createDataFrame(Seq.empty[(String, String)]).toDF("key", "value")
     }
@@ -560,6 +588,7 @@ final class KvStore(spark: SparkSession, root: String)
     versions().lastOption match {
       case None => (None, 0L)
       case Some((v, p)) =>
+        afterPin()
         (spark.read.parquet(p.toString).where(col("key") === key)
           .select("value").collect().headOption.map(_.getString(0)), v)
     }
@@ -698,7 +727,7 @@ final class KvStore(spark: SparkSession, root: String)
     // listed fails its read with FileNotFound — retaining the last few
     // (plus the reader-side re-list retry) closes the window. Tiny dirs;
     // the retained count is versions, not data.
-    versions().filter(_._1 < v).dropRight(KvStore.retainKvVersions - 1)
+    versions().filter(_._1 < v).dropRight(retainVersions - 1)
       .foreach(x => fs.delete(x._2, true))
   }
 

@@ -73,15 +73,20 @@ trait LogStore {
   */
 final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
     val blocksPerRange: Long = 10000L,
-    val retainVersions: Int = 32) extends LogStore {
+    val retainVersions: Int = 32,
+    kvRetainVersions: Int = KvStore.retainKvVersions) extends LogStore {
 
   private val dir = s"$root/txlogs/filter_hash=$filterHash"
   private val dataDir = s"$dir/data"
 
   /** The manifest lives in a KvStore — its versioned-`_SUCCESS` commit is
     * the table's atomic pointer. One key, one value: the encoded manifest.
+    * `kvRetainVersions` is the reader-window dial on that pointer store:
+    * raise it when a commit storm (streaming micro-commits) overlaps slow
+    * manifest readers (a long CDC poll, a pinned history scan).
     */
-  private val meta = new KvStore(spark, s"$root/txlogs_meta/filter_hash=$filterHash")
+  private val meta = new KvStore(spark,
+    s"$root/txlogs_meta/filter_hash=$filterHash", kvRetainVersions)
   private val manifestKey = "manifest"
 
   import TxLogTable.{dec, enc, Entry, Manifest}
@@ -500,9 +505,13 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
     * `olderThanMs` old. A directory written hours ago whose snapshot
     * aged out a moment ago therefore survives a full grace window for
     * any in-flight reader of that just-expired snapshot — as does an
-    * in-flight append's not-yet-committed directory (it sheds its marker
-    * harmlessly when its commit makes it live). Tests pass 0 to collect
-    * immediately.
+    * in-flight append's not-yet-committed directory: a marker stamped
+    * during the pre-commit window is DELETED here the moment the
+    * directory is observed live (without this sweep the stale marker
+    * would survive inside the committed directory, and the first vacuum
+    * after a later genuine dereference would see a clock already past
+    * the grace and delete with zero grace for draining readers). Tests
+    * pass 0 to collect immediately.
     */
   def vacuum(olderThanMs: Long = 60L * 60 * 1000): Int = {
     val live = (manifest().entries ++ retained().flatMap(_.entries))
@@ -511,7 +520,17 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return 0
     val now = System.currentTimeMillis()
-    val victims = fs.listStatus(base).toSeq
+    val listing = fs.listStatus(base).toSeq
+    // live directories shed any marker a racing pre-commit vacuum left:
+    // the grace clock must start at DEREFERENCE, never earlier
+    listing
+      .filter(st => st.isDirectory && live.contains(st.getPath.getName))
+      .foreach { st =>
+        val marker = new org.apache.hadoop.fs.Path(st.getPath, ".dropped")
+        try { fs.delete(marker, false); () }
+        catch { case _: java.io.IOException => () }
+      }
+    val victims = listing
       .filter(st => st.isDirectory && !live.contains(st.getPath.getName))
       .filter { st =>
         val marker = new org.apache.hadoop.fs.Path(st.getPath, ".dropped")

@@ -297,19 +297,30 @@ private[graft] object TxManifests {
 
   /** The KV commit prune retains a short version window, but a poller
     * could still list a version a fast committer burns through — re-list
-    * on a missing-path read rather than fail the trigger.
+    * on a missing-path read rather than fail the trigger. Matches through
+    * [[graft.store.KvStore.isMissingPath]] (cause-chain walk + message
+    * variants), the same matcher the KvStore reader retry uses: on object
+    * stores or through wrapping layers a pruned path can surface as
+    * something other than a top-level FileNotFoundException.
     */
   private def withReadRetry[A](body: => A): A = {
     var attempt = 0
     while (true) {
       try return body
       catch {
-        case e: java.io.FileNotFoundException if attempt < 8 =>
-          val _ = e; attempt += 1
+        case e: Exception
+            if attempt < 8 && graft.store.KvStore.isMissingPath(e) =>
+          attempt += 1
       }
     }
     sys.error("unreachable")
   }
+
+  /** Test seam: runs between the poller's version listing and its read —
+    * the sustained-commit-storm spec prunes the listed version here
+    * deterministically.
+    */
+  private[graft] var afterList: () => Unit = () => ()
 
   private def newestKv(kvDir: String): Option[Path] = {
     val base = new Path(kvDir)
@@ -341,17 +352,20 @@ private[graft] object TxManifests {
   }
 
   def currentVersion(kvDir: String): Long = withReadRetry {
-    newestKv(kvDir).map(d => readKv(d).get("manifest")
-      .filter(_.nonEmpty).map(TxLogTable.dec(_).version).getOrElse(0L))
-      .getOrElse(0L)
+    newestKv(kvDir).map { d =>
+      afterList()
+      readKv(d).get("manifest")
+        .filter(_.nonEmpty).map(TxLogTable.dec(_).version).getOrElse(0L)
+    }.getOrElse(0L)
   }
 
   /** All retained manifests keyed by version, plus the implicit empty
     * version 0.
     */
   def retainedByVersion(kvDir: String): Map[Long, TxLogTable.Manifest] = {
-    val kv = withReadRetry(newestKv(kvDir).map(readKv).getOrElse(
-      Map.empty[String, String]))
+    val kv = withReadRetry(newestKv(kvDir).map { d =>
+      afterList(); readKv(d)
+    }.getOrElse(Map.empty[String, String]))
     kv.collect {
       case (k, v) if k.startsWith("manifest@v") && v.nonEmpty =>
         val m = TxLogTable.dec(v)

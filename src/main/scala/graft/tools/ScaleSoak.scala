@@ -63,12 +63,41 @@ object ScaleSoak {
     "tfidf" -> "linear"
   )
 
+  /** Completed-output probe keyed on a CONTENT STAMP (srcDir + factor
+    * written beside `_SUCCESS`), through the Hadoop FileSystem of
+    * `outDir` — a bare java.io.File `_SUCCESS` check silently reuses a
+    * stale corpus when the source dir or factor changed, and is always
+    * false (⇒ regenerates every run) for any non-local outDir.
+    */
+  private def stamp(srcDir: String, factor: Int) = s"$srcDir|$factor"
+
+  private def stampedDone(spark: SparkSession, dir: String,
+      expect: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val succ = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    val st = new org.apache.hadoop.fs.Path(dir, "_graft_stamp")
+    fs.exists(succ) && fs.exists(st) && {
+      val in = fs.open(st)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString == expect
+      finally in.close()
+    }
+  }
+
+  private def writeStamp(spark: SparkSession, dir: String,
+      content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_stamp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
   def generate(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {
     import spark.implicits._
-    val docsDone = new java.io.File(s"$outDir/documents.parquet/_SUCCESS")
-    val vecsDone = new java.io.File(s"$outDir/embeddings.parquet/_SUCCESS")
-    if (docsDone.exists() && vecsDone.exists()) return
+    val expect = stamp(srcDir, factor)
+    if (stampedDone(spark, s"$outDir/documents.parquet", expect) &&
+      stampedDone(spark, s"$outDir/embeddings.parquet", expect)) return
 
     // global vocab for the fresh-text resampling (one tiny job)
     val vocab = spark.read.parquet(s"$srcDir/documents.parquet")
@@ -106,6 +135,7 @@ object ScaleSoak {
       }
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    writeStamp(spark, s"$outDir/documents.parquet", stamp(srcDir, factor))
 
     generateVectors(spark, srcDir, outDir, factor)
   }
@@ -117,7 +147,8 @@ object ScaleSoak {
   def generateVectors(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {
     import spark.implicits._
-    if (new java.io.File(s"$outDir/embeddings.parquet/_SUCCESS").exists())
+    if (stampedDone(spark, s"$outDir/embeddings.parquet",
+        stamp(srcDir, factor)))
       return
     val srcVecs = spark.read.parquet(s"$srcDir/embeddings.parquet")
       .select("vec_id", "embedding", "label")
@@ -141,6 +172,7 @@ object ScaleSoak {
       }
     }.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    writeStamp(spark, s"$outDir/embeddings.parquet", stamp(srcDir, factor))
   }
 
   def main(args: Array[String]): Unit = {

@@ -297,4 +297,63 @@ class StoreSpec extends SparkSpec {
     val keys = kv.listPrefix("filter_").select("key").as[String].collect()
     assert(keys.toSeq == Seq("filter_a", "filter_b"))
   }
+
+  test("kv retention boundary: a pinned reader straddling retainVersions-1 " +
+    "commits succeeds, one beyond loses its snapshot") {
+    // retention keeps the last `retain` versions INCLUDING the newest, so
+    // a reader that pinned version v survives exactly retain-1 further
+    // commits; the retain-th prunes v
+    val dir = tmpDir("kv")
+    val retain = 3
+    val kv = new KvStore(spark, dir, retain)
+    kv.set("k", "pinned")
+    // success side: pin, then storm retain-1 commits — the pinned
+    // snapshot must still read whole (and see the OLD value)
+    val pinnedOk = kv.read
+    (1 until retain).foreach(i => kv.set("k", s"storm$i"))
+    assert(pinnedOk.where($"key" === "k").select("value")
+      .as[String].collect().toSeq == Seq("pinned"))
+    // failure side: pin again, storm retain commits — the pinned version
+    // dir is pruned and the stale snapshot read fails (a LIVE reader
+    // re-lists via the retry; only a reader clinging to the dead pin
+    // loses)
+    val pinnedGone = kv.read
+    (0 until retain).foreach(i => kv.set("k", s"storm2$i"))
+    intercept[Exception] {
+      pinnedGone.where($"key" === "k").collect()
+    }
+    // the store itself is fine — a fresh (re-listing) read sees the tail
+    assert(kv.get("k").contains(s"storm2${retain - 1}"))
+  }
+
+  test("kv reader outliving the retention window fails LOUDLY naming the " +
+    "dial, not with a raw FileNotFound") {
+    val dir = tmpDir("kv")
+    val retain = 2
+    val reader = new KvStore(spark, dir, retain)
+    val writer = new KvStore(spark, dir, retain)
+    writer.set("k", "v0")
+    // sustained storm: between EVERY list and read of the reader, the
+    // writer burns `retain` commits, so the listed version is pruned
+    // before the read lands — through all 8 retries
+    var burst = 0
+    reader.afterPin = () => {
+      (0 until retain).foreach { i => burst += 1; writer.set("k", s"b$burst") }
+    }
+    try {
+      val e = intercept[IllegalStateException](reader.get("k"))
+      assert(e.getMessage.contains(s"retainVersions=$retain"))
+      assert(e.getMessage.contains("re-list retries"))
+      assert(e.getCause != null) // the underlying missing-path kept as cause
+    } finally reader.afterPin = () => ()
+    // a storm that STOPS inside the retry budget recovers: prune the
+    // reader's pin twice, then let it through
+    var bursts = 0
+    reader.afterPin = () => if (bursts < 2) {
+      bursts += 1
+      (0 until retain).foreach { i => burst += 1; writer.set("k", s"c$burst") }
+    }
+    try assert(reader.get("k").contains(s"c$burst"))
+    finally reader.afterPin = () => ()
+  }
 }

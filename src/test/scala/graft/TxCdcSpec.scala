@@ -156,6 +156,35 @@ class TxCdcSpec extends SparkSpec {
       s"expected one commit per batch, got $bs")
   }
 
+  test("the manifest poller survives a sustained commit storm pruning " +
+    "between its list and its read") {
+    // the poller lists the newest kv version then reads it non-atomically;
+    // a committer storm can prune the listed version in that gap. Drive
+    // the race DETERMINISTICALLY through the afterList seam: the first two
+    // polls lose their listed version to a burst that burns the whole kv
+    // retention window, the third reads clean — the retry must deliver the
+    // newest manifest, never fail the trigger
+    val root = tmpDir("txcdc-storm")
+    val t = new TxLogTable(spark, root, "fstorm")
+    t.storeLogs(mkLogs(0, 1))
+    val kvDir = s"$root/txlogs_meta/filter_hash=fstorm/kv"
+    var bursts = 0
+    graft.stream.TxManifests.afterList = () => if (bursts < 2) {
+      bursts += 1
+      // each append = one kv commit; the default window is 4, so 4
+      // commits prune the version the poller just listed
+      (0 until 4).foreach(_ => t.storeLogs(mkLogs(2, 2)): Unit)
+    }
+    try {
+      val v = graft.stream.TxManifests.currentVersion(kvDir)
+      assert(bursts == 2, "the storm seam must have fired and pruned twice")
+      assert(v == t.version(),
+        "the retried poll must pin the newest committed manifest")
+      val retained = graft.stream.TxManifests.retainedByVersion(kvDir)
+      assert(retained.contains(v))
+    } finally graft.stream.TxManifests.afterList = () => ()
+  }
+
   test("a version that aged out of retention fails the stream loudly") {
     val root = tmpDir("txcdc")
     val t = new TxLogTable(spark, root, "f1", retainVersions = 1)

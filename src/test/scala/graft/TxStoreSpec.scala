@@ -159,6 +159,32 @@ class TxStoreSpec extends SparkSpec {
     assert(idxOf(t) == (0L until 10L))
   }
 
+  test("a stale .dropped marker inside a LIVE directory is shed, so grace " +
+    "restarts at genuine dereference") {
+    val root = tmpDir("txstore")
+    val t = new TxLogTable(spark, root, "f1", retainVersions = 1)
+    t.storeLogs(mkLogs(0, 4))
+    val dataDir = new java.io.File(s"$root/txlogs/filter_hash=f1/data")
+    val d1 = dataDir.listFiles().filter(_.isDirectory).head
+    // simulate a vacuum pass that stamped this directory during its
+    // pre-commit window: by the time the dir is LIVE the marker is
+    // already hours old — without the shed, the first vacuum after a
+    // later genuine dereference would delete with ZERO grace
+    val marker = new java.io.File(d1, ".dropped")
+    assert(marker.createNewFile())
+    assert(marker.setLastModified(System.currentTimeMillis() - 3L * 3600 * 1000))
+    assert(t.vacuum() == 0)
+    assert(!marker.exists(), "marker inside a live directory must be shed")
+    // genuinely dereference d1 (compact rewrites the rows elsewhere) —
+    // the grace clock must start NOW, not at the stale stamp
+    t.compact()
+    assert(t.vacuum(olderThanMs = 3600L * 1000) == 0,
+      "a just-dereferenced dir must survive the full grace window")
+    assert(d1.exists())
+    assert(t.vacuum(olderThanMs = 0L) >= 1)
+    assert(!d1.exists())
+  }
+
   test("compact collapses entries transactionally and materializes caps away") {
     val root = tmpDir("txstore")
     val t = new TxLogTable(spark, root, "f1", retainVersions = 1)

@@ -78,6 +78,38 @@ class JdbcStoreSpec extends SparkSpec {
       .toSeq == Seq("filter_a", "filter_b"))
   }
 
+  test("a failed distributed append repairs to the pre-append watermark " +
+    "(no durable INDX gap)") {
+    // the distributed JDBC sink commits per partition on separate
+    // connections; a mid-job failure must not leave a permanent hole in
+    // the consecutive-index sequence. Poison ONE row (TX_HASH over the
+    // column's 256-char bound) so its partition's insert fails while
+    // others may have committed — the repair path must roll the table
+    // back to the pre-append watermark whatever the partition schedule
+    val t = new JdbcLogStore(spark, url(), "f1")
+    t.storeLogs(mkLogs(0, 4))
+    val before = t.lastIndex()
+    val poisoned = mkLogs(5, 9).withColumn("tx_hash",
+      when(col("block_num") === 7L, lit("x" * 300))
+        .otherwise(col("tx_hash")))
+    intercept[Exception](t.storeLogs(poisoned))
+    assert(t.lastIndex() == before, "watermark must be the pre-append one")
+    assert(idxOf(t) == (0L until before),
+      "indices must stay consecutive — no partial partitions survive")
+    // a caller retry with a clean batch continues the sequence
+    t.storeLogs(mkLogs(5, 9))
+    assert(idxOf(t) == (0L until before + 10L))
+  }
+
+  test("kv values beyond 32k round-trip (CLOB, the reference's TEXT shape)") {
+    val kv = new JdbcKvStore(spark, url())
+    val big = ("x" * 64000) + "end"
+    kv.set("blob", big)
+    assert(kv.get("blob").contains(big))
+    // and through the Spark-side prefix scan
+    assert(kv.listPrefix("blob").select("value").as[String].head() == big)
+  }
+
   test("kv CAS: a stale expectedVersion aborts, drops apply in-commit") {
     val u = url()
     val kv = new JdbcKvStore(spark, u)
