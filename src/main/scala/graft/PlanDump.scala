@@ -25,7 +25,12 @@ object PlanDump {
     // round 9: the exact pair tiers after the hashed-gram-key pass, and
     // a representative of the new fingerprint-tier check twins
     "dedup_ngram", "dedup_containment", "edit_distance",
-    "dedup_minhash_check")
+    "dedup_minhash_check",
+    // round 10: the persisted-index ANN serving probes (the snapshots
+    // must show PartitionFilters on lsh_bucket / ivf_cell and a
+    // code-columns-only ReadSchema for the PQ ADC pass) and the
+    // tx-table export round trip
+    "sim_search_ivf", "tx_export")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

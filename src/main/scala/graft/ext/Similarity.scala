@@ -109,6 +109,126 @@ object Similarity {
   def lshSignature(vecCol: Column, dim: Int, nbits: Int): Column =
     signatureBits(vecCol, dim, 0, nbits).as("lsh_bucket")
 
+  /** Driver-side twin of the codegen'd table-0 signature — bit-identical
+    * to [[graft.functions.LshSigsF]] on the same vector by construction
+    * (same [[planeSign]] matrix, same left-to-right double fold, same
+    * NaN-compares-greater sign test; SimilaritySpec pins the parity over
+    * a fuzz corpus). This is what lets a SERVING query compute its probe
+    * buckets on the driver: the corpus-side probe becomes a
+    * partition-pruned read of the persisted bucket index with zero
+    * corpus-side signature work at query time.
+    */
+  def lshSignatureLocal(vec: Array[Float], dim: Int, nbits: Int): Long = {
+    require(vec.length == dim, s"vector dim ${vec.length} != $dim")
+    var sig = 0L
+    var p = 0
+    while (p < nbits) {
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { acc += vec(i).toDouble * planeSign(i, p); i += 1 }
+      if (java.lang.Double.isNaN(acc) || acc >= 0.0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** The multiprobe bucket set for one query: its own bucket first, then
+    * every bucket within Hamming `probeHamming` in the same flip order as
+    * [[annTopK]] — the two forms probe IDENTICAL bucket sets, so their
+    * outputs match bit-for-bit.
+    */
+  def probeBuckets(queryVec: Array[Float], dim: Int, nbits: Int,
+      probeHamming: Int): Seq[Long] = {
+    val qb = lshSignatureLocal(queryVec, dim, nbits)
+    val flips =
+      (if (probeHamming >= 1) (0 until nbits).map(j => 1L << j)
+      else Seq.empty) ++
+        (if (probeHamming >= 2)
+          for { i <- 0 until nbits; j <- i + 1 until nbits }
+            yield (1L << i) | (1L << j)
+        else Seq.empty)
+    qb +: flips.map(qb ^ _)
+  }
+
+  /** Persist the single-table LSH bucket index of a corpus, PARTITIONED
+    * by bucket, with each vector's norm precomputed — the ANN top-k
+    * serving index ([[annTopKIndexed]] probes it). This is the deployment
+    * shape AnnCrossover measures beating the brute-force scan at ≥1M
+    * vectors: the on-the-fly [[annTopK]] recomputes every corpus
+    * signature per query (itself a full scan), while a probe against
+    * this index reads only the `(1 + nbits + C(nbits,2))/2^nbits`
+    * partition slice the query hashes to.
+    */
+  def writeLshBucketIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, dim: Int, nbits: Int): Unit =
+    lshBucketed(corpus, vecCol, dim, nbits)
+      .select(col(idCol), col(vecCol),
+        sqrt(norm2(col(vecCol))).as("__norm"), col("lsh_bucket"))
+      // range-layout on (bucket, id) BEFORE the partitioned write: each
+      // task then holds a contiguous bucket slice, so every bucket
+      // directory gets O(partitions/buckets) files instead of one file
+      // per (task × bucket) — 512 tiny files per index was measurable
+      // pure listing/footer overhead on every probe
+      .repartitionByRange(col("lsh_bucket"), col(idCol))
+      .sortWithinPartitions("lsh_bucket", idCol)
+      .write.mode("overwrite").partitionBy("lsh_bucket").parquet(path)
+
+  /** ANN top-k SERVED from the persisted bucket index: the probe set is
+    * computed on the driver ([[probeBuckets]]), the scan partition-prunes
+    * to those buckets (`PartitionFilters: lsh_bucket IN (...)` — no other
+    * partition directory is listed or read), and the exact cosine runs
+    * only inside them against the stored norms. Output is bit-identical
+    * to [[annTopK]] at the same (nbits, probeHamming): same bucket set,
+    * same fold arithmetic (the stored `__norm` is the same
+    * `sqrt(norm2(v))` double, the driver-side query norm replays the
+    * identical left-to-right square fold).
+    */
+  def annTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      queryVec: Array[Float],
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nbits: Int,
+      k: Int,
+      probeHamming: Int = 0
+  ): DataFrame = {
+    val buckets = probeBuckets(queryVec, dim, nbits, probeHamming)
+    val qn = {
+      var acc = 0.0
+      var i = 0
+      while (i < queryVec.length) {
+        acc += queryVec(i).toDouble * queryVec(i).toDouble; i += 1
+      }
+      math.sqrt(acc)
+    }
+    val q = spark.createDataFrame(Seq(Tuple1(queryVec.toSeq))).toDF("__q")
+    spark.read.parquet(indexPath)
+      .where(col("lsh_bucket").isin(buckets.map(java.lang.Long.valueOf): _*))
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        (dot(col(vecCol), col("__q")) / (col("__norm") * lit(qn)))
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Persist the IVF index cell-partitioned (the batch twin of
+    * [[ivfStreamWriter]], fitting the coarse quantizer first) and return
+    * the centroids a probe needs. [[ivfTopK]] over the re-read table
+    * partition-prunes to the `nprobe` probed cells.
+    */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, nlist: Int): Array[Array[Double]] = {
+    val (indexed, centroids) = ivfIndex(corpus, idCol, vecCol, nlist)
+    indexed
+      .repartitionByRange(col("ivf_cell"), col(idCol)) // see writeLshBucketIndex
+      .sortWithinPartitions("ivf_cell", idCol)
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+    centroids
+  }
+
   /** Bucket the corpus by LSH signature; ANN search = probe the query's
     * bucket only, then exact-cosine rank within it. Returns the corpus with
     * a `lsh_bucket` column — write partitioned/bucketed by it at rest so a
@@ -581,11 +701,12 @@ object Similarity {
       idCol: String,
       vecCol: String,
       m: Int,
-      k: Int = 16
+      k: Int = 16,
+      samplePerCode: Int = 64
   ): (DataFrame, Array[Array[Array[Double]]]) = {
     val sample = corpus.select(col(vecCol), col(idCol))
       .orderBy(xxhash64(col(idCol)), col(idCol)) // see ivfIndex: unbiased
-      .limit(k * 64)
+      .limit(k * samplePerCode)
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.nonEmpty && sample(0).length % m == 0,
@@ -648,9 +769,13 @@ object Similarity {
     }
     // approx cosine = ADC dot / stored vector norm (query norm is a
     // constant factor — it never changes the ranking); without the norm
-    // division, unnormalized corpora would rank by magnitude, not angle
+    // division, unnormalized corpora would rank by magnitude, not angle.
+    // Each per-subspace lookup table is ONE array literal (k doubles),
+    // not k literal nodes — at 256-code codebooks the per-literal form
+    // would put 2048 expression nodes in the scan stage
     val score = ((0 until m).map { j =>
-      element_at(array(tables(j).map(lit): _*), col(s"pq_$j") + 1)
+      element_at(typedLit[Seq[Double]](tables(j).toIndexedSeq),
+        col(s"pq_$j") + 1)
     }.reduce(_ + _)) / col("pq_norm")
     // zero-norm vectors have no direction: adc/0 is ±Inf and cosine 0/0 is
     // NaN, which Spark sorts ABOVE every real double in a descending sort —
@@ -662,17 +787,43 @@ object Similarity {
         .orderBy(col("approx_dot").desc, col(idCol))
         .limit(k)
     else {
+      // the ADC pass ranks CODES ONLY (id + m code columns + norm — the
+      // 32× compressed read; `ReadSchema` carries no vector column), then
+      // the `rerank` survivor ids come back as a broadcast semi-join to
+      // fetch their full vectors for the exact re-rank. Identical output
+      // to reranking inline (same shortlist by the same tie-broken order,
+      // same cosines) without dragging the vector payload through the
+      // top-N heaps of the whole scan.
       val spark = encoded.sparkSession
       val q = spark.createDataFrame(Seq(Tuple1(queryVec.toSeq))).toDF("__q")
-      searchable
-        .select(col(idCol), col(vecCol), score.as("approx_dot"))
+      val shortlist = searchable
+        .select(col(idCol), score.as("approx_dot"))
         .orderBy(col("approx_dot").desc, col(idCol))
         .limit(math.max(rerank, k))
+        .select(idCol)
+      encoded.select(col(idCol), col(vecCol))
+        .join(broadcast(shortlist), Seq(idCol), "left_semi")
         .crossJoin(broadcast(q))
         .select(col(idCol), cosine(col(vecCol), col("__q")).as("cosine"))
         .orderBy(col("cosine").desc, col(idCol))
         .limit(k)
     }
+  }
+
+  /** Persist the PQ index (id, vector, code columns, norm) and return the
+    * fitted codebooks — [[pqTopK]] over the re-read table then
+    * column-prunes its ADC pass to the code columns alone; the vector
+    * column is touched only by the rerank shortlist's semi-join.
+    */
+  def writePqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, m: Int, k: Int = 16,
+      samplePerCode: Int = 64): Array[Array[Array[Double]]] = {
+    val (encoded, codebooks) = pqIndex(corpus, idCol, vecCol, m, k,
+      samplePerCode)
+    encoded
+      .repartitionByRange(col(idCol)).sortWithinPartitions(idCol)
+      .write.mode("overwrite").parquet(path)
+    codebooks
   }
 
   /** Streaming IVF index maintenance: each micro-batch of vectors gets its

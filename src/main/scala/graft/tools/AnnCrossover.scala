@@ -62,8 +62,15 @@ object AnnCrossover {
           ScaleSoak.generateVectors(spark, srcDir, d, factor)
           d
         }
-      val embs = spark.read.parquet(s"$dir/embeddings.parquet")
-        .select("vec_id", "embedding", "label").persist()
+      // at-rest corpus — what the DECLARED sim_search scans every run
+      // (Tables.embeddings reads parquet; nothing is session-cached in
+      // the driver contract), and the only honest 100 TB baseline (no
+      // cluster holds the corpus in RAM at that scale)
+      val embsAtRest = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding", "label")
+      // RAM-cached copy for index builds, the truth sets, and the
+      // cached-exact CONTEXT row
+      val embs = embsAtRest.persist()
       val n = embs.count()
       val queries: Seq[Array[Float]] = embs.orderBy("vec_id")
         .limit(nQueries).select("embedding").as[Array[Float]]
@@ -79,8 +86,9 @@ object AnnCrossover {
           (System.nanoTime() - t0) / 1e9 / queries.length
         }.min
 
-      // exact tier: the truth sets double as the recall reference
-      val exactS = time(qv =>
+      // cached-exact context row (the round-9 harness's baseline): the
+      // RAM-resident scan a single-node deployment could afford
+      val exactCachedS = time(qv =>
         Similarity.cosineTopK(embs, qDf(qv), "vec_id", "embedding", k))
       val truth: Seq[Set[Long]] = queries.map(qv =>
         Similarity.cosineTopK(embs, qDf(qv), "vec_id", "embedding", k)
@@ -92,13 +100,11 @@ object AnnCrossover {
           t.intersect(got).size.toDouble / t.size
         }.sum / queries.length
 
+      // speedups are resolved AFTER the at-rest exact baseline is timed
+      // (which must happen post-unpersist — see below)
       def cell(name: String, indexS: Double,
-          run: Array[Float] => DataFrame): String = {
-        val s = time(run)
-        val r = recallOf(run)
-        f""""$name":{"query_s":$s%.4f,"recall":$r%.3f,""" +
-          f""""speedup":${exactS / s}%.2f,"index_s":$indexS%.2f}"""
-      }
+          run: Array[Float] => DataFrame): (String, Double, Double, Double) =
+        (name, time(run), recallOf(run), indexS)
 
       // LSH declared (nbits=4, probe 11/16 buckets) + scaled (buckets ~4k)
       def lsh(nbits: Int): Array[Float] => DataFrame = qv =>
@@ -107,50 +113,39 @@ object AnnCrossover {
       val nbitsScaled = math.min(12, math.max(4,
         (math.log(n.toDouble / 4096.0) / math.log(2.0)).ceil.toInt))
 
-      // LSH with a PERSISTED bucket table (the writeBandIndex deployment
-      // shape — the on-the-fly form recomputes every corpus signature per
-      // query, which is what keeps it below crossover): buckets built
-      // once, each query probes Hamming≤2 neighbors of its own bucket
-      def lshIndexedCell(name: String, nbits: Int): String = {
+      val idxRoot = java.nio.file.Files
+        .createTempDirectory(s"graft-annx-x$factor").toString
+
+      // LSH served from the PERSISTED bucket index — the DECLARED
+      // sim_search_lsh shape since round 10 (partition-pruned parquet
+      // probe via Similarity.annTopKIndexed; the on-the-fly form above
+      // recomputes every corpus signature per query, which is what kept
+      // it below crossover through round 9)
+      def lshIndexedCell(name: String,
+          nbits: Int): (String, Double, Double, Double) = {
+        val path = s"$idxRoot/lsh$nbits"
         val t0 = System.nanoTime()
-        val bucketed = Similarity.lshBucketed(embs, "embedding", 64, nbits)
-          .persist()
-        bucketed.count()
+        Similarity.writeLshBucketIndex(embs, "vec_id", "embedding", path,
+          dim = 64, nbits = nbits)
         val build = (System.nanoTime() - t0) / 1e9
-        val flips = (0 until nbits).map(j => 1L << j) ++
-          (for { i <- 0 until nbits; j <- i + 1 until nbits }
-            yield (1L << i) | (1L << j))
-        def run(qv: Array[Float]): DataFrame = {
-          val q = Similarity.lshBucketed(qDf(qv), "embedding", 64, nbits)
-            .select(col("embedding").as("__q"),
-              col("lsh_bucket").as("__qb"))
-          val probes = q.select(col("__q"), explode(array(
-            (col("__qb") +: flips.map(m =>
-              col("__qb").bitwiseXOR(lit(m)))): _*)).as("__qb"))
-          bucketed.join(broadcast(probes),
-              col("lsh_bucket") === col("__qb"))
-            .select(col("vec_id"),
-              Similarity.cosine(col("embedding"), col("__q")).as("cosine"))
-            .orderBy(col("cosine").desc, col("vec_id")).limit(k)
-        }
-        val out = cell(name, build, run)
-        bucketed.unpersist()
-        out
+        cell(name, build, qv => Similarity.annTopKIndexed(spark, path, qv,
+          "vec_id", "embedding", dim = 64, nbits = nbits, k = k,
+          probeHamming = 2))
       }
 
-      // IVF declared (nlist=16, nprobe=8) + scaled (nlist ≈ √N, same
-      // probe fraction) — index built & persisted once per config
-      def ivfCell(name: String, nlist: Int, nprobe: Int): String = {
+      // IVF served from the persisted cell-partitioned index — the
+      // DECLARED sim_search_ivf shape (nlist=16, nprobe=8) + scaled
+      // (nlist ≈ √N, same probe fraction)
+      def ivfCell(name: String, nlist: Int,
+          nprobe: Int): (String, Double, Double, Double) = {
+        val path = s"$idxRoot/ivf$nlist"
         val t0 = System.nanoTime()
-        val (indexed, centroids) =
-          Similarity.ivfIndex(embs, "vec_id", "embedding", nlist)
-        val idx = indexed.persist()
-        idx.count()
+        val centroids = Similarity.writeIvfIndex(embs, "vec_id",
+          "embedding", path, nlist)
         val build = (System.nanoTime() - t0) / 1e9
-        val out = cell(name, build, qv => Similarity.ivfTopK(idx, centroids,
+        val idx = spark.read.parquet(path)
+        cell(name, build, qv => Similarity.ivfTopK(idx, centroids,
           qv, "vec_id", "embedding", nprobe = nprobe, k = k))
-        idx.unpersist()
-        out
       }
       // √N capped at 256: ivfIndex's driver-local Lloyd's fit is
       // O(sample·nlist·dim) and the sample is nlist·64 — beyond ~256
@@ -159,31 +154,60 @@ object AnnCrossover {
       val nlistScaled = math.min(256,
         math.max(16, math.sqrt(n.toDouble).round.toInt))
 
-      // PQ declared (m=8, 16-way codebooks, rerank 400)
-      def pqCell(name: String): String = {
+      // PQ served from the persisted encoded index. `codes` is the
+      // codebook size: 16 was the round-9 declared config (measured
+      // collapsing to recall 0.17–0.21 at ≥1M); 256 (8-bit) with m=16
+      // 4-dim subspaces is the round-10 declared config
+      def pqCell(name: String, m: Int, codes: Int, samplePerCode: Int,
+          rerank: Int): (String, Double, Double, Double) = {
+        val path = s"$idxRoot/pq$m-$codes-$rerank"
         val t0 = System.nanoTime()
-        val (encoded, codebooks) =
-          Similarity.pqIndex(embs, "vec_id", "embedding", m = 8, k = 16)
-        val enc = encoded.persist()
-        enc.count()
+        val codebooks = Similarity.writePqIndex(embs, "vec_id",
+          "embedding", path, m = m, k = codes,
+          samplePerCode = samplePerCode)
         val build = (System.nanoTime() - t0) / 1e9
-        val out = cell(name, build, qv => Similarity.pqTopK(enc, codebooks,
-          qv, "vec_id", "embedding", k = k, rerank = 400))
-        enc.unpersist()
-        out
+        val enc = spark.read.parquet(path)
+        cell(name, build, qv => Similarity.pqTopK(enc, codebooks,
+          qv, "vec_id", "embedding", k = k, rerank = rerank))
       }
+
+      val tiers = Seq(
+        cell("lsh_onthefly", 0.0, lsh(4)),
+        cell(s"lsh_onthefly_b$nbitsScaled", 0.0, lsh(nbitsScaled)),
+        lshIndexedCell("lsh_declared_idx_b4", 4),
+        lshIndexedCell(s"lsh_indexed_b$nbitsScaled", nbitsScaled),
+        ivfCell("ivf_declared_idx", 16, 8),
+        ivfCell(s"ivf_scaled_l$nlistScaled", nlistScaled,
+          math.max(8, nlistScaled / 8)),
+        pqCell("pq_declared_m16c256", 16, 256, 16, 400),
+        pqCell("pq_m8c256", 8, 256, 16, 400),
+        pqCell("pq_m16c256_rr2k", 16, 256, 16, 2000),
+        pqCell("pq_m8c16", 8, 16, 64, 400))
+
+      // the at-rest exact baseline — what the DECLARED sim_search runs
+      // (Tables.embeddings reads parquet per execution) and the only
+      // honest 100 TB baseline — is timed LAST, after the cache is
+      // dropped: Spark's CacheManager substitutes the persisted plan
+      // fragment into ANY matching scan, so timing it while `embs` is
+      // persisted silently measures the cached scan again (the round-9
+      // harness's systematic error, visible as exact ≡ exact_cached)
+      embs.unpersist(true)
+      val exactS = time(qv =>
+        Similarity.cosineTopK(embsAtRest, qDf(qv), "vec_id", "embedding", k))
 
       val out = Seq(
         f""""exact":{"query_s":$exactS%.4f,"recall":1.000,"speedup":1.00,"index_s":0.00}""",
-        cell("lsh", 0.0, lsh(4)),
-        cell(s"lsh_scaled_b$nbitsScaled", 0.0, lsh(nbitsScaled)),
-        lshIndexedCell("lsh_indexed_b4", 4),
-        lshIndexedCell(s"lsh_indexed_b$nbitsScaled", nbitsScaled),
-        ivfCell("ivf", 16, 8),
-        ivfCell(s"ivf_scaled_l$nlistScaled", nlistScaled,
-          math.max(8, nlistScaled / 8)),
-        pqCell("pq"))
-      embs.unpersist()
+        f""""exact_cached":{"query_s":$exactCachedS%.4f,"recall":1.000,""" +
+          f""""speedup":${exactS / exactCachedS}%.2f,"index_s":0.00}""") ++
+        tiers.map { case (name, s, r, indexS) =>
+          f""""$name":{"query_s":$s%.4f,"recall":$r%.3f,""" +
+            f""""speedup":${exactS / s}%.2f,"index_s":$indexS%.2f}"""
+        }
+      def rmAll(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmAll)
+        f.delete(): Unit
+      }
+      rmAll(new java.io.File(idxRoot))
       Seq(s""""x$factor":{"n_vectors":$n,${out.mkString(",")}}""")
     }
 
