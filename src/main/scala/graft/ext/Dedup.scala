@@ -412,38 +412,117 @@ object Dedup {
     *              document frequency.
     */
   /** The shared pair-generation tier of the exact text-similarity ops:
-    * distinct capped shingles → per-doc counts → shingle-equality self-join
-    * → (id_a, id_b, inter, n_a, n_b), id_a < id_b, one row per doc pair
+    * identical-text collapse → distinct capped shingles per REPRESENTATIVE
+    * → shingle-equality self-join → member expansion →
+    * (id_a, id_b, inter, n_a, n_b), id_a < id_b, one row per doc pair
     * sharing ≥1 retained shingle. [[ngramJaccard]] and [[containmentPairs]]
     * are one `select` each on top.
     *
-    * Three consumers (counts + both self-join sides) each recompute the
-    * shingle subtree — column pruning specializes each leg, so
-    * ReuseExchange never matches (the plan shows four Scan→Generate→
-    * Aggregate chains). Measured FASTER than .cache() at sf0.1 (3.6s vs
-    * 5.2s): codegen'd recompute beats InMemoryRelation materialization,
-    * and caching hides broadcast-size stats. At cluster scale, materialize
-    * the shingle table once, then join. (With maxDf > 0 the capped table
-    * IS shared — cappedShingleRows lazily checkpoints.)
+    * IDENTICAL-TEXT COLLAPSE (round 10): exact copies are the hottest
+    * rows of the shingle self-join — a duplicate family of size g shares
+    * EVERY gram, multiplying each of its grams' df by g and the join's
+    * Σ df² cost by g². Collapsing to one representative per distinct text
+    * BEFORE the join and expanding the pair list afterwards is
+    * output-identical (identical text ⇒ identical shingle set ⇒ identical
+    * counts: cross-family pairs inherit the rep pair's (inter, n_a, n_b),
+    * within-family pairs share their whole retained set, inter = n) and is
+    * the RefinedWeb exact-before-near ladder applied INSIDE the exact
+    * tier. The hot-gram cap keeps document-level semantics: df is the
+    * family-size-weighted rep count — exactly the number of DOCUMENTS
+    * carrying the gram — so the retained shingle set matches the
+    * uncollapsed form's (both declared queries stay DuckDB-oracle-exact).
+    *
+    * 8-byte join keys (round 9): the pair self-join moves xxhash64(gram),
+    * not gram text. Per-doc counts and intersection sizes are unchanged
+    * short of a 64-bit collision inside one document's shingle set
+    * (~|shingles|²·2⁻⁶⁴).
+    */
+  /** `keep(inter, n_a, n_b)` is the caller's pair threshold, applied AT
+    * THE REP-PAIR AGGREGATE — before the count attach and the member
+    * expansion. On low-entropy corpora (small gram vocabulary — the x10
+    * soak measures 30k distinct grams at avg df 78) almost every doc pair
+    * shares SOME gram, so the aggregate emits tens of millions of
+    * below-threshold pairs; filtering them inside the aggregate stage
+    * instead of after two more pair-keyed shuffles is the difference
+    * between a linear-ish and a quadratic tail. The predicate must be
+    * symmetric in (n_a, n_b) (jaccard and max-containment both are);
+    * within-family pairs (inter = n_a = n_b) pass any threshold ≤ 1 by
+    * construction and are emitted unconditionally.
     */
   private def pairCounts(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, maxDf: Long): DataFrame = {
-    // 8-byte join keys: the pair self-join (the dominant shuffle of every
-    // exact tier — the x10 soak's fattest curves) moves xxhash64(s), not
-    // the gram TEXT. Per-doc counts and intersection sizes are unchanged
-    // short of a 64-bit collision inside one document's shingle set
-    // (~|shingles|²/2⁻⁶⁴). Hashing sits BEFORE the cap/checkpoint, so the
-    // materialized table and the hot-key aggregate also move longs.
-    val sh = cappedShingleRows(docs, idCol, textCol, shingleN, maxDf,
-      hashKeys = true)
+      shingleN: Int, maxDf: Long,
+      keep: (Column, Column, Column) => Column = (_, _, _) => lit(true))
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__t")
+    // one corpus shuffle on the text key; checkpointed because the rep
+    // table, the weighted-df aggregate and both expansion legs read it
+    val members = docs
+      .select(col(idCol).as("__id"), col(textCol).as("__t"))
+      .where(col("__t").isNotNull)
+      .withColumn("__rep", min(col("__id")).over(w))
+      .withColumn("__gsz", count(lit(1)).over(w))
+      .localCheckpoint(false)
+    val reps = members.where(col("__id") === col("__rep"))
+      // the family size rides the gram expansion inside the id struct, so
+      // the weighted-df aggregate below needs NO join back to the rep
+      // table (a join there re-sorted the whole gram table per query)
+      .select(struct(col("__rep").as("doc"), col("__gsz")).as("__dg"),
+        col("__t"))
+    val shRaw = shingleRows(reps, "__dg", "__t", shingleN)
+      .select(col("doc.doc").as("doc"), col("doc.__gsz").as("__gsz"),
+        xxhash64(col("s")).as("s"))
+    val shAll = shRaw.select(col("doc"), col("s"))
+    val sh = (if (maxDf <= 0) shAll
+    else {
+      val hot = shRaw
+        .groupBy("s").agg(sum(col("__gsz")).as("__df"))
+        .where(col("__df") > maxDf)
+        .select("s")
+      shAll.join(broadcast(hot), Seq("s"), "left_anti")
+    }).localCheckpoint(false)
     val counts = sh.groupBy("doc").agg(count(lit(1)).as("n"))
-    sh.as("x")
-      .join(sh.as("y"), col("x.s") === col("y.s") &&
+    // per-rep gram counts RIDE THE JOIN LEGS (attached once onto the
+    // checkpointed gram table — AQE broadcasts the count side while it
+    // fits, falls back to a doc-keyed shuffle at corpus scale) so the
+    // pair aggregate owns (inter, n_a, n_b) outright: the caller's
+    // threshold fuses into the aggregate stage and no pair-keyed count
+    // join ever runs
+    val shN = sh.join(counts, "doc")
+    val pairsRep = shN.as("x")
+      .join(shN.as("y"), col("x.s") === col("y.s") &&
         col("x.doc") < col("y.doc"))
-      .groupBy(col("x.doc").as("id_a"), col("y.doc").as("id_b"))
+      .groupBy(col("x.doc").as("__ra"), col("y.doc").as("__rb"),
+        col("x.n").as("__na"), col("y.n").as("__nb"))
       .agg(count(lit(1)).as("inter"))
-      .join(counts.select(col("doc").as("id_a"), col("n").as("n_a")), "id_a")
-      .join(counts.select(col("doc").as("id_b"), col("n").as("n_b")), "id_b")
+      .where(keep(col("inter"), col("__na"), col("__nb")))
+    // cross-family expansion: every member pair across the two families
+    // inherits the rep pair's counts; id order re-canonicalized (a copy's
+    // id can sort on either side of the other family's ids)
+    val memA = members.select(col("__rep").as("__ra"), col("__id").as("__ia"))
+    val memB = members.select(col("__rep").as("__rb"), col("__id").as("__ib"))
+    val cross = pairsRep
+      .join(memA, "__ra")
+      .join(memB, "__rb")
+      .select(
+        least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"),
+        col("inter"),
+        when(col("__ia") <= col("__ib"), col("__na")).otherwise(col("__nb"))
+          .as("n_a"),
+        when(col("__ia") <= col("__ib"), col("__nb")).otherwise(col("__na"))
+          .as("n_b"))
+    // within-family pairs: identical docs share their whole retained
+    // shingle set (inter = n); families whose text retains no shingle
+    // (short text, or fully capped) share nothing and emit nothing —
+    // the `counts` join enforces that, matching the uncollapsed form
+    val withinBase = counts
+      .join(members.select(col("__rep").as("doc"), col("__id")), "doc")
+    val within = withinBase.as("p")
+      .join(withinBase.as("q"),
+        col("p.doc") === col("q.doc") && col("p.__id") < col("q.__id"))
+      .select(col("p.__id").as("id_a"), col("q.__id").as("id_b"),
+        col("p.n").as("inter"), col("p.n").as("n_a"), col("p.n").as("n_b"))
+    cross.unionByName(within)
   }
 
   def ngramJaccard(
@@ -454,7 +533,13 @@ object Dedup {
       minJaccard: Double = 0.0,
       maxDf: Long = 0L
   ): DataFrame =
-    pairCounts(docs, idCol, textCol, shingleN, maxDf)
+    // the threshold ALSO rides into pairCounts' rep-pair aggregate (see
+    // its `keep` doc) — this outer where is then a no-op re-statement
+    // that keeps the semantics readable and the minJaccard=0 contract
+    // (every pair sharing ≥1 retained gram) intact
+    pairCounts(docs, idCol, textCol, shingleN, maxDf,
+      keep = (i, na, nb) =>
+        i.cast("double") / (na + nb - i) >= minJaccard)
       .select(col("id_a"), col("id_b"), col("inter"),
         (col("n_a") + col("n_b") - col("inter")).as("union"),
         (col("inter").cast("double") /
@@ -489,7 +574,10 @@ object Dedup {
       minContainment: Double = 0.0,
       maxDf: Long = 0L
   ): DataFrame =
-    pairCounts(docs, idCol, textCol, shingleN, maxDf)
+    pairCounts(docs, idCol, textCol, shingleN, maxDf,
+      keep = (i, na, nb) =>
+        greatest(i.cast("double") / na, i.cast("double") / nb)
+          >= minContainment)
       .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"),
         (col("inter").cast("double") / col("n_a")).as("cont_a"),
         (col("inter").cast("double") / col("n_b")).as("cont_b"))
