@@ -314,8 +314,36 @@ object ParityQueries {
         .select("version", "operation", "last_index", "entries",
           "capped_entries")
         .orderBy("version")
-    }
+    },
+    // EXTERNAL-ENGINE INTEROP round trip: exportSnapshot materializes the
+    // AS-OF-commit-2 snapshot as plain parquet (+ MANIFEST) under a fixed
+    // path, and THE ORACLE ITSELF reads that export with DuckDB's
+    // read_parquet while Spark returns readAt(2) from the store — a
+    // hash match proves both that the export byte-content is the
+    // snapshot and that a foreign engine reads it with no knowledge of
+    // the tx manifest format. (Fixed path: the oracle SQL is static;
+    // the export memoizes per (session, sf) and the driver's Verify →
+    // DuckDB sequence runs one sf at a time.)
+    "tx_export" -> { (s, d) => txStoreExport(s, d) }
   )
+
+  /** Once-per-(session, sf) export of the lifecycle's pre-truncation
+    * snapshot for the `tx_export` round trip.
+    */
+  private val txExports = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), java.lang.Boolean]()
+
+  private[graft] val txExportPath = "/tmp/graft_tx_export_v2"
+
+  private def txStoreExport(s: SparkSession, d: String): DataFrame = {
+    val root = txStoreRoot(s, d)
+    txExports.computeIfAbsent((System.identityHashCode(s), d), _ => {
+      new graft.store.TxLogTable(s, root, "q")
+        .exportSnapshot(txExportPath, Some(2L))
+      java.lang.Boolean.TRUE
+    })
+    txStoreColumns(new graft.store.TxLogTable(s, root, "q").readAt(2L))
+  }
 
   val oracle: Map[String, String] = Map(
     "scan_range" ->
@@ -398,6 +426,13 @@ object ParityQueries {
       """SELECT event_id AS indx, CAST(event_id AS VARCHAR) AS tx_hash,
         | event_id // 10 AS block_num, event_type AS address
         |FROM events WHERE event_id < 900
+        |ORDER BY indx""".stripMargin,
+    // the interop round trip: DuckDB reads the EXPORTED parquet directly
+    // (no view mapping, no tx-manifest knowledge) while the Spark side
+    // returns readAt(2) from the store — equality proves the export
+    "tx_export" ->
+      """SELECT indx, tx_hash, block_num, address
+        |FROM read_parquet('/tmp/graft_tx_export_v2/data/*.parquet')
         |ORDER BY indx""".stripMargin,
     "get_log" ->
       """SELECT event_type, indx, event_id, user_id, value FROM (

@@ -491,6 +491,50 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
     false
   }
 
+  /** Export a snapshot as PLAIN parquet plus a one-file manifest — the
+    * external-engine interop path: the tx table's manifest format is
+    * deliberately homegrown (no Delta/Iceberg dependency), so snapshots
+    * cross the engine boundary as ordinary parquet any reader (DuckDB in
+    * the harness) scans directly. Data lands index-clustered under
+    * `path/data`; `path/MANIFEST` records the snapshot version, its
+    * lastIndex and the exported file names (`k=v` lines + one `file=`
+    * line per part, the same no-JSON codec style as the commit log).
+    *
+    * The export is a MATERIALIZED copy, not a view: the snapshot's cap
+    * filters are applied while writing, so external readers need zero
+    * knowledge of entries/caps — and the copy stays readable after the
+    * source version ages out of retention or is vacuumed. The declared
+    * `tx_export` query proves the round trip: DuckDB reads the export
+    * and hash-matches [[readAt]] of the same version.
+    *
+    * @return the exported snapshot's version
+    */
+  def exportSnapshot(path: String, version: Option[Long] = None): Long = {
+    val (v, df) = version match {
+      case Some(x) => (x, readAt(x))
+      case None    => val m = manifest(); (m.version, readOf(m))
+    }
+    val lastIdx = version match {
+      case Some(x) => retained().find(_.version == x).map(_.lastIndex)
+        .getOrElse(manifest().lastIndex)
+      case None => manifest().lastIndex
+    }
+    df.repartitionByRange(col("indx")).sortWithinPartitions("indx")
+      .write.mode("overwrite").parquet(s"$path/data")
+    val dataPath = new org.apache.hadoop.fs.Path(s"$path/data")
+    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(dataPath).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).sorted
+    val manifestTxt =
+      (Seq(s"version=$v", s"last_index=$lastIdx", s"files=${files.length}") ++
+        files.map(f => s"file=$f")).mkString("", "\n", "\n")
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(path, "MANIFEST"), true)
+    try out.write(manifestTxt.getBytes("UTF-8")) finally out.close()
+    v
+  }
+
   /** Sweep data directories no RETAINED manifest references —
     * truncation/compaction garbage (once its snapshots age out of the
     * history window), crashed pre-commit appends, and rebased-away append

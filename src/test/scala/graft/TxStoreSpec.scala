@@ -159,6 +159,46 @@ class TxStoreSpec extends SparkSpec {
     assert(idxOf(t) == (0L until 10L))
   }
 
+  test("exportSnapshot round trip: a plain parquet reader reproduces " +
+    "readAt(v); MANIFEST lists the exported files") {
+    val root = tmpDir("txstore")
+    val t = new TxLogTable(spark, root, "f1")
+    t.storeLogs(mkLogs(0, 4))   // v1: 0..9
+    t.storeLogs(mkLogs(5, 9))   // v2: 10..19
+    t.removeLogsFrom(12L)       // v3: cap at 12
+    val out = tmpDir("txexport")
+    assert(t.exportSnapshot(out, Some(2L)) == 2L)
+    // the foreign reader: a PLAIN parquet scan with zero knowledge of the
+    // tx manifest format (the harness's DuckDB twin is the declared
+    // tx_export query's oracle)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("indx", "tx_hash", "block_num")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val ext = spark.read.parquet(s"$out/data")
+    assert(rows(ext) == rows(t.readAt(2L)))
+    assert(rows(ext).map(_._1) == (0L until 20L))
+    // MANIFEST: version, watermark, exact file list
+    val mf = scala.io.Source.fromFile(s"$out/MANIFEST").getLines().toSeq
+    assert(mf.contains("version=2") && mf.contains("last_index=20"))
+    val listed = mf.filter(_.startsWith("file=")).map(_.stripPrefix("file="))
+    val actual = new java.io.File(s"$out/data").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq
+    assert(listed == actual && listed.nonEmpty)
+    // current-version export MATERIALIZES the truncation cap: external
+    // readers need no entry/cap knowledge
+    val out2 = tmpDir("txexport2")
+    assert(t.exportSnapshot(out2) == 3L)
+    assert(spark.read.parquet(s"$out2/data").select("indx").as[Long]
+      .collect().sorted.toSeq == (0L until 12L))
+    // the copy is independent of the source's retention: age the source
+    // past v2 and vacuum — the export still reads whole
+    t.storeLogs(mkLogs(6, 6))
+    t.compact()
+    t.vacuum(olderThanMs = 0L); t.vacuum(olderThanMs = 0L)
+    assert(rows(ext).size == 20)
+  }
+
   test("a stale .dropped marker inside a LIVE directory is shed, so grace " +
     "restarts at genuine dereference") {
     val root = tmpDir("txstore")
