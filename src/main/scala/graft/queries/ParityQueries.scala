@@ -321,28 +321,53 @@ object ParityQueries {
     // read_parquet while Spark returns readAt(2) from the store — a
     // hash match proves both that the export byte-content is the
     // snapshot and that a foreign engine reads it with no knowledge of
-    // the tx manifest format. (Fixed path: the oracle SQL is static;
-    // the export memoizes per (session, sf) and the driver's Verify →
-    // DuckDB sequence runs one sf at a time.)
-    "tx_export" -> { (s, d) => txStoreExport(s, d) }
+    // the tx manifest format. The exported lifecycle is built from
+    // spark.range (NOT the sf tables), so its content is identical at
+    // every scale factor — any interleaving of Verify / tests / bench
+    // across sf dirs rewrites the fixed path with the same bytes and
+    // the static oracle SQL can never read a stale-scale export.
+    "tx_export" -> { (s, d) => txStoreExport(s) }
   )
 
-  /** Once-per-(session, sf) export of the lifecycle's pre-truncation
-    * snapshot for the `tx_export` round trip.
+  /** Once-per-session build + export of the sf-independent lifecycle for
+    * the `tx_export` round trip: appends at 600/900, a truncation at 750
+    * (capping commit 2), a post-truncation append — the same shape as
+    * the sf-derived lifecycle above, synthesized from a range.
     */
   private val txExports = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), java.lang.Boolean]()
+    Integer, String]()
 
   private[graft] val txExportPath = "/tmp/graft_tx_export_v2"
 
-  private def txStoreExport(s: SparkSession, d: String): DataFrame = {
-    val root = txStoreRoot(s, d)
-    txExports.computeIfAbsent((System.identityHashCode(s), d), _ => {
-      new graft.store.TxLogTable(s, root, "q")
-        .exportSnapshot(txExportPath, Some(2L))
-      java.lang.Boolean.TRUE
+  private def txStoreExport(s: SparkSession): DataFrame = {
+    val root = txExports.computeIfAbsent(System.identityHashCode(s), _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-txexport-src").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(path))
+      }))
+      val t = new graft.store.TxLogTable(s, path, "x")
+      def logsOf(lo: Long, hi: Long): DataFrame =
+        s.range(lo, hi).select(
+          (col("id") % 10).as("tx_index"),
+          col("id").cast("string").as("tx_hash"),
+          floor(col("id") / 10).cast("long").as("block_num"),
+          concat(lit("h"), floor(col("id") / 10)).as("block_hash"),
+          concat(lit("a"), pmod(col("id"), lit(7))).as("address"),
+          array(concat(lit("a"), pmod(col("id"), lit(7)))).as("topics"),
+          lit("0x").as("data"))
+      t.storeLogs(logsOf(0L, 600L))    // v1: indices 0..599
+      t.storeLogs(logsOf(600L, 900L))  // v2: indices 600..899
+      t.removeLogsFrom(750L)           // v3: cap commit 2
+      t.storeLogs(logsOf(900L, 1000L)) // v4: indices 750..849
+      t.exportSnapshot(txExportPath, Some(2L))
+      path
     })
-    txStoreColumns(new graft.store.TxLogTable(s, root, "q").readAt(2L))
+    txStoreColumns(new graft.store.TxLogTable(s, root, "x").readAt(2L))
   }
 
   val oracle: Map[String, String] = Map(

@@ -1885,24 +1885,27 @@ object PipelineQueries {
     "search_rrf" -> { (s, d) =>
       val n = 100
       // the rank windows run on the ≤100-row top-N lists, so a single
-      // partition is correct BY CONSTRUCTION — the literal partition key
+      // partition is correct BY CONSTRUCTION — a constant partition key
       // states that in the plan (same one-partition exchange) and keeps
       // the "No Partition Defined" warning out of the bench tail, where
       // a REAL unpartitioned-window regression would otherwise hide
-      // among expected noise
-      val w1 = Window.partitionBy(lit(0))
+      // among expected noise. The key must be NON-FOLDABLE (pmod of the
+      // id, always 0) — a literal partition key is constant-folded away
+      // and the WindowExec comes out unpartitioned after all
+      def onePart(id: org.apache.spark.sql.Column) =
+        Window.partitionBy(pmod(id, lit(1L)))
       val lex = TextOps.bm25(Tables.documents(s, d), "doc_id", "text",
           terms = Seq("join", "hash", "scan"))
         .orderBy(col("score").desc, col("doc_id")).limit(n)
         .select(col("doc_id").as("id"),
-          row_number().over(w1.orderBy(col("score").desc, col("doc_id")))
-            .as("rank_lex"))
+          row_number().over(onePart(col("doc_id"))
+            .orderBy(col("score").desc, col("doc_id"))).as("rank_lex"))
       val e = Tables.embeddings(s, d)
       val vec = Similarity.cosineTopK(e, e.where(col("vec_id") === 0L),
           "vec_id", "embedding", k = n)
         .select(col("vec_id").as("id"),
-          row_number().over(w1.orderBy(col("cosine").desc, col("vec_id")))
-            .as("rank_vec"))
+          row_number().over(onePart(col("vec_id"))
+            .orderBy(col("cosine").desc, col("vec_id"))).as("rank_vec"))
       lex.join(vec, Seq("id"), "full_outer")
         .select(col("id"),
           (coalesce(lit(1.0) / (lit(60) + col("rank_lex")), lit(0.0)) +
