@@ -116,4 +116,24 @@ class PlanLintSpec extends SparkSpec {
           df.queryExecution.executedPlan.toString)
     }
   }
+
+  test("no declared query plans an UNPARTITIONED WindowExec at all " +
+    "(bounded or not) — the bench tail must stay warning-free") {
+    // the lint above ACCEPTS limit-bounded global windows, so a
+    // regression from the non-foldable one-partition key back to a
+    // foldable literal (which Catalyst folds away, leaving an empty
+    // partitionSpec — exactly what happened to the first fix) would
+    // pass the lint while re-flooding the bench tail with "No
+    // Partition Defined" warnings a REAL unpartitioned-window
+    // regression could then hide in. Pin the stronger property: the
+    // inventory plans zero unpartitioned WindowExec nodes, period.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        allNodes(fn(spark, sf).queryExecution.executedPlan).collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => name
+        }
+    }.distinct
+    assert(offenders.isEmpty,
+      s"unpartitioned WindowExec in: ${offenders.mkString(", ")}")
+  }
 }
