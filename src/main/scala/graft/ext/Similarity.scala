@@ -118,14 +118,26 @@ object Similarity {
     * partition-pruned read of the persisted bucket index with zero
     * corpus-side signature work at query time.
     */
-  def lshSignatureLocal(vec: Array[Float], dim: Int, nbits: Int): Long = {
+  def lshSignatureLocal(vec: Array[Float], dim: Int, nbits: Int): Long =
+    lshSignatureLocalFrom(vec, dim, fromPlane = 0, nbits)
+
+  /** [[lshSignatureLocal]] over planes `fromPlane ..< fromPlane + nbits` —
+    * table t of a multi-table index is `fromPlane = t * nbits`, matching
+    * element t+1 of the codegen'd [[signatureArr]] bit-for-bit (same
+    * [[planeSign]] matrix rows, same fold, same NaN test; SimilaritySpec
+    * pins the parity per table).
+    */
+  def lshSignatureLocalFrom(vec: Array[Float], dim: Int, fromPlane: Int,
+      nbits: Int): Long = {
     require(vec.length == dim, s"vector dim ${vec.length} != $dim")
     var sig = 0L
     var p = 0
     while (p < nbits) {
       var acc = 0.0
       var i = 0
-      while (i < dim) { acc += vec(i).toDouble * planeSign(i, p); i += 1 }
+      while (i < dim) {
+        acc += vec(i).toDouble * planeSign(i, fromPlane + p); i += 1
+      }
       if (java.lang.Double.isNaN(acc) || acc >= 0.0) sig |= (1L << p)
       p += 1
     }
@@ -214,6 +226,106 @@ object Similarity {
       .limit(k)
   }
 
+  /** The OR-amplified multi-table probe key set for one query: per table
+    * t (planes `t*nbits ..< (t+1)*nbits`), the query's own bucket plus
+    * every bucket within Hamming `probeHamming`, namespaced injectively
+    * as `(t << nbits) | bucket` — the single partition-column key the
+    * multi-table index stores, so the corpus-side probe is ONE flat
+    * `lsh_key IN (...)` partition-pruned scan across all tables.
+    */
+  def probeKeysMultiTable(queryVec: Array[Float], dim: Int, nbits: Int,
+      tables: Int, probeHamming: Int): Seq[Long] = {
+    val flips =
+      (if (probeHamming >= 1) (0 until nbits).map(j => 1L << j)
+      else Seq.empty) ++
+        (if (probeHamming >= 2)
+          for { i <- 0 until nbits; j <- i + 1 until nbits }
+            yield (1L << i) | (1L << j)
+        else Seq.empty)
+    (0 until tables).flatMap { t =>
+      val qb = lshSignatureLocalFrom(queryVec, dim, t * nbits, nbits)
+      (qb +: flips.map(qb ^ _)).map(b => (t.toLong << nbits) | b)
+    }
+  }
+
+  /** Persist the OR-amplified MULTI-TABLE LSH serving index: `tables`
+    * independent nbits-bit signatures per vector (table t over planes
+    * `t*nbits ..< (t+1)*nbits` — the [[knnJoin]] banding), one index row
+    * per (vector, table), partitioned by the injective combined key
+    * `lsh_key = (tbl << nbits) | bucket`, vector + norm stored per row
+    * (the classic multi-table LSH storage trade: T× space buys
+    * single-bucket probes at amplified recall).
+    *
+    * This is the 100×-true serving config the single-table
+    * [[writeLshBucketIndex]] is not: a Hamming-2 multiprobe at nbits=4
+    * reads 11/16 of the corpus per query (the round-10 ceiling), while
+    * T tables at higher nbits probed at Hamming ≤ 1 read
+    * `T*(1+nbits)/2^nbits` — a few percent — at recall
+    * `1−(1−q)^T` (q = per-table probe hit rate), measured ≥ the
+    * single-table multiprobe's on this corpus (AnnCrossover / RECALL.md).
+    * Range-layout before the partitioned write for the same
+    * tiny-file reason as [[writeLshBucketIndex]].
+    */
+  def writeLshMultiTableIndex(corpus: DataFrame, idCol: String,
+      vecCol: String, path: String, dim: Int, nbits: Int,
+      tables: Int): Unit = {
+    require(nbits >= 1 && nbits <= 20, s"nbits out of range: $nbits")
+    val sigArr = signatureArr(col(vecCol), dim, nbits, tables)
+    corpus
+      .select(col(idCol), col(vecCol),
+        sqrt(norm2(col(vecCol))).as("__norm"),
+        posexplode(sigArr).as(Seq("__tbl", "__bucket")))
+      .withColumn("lsh_key",
+        (col("__tbl").cast("long") * lit(1L << nbits)) + col("__bucket"))
+      .drop("__tbl", "__bucket")
+      .repartitionByRange(col("lsh_key"), col(idCol))
+      .sortWithinPartitions("lsh_key", idCol)
+      .write.mode("overwrite").partitionBy("lsh_key").parquet(path)
+  }
+
+  /** ANN top-k served from the persisted MULTI-TABLE index: the probe
+    * key set is driver-computed ([[probeKeysMultiTable]]), the scan
+    * partition-prunes to those `lsh_key` directories, and candidates
+    * colliding in several probed tables are collapsed by a map-side-
+    * combinable `max(cosine)` per id (the duplicate rows carry identical
+    * vector/norm bytes, so every copy scores the same double — max is a
+    * pure dedup, bit-stable).
+    */
+  def annTopKMultiTable(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      queryVec: Array[Float],
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nbits: Int,
+      tables: Int,
+      k: Int,
+      probeHamming: Int = 1
+  ): DataFrame = {
+    val keys = probeKeysMultiTable(queryVec, dim, nbits, tables,
+      probeHamming)
+    val qn = {
+      var acc = 0.0
+      var i = 0
+      while (i < queryVec.length) {
+        acc += queryVec(i).toDouble * queryVec(i).toDouble; i += 1
+      }
+      math.sqrt(acc)
+    }
+    val q = spark.createDataFrame(Seq(Tuple1(queryVec.toSeq))).toDF("__q")
+    spark.read.parquet(indexPath)
+      .where(col("lsh_key").isin(keys.map(java.lang.Long.valueOf): _*))
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        (dot(col(vecCol), col("__q")) / (col("__norm") * lit(qn)))
+          .as("__c"))
+      .groupBy(idCol)
+      .agg(max(col("__c")).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Persist the IVF index cell-partitioned (the batch twin of
     * [[ivfStreamWriter]], fitting the coarse quantizer first) and return
     * the centroids a probe needs. [[ivfTopK]] over the re-read table
@@ -227,6 +339,194 @@ object Similarity {
       .sortWithinPartitions("ivf_cell", idCol)
       .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
     centroids
+  }
+
+  /** MULTI-ASSIGNMENT IVF index (the recall-preserving scaled form):
+    * every vector joins its `nassign` nearest cells (one exploded row
+    * per assignment — [[graft.functions.NearestCentroidsKF]], one narrow
+    * codegen'd pass), so a probe of few cells still sees vectors that
+    * sit just across a cell boundary — the standard fix for the
+    * "nlist up, recall down" collapse a single-assignment scaled IVF
+    * measures (RECALL.md: nlist=256 single-assign probed at 12.5% lost
+    * recall to 0.687; multi-assignment buys it back at `nassign×` index
+    * size with the SAME probe fraction of cells).
+    *
+    * @return (one row per (vector, assigned cell) with `ivf_cell`,
+    *         centroids)
+    */
+  def ivfIndexMulti(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      nassign: Int
+  ): (DataFrame, Array[Array[Double]]) = {
+    require(nassign >= 1 && nassign <= nlist,
+      s"nassign must be in [1, $nlist], got $nassign")
+    val sample = corpus.select(col(vecCol), col(idCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol)) // see ivfIndex: unbiased
+      .limit(nlist * 64)
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val centroids = localKMeans(sample, nlist, iters = 10)
+    val indexed = corpus.select(col("*"),
+      explode(graft.functions.VectorFunctions.nearestCentroidsK(
+        col(vecCol), centroids, nassign)).as("ivf_cell"))
+    (indexed, centroids)
+  }
+
+  /** Persist the multi-assignment IVF index cell-partitioned, with the
+    * norm precomputed per row — the serving twin of [[writeIvfIndex]]
+    * for the scaled configuration. Probe with [[ivfTopKMulti]].
+    */
+  def writeIvfIndexMulti(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, nlist: Int, nassign: Int): Array[Array[Double]] = {
+    val (indexed, centroids) =
+      ivfIndexMulti(corpus, idCol, vecCol, nlist, nassign)
+    indexed
+      .withColumn("__norm", sqrt(norm2(col(vecCol))))
+      .repartitionByRange(col("ivf_cell"), col(idCol))
+      .sortWithinPartitions("ivf_cell", idCol)
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+    centroids
+  }
+
+  /** IVF probe over a MULTI-ASSIGNMENT index: partition-prune to the
+    * `nprobe` nearest cells, exact-cosine against the stored norms, and
+    * collapse the duplicate rows of multi-assigned vectors with a
+    * map-side-combinable `max(cosine)` per id (identical bytes per copy
+    * ⇒ identical score ⇒ max is pure dedup). Reads
+    * `nprobe × nassign / nlist` of the corpus rows.
+    */
+  def ivfTopKMulti(
+      indexed: DataFrame,
+      centroids: Array[Array[Double]],
+      queryVec: Array[Float],
+      idCol: String,
+      vecCol: String,
+      nprobe: Int,
+      k: Int
+  ): DataFrame = {
+    val cells = nearestCells(centroids, queryVec, nprobe)
+    val qn = {
+      var acc = 0.0
+      var i = 0
+      while (i < queryVec.length) {
+        acc += queryVec(i).toDouble * queryVec(i).toDouble; i += 1
+      }
+      math.sqrt(acc)
+    }
+    val spark = indexed.sparkSession
+    val q = spark.createDataFrame(Seq(Tuple1(queryVec.toSeq))).toDF("__q")
+    indexed
+      .where(col("ivf_cell").isin(cells.map(Integer.valueOf): _*))
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        (dot(col(vecCol), col("__q")) / (col("__norm") * lit(qn)))
+          .as("__c"))
+      .groupBy(idCol)
+      .agg(max(col("__c")).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Persist the IVF-PQ composite index (FAISS's billion-scale shape,
+    * batch twin of [[ivfPqStreamWriter]], multi-assignment coarse
+    * quantizer): rows carry the coarse cell (partition column), the m
+    * PQ code columns + stored norm, AND the raw vector for the re-rank —
+    * a probe partition-prunes to `nprobe` cells, ADC-ranks reading the
+    * code columns only, then re-ranks exactly over the shortlist.
+    *
+    * @return (centroids, codebooks) — everything a probe needs
+    */
+  def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, nlist: Int, nassign: Int, m: Int, codes: Int = 256,
+      samplePerCode: Int = 16)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val (indexed, centroids) =
+      ivfIndexMulti(corpus, idCol, vecCol, nlist, nassign)
+    val (_, codebooks) = pqIndex(corpus, idCol, vecCol, m, codes,
+      samplePerCode)
+    pqEncode(indexed, vecCol, codebooks)
+      .repartitionByRange(col("ivf_cell"), col(idCol))
+      .sortWithinPartitions("ivf_cell", idCol)
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+    (centroids, codebooks)
+  }
+
+  /** IVF-PQ probe over the persisted composite index: partition-prune to
+    * the query's `nprobe` cells, ADC-rank the code columns alone (the
+    * scan's ReadSchema carries no vector column — the 32×-compressed
+    * read), collapse multi-assigned duplicates per id, then fetch the
+    * `rerank` shortlist's raw vectors FROM THE SAME PRUNED CELLS via a
+    * driver-computed id IN-filter (the shortlist ids were found in those
+    * cells by construction) for the exact cosine re-rank. Two bounded
+    * jobs per query; total bytes ≈ pruned-cell codes + pruned-cell
+    * vector pages the id filter survives + k rows.
+    */
+  def ivfPqTopKIndexed(
+      indexed: DataFrame,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      queryVec: Array[Float],
+      idCol: String,
+      vecCol: String,
+      nprobe: Int,
+      k: Int,
+      rerank: Int = 400
+  ): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val cells = nearestCells(centroids, queryVec, nprobe)
+    val pruned = indexed
+      .where(col("ivf_cell").isin(cells.map(Integer.valueOf): _*))
+    val m = codebooks.length
+    val sub = queryVec.length / m
+    val tables = Array.tabulate(m) { j =>
+      codebooks(j).map { cen =>
+        var s = 0.0; var i = 0
+        while (i < sub) { s += queryVec(j * sub + i) * cen(i); i += 1 }
+        s
+      }
+    }
+    val score = ((0 until m).map { j =>
+      element_at(typedLit[Seq[Double]](tables(j).toIndexedSeq),
+        col(s"pq_$j") + 1)
+    }.reduce(_ + _)) / col("pq_norm")
+    // ADC pass: codes + norm only; multi-assigned duplicates collapse to
+    // one id (identical codes per copy ⇒ identical ADC score ⇒ max is
+    // pure dedup). Driver-collected shortlist: `rerank` ids is a few
+    // hundred longs — the same driver-side probe-set shape as
+    // probeBuckets/nearestCells, and what lets the vector fetch be an
+    // IN-filter on the pruned scan instead of a corpus-wide semi-join.
+    val shortlistIds = pruned
+      .where(col("pq_norm") > 0.0)
+      .select(col(idCol), score.as("__adc"))
+      .groupBy(idCol)
+      .agg(max(col("__adc")).as("__adc"))
+      .orderBy(col("__adc").desc, col(idCol))
+      .limit(rerank)
+      .select(idCol)
+      .collect().map(_.get(0))
+    val qn = {
+      var acc = 0.0
+      var i = 0
+      while (i < queryVec.length) {
+        acc += queryVec(i).toDouble * queryVec(i).toDouble; i += 1
+      }
+      math.sqrt(acc)
+    }
+    val spark = indexed.sparkSession
+    val q = spark.createDataFrame(Seq(Tuple1(queryVec.toSeq))).toDF("__q")
+    pruned
+      .where(col(idCol).isin(shortlistIds.toIndexedSeq: _*))
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        (dot(col(vecCol), col("__q")) / (col("pq_norm") * lit(qn)))
+          .as("__c"))
+      .groupBy(idCol)
+      .agg(max(col("__c")).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
   }
 
   /** Bucket the corpus by LSH signature; ANN search = probe the query's

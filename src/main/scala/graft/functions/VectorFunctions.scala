@@ -203,6 +203,127 @@ case class NearestCentroidF(child: Expression, centroids: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/** 0-based indices of the `k` centroids nearest to `vec` (squared L2),
+  * ordered nearest-first with index tie-breaks — the MULTI-ASSIGNMENT
+  * coarse quantizer (each vector joins its k nearest cells at build
+  * time, so a probe of few cells still sees boundary-straddling
+  * vectors; the recall-preserving alternative to fattening nprobe).
+  * Same plan-constant centroid table and null contract as
+  * [[NearestCentroidF]] (wrong dim / null element → null row — a
+  * partial distance must not assign corrupt vectors anywhere).
+  * Selection is a k-slot insertion pass (k is 2-4 in practice, far
+  * under nlist), one fused loop in codegen.
+  */
+case class NearestCentroidsKF(child: Expression, centroids: Seq[Seq[Double]],
+    k: Int) extends UnaryExpression {
+  require(k >= 1 && k <= centroids.length,
+    s"k must be in [1, ${centroids.length}], got $k")
+
+  private lazy val cents: Array[Array[Double]] = centroids.map(_.toArray).toArray
+  private lazy val dim: Int = if (cents.isEmpty) 0 else cents(0).length
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroids_k expects array<float>/array<double>, got " +
+            other.simpleString)
+    }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    if (arr.numElements() != dim) return null
+    var j = 0
+    while (j < arr.numElements()) {
+      if (arr.isNullAt(j)) return null
+      j += 1
+    }
+    val fl = isFloat
+    val bestI = Array.fill(k)(-1)
+    val bestD = Array.fill(k)(Double.MaxValue)
+    var c = 0
+    while (c < cents.length) {
+      val cen = cents(c)
+      var d = 0.0
+      var i = 0
+      while (i < dim) {
+        val x = (if (fl) arr.getFloat(i).toDouble else arr.getDouble(i)) - cen(i)
+        d += x * x
+        i += 1
+      }
+      // strict < keeps the EARLIEST index on distance ties (insertion
+      // never displaces an equal-distance earlier centroid)
+      if (d < bestD(k - 1)) {
+        var s = k - 1
+        while (s > 0 && d < bestD(s - 1)) {
+          bestD(s) = bestD(s - 1); bestI(s) = bestI(s - 1); s -= 1
+        }
+        bestD(s) = d; bestI(s) = c
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      bestI.map(_.asInstanceOf[Any]))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cs = ctx.addReferenceObj("centroidsK", cents, "double[][]")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val x = ctx.freshName("x")
+      val bi = ctx.freshName("bestI")
+      val bd = ctx.freshName("bestD")
+      val get = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      s"""
+         |if ($v.numElements() != $dim) { ${ev.isNull} = true; }
+         |for (int $j = 0; !${ev.isNull} && $j < $v.numElements(); $j++) {
+         |  if ($v.isNullAt($j)) { ${ev.isNull} = true; }
+         |}
+         |if (!${ev.isNull}) {
+         |  int[] $bi = new int[$k];
+         |  double[] $bd = new double[$k];
+         |  for (int $s = 0; $s < $k; $s++) {
+         |    $bi[$s] = -1; $bd[$s] = Double.MAX_VALUE;
+         |  }
+         |  for (int $c = 0; $c < $cs.length; $c++) {
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      double $x = $get - $cs[$c][$i];
+         |      $d += $x * $x;
+         |    }
+         |    if ($d < $bd[$k - 1]) {
+         |      int $s = $k - 1;
+         |      for (; $s > 0 && $d < $bd[$s - 1]; $s--) {
+         |        $bd[$s] = $bd[$s - 1]; $bi[$s] = $bi[$s - 1];
+         |      }
+         |      $bd[$s] = $d; $bi[$s] = $c;
+         |    }
+         |  }
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($bi);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCentroidsKF = copy(child = newChild)
+}
+
 /** All hyperplane-LSH table signatures of a vector in ONE codegen'd pass:
   * output element t is the `nbits`-bit signature over sign rows
   * `t*nbits ..< (t+1)*nbits` of `signs` (a ±1 matrix of
@@ -320,6 +441,14 @@ object VectorFunctions {
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     Bridge.column(NearestCentroidF(Bridge.expression(vec),
       centroids.toIndexedSeq.map(_.toIndexedSeq)))
+
+  /** 0-based indices of the k nearest centroids, nearest-first
+    * (multi-assignment coarse quantizer, codegen'd).
+    */
+  def nearestCentroidsK(vec: Column, centroids: Array[Array[Double]],
+      k: Int): Column =
+    Bridge.column(NearestCentroidsKF(Bridge.expression(vec),
+      centroids.toIndexedSeq.map(_.toIndexedSeq), k))
 
   /** All hyperplane-LSH table signatures in one codegen'd pass: element t
     * is the nbits-bit signature over sign rows t*nbits ..< (t+1)*nbits.

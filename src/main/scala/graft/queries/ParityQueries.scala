@@ -337,7 +337,23 @@ object ParityQueries {
   private val txExports = new java.util.concurrent.ConcurrentHashMap[
     Integer, String]()
 
-  private[graft] val txExportPath = "/tmp/graft_tx_export_v2"
+  /** Per-user export target (ADVICE r10): a FIXED world-writable /tmp
+    * path was squattable by any local user and shared across concurrent
+    * harness JVMs (tests + bench overwriting each other mid-oracle-read).
+    * Deriving from java.io.tmpdir + user.name gives each user their own
+    * directory; the oracle SQL below interpolates the same value, so the
+    * DuckDB side always reads the path this JVM's export wrote. (Two
+    * JVMs of the SAME user still share it — harmless: the exported
+    * lifecycle is sf-independent, so every writer produces identical
+    * content bytes.)
+    */
+  private[graft] val txExportPath = {
+    val tmp = System.getProperty("java.io.tmpdir", "/tmp")
+      .stripSuffix("/")
+    val user = System.getProperty("user.name", "anon")
+      .replaceAll("[^A-Za-z0-9_.-]", "_")
+    s"$tmp/graft_tx_export_${user}_v2"
+  }
 
   private def txStoreExport(s: SparkSession): DataFrame = {
     val root = txExports.computeIfAbsent(System.identityHashCode(s), _ => {
@@ -456,8 +472,8 @@ object ParityQueries {
     // (no view mapping, no tx-manifest knowledge) while the Spark side
     // returns readAt(2) from the store — equality proves the export
     "tx_export" ->
-      """SELECT indx, tx_hash, block_num, address
-        |FROM read_parquet('/tmp/graft_tx_export_v2/data/*.parquet')
+      s"""SELECT indx, tx_hash, block_num, address
+        |FROM read_parquet('$txExportPath/data/*.parquet')
         |ORDER BY indx""".stripMargin,
     "get_log" ->
       """SELECT event_type, indx, event_id, user_id, value FROM (

@@ -146,8 +146,11 @@ object PipelineQueries {
     (System.identityHashCode(e.sparkSession),
       e.queryExecution.analyzed.semanticHash(), cfg)
 
+  // cfg strings carry EVERY parameter that affects the written artifact
+  // (ADVICE r10: a call differing only in dim/samplePerCode must not
+  // silently reuse an index built with the old configuration)
   private def lshIndexOf(e: DataFrame, dim: Int, nbits: Int): String =
-    annIndexCache.computeIfAbsent(annKey(e, s"lsh$nbits"), _ => {
+    annIndexCache.computeIfAbsent(annKey(e, s"lsh$dim-$nbits"), _ => {
       val path = tempArtifactDir("graft-lshidx-")
       Similarity.writeLshBucketIndex(e, "vec_id", "embedding", path, dim,
         nbits)
@@ -165,7 +168,8 @@ object PipelineQueries {
 
   private def pqIndexOf(e: DataFrame, m: Int, codes: Int,
       samplePerCode: Int): (String, Array[Array[Array[Double]]]) =
-    annIndexCache.computeIfAbsent(annKey(e, s"pq$m-$codes"), _ => {
+    annIndexCache.computeIfAbsent(annKey(e, s"pq$m-$codes-$samplePerCode"),
+      _ => {
       val path = tempArtifactDir("graft-pqidx-")
       val codebooks = Similarity.writePqIndex(e, "vec_id", "embedding",
         path, m, codes, samplePerCode)

@@ -192,6 +192,14 @@ final class JdbcKvStore(spark: SparkSession, url: String)
   * transactional `DELETE WHERE INDX >= ?`. The topics array rides as a
   * CSV column (RDBMS-portable) and is decoded back on read, so every
   * consumer sees the same schema as the parquet backends.
+  *
+  * SINGLE-WRITER contract (same as the reference, whose tracker owns its
+  * store exclusively): [[storeLogs]]' failure repair deletes every row at
+  * or above the pre-append watermark, so a CONCURRENT appender's rows in
+  * that range would be swept with the failed batch's. Concurrent
+  * multi-writer appends need the tx backend ([[TxLogTable]]), whose CAS
+  * manifest commit serializes appenders; this class assumes one writer
+  * per (url, filterHash) at a time (readers are unrestricted).
   */
 final class JdbcLogStore(spark: SparkSession, url: String,
     filterHash: String, blocksPerRange: Long = 10000L) extends LogStore {
@@ -285,11 +293,33 @@ final class JdbcLogStore(spark: SparkSession, url: String,
       try n.write.mode("append").jdbc(url, table, jdbcProps)
       catch {
         case t: Throwable =>
+          // The repair runs as soon as the driver observes the failure,
+          // but a CANCELLED job's straggler task can still commit its
+          // partition batch AFTER the first DELETE lands — re-introducing
+          // the durable INDX gap the repair exists to prevent. Re-check
+          // MAX(INDX) after each DELETE and repeat until no row at or
+          // above the watermark survives (bounded: tasks are finite and
+          // each pass only re-fires while stragglers keep landing).
           try withConn(url) { c =>
             val del = c.prepareStatement(
               s"DELETE FROM $table WHERE INDX >= ?")
-            try { del.setLong(1, base); del.executeUpdate(): Unit }
-            finally del.close()
+            val chk = c.prepareStatement(
+              s"SELECT MAX(INDX) FROM $table WHERE INDX >= ?")
+            try {
+              var pass = 0
+              var dirty = true
+              while (dirty && pass < 64) {
+                del.setLong(1, base); del.executeUpdate(): Unit
+                Thread.sleep(if (pass == 0) 0L else 50L)
+                chk.setLong(1, base)
+                val rs = chk.executeQuery()
+                rs.next()
+                rs.getLong(1)
+                dirty = !rs.wasNull()
+                rs.close()
+                pass += 1
+              }
+            } finally { del.close(); chk.close() }
           } catch { case r: Throwable => t.addSuppressed(r) }
           throw t
       }

@@ -699,6 +699,205 @@ class SimilaritySpec extends SparkSpec {
     assert(nv.head.isNullAt(0))
   }
 
+  test("lshSignatureLocalFrom is bit-identical to every table of the " +
+    "codegen'd signature array") {
+    // the multi-table serving probe derives table t's bucket on the
+    // driver from planes t*nbits ..< (t+1)*nbits; one flipped bit in any
+    // table probes the wrong partitions silently
+    val rnd = new scala.util.Random(29)
+    val vecs = (0 until 150).map(i =>
+      (i.toLong, if (i == 0) Seq.fill(16)(0f)
+      else Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    for (nbits <- Seq(3, 8); tables <- Seq(1, 4)) {
+      val sigArr = graft.functions.VectorFunctions.lshSigs(
+        col("embedding"),
+        Array.tabulate(tables * nbits, 16)((p, i) =>
+          // reproduce signMatrix(16, 0, tables*nbits) via the public
+          // driver twin: bit p of table t is plane t*nbits+p — asserted
+          // against lshSignatureLocalFrom below, which uses planeSign
+          if (Similarity.lshSignatureLocalFrom(
+            Array.tabulate(16)(d => if (d == i) 1f else 0f),
+            16, p, 1) == 1L) 1.0 else -1.0),
+        nbits)
+      val sparkSide = df.select(col("vec_id"), sigArr.as("sigs")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      vecs.foreach { case (id, v) =>
+        (0 until tables).foreach { t =>
+          assert(Similarity.lshSignatureLocalFrom(v.toArray, 16,
+            t * nbits, nbits) == sparkSide(id)(t),
+            s"table $t signature mismatch at id=$id nbits=$nbits")
+        }
+      }
+    }
+  }
+
+  test("annTopKMultiTable: full-coverage probe is bit-identical to the " +
+    "exact scan; partial probe partition-prunes to the key set") {
+    val rnd = new scala.util.Random(31)
+    val centers = (0 until 5).map(_ => Array.fill(16)(rnd.nextGaussian()))
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding").cache()
+    val qv = vecs(7)._2.toArray
+    def bits(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    // nbits=2 + Hamming-2 probes all 4 buckets of every table — full
+    // corpus coverage through the dedup path (every vector collides in
+    // all 3 probed tables), so the result must equal the exact scan
+    // bit-for-bit: same ids, same cosine doubles, same tie-break
+    val fullPath = tmpDir("lshmt-full")
+    Similarity.writeLshMultiTableIndex(df, "vec_id", "embedding", fullPath,
+      dim = 16, nbits = 2, tables = 3)
+    val exact = Similarity.cosineTopK(df, Seq(Tuple1(qv.toSeq))
+        .toDF("embedding"), "vec_id", "embedding", k = 10)
+      .collect().map(bits).toSeq
+    val served = Similarity.annTopKMultiTable(spark, fullPath, qv,
+      "vec_id", "embedding", dim = 16, nbits = 2, tables = 3, k = 10,
+      probeHamming = 2).collect().map(bits).toSeq
+    assert(served == exact, "full-coverage multi-table probe diverged")
+    // realistic config: partial probe must partition-prune on lsh_key,
+    // touch only probed key directories, and keep usable recall
+    val path = tmpDir("lshmt")
+    Similarity.writeLshMultiTableIndex(df, "vec_id", "embedding", path,
+      dim = 16, nbits = 6, tables = 8)
+    val res = Similarity.annTopKMultiTable(spark, path, qv,
+      "vec_id", "embedding", dim = 16, nbits = 6, tables = 8, k = 10,
+      probeHamming = 1)
+    val planStr = res.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") &&
+      planStr.contains("lsh_key"),
+      s"expected a partition-pruned scan, got:\n$planStr")
+    val got = res.collect().map(bits).toSeq
+    assert(got.map(_._1).contains(7L), "self vector not retrieved")
+    val recall = exact.map(_._1).toSet
+      .intersect(got.map(_._1).toSet).size.toDouble / exact.size
+    assert(recall >= 0.5, s"multi-table recall $recall too low")
+    // files actually read sit only in probed key directories
+    val probed = Similarity.probeKeysMultiTable(qv, 16, 6, 8, 1).toSet
+    val touched = spark.read.parquet(path)
+      .where(col("lsh_key").isin(probed.toSeq.map(Long.box): _*))
+      .select(input_file_name()).distinct().as[String].collect()
+    touched.foreach { f =>
+      val b = f.split("lsh_key=")(1).split("/")(0).toLong
+      assert(probed.contains(b), s"read outside the probe set: $f")
+    }
+  }
+
+  test("nearestCentroidsK: k=1 equals nearestCentroid; ordering matches " +
+    "a driver-side brute force") {
+    val rnd = new scala.util.Random(37)
+    val cents = Array.fill(6)(Array.fill(8)(rnd.nextGaussian()))
+    val vecs = (0 until 100).map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"),
+      graft.functions.VectorFunctions.nearestCentroid(
+        col("embedding"), cents).as("one"),
+      graft.functions.VectorFunctions.nearestCentroidsK(
+        col("embedding"), cents, 3).as("three")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSeq
+    val expected = vecs.map { case (id, v) =>
+      val d = cents.zipWithIndex.map { case (c, ix) =>
+        (c.zip(v).map { case (ci, vi) =>
+          val x = vi.toDouble - ci; x * x
+        }.sum, ix)
+      }
+      id -> d.sortBy(t => (t._1, t._2)).take(3).map(_._2).toSeq
+    }.toMap
+    got.foreach { case (id, one, three) =>
+      assert(three == expected(id), s"top-3 cells mismatch at id=$id")
+      assert(one == three.head, s"k=1 head mismatch at id=$id")
+    }
+  }
+
+  test("multi-assignment IVF: full probe is bit-identical to exact; " +
+    "partial probe recall >= single-assignment at the same nprobe") {
+    val rnd = new scala.util.Random(41)
+    val centers = (0 until 6).map(_ => Array.fill(16)(rnd.nextGaussian()))
+    val vecs = (0 until 240).map { i =>
+      val c = centers(i % 6)
+      (i.toLong, c.map(x => (x + 0.35 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding").cache()
+    val qv = vecs(11)._2.toArray
+    def bits(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    val exact = Similarity.cosineTopK(df, Seq(Tuple1(qv.toSeq))
+        .toDF("embedding"), "vec_id", "embedding", k = 10)
+      .collect().map(bits).toSeq
+    val maPath = tmpDir("ivfma")
+    val cMa = Similarity.writeIvfIndexMulti(df, "vec_id", "embedding",
+      maPath, nlist = 8, nassign = 2)
+    val maIdx = spark.read.parquet(maPath)
+    // nprobe = nlist probes every cell; the max-per-id dedup collapses
+    // the 2 copies of every vector — output must equal exact bit-for-bit
+    val full = Similarity.ivfTopKMulti(maIdx, cMa, qv, "vec_id",
+      "embedding", nprobe = 8, k = 10).collect().map(bits).toSeq
+    assert(full == exact, "full multi-assign probe diverged from exact")
+    // partial probe: multi-assignment sees boundary vectors the
+    // single-assignment index loses (deterministic corpus+fit ⇒ stable)
+    val saPath = tmpDir("ivfsa")
+    val cSa = Similarity.writeIvfIndex(df, "vec_id", "embedding", saPath,
+      nlist = 8)
+    val exactIds = exact.map(_._1).toSet
+    def recallOf(d: org.apache.spark.sql.DataFrame): Double =
+      exactIds.intersect(d.collect().map(_.getLong(0)).toSet)
+        .size.toDouble / exactIds.size
+    val rMa = recallOf(Similarity.ivfTopKMulti(maIdx, cMa, qv, "vec_id",
+      "embedding", nprobe = 2, k = 10))
+    val rSa = recallOf(Similarity.ivfTopK(spark.read.parquet(saPath), cSa,
+      qv, "vec_id", "embedding", nprobe = 2, k = 10))
+    assert(rMa >= rSa,
+      s"multi-assign recall $rMa below single-assign $rSa")
+    assert(rMa >= 0.5, s"multi-assign recall $rMa too low")
+    // the probe partition-prunes on ivf_cell
+    val planStr = Similarity.ivfTopKMulti(maIdx, cMa, qv, "vec_id",
+        "embedding", nprobe = 2, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") &&
+      planStr.contains("ivf_cell"),
+      s"expected a partition-pruned scan, got:\n$planStr")
+  }
+
+  test("ivfPqTopKIndexed: full probe + full rerank is bit-identical to " +
+    "exact; ADC reads code columns only") {
+    val rnd = new scala.util.Random(43)
+    val centers = (0 until 4).map(_ => Array.fill(16)(rnd.nextGaussian()))
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + 0.2 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding").cache()
+    val qv = vecs(3)._2.toArray
+    def bits(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    val path = tmpDir("ivfpq")
+    val (cents, books) = Similarity.writeIvfPqIndex(df, "vec_id",
+      "embedding", path, nlist = 4, nassign = 2, m = 4, codes = 16,
+      samplePerCode = 8)
+    val idx = spark.read.parquet(path)
+    val exact = Similarity.cosineTopK(df, Seq(Tuple1(qv.toSeq))
+        .toDF("embedding"), "vec_id", "embedding", k = 10)
+      .collect().map(bits).toSeq
+    // nprobe = nlist + rerank >= corpus: the exact re-rank sees every
+    // vector, so the ADC ordering cannot cost recall — bit-identical
+    val full = Similarity.ivfPqTopKIndexed(idx, cents, books, qv,
+        "vec_id", "embedding", nprobe = 4, k = 10, rerank = 300)
+      .collect().map(bits).toSeq
+    assert(full == exact, "full ivf-pq probe diverged from exact")
+    // realistic probe keeps usable recall and self-retrieval
+    val part = Similarity.ivfPqTopKIndexed(idx, cents, books, qv,
+        "vec_id", "embedding", nprobe = 2, k = 10, rerank = 50)
+      .collect().map(bits).toSeq
+    assert(part.map(_._1).contains(3L), "self vector not retrieved")
+    val recall = exact.map(_._1).toSet
+      .intersect(part.map(_._1).toSet).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ivf-pq recall $recall too low")
+  }
+
   test("lsh bucket is deterministic across evaluations") {
     val vecs = (0 until 50).map(i =>
       (i.toLong, (0 until 16).map(j => math.sin(i * 17 + j).toFloat)))
