@@ -51,40 +51,82 @@ object Recall {
         exact(q).intersect(t).size.toDouble / exact(q).size
       }.sum / nQueries
 
-    // LSH: the sim_search_lsh configuration (nbits = 4, Hamming-2
-    // multiprobe), plus the shallower probes for context
+    // LSH: the round-11 declared sim_search_lsh configuration — the
+    // OR-amplified MULTI-TABLE persisted index (T=12 tables, nbits from
+    // the corpus dial, Hamming-1 per-table probe), plus the demoted
+    // single-table multiprobe forms for context
+    val mtTables = 12
+    val mtBudget = 12
+    val mtNbits = graft.queries.PipelineQueries.lshMtNbits(nVec)
+    val mtPath = java.nio.file.Files
+      .createTempDirectory("graft-recall-lshmt").toString
+    Similarity.writeLshMultiTableIndex(e, "vec_id", "embedding", mtPath,
+      dim = 64, nbits = mtNbits, tables = mtTables)
+    val mtIdx = spark.read.parquet(mtPath)
+    def qv(q: Long): Array[Float] =
+      e.where(col("vec_id") === q).select("embedding")
+        .head().getSeq[Float](0).toArray
+    val lshRecall = meanRecall { q =>
+      Similarity.annTopKMultiTable(mtIdx, qv(q), "vec_id",
+        "embedding", dim = 64, nbits = mtNbits, tables = mtTables, k = k,
+        probeHamming = 0, probeBudget = mtBudget)
+        .collect().map(_.getLong(0)).toSet
+    }
+    // demoted single-table context rows (nbits=4 multiprobe — the
+    // round-10 declared config and its shallower probes)
     def lshAt(probe: Int): Double = meanRecall { q =>
       Similarity.annTopK(e, e.where(col("vec_id") === q).select("embedding"),
         "vec_id", "embedding", dim = 64, nbits = 4, k = k,
         probeHamming = probe)
         .collect().map(_.getLong(0)).toSet
     }
-    val lshRecall = lshAt(2)
-    val lshRecall1 = lshAt(1)
+    val lshRecall1 = lshAt(2)
     val lshRecall0 = lshAt(0)
 
-    // IVF: the sim_search_ivf configuration (nlist = 16, nprobe = 8);
-    // index built once, probed per query
+    // IVF: the round-11 declared sim_search_ivf configuration — the
+    // MULTI-ASSIGNMENT persisted index (nassign=3, nlist from the √N
+    // dial, nprobe = nlist/16); the round-10 single-assignment
+    // nlist=16/nprobe=8 kept for context
+    val maNlist = graft.queries.PipelineQueries.ivfNlist(nVec)
+    val maNprobe = math.max(2, maNlist / 16)
+    val maPath = java.nio.file.Files
+      .createTempDirectory("graft-recall-ivfma").toString
+    val maCentroids = Similarity.writeIvfIndexMulti(e, "vec_id",
+      "embedding", maPath, nlist = maNlist, nassign = 3)
+    val maIdx = spark.read.parquet(maPath).cache()
+    val ivfRecall = meanRecall { q =>
+      Similarity.ivfTopKMulti(maIdx, maCentroids, qv(q), "vec_id",
+        "embedding", nprobe = maNprobe, k = k)
+        .collect().map(_.getLong(0)).toSet
+    }
     val (indexed, centroids) =
       Similarity.ivfIndex(e, "vec_id", "embedding", nlist = 16)
     val indexedC = indexed.cache()
-    def qv(q: Long): Array[Float] =
-      e.where(col("vec_id") === q).select("embedding")
-        .head().getSeq[Float](0).toArray
-    val ivfRecall = meanRecall { q =>
+    val ivfRecallSa = meanRecall { q =>
       Similarity.ivfTopK(indexedC, centroids, qv(q), "vec_id", "embedding",
         nprobe = 8, k = k).collect().map(_.getLong(0)).toSet
     }
 
-    // PQ: the sim_search_pq configuration (m = 16 four-dim subspaces ×
-    // 256-code codebooks, rerank = 400 — the PQ16x8 design point; the
-    // round-9 crossover showed 16-code books failing at ≥1M vectors and
-    // m=8×256 reaching only 0.53 there)
+    // PQ: the round-11 declared sim_search_pq configuration — the IVF-PQ
+    // COMPOSITE (multi-assign cells, ADC over code columns in nprobe
+    // cells, IN-filter rerank); flat PQ16x8 kept for context
+    val pqNprobe = math.max(2, maNlist / 8)
+    val pqPath = java.nio.file.Files
+      .createTempDirectory("graft-recall-ivfpq").toString
+    val (pqCentroids, pqBooks) = Similarity.writeIvfPqIndex(e, "vec_id",
+      "embedding", pqPath, nlist = maNlist, nassign = 2, m = 16,
+      codes = 256, samplePerCode = 16)
+    val pqIdx = spark.read.parquet(pqPath).cache()
+    val pqRecall = meanRecall { q =>
+      Similarity.ivfPqTopKIndexed(pqIdx, pqCentroids, pqBooks, qv(q),
+        "vec_id", "embedding", nprobe = pqNprobe, k = k, rerank = 400)
+        .collect().map(_.getLong(0)).toSet
+    }
     val (encoded, codebooks) =
       Similarity.pqIndex(e, "vec_id", "embedding", m = 16, k = 256,
         samplePerCode = 16)
     val encodedC = encoded.cache()
-    val pqRecall = meanRecall { q =>
+    val pqRecallFlat = meanRecall { q =>
       Similarity.pqTopK(encodedC, codebooks, qv(q), "vec_id", "embedding",
         k = k, rerank = 400).collect().map(_.getLong(0)).toSet
     }
@@ -271,15 +313,16 @@ object Recall {
       Similarity.cosineTopK(e, e.where(col("vec_id") === q),
         "vec_id", "embedding", k).collect()))
     val tLsh = timed(queryIds.foreach(q =>
-      Similarity.annTopK(e, e.where(col("vec_id") === q).select("embedding"),
-        "vec_id", "embedding", dim = 64, nbits = 4, k = k,
-        probeHamming = 2).collect()))
+      Similarity.annTopKMultiTable(mtIdx, qv(q), "vec_id",
+        "embedding", dim = 64, nbits = mtNbits, tables = mtTables, k = k,
+        probeHamming = 0, probeBudget = mtBudget).collect()))
     val tIvf = timed(queryIds.foreach(q =>
-      Similarity.ivfTopK(indexedC, centroids, qv(q), "vec_id", "embedding",
-        nprobe = 8, k = k).collect()))
+      Similarity.ivfTopKMulti(maIdx, maCentroids, qv(q), "vec_id",
+        "embedding", nprobe = maNprobe, k = k).collect()))
     val tPq = timed(queryIds.foreach(q =>
-      Similarity.pqTopK(encodedC, codebooks, qv(q), "vec_id", "embedding",
-        k = k, rerank = 400).collect()))
+      Similarity.ivfPqTopKIndexed(pqIdx, pqCentroids, pqBooks, qv(q),
+        "vec_id", "embedding", nprobe = pqNprobe, k = k,
+        rerank = 400).collect()))
     val tKnnExact = timed {
       val wn = e.withColumn("__n", sqrt(Similarity.norm2(col("embedding"))))
       val qa = wn.select(col("vec_id").as("id"),
@@ -324,11 +367,13 @@ object Recall {
          |
          || tier | declared query | config | metric | recall | speedup vs exact |
          ||---|---|---|---|---|---|
-         || hyperplane LSH top-k | `sim_search_lsh` | nbits=4, Hamming-2 multiprobe (11/16 buckets) | mean recall@$k over $nQueries queries vs `sim_search` | ${f"$lshRecall%.3f"} | ${speed(tExactTopK, tLsh)} (${f"$tExactTopK%.1f"}s → ${f"$tLsh%.1f"}s) |
-         || — Hamming-1 probe |  | nbits=4, 5/16 buckets | (context: the round-4 declared depth) | ${f"$lshRecall1%.3f"} | — |
-         || — single-bucket probe |  | nbits=4, 1/16 buckets | (context: what the multiprobe buys) | ${f"$lshRecall0%.3f"} | — |
-         || IVF top-k | `sim_search_ivf` | nlist=16, nprobe=8 | mean recall@$k over $nQueries queries vs `sim_search` | ${f"$ivfRecall%.3f"} | ${speed(tExactTopK, tIvf)} (→ ${f"$tIvf%.1f"}s) |
-         || PQ ADC top-k | `sim_search_pq` | m=16 (4-dim subspaces), 256-code (8-bit) codebooks, rerank=400 | mean recall@$k over $nQueries queries vs `sim_search` | ${f"$pqRecall%.3f"} | ${speed(tExactTopK, tPq)} (→ ${f"$tPq%.1f"}s) |
+         || multi-table LSH top-k | `sim_search_lsh` | T=$mtTables tables × nbits=$mtNbits (dial), query-directed ${mtBudget} buckets/table (${mtTables * mtBudget} of ${mtTables.toLong * (1L << mtNbits)} partitions) | mean recall@$k over $nQueries queries vs `sim_search` | ${f"$lshRecall%.3f"} | ${speed(tExactTopK, tLsh)} (${f"$tExactTopK%.1f"}s → ${f"$tLsh%.1f"}s) |
+         || — single-table Hamming-2 |  | nbits=4, 11/16 buckets | (context: the round-10 declared config — 69% of the corpus per probe) | ${f"$lshRecall1%.3f"} | — |
+         || — single-bucket probe |  | nbits=4, 1/16 buckets | (context: what amplification buys) | ${f"$lshRecall0%.3f"} | — |
+         || multi-assignment IVF top-k | `sim_search_ivf` | nlist=$maNlist (√N dial), nassign=3, nprobe=$maNprobe (${f"${100.0 * maNprobe * 3 / maNlist}%.0f"}% of corpus bytes) | mean recall@$k over $nQueries queries vs `sim_search` | ${f"$ivfRecall%.3f"} | ${speed(tExactTopK, tIvf)} (→ ${f"$tIvf%.1f"}s) |
+         || — single-assign nlist=16 |  | nlist=16, nprobe=8 | (context: the round-10 declared config — 50% of the corpus per probe) | ${f"$ivfRecallSa%.3f"} | — |
+         || IVF-PQ composite top-k | `sim_search_pq` | nlist=$maNlist, nassign=2, nprobe=$pqNprobe; PQ16x8, rerank=400 | mean recall@$k over $nQueries queries vs `sim_search` | ${f"$pqRecall%.3f"} | ${speed(tExactTopK, tPq)} (→ ${f"$tPq%.1f"}s) |
+         || — flat PQ16x8 |  | m=16, 256-code books, rerank=400, full ADC scan | (context: the round-10 declared config) | ${f"$pqRecallFlat%.3f"} | — |
          || LSH knn self-join | `knn_join` | nbits=4, 8 tables, maxBucket=1000 | neighbour recall vs exact global top-$knnK (${exactKnn.size} edges) | ${f"$knnRecall%.3f"} | ${speed(tKnnExact, tKnnJoin)} (${f"$tKnnExact%.1f"}s → ${f"$tKnnJoin%.1f"}s) |
          || — 6 tables |  | nbits=4, 6 tables | (context: the cost-trim candidate) | ${f"$knnRecall6%.3f"} | — |
          || MinHash LSH candidates | `dedup_minhash` | 32 hashes / 16 bands, maxBucket=1000 | pair recall vs exact Jaccard ≥ 0.3 (`dedup_ngram`, ${exactPairs.size} pairs) | ${f"$minhashRecall%.3f"} | ${speed(tJaccard, tMinhash)} (${f"$tJaccard%.1f"}s → ${f"$tMinhash%.1f"}s) |
@@ -356,12 +401,15 @@ object Recall {
          |Notes: cosine ≥ 0.3 (θ ≈ 72°) is a HARD regime for hyperplane
          |LSH — per-table collision is (1−θ/π)^4 ≈ 0.13, which is why the
          |declared tier OR-amplifies across 8 independent tables
-         |(1−(1−p)^8). LSH/IVF probe a slice of the corpus (11 of 16
-         |buckets / 8 of 16 cells), so their recall is the price of
-         |scanning a fraction of the data; PQ re-ranks exact over a
-         |400-candidate shortlist. The gates in `Recall.main` sit just
-         |below these measurements to catch regressions; they are
-         |corpus-calibrated, not universal.
+         |(1−(1−p)^8). The round-11 serving tiers all probe a SMALL
+         |corpus fraction by construction (multi-table Hamming-1 keys /
+         |nprobe of √N multi-assigned cells), so their recall is the
+         |price of scanning that fraction; the configs scale with corpus
+         |size via the lshMtNbits/ivfNlist dials, and their 1M/5M
+         |crossover points are measured in the AnnCrossover section
+         |below. The gates in `Recall.main` sit just below these
+         |measurements to catch regressions; they are corpus-calibrated,
+         |not universal.
          |
          |`knn_join` keeps 8 OR-tables: the 6-table trim measured above
          |costs ~0.10 recall (0.72 → 0.62), five times the 0.02 budget the
@@ -405,6 +453,13 @@ object Recall {
       f"dedup_audio planted re-master recall regressed: $audioRecall%.3f")
     require(videoRecall >= 0.93,
       f"dedup_video planted re-encode recall regressed: $videoRecall%.3f")
+    Seq(mtPath, maPath, pqPath).foreach { p =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(p))
+    }
     spark.stop()
   }
 }

@@ -326,7 +326,13 @@ object ParityQueries {
     // every scale factor — any interleaving of Verify / tests / bench
     // across sf dirs rewrites the fixed path with the same bytes and
     // the static oracle SQL can never read a stale-scale export.
-    "tx_export" -> { (s, d) => txStoreExport(s) }
+    "tx_export" -> { (s, d) => txStoreExport(s) },
+    // the INVERSE interop leg: the same exported snapshot ingested into a
+    // FRESH TxLogTable via importSnapshot (one replace-commit, indices
+    // validated dense), read back through the tx manifest — while the
+    // oracle is STILL DuckDB over the raw export. Equality proves
+    // export → foreign bytes → import → read is lossless end to end.
+    "tx_import" -> { (s, d) => txStoreImport(s) }
   )
 
   /** Once-per-session build + export of the sf-independent lifecycle for
@@ -384,6 +390,30 @@ object ParityQueries {
       path
     })
     txStoreColumns(new graft.store.TxLogTable(s, root, "x").readAt(2L))
+  }
+
+  /** Once-per-session import of the [[txStoreExport]] export into a
+    * fresh table (the round trip's second leg — `tx_import`).
+    */
+  private val txImports = new java.util.concurrent.ConcurrentHashMap[
+    Integer, String]()
+
+  private def txStoreImport(s: SparkSession): DataFrame = {
+    txStoreExport(s).queryExecution // ensure the export exists (memoized)
+    val root = txImports.computeIfAbsent(System.identityHashCode(s), _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-tximport").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(path))
+      }))
+      new graft.store.TxLogTable(s, path, "i").importSnapshot(txExportPath)
+      path
+    })
+    txStoreColumns(new graft.store.TxLogTable(s, root, "i").read)
   }
 
   val oracle: Map[String, String] = Map(
@@ -472,6 +502,12 @@ object ParityQueries {
     // (no view mapping, no tx-manifest knowledge) while the Spark side
     // returns readAt(2) from the store — equality proves the export
     "tx_export" ->
+      s"""SELECT indx, tx_hash, block_num, address
+        |FROM read_parquet('$txExportPath/data/*.parquet')
+        |ORDER BY indx""".stripMargin,
+    // same oracle bytes as tx_export on purpose: the Spark side now reads
+    // the IMPORTED table, so equality closes export → import → read
+    "tx_import" ->
       s"""SELECT indx, tx_hash, block_num, address
         |FROM read_parquet('$txExportPath/data/*.parquet')
         |ORDER BY indx""".stripMargin,

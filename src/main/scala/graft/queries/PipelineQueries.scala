@@ -146,35 +146,83 @@ object PipelineQueries {
     (System.identityHashCode(e.sparkSession),
       e.queryExecution.analyzed.semanticHash(), cfg)
 
+  /** The multi-table LSH scale dial: nbits sized so per-table buckets
+    * hold ~`targetBucket` rows, clamped to [4, 10] — small corpora get a
+    * cheap index whose probe fraction is naturally large (right at that
+    * scale: a 600-row read IS the serving cost floor), big corpora get
+    * 1024-bucket tables whose Hamming-1 probe reads 11/1024 per table.
+    * The clamp's top end is where recall math lives: per-table hit rate
+    * q = P(Binomial(nbits, 1−p) ≤ 1) shrinks with nbits, and the
+    * OR-amplification 1−(1−q)^T must stay ≥ 0.8 — nbits=10 at T=12
+    * holds it (AnnCrossover/RECALL.md); nbits=12 does not.
+    */
+  private[graft] def lshMtNbits(n: Long): Int =
+    math.max(4, math.min(10,
+      math.ceil(math.log(n.toDouble / 250.0) / math.log(2.0)).toInt))
+
+  /** The IVF scale dial: nlist ≈ √N (FAISS guidance), clamped to
+    * [16, 256] — the top end keeps the driver-local Lloyd's fit constant
+    * (sample = nlist·64 rows); a cluster deployment distributes the fit
+    * and raises the clamp.
+    */
+  private[graft] def ivfNlist(n: Long): Int =
+    math.min(256, math.max(16, math.round(math.sqrt(n.toDouble)).toInt))
+
+  private def corpusSize(e: DataFrame): Long = e.count()
+
   // cfg strings carry EVERY parameter that affects the written artifact
   // (ADVICE r10: a call differing only in dim/samplePerCode must not
-  // silently reuse an index built with the old configuration)
-  private def lshIndexOf(e: DataFrame, dim: Int, nbits: Int): String =
-    annIndexCache.computeIfAbsent(annKey(e, s"lsh$dim-$nbits"), _ => {
-      val path = tempArtifactDir("graft-lshidx-")
-      Similarity.writeLshBucketIndex(e, "vec_id", "embedding", path, dim,
-        nbits)
-      path
-    }).asInstanceOf[String]
+  // silently reuse an index built with the old configuration).
+  // The round-10 single-table LSH / single-assignment IVF / flat PQ memo
+  // builders are gone with their demoted queries — those forms remain
+  // library surface (Similarity.writeLshBucketIndex/writeIvfIndex/
+  // writePqIndex) and AnnCrossover teaching rows.
 
-  private def ivfIndexOf(e: DataFrame,
-      nlist: Int): (String, Array[Array[Double]]) =
-    annIndexCache.computeIfAbsent(annKey(e, s"ivf$nlist"), _ => {
-      val path = tempArtifactDir("graft-ivfidx-")
-      val centroids = Similarity.writeIvfIndex(e, "vec_id", "embedding",
-        path, nlist)
-      (path, centroids)
-    }).asInstanceOf[(String, Array[Array[Double]])]
+  /** Memoized MULTI-TABLE LSH serving index (round 11 — the 100×-true
+    * config): nbits comes from the corpus-size dial. The memo carries
+    * the READ RELATION, not just the path: re-reading a bucket-
+    * partitioned path pays partition discovery over every directory on
+    * every execution (measured seconds at 1M-vector dir counts); the
+    * relation's file index is built once per session.
+    */
+  private def lshMtIndexOf(e: DataFrame, dim: Int,
+      tables: Int): (DataFrame, Int) =
+    annIndexCache.computeIfAbsent(annKey(e, s"lshmt$dim-$tables"), _ => {
+      val nbits = lshMtNbits(corpusSize(e))
+      val path = tempArtifactDir("graft-lshmtidx-")
+      Similarity.writeLshMultiTableIndex(e, "vec_id", "embedding", path,
+        dim, nbits, tables)
+      (e.sparkSession.read.parquet(path), nbits)
+    }).asInstanceOf[(DataFrame, Int)]
 
-  private def pqIndexOf(e: DataFrame, m: Int, codes: Int,
-      samplePerCode: Int): (String, Array[Array[Array[Double]]]) =
-    annIndexCache.computeIfAbsent(annKey(e, s"pq$m-$codes-$samplePerCode"),
-      _ => {
-      val path = tempArtifactDir("graft-pqidx-")
-      val codebooks = Similarity.writePqIndex(e, "vec_id", "embedding",
-        path, m, codes, samplePerCode)
-      (path, codebooks)
-    }).asInstanceOf[(String, Array[Array[Array[Double]]])]
+  /** Memoized MULTI-ASSIGNMENT IVF serving index (round 11): nlist from
+    * the √N dial; the memo carries (relation, centroids, nlist).
+    */
+  private def ivfMaIndexOf(e: DataFrame,
+      nassign: Int): (DataFrame, Array[Array[Double]], Int) =
+    annIndexCache.computeIfAbsent(annKey(e, s"ivfma$nassign"), _ => {
+      val nlist = ivfNlist(corpusSize(e))
+      val path = tempArtifactDir("graft-ivfmaidx-")
+      val centroids = Similarity.writeIvfIndexMulti(e, "vec_id",
+        "embedding", path, nlist, nassign)
+      (e.sparkSession.read.parquet(path), centroids, nlist)
+    }).asInstanceOf[(DataFrame, Array[Array[Double]], Int)]
+
+  /** Memoized IVF-PQ composite serving index (round 11): multi-assigned
+    * coarse cells + PQ code columns + norm + raw vector per row.
+    */
+  private def ivfPqIndexOf(e: DataFrame, nassign: Int, m: Int, codes: Int,
+      samplePerCode: Int)
+      : (DataFrame, Array[Array[Double]], Array[Array[Array[Double]]], Int) =
+    annIndexCache.computeIfAbsent(
+      annKey(e, s"ivfpq$nassign-$m-$codes-$samplePerCode"), _ => {
+        val nlist = ivfNlist(corpusSize(e))
+        val path = tempArtifactDir("graft-ivfpqidx-")
+        val (centroids, books) = Similarity.writeIvfPqIndex(e, "vec_id",
+          "embedding", path, nlist, nassign, m, codes, samplePerCode)
+        (e.sparkSession.read.parquet(path), centroids, books, nlist)
+      }).asInstanceOf[(DataFrame, Array[Array[Double]],
+        Array[Array[Array[Double]]], Int)]
 
   /** Shared media-ladder check twin: runs the banded near-dup join TWICE
     * with independent band decompositions — 8×8-bit and 16×4-bit, BOTH
@@ -359,26 +407,29 @@ object PipelineQueries {
       val e = Tables.embeddings(s, d)
       val qv = e.where(col("vec_id") === 0L).select("embedding")
         .head().getSeq[Float](0).toArray
-      annTopKCheck(e, Similarity.annTopKIndexed(s, lshIndexOf(e, 64, 4),
-        qv, "vec_id", "embedding", dim = 64, nbits = 4, k = 20,
-        probeHamming = 2), k = 20)
+      val (idx, nbits) = lshMtIndexOf(e, 64, tables = 12)
+      annTopKCheck(e, Similarity.annTopKMultiTable(idx, qv,
+        "vec_id", "embedding", dim = 64, nbits = nbits, tables = 12,
+        k = 20, probeHamming = 0, probeBudget = 12), k = 20)
     },
     "sim_search_ivf_check" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
-      val (idxPath, centroids) = ivfIndexOf(e, nlist = 16)
+      val (idx, centroids, nlist) = ivfMaIndexOf(e, nassign = 3)
       val qv = e.where(col("vec_id") === 0L).select("embedding")
         .head().getSeq[Float](0).toArray
-      annTopKCheck(e, Similarity.ivfTopK(s.read.parquet(idxPath),
-        centroids, qv, "vec_id", "embedding", nprobe = 8, k = 20), k = 20)
+      annTopKCheck(e, Similarity.ivfTopKMulti(idx,
+        centroids, qv, "vec_id", "embedding",
+        nprobe = math.max(2, nlist / 16), k = 20), k = 20)
     },
     "sim_search_pq_check" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
-      val (idxPath, codebooks) = pqIndexOf(e, m = 16, codes = 256,
-        samplePerCode = 16)
+      val (idx, centroids, books, nlist) = ivfPqIndexOf(e,
+        nassign = 2, m = 16, codes = 256, samplePerCode = 16)
       val qv = e.where(col("vec_id") === 0L).select("embedding")
         .head().getSeq[Float](0).toArray
-      annTopKCheck(e, Similarity.pqTopK(s.read.parquet(idxPath),
-        codebooks, qv, "vec_id", "embedding", k = 20, rerank = 400), k = 20)
+      annTopKCheck(e, Similarity.ivfPqTopKIndexed(idx,
+        centroids, books, qv, "vec_id", "embedding",
+        nprobe = math.max(2, nlist / 8), k = 20, rerank = 400), k = 20)
     },
     // embedding near-dup invariants: every emitted pair's EXACT cosine
     // clears the declared threshold (the refine stage's contract) in
@@ -680,31 +731,48 @@ object PipelineQueries {
       Similarity.cosineTopK(e, e.where(col("vec_id") === 0L),
         "vec_id", "embedding", k = 20)
     },
-    // ANN: LSH top-k SERVED from the persisted bucket index (memoized
-    // offline artifact; the probe set is driver-computed and the scan
-    // partition-prunes to 11 of 16 bucket directories — the measured-
-    // crossover serving shape, output bit-identical to the on-the-fly
-    // annTopK at the same config). Rows-only; recall vs exact measured
-    // in SimilaritySpec / RECALL.md
+    // ANN: OR-amplified MULTI-TABLE LSH top-k served from the persisted
+    // per-table bucket index with QUERY-DIRECTED probing (round 11 —
+    // retires the round-10 weak: the single-table Hamming-2 multiprobe
+    // read 11/16 of the corpus per query, a 69% scan that capped the
+    // win at ~1.3×). T=12 independent tables; per table the 8 most
+    // likely buckets (smallest flipped-margin mass, multi-probe LSH —
+    // Lv et al. VLDB 2007) are driver-computed (lshSignatureLocalFrom /
+    // lshMarginsLocalFrom, parity-pinned), so the probe reads
+    // T·budget/2^nbits = 14.1% of corpus bytes at the 1M+ dial point
+    // (nbits=10, budget=12) at measured recall 0.825@1M — ABOVE the
+    // blind Hamming-1 probe (0.750) at the same read fraction, the
+    // query-directed concentration (AnnCrossover/RECALL.md). The scan
+    // partition-prunes to the key set, duplicates collapse map-side,
+    // and the index RELATION is memoized (per-query re-reads pay
+    // partition discovery over every bucket directory). nbits scales
+    // with the corpus (lshMtNbits); the single-table indexed form stays
+    // library surface + teaching row. Rows-only; twin asserts
+    // self-retrieval + bit-exact cosines.
     "sim_search_lsh" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
       val qv = e.where(col("vec_id") === 0L).select("embedding")
         .head().getSeq[Float](0).toArray
-      Similarity.annTopKIndexed(s, lshIndexOf(e, 64, 4), qv,
-        "vec_id", "embedding", dim = 64, nbits = 4, k = 20,
-        probeHamming = 2) // 11 of 16 buckets — the recall-0.8+ probe depth
+      val (idx, nbits) = lshMtIndexOf(e, 64, tables = 12)
+      Similarity.annTopKMultiTable(idx, qv, "vec_id", "embedding",
+        dim = 64, nbits = nbits, tables = 12, k = 20, probeHamming = 0,
+        probeBudget = 12)
     },
-    // ANN: IVF served from the persisted cell-partitioned index (memoized
-    // offline artifact — fit + assignment run once; the probe partition-
-    // prunes to nprobe of nlist cell directories). Rows-only; recall vs
-    // exact verified in SimilaritySpec
+    // ANN: MULTI-ASSIGNMENT IVF served from the persisted
+    // cell-partitioned index (round 11 — retires the round-10 weak: the
+    // declared nprobe=8/nlist=16 probe read 50% of the corpus; the
+    // scaled single-assignment nlist=256 collapsed recall to 0.687).
+    // Every vector joins its 3 nearest cells at build, so probing
+    // nprobe = nlist/16 cells reads 3·nprobe/nlist ≈ 19% of corpus
+    // bytes at recall ≥ 0.8 (AnnCrossover/RECALL.md); nlist scales √N
+    // (ivfNlist). Rows-only; twin asserts self-retrieval + exactness.
     "sim_search_ivf" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
-      val (idxPath, centroids) = ivfIndexOf(e, nlist = 16)
+      val (idx, centroids, nlist) = ivfMaIndexOf(e, nassign = 3)
       val qv = e.where(col("vec_id") === 0L).select("embedding")
         .head().getSeq[Float](0).toArray
-      Similarity.ivfTopK(s.read.parquet(idxPath), centroids, qv,
-        "vec_id", "embedding", nprobe = 8, k = 20)
+      Similarity.ivfTopKMulti(idx, centroids, qv,
+        "vec_id", "embedding", nprobe = math.max(2, nlist / 16), k = 20)
     },
     // corpus-level n-gram frequency (top-50 bigrams): the vocabulary/phrase
     // statistics pass of a training-data pipeline
@@ -917,24 +985,26 @@ object PipelineQueries {
         .select("media_id", "kind", "n_bytes", "sha")
         .orderBy("media_id")
     },
-    // ANN: product quantization served from the persisted encoded index
-    // (memoized offline artifact) — the ADC pass column-prunes to the m
-    // code columns + norm (the compressed read), the rerank shortlist
-    // joins back for full vectors. m=16 four-dim subspaces × 256-code
-    // (8-bit) codebooks: the round-9 crossover measured the old m=8×16
-    // codes collapsing to recall 0.17–0.21 at ≥1M vectors, and m=8×256
-    // only reaches 0.53 — 16 four-dim subspaces at 8 bits (the FAISS
-    // PQ16x8 design point for 64-dim) measures recall 0.975 at 1M /
-    // 0.888 at 5M (RECALL.md crossover table). Rows-only; recall vs
-    // exact verified in SimilaritySpec
+    // ANN: the IVF-PQ COMPOSITE served from the persisted composite
+    // index (round 11 — the FAISS billion-scale shape, re-pointed from
+    // flat PQ whose ADC pass still scanned every code row and whose
+    // rerank semi-join scanned every vector): the probe partition-prunes
+    // to nprobe of nlist multi-assigned cells, ADC-ranks READING THE m
+    // CODE COLUMNS ONLY (the 32×-compressed slice), and re-ranks the
+    // driver-collected shortlist exactly via an id IN-filter on the same
+    // pruned cells. m=16 four-dim subspaces × 256-code books (PQ16x8 —
+    // smaller books measured collapsing at ≥1M, RECALL.md). Flat pqTopK
+    // stays library surface + teaching row. Rows-only; twin asserts
+    // self-retrieval + bit-exact cosines.
     "sim_search_pq" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
-      val (idxPath, codebooks) = pqIndexOf(e, m = 16, codes = 256,
-        samplePerCode = 16)
+      val (idx, centroids, books, nlist) = ivfPqIndexOf(e,
+        nassign = 2, m = 16, codes = 256, samplePerCode = 16)
       val qv = e.where(col("vec_id") === 0L).select("embedding")
         .head().getSeq[Float](0).toArray
-      Similarity.pqTopK(s.read.parquet(idxPath), codebooks, qv,
-        "vec_id", "embedding", k = 20, rerank = 400)
+      Similarity.ivfPqTopKIndexed(idx, centroids,
+        books, qv, "vec_id", "embedding",
+        nprobe = math.max(2, nlist / 8), k = 20, rerank = 400)
     },
     // per-class embedding centroids: bit-deterministic means via an
     // id-ordered fold (matches DuckDB's list(x ORDER BY vec_id) +

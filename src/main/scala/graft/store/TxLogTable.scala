@@ -535,6 +535,91 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
     v
   }
 
+  /** Import a PLAIN-parquet snapshot (an [[exportSnapshot]] layout, or
+    * any externally-written schema-conforming parquet under
+    * `path/data`) as ONE new commit that REPLACES the table's visible
+    * content — the inverse of [[exportSnapshot]], closing the interop
+    * loop: export → foreign engine → import → [[readAt]] equality
+    * (TxStoreSpec round-trips it; the declared `tx_import` query's
+    * DuckDB oracle reads the same export).
+    *
+    * Conformance is by NAME, not position: `block_range` is derived when
+    * absent (external writers don't know the clustering column), other
+    * columns are cast to the log schema. The index contract is
+    * validated, not trusted — indices must be non-negative, dense and
+    * duplicate-free (`count == max−min+1` plus `min ≥ 0`; a gapped or
+    * duplicated external file would silently corrupt watermark
+    * arithmetic downstream). `lastIndex` comes from `path/MANIFEST`
+    * when present (an exported-after-truncation snapshot can carry a
+    * watermark above max+1), else `max indx + 1`.
+    *
+    * Replace semantics keep it a snapshot RESTORE (prior content stays
+    * time-travelable for the retention window, like any commit);
+    * importing as an append is just `storeLogs(spark.read.parquet(...))`
+    * and needs no new surface.
+    *
+    * @return the new table version
+    */
+  def importSnapshot(path: String): Long = {
+    val src = spark.read.parquet(s"$path/data")
+    val withRange =
+      if (src.columns.contains("block_range")) src
+      else src.withColumn("block_range",
+        floor(col("block_num") / lit(blocksPerRange)))
+    val rows = withRange
+      .select(logSchema.fields.toIndexedSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*)
+      .persist()
+    try {
+      val st = rows.agg(count(lit(1)), min("indx"), max("indx"),
+        min("block_num"), max("block_num")).head()
+      val n = st.getLong(0)
+      require(n > 0, s"empty snapshot under $path/data")
+      val (minI, maxI) = (st.getLong(1), st.getLong(2))
+      require(minI >= 0 && maxI - minI + 1 == n,
+        s"snapshot indices must be dense and non-negative: " +
+          s"min=$minI max=$maxI count=$n")
+      val manifestLastIndex = {
+        val p = new org.apache.hadoop.fs.Path(path, "MANIFEST")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          val txt =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          txt.linesIterator.collectFirst {
+            case l if l.startsWith("last_index=") =>
+              l.stripPrefix("last_index=").trim.toLong
+          }
+        }
+      }
+      val lastIdx = manifestLastIndex.getOrElse(maxI + 1L)
+      require(lastIdx >= maxI + 1L,
+        s"snapshot watermark $lastIdx below max index $maxI + 1")
+      val name = s"c${System.nanoTime()}"
+      rows
+        .repartitionByRange(col("indx")).sortWithinPartitions("indx")
+        .write.parquet(s"$dataDir/$name")
+      var attempt = 0
+      while (true) {
+        val (m, kv) = current()
+        try {
+          commit(Manifest(lastIdx, Seq(Entry(name, minI, maxI,
+            st.getLong(3), st.getLong(4), Long.MaxValue)),
+            m.version + 1, "import"), kv)
+          return m.version + 1
+        } catch {
+          // the data directory is base-independent (indices come from
+          // the snapshot, not the manifest) — rebase is re-reading the
+          // pointer, never rewriting data
+          case _: ConcurrentCommitException if attempt < 16 => attempt += 1
+        }
+      }
+      sys.error("unreachable")
+    } finally rows.unpersist()
+  }
+
   /** Sweep data directories no RETAINED manifest references —
     * truncation/compaction garbage (once its snapshots age out of the
     * history window), crashed pre-commit appends, and rebased-away append

@@ -171,18 +171,115 @@ object AnnCrossover {
           qv, "vec_id", "embedding", k = k, rerank = rerank))
       }
 
+      // MULTI-TABLE LSH serving index (round 11 — the OR-amplified
+      // small-fraction config): T tables at nbits, Hamming-1 probe per
+      // table ⇒ corpus fraction T*(1+nbits)/2^nbits at recall
+      // 1−(1−q)^T. The 100×-true replacement for the 11/16-bucket
+      // single-table multiprobe.
+      // one relation per (nbits, tables) index — per-query re-reads pay
+      // partition discovery over thousands of bucket dirs (measured
+      // 3.5–14 s/q); the serving contract is relation-reuse, like IVF
+      val lshMtIdx = scala.collection.mutable.Map.empty[
+        (Int, Int), (DataFrame, Double)]
+      def lshMtIndexOf(nbits: Int, tables: Int): (DataFrame, Double) =
+        lshMtIdx.getOrElseUpdate((nbits, tables), {
+          val path = s"$idxRoot/lshmt$nbits-$tables"
+          val t0 = System.nanoTime()
+          Similarity.writeLshMultiTableIndex(embs, "vec_id", "embedding",
+            path, dim = 64, nbits = nbits, tables = tables)
+          (spark.read.parquet(path), (System.nanoTime() - t0) / 1e9)
+        })
+      def lshMtCell(name: String, nbits: Int, tables: Int,
+          hamming: Int): (String, Double, Double, Double) = {
+        val (idx, build) = lshMtIndexOf(nbits, tables)
+        cell(name, build, qv => Similarity.annTopKMultiTable(idx,
+          qv, "vec_id", "embedding", dim = 64, nbits = nbits,
+          tables = tables, k = k, probeHamming = hamming,
+          probeBudget = 0))
+      }
+      // QUERY-DIRECTED probe (multi-probe LSH): `budget` best buckets
+      // per table by flipped-margin mass — the declared sim_search_lsh
+      // shape since round 11
+      def lshMtQdCell(name: String, nbits: Int, tables: Int,
+          budget: Int): (String, Double, Double, Double) = {
+        val (idx, build) = lshMtIndexOf(nbits, tables)
+        cell(name, build, qv => Similarity.annTopKMultiTable(idx,
+          qv, "vec_id", "embedding", dim = 64, nbits = nbits,
+          tables = tables, k = k, probeHamming = 0,
+          probeBudget = budget))
+      }
+
+      // MULTI-ASSIGNMENT IVF (round 11 — recall-preserving scale-out):
+      // nassign nearest cells per vector at build, nprobe cells probed
+      // ⇒ fraction nprobe*nassign/nlist of index rows read
+      def ivfMaCell(name: String, nlist: Int, nassign: Int,
+          nprobe: Int): (String, Double, Double, Double) = {
+        val path = s"$idxRoot/ivfma$nlist-$nassign"
+        val t0 = System.nanoTime()
+        val centroids = Similarity.writeIvfIndexMulti(embs, "vec_id",
+          "embedding", path, nlist, nassign)
+        val build = (System.nanoTime() - t0) / 1e9
+        val idx = spark.read.parquet(path)
+        cell(name, build, qv => Similarity.ivfTopKMulti(idx, centroids,
+          qv, "vec_id", "embedding", nprobe = nprobe, k = k))
+      }
+
+      // IVF-PQ composite (round 11): multi-assign coarse cells, ADC over
+      // code columns in the probed cells, IN-filter rerank on the same
+      // pruned slice
+      def ivfPqCell(name: String, nlist: Int, nassign: Int, nprobe: Int,
+          m: Int, rerank: Int): (String, Double, Double, Double) = {
+        val path = s"$idxRoot/ivfpq$nlist-$nassign-$m"
+        val t0 = System.nanoTime()
+        val (centroids, books) = Similarity.writeIvfPqIndex(embs,
+          "vec_id", "embedding", path, nlist, nassign, m,
+          codes = 256, samplePerCode = 16)
+        val build = (System.nanoTime() - t0) / 1e9
+        val idx = spark.read.parquet(path)
+        cell(name, build, qv => Similarity.ivfPqTopKIndexed(idx,
+          centroids, books, qv, "vec_id", "embedding", nprobe = nprobe,
+          k = k, rerank = rerank))
+      }
+
+      val extraTiers = sys.env.get("SPARK_GRAFT_ANN_TIERS")
+        .map(_.split(",").map(_.trim).toSet)
+      def want(name: String): Boolean = extraTiers.forall(_.contains(name))
+
       val tiers = Seq(
-        cell("lsh_onthefly", 0.0, lsh(4)),
-        cell(s"lsh_onthefly_b$nbitsScaled", 0.0, lsh(nbitsScaled)),
-        lshIndexedCell("lsh_declared_idx_b4", 4),
-        lshIndexedCell(s"lsh_indexed_b$nbitsScaled", nbitsScaled),
-        ivfCell("ivf_declared_idx", 16, 8),
-        ivfCell(s"ivf_scaled_l$nlistScaled", nlistScaled,
-          math.max(8, nlistScaled / 8)),
-        pqCell("pq_declared_m16c256", 16, 256, 16, 400),
-        pqCell("pq_m8c256", 8, 256, 16, 400),
-        pqCell("pq_m16c256_rr2k", 16, 256, 16, 2000),
-        pqCell("pq_m8c16", 8, 16, 64, 400))
+        ("lsh_onthefly", () => cell("lsh_onthefly", 0.0, lsh(4))),
+        (s"lsh_onthefly_b$nbitsScaled",
+          () => cell(s"lsh_onthefly_b$nbitsScaled", 0.0, lsh(nbitsScaled))),
+        ("lsh_declared_idx_b4", () => lshIndexedCell("lsh_declared_idx_b4", 4)),
+        (s"lsh_indexed_b$nbitsScaled",
+          () => lshIndexedCell(s"lsh_indexed_b$nbitsScaled", nbitsScaled)),
+        ("lsh_mt_t8_b8_h1", () => lshMtCell("lsh_mt_t8_b8_h1", 8, 8, 1)),
+        ("lsh_mt_t8_b10_h1", () => lshMtCell("lsh_mt_t8_b10_h1", 10, 8, 1)),
+        ("lsh_mt_t12_b10_h1", () => lshMtCell("lsh_mt_t12_b10_h1", 10, 12, 1)),
+        ("lsh_mt_t12_b10_qd8",
+          () => lshMtQdCell("lsh_mt_t12_b10_qd8", 10, 12, 8)),
+        ("lsh_mt_t12_b10_qd12",
+          () => lshMtQdCell("lsh_mt_t12_b10_qd12", 10, 12, 12)),
+        ("lsh_mt_t8_b10_qd8",
+          () => lshMtQdCell("lsh_mt_t8_b10_qd8", 10, 8, 8)),
+        ("lsh_mt_t16_b10_qd8",
+          () => lshMtQdCell("lsh_mt_t16_b10_qd8", 10, 16, 8)),
+        ("ivf_declared_idx", () => ivfCell("ivf_declared_idx", 16, 8)),
+        (s"ivf_scaled_l$nlistScaled", () => ivfCell(
+          s"ivf_scaled_l$nlistScaled", nlistScaled,
+          math.max(8, nlistScaled / 8))),
+        ("ivf_ma_l256_a3_p8", () => ivfMaCell("ivf_ma_l256_a3_p8", 256, 3, 8)),
+        ("ivf_ma_l256_a3_p16",
+          () => ivfMaCell("ivf_ma_l256_a3_p16", 256, 3, 16)),
+        ("ivf_ma_l256_a2_p24",
+          () => ivfMaCell("ivf_ma_l256_a2_p24", 256, 2, 24)),
+        ("ivfpq_l256_a2_p32_m16",
+          () => ivfPqCell("ivfpq_l256_a2_p32_m16", 256, 2, 32, 16, 400)),
+        ("pq_declared_m16c256",
+          () => pqCell("pq_declared_m16c256", 16, 256, 16, 400)),
+        ("pq_m8c256", () => pqCell("pq_m8c256", 8, 256, 16, 400)),
+        ("pq_m16c256_rr2k", () => pqCell("pq_m16c256_rr2k", 16, 256, 16, 2000)),
+        ("pq_m8c16", () => pqCell("pq_m8c16", 8, 16, 64, 400))
+      ).filter(t => want(t._1)).map(_._2.apply())
 
       // the at-rest exact baseline — what the DECLARED sim_search runs
       // (Tables.embeddings reads parquet per execution) and the only

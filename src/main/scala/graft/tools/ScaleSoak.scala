@@ -69,7 +69,9 @@ object ScaleSoak {
     * stale corpus when the source dir or factor changed, and is always
     * false (⇒ regenerates every run) for any non-local outDir.
     */
-  private def stamp(srcDir: String, factor: Int) = s"$srcDir|$factor"
+  private def stamp(srcDir: String, factor: Int, vocabLimit: Int = 2000) =
+    if (vocabLimit == 2000) s"$srcDir|$factor" // legacy stamp — keep warm
+    else s"$srcDir|$factor|v$vocabLimit"
 
   private def stampedDone(spark: SparkSession, dir: String,
       expect: String): Boolean = {
@@ -93,19 +95,23 @@ object ScaleSoak {
   }
 
   def generate(spark: SparkSession, srcDir: String, outDir: String,
-      factor: Int): Unit = {
+      factor: Int, vocabLimit: Int = 2000,
+      withVectors: Boolean = true): Unit = {
     import spark.implicits._
-    val expect = stamp(srcDir, factor)
+    val expect = stamp(srcDir, factor, vocabLimit)
     if (stampedDone(spark, s"$outDir/documents.parquet", expect) &&
-      stampedDone(spark, s"$outDir/embeddings.parquet", expect)) return
+      (!withVectors ||
+        stampedDone(spark, s"$outDir/embeddings.parquet", expect))) return
 
-    // global vocab for the fresh-text resampling (one tiny job)
+    // global vocab for the fresh-text resampling (one tiny job);
+    // vocabLimit bounds it — 2000 covers the source corpus's whole
+    // working set, the Zipf variant passes its full synthetic vocabulary
     val vocab = spark.read.parquet(s"$srcDir/documents.parquet")
       .select(explode(split(col("text"), " ")).as("w"))
       .where(col("w") =!= "")
       .groupBy("w").count()
       .orderBy(col("count").desc, col("w"))
-      .limit(2000).select("w").as[String].collect()
+      .limit(vocabLimit).select("w").as[String].collect()
     val bc = spark.sparkContext.broadcast(vocab)
 
     val srcDocs = spark.read.parquet(s"$srcDir/documents.parquet")
@@ -135,9 +141,55 @@ object ScaleSoak {
       }
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    writeStamp(spark, s"$outDir/documents.parquet", stamp(srcDir, factor))
+    writeStamp(spark, s"$outDir/documents.parquet",
+      stamp(srcDir, factor, vocabLimit))
 
-    generateVectors(spark, srcDir, outDir, factor)
+    if (withVectors) generateVectors(spark, srcDir, outDir, factor)
+  }
+
+  /** Synthesize a REALISTIC-VOCABULARY source corpus: `nDocs` documents
+    * of Zipf-distributed words over a `vocabSize`-word vocabulary
+    * (s≈1.07, the classic natural-text exponent). The driver testdata's
+    * documents draw from a 31-word template vocabulary — only ~30k
+    * distinct 3-grams exist, so at 10× scale EVERY doc pair shares grams
+    * and the exact pair tiers measure gram saturation, not real-text
+    * sparsity (SOAK.md round 10). This corpus has ~10k words ⇒ a gram
+    * space the corpus cannot saturate, so pair-tier soak ratios measure
+    * the join's true scaling regime. Deterministic (seeded per doc id),
+    * same schema/length envelope as the testdata documents.
+    */
+  def synthZipfSource(spark: SparkSession, dir: String, nDocs: Int,
+      vocabSize: Int = 10000): Unit = {
+    import spark.implicits._
+    val expect = s"zipf|$nDocs|$vocabSize"
+    if (stampedDone(spark, s"$dir/documents.parquet", expect)) return
+    // cumulative Zipf weights, broadcast once; binary-search sampling
+    val cum = new Array[Double](vocabSize)
+    var acc = 0.0
+    var r = 0
+    while (r < vocabSize) {
+      acc += 1.0 / math.pow((r + 1).toDouble, 1.07); cum(r) = acc; r += 1
+    }
+    val bc = spark.sparkContext.broadcast(cum)
+    spark.range(nDocs.toLong).repartition(32).as[Long].map { id =>
+      val rnd = new scala.util.Random(id * 0x9e3779b97f4a7c15L + 17L)
+      val c = bc.value
+      val total = c(c.length - 1)
+      def word(): String = {
+        val x = rnd.nextDouble() * total
+        var lo = 0; var hi = c.length - 1
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (c(mid) < x) lo = mid + 1 else hi = mid
+        }
+        s"w$lo"
+      }
+      val len = 40 + rnd.nextInt(80)
+      val text = Seq.fill(len)(word()).mkString(" ")
+      (id, text, "en", "zipf", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    writeStamp(spark, s"$dir/documents.parquet", expect)
   }
 
   /** The embeddings half of [[generate]], callable on its own — the ANN
@@ -175,11 +227,19 @@ object ScaleSoak {
     writeStamp(spark, s"$outDir/embeddings.parquet", stamp(srcDir, factor))
   }
 
+  /** The pair tiers the Zipf-vocabulary variant soaks: document-input
+    * only (the synthetic corpus carries no embeddings), centred on the
+    * exact pair tiers whose x10 ratios the 31-word corpus could not
+    * measure honestly.
+    */
+  private val zipfTiers = Set(
+    "dedup_exact", "dedup_normalized", "dedup_minhash", "dedup_ngram",
+    "dedup_containment", "dedup_span", "dedup_simhash", "winnow_pairs",
+    "edit_distance", "dedup_cluster", "dedup_purge")
+
   def main(args: Array[String]): Unit = {
-    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val vocabMode = sys.env.getOrElse("SPARK_GRAFT_SOAK_VOCAB", "source")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt
-    val outDir = sys.env.getOrElse("SPARK_GRAFT_SOAK_DIR",
-      s"/tmp/graft-soak-x$factor")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -191,7 +251,21 @@ object ScaleSoak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    generate(spark, srcDir, outDir, factor)
+    val zipf = vocabMode == "zipf10k"
+    val srcDir =
+      if (zipf) {
+        val d = sys.env.getOrElse("SPARK_GRAFT_ZIPF_SRC",
+          "/tmp/graft-zipf-src")
+        synthZipfSource(spark, d, nDocs = 5000, vocabSize = 10000)
+        d
+      } else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SOAK_DIR",
+      if (zipf) s"/tmp/graft-zipf-x$factor" else s"/tmp/graft-soak-x$factor")
+
+    if (zipf)
+      generate(spark, srcDir, outDir, factor, vocabLimit = 10000,
+        withVectors = false)
+    else generate(spark, srcDir, outDir, factor)
     // the scaled dir carries only documents/embeddings; every soaked
     // query reads nothing else
 
@@ -203,12 +277,15 @@ object ScaleSoak {
 
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val selected = tier.filter { case (n, _) => only.forall(_.contains(n)) }
+    val selected = tier
+      .filter { case (n, _) => !zipf || zipfTiers.contains(n) }
+      .filter { case (n, _) => only.forall(_.contains(n)) }
 
     // warmup both corpora (footers + codegen), untimed
     Seq(srcDir, outDir).foreach { d =>
-      Seq("documents", "embeddings").foreach(t =>
-        spark.read.parquet(s"$d/$t.parquet").limit(1).count())
+      (if (zipf) Seq("documents") else Seq("documents", "embeddings"))
+        .foreach(t =>
+          spark.read.parquet(s"$d/$t.parquet").limit(1).count())
     }
     try time(graft.SparkEntry.queries(selected.head._1), srcDir)
     catch { case _: Throwable => }
@@ -235,7 +312,7 @@ object ScaleSoak {
       s""""$n":{"growth":"$g","base_s":${f(b)},"scaled_s":${f(s)},"ratio":${f(r)}}"""
     }.mkString(",")
     println(s"""{"metric":"scale_soak","factor":$factor,"reps":$reps,""" +
-      s""""queries":{$json}}""")
+      s""""vocab":"$vocabMode","queries":{$json}}""")
     spark.stop()
   }
 }

@@ -117,6 +117,47 @@ class PlanLintSpec extends SparkSpec {
     }
   }
 
+  test("declared ANN serving probes: bounded corpus fraction at the 1M+ " +
+    "dial point, and the executed plan partition-prunes to exactly the " +
+    "driver-computed key set") {
+    // the round-10 weak was a 69%/50% probe; the round-11 dials must keep
+    // the big-N fraction small — pinned as arithmetic so a config drift
+    // fails here before AnnCrossover re-measures it
+    val nbits1m = graft.queries.PipelineQueries.lshMtNbits(1000000L)
+    assert(nbits1m == 10, s"LSH dial at 1M moved: $nbits1m")
+    // query-directed probe: 12 buckets per table of 12 tables
+    val lshFrac = 12.0 * 12 / (1L << nbits1m).toDouble
+    assert(lshFrac <= 0.15, f"LSH MT probe fraction at 1M: $lshFrac%.3f")
+    val nlist1m = graft.queries.PipelineQueries.ivfNlist(1000000L)
+    assert(nlist1m == 256, s"IVF dial at 1M moved: $nlist1m")
+    val ivfFrac = 3.0 * math.max(2, nlist1m / 16) / nlist1m.toDouble
+    assert(ivfFrac <= 0.20, f"IVF MA probe fraction at 1M: $ivfFrac%.3f")
+    // PQ composite: the ADC pass reads code columns (m bytes + norm) of
+    // nassign*nprobe/nlist of the index — a few % of corpus BYTES even
+    // before compression is counted
+    val pqCells = 2.0 * math.max(2, nlist1m / 8) / nlist1m.toDouble
+    assert(pqCells <= 0.25, f"IVF-PQ probed-cell fraction at 1M: $pqCells%.3f")
+    // and the plan itself: the probe scan's partition filter carries
+    // EXACTLY tables*budget keys (12×12 — the query-directed probe set;
+    // nothing else is listed or read — the same property the
+    // files-touched check in SimilaritySpec pins at the file level)
+    val df = SparkEntry.queries("sim_search_lsh")(spark, sf)
+    val scans = allNodes(df.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec if f.partitionFilters.nonEmpty => f
+    }
+    assert(scans.nonEmpty, "no partition-pruned scan in sim_search_lsh")
+    val keyCounts = scans.map { f =>
+      f.partitionFilters.flatMap(_.collect {
+        case s: org.apache.spark.sql.catalyst.expressions.InSet =>
+          s.hset.size
+        case i: org.apache.spark.sql.catalyst.expressions.In =>
+          i.list.size
+      }).sum
+    }
+    assert(keyCounts.exists(_ == 12 * 12),
+      s"expected a ${12 * 12}-key probe, got $keyCounts")
+  }
+
   test("no declared query plans an UNPARTITIONED WindowExec at all " +
     "(bounded or not) — the bench tail must stay warning-free") {
     // the lint above ACCEPTS limit-bounded global windows, so a

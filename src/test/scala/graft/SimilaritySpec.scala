@@ -758,6 +758,28 @@ class SimilaritySpec extends SparkSpec {
       "vec_id", "embedding", dim = 16, nbits = 2, tables = 3, k = 10,
       probeHamming = 2).collect().map(bits).toSeq
     assert(served == exact, "full-coverage multi-table probe diverged")
+    // query-directed probing at a full budget covers the same 4 buckets
+    // (subsets of the 2 weak planes = every bucket) — identical output
+    val adaptive = Similarity.annTopKMultiTable(spark, fullPath, qv,
+      "vec_id", "embedding", dim = 16, nbits = 2, tables = 3, k = 10,
+      probeHamming = 0, probeBudget = 4).collect().map(bits).toSeq
+    assert(adaptive == exact, "full-budget adaptive probe diverged")
+    // the adaptive key set: per table, distinct keys led by the own
+    // bucket (flip mask ∅ scores 0), all within the table's namespace
+    (4 to 16 by 4).foreach { budget =>
+      val keys = Similarity.probeKeysMultiTableAdaptive(qv, 16, 6, 8,
+        budget)
+      assert(keys.size == 8 * budget, s"budget=$budget size=${keys.size}")
+      assert(keys.distinct.size == keys.size, "duplicate adaptive keys")
+      (0 until 8).foreach { t =>
+        val own = (t.toLong << 6) |
+          Similarity.lshSignatureLocalFrom(qv, 16, t * 6, 6)
+        assert(keys(t * budget) == own,
+          s"table $t adaptive probe must lead with the own bucket")
+        keys.slice(t * budget, (t + 1) * budget).foreach(
+          k0 => assert(k0 >> 6 == t, s"key $k0 outside table $t namespace"))
+      }
+    }
     // realistic config: partial probe must partition-prune on lsh_key,
     // touch only probed key directories, and keep usable recall
     val path = tmpDir("lshmt")

@@ -199,6 +199,72 @@ class TxStoreSpec extends SparkSpec {
     assert(rows(ext).size == 20)
   }
 
+  test("importSnapshot round trip: export → import → read equality; " +
+    "replace semantics; external parquet without block_range; validation") {
+    val root = tmpDir("txstore-imp-src")
+    val t = new TxLogTable(spark, root, "f1")
+    t.storeLogs(mkLogs(0, 4))   // v1: 0..9
+    t.storeLogs(mkLogs(5, 9))   // v2: 10..19
+    t.removeLogsFrom(12L)       // v3: cap at 12, watermark 12
+    val out = tmpDir("tximp-exp")
+    t.exportSnapshot(out, Some(2L))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("indx", "tx_hash", "block_num", "address")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3))).sortBy(_._1).toSeq
+    // import into a FRESH table: read == readAt(2) of the source, the
+    // watermark comes from the export MANIFEST, history says "import"
+    val t2 = new TxLogTable(spark, tmpDir("txstore-imp-a"), "f1")
+    val v = t2.importSnapshot(out)
+    assert(v == 1L)
+    assert(rows(t2.read) == rows(t.readAt(2L)))
+    assert(t2.lastIndex() == 20L)
+    assert(t2.history().where(col("operation") === "import").count() == 1L)
+    // appending continues from the imported watermark, densely
+    t2.storeLogs(mkLogs(10, 10))
+    assert(idxOf(t2) == (0L until 22L))
+    // REPLACE semantics: importing over a non-empty table swaps the
+    // visible content in one commit; the prior state stays
+    // time-travelable
+    val t3 = new TxLogTable(spark, tmpDir("txstore-imp-b"), "f1")
+    t3.storeLogs(mkLogs(50, 54)) // unrelated content, indices 0..9
+    val preVersion = t3.version()
+    t3.importSnapshot(out)
+    assert(rows(t3.read) == rows(t.readAt(2L)))
+    assert(rows(t3.readAt(preVersion)).map(_._2)
+      .forall(_.startsWith("tx-5")))
+    // an EXTERNALLY-written snapshot (no block_range column, shuffled
+    // column order) imports via name-based conformance
+    val extDir = tmpDir("tximp-ext")
+    spark.range(0L, 7L).select(
+      concat(lit("a"), col("id") % 2).as("address"),
+      col("id").as("indx"),
+      (col("id") % 3).as("tx_index"),
+      concat(lit("x"), col("id")).as("tx_hash"),
+      (col("id") * 2).as("block_num"),
+      concat(lit("h"), col("id")).as("block_hash"),
+      array(lit("sig")).as("topics"),
+      lit("0x").as("data"))
+      .write.parquet(s"$extDir/data")
+    val t4 = new TxLogTable(spark, tmpDir("txstore-imp-c"), "f1")
+    t4.importSnapshot(extDir)
+    assert(t4.lastIndex() == 7L)
+    assert(t4.read.select("block_range").distinct().count() == 1L)
+    assert(idxOf(t4) == (0L until 7L))
+    // gapped indices are rejected loudly, and the failed import commits
+    // nothing
+    val gapDir = tmpDir("tximp-gap")
+    spark.range(0L, 6L).select((col("id") * 2).as("indx"),
+      col("id").as("tx_index"), concat(lit("x"), col("id")).as("tx_hash"),
+      col("id").as("block_num"), lit("h").as("block_hash"),
+      lit("a").as("address"), array(lit("s")).as("topics"),
+      lit("0x").as("data"))
+      .write.parquet(s"$gapDir/data")
+    val t5 = new TxLogTable(spark, tmpDir("txstore-imp-d"), "f1")
+    intercept[IllegalArgumentException](t5.importSnapshot(gapDir))
+    assert(!t5.exists)
+  }
+
   test("a stale .dropped marker inside a LIVE directory is shed, so grace " +
     "restarts at genuine dereference") {
     val root = tmpDir("txstore")
