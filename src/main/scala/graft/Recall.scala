@@ -88,7 +88,7 @@ object Recall {
     // dial, nprobe = nlist/16); the round-10 single-assignment
     // nlist=16/nprobe=8 kept for context
     val maNlist = graft.queries.PipelineQueries.ivfNlist(nVec)
-    val maNprobe = math.max(2, maNlist / 16)
+    val maNprobe = graft.queries.PipelineQueries.ivfNprobe(maNlist, 16)
     val maPath = java.nio.file.Files
       .createTempDirectory("graft-recall-ivfma").toString
     val maCentroids = Similarity.writeIvfIndexMulti(e, "vec_id",
@@ -110,7 +110,7 @@ object Recall {
     // PQ: the round-11 declared sim_search_pq configuration — the IVF-PQ
     // COMPOSITE (multi-assign cells, ADC over code columns in nprobe
     // cells, IN-filter rerank); flat PQ16x8 kept for context
-    val pqNprobe = math.max(2, maNlist / 8)
+    val pqNprobe = graft.queries.PipelineQueries.ivfNprobe(maNlist, 8)
     val pqPath = java.nio.file.Files
       .createTempDirectory("graft-recall-ivfpq").toString
     val (pqCentroids, pqBooks) = Similarity.writeIvfPqIndex(e, "vec_id",
@@ -442,9 +442,13 @@ object Recall {
       f"dedup_semantic design-point recall regressed: $semRecall%.3f")
     require(semPrecision >= 0.999,
       f"dedup_semantic precision regressed: $semPrecision%.3f")
-    require(lshRecall >= 0.8, f"lsh recall regressed: $lshRecall%.3f")
-    require(ivfRecall >= 0.75, f"ivf recall regressed: $ivfRecall%.3f")
-    require(pqRecall >= 0.97, f"pq recall regressed: $pqRecall%.3f")
+    // round-11 serving configs at the small-corpus end of their dials
+    // (sf0.1 measured: MT-LSH 1.000, IVF-MA 0.850, IVF-PQ 0.758; the
+    // at-scale story lives in the crossover section — 0.913@5M /
+    // 0.906@20M / 0.825@20M respectively)
+    require(lshRecall >= 0.95, f"lsh recall regressed: $lshRecall%.3f")
+    require(ivfRecall >= 0.8, f"ivf recall regressed: $ivfRecall%.3f")
+    require(pqRecall >= 0.7, f"pq recall regressed: $pqRecall%.3f")
     require(mediaRecall >= 0.99,
       f"dedup_media planted-copy recall regressed: $mediaRecall%.3f")
     require(mediaFalse <= 5,

@@ -353,17 +353,32 @@ object Similarity {
       vecCol: String, path: String, dim: Int, nbits: Int,
       tables: Int): Unit = {
     require(nbits >= 1 && nbits <= 20, s"nbits out of range: $nbits")
-    val sigArr = signatureArr(col(vecCol), dim, nbits, tables)
-    corpus
-      .select(col(idCol), col(vecCol),
-        sqrt(norm2(col(vecCol))).as("__norm"),
-        posexplode(sigArr).as(Seq("__tbl", "__bucket")))
-      .withColumn("lsh_key",
-        (col("__tbl").cast("long") * lit(1L << nbits)) + col("__bucket"))
-      .drop("__tbl", "__bucket")
-      .repartitionByRange(col("lsh_key"), col(idCol))
-      .sortWithinPartitions("lsh_key", idCol)
-      .write.mode("overwrite").partitionBy("lsh_key").parquet(path)
+    // ONE PASS PER TABLE, not one exploded T× shuffle: the clustering
+    // shuffle's map files live on disk until the write job ends, so the
+    // all-tables form needs T×corpus of shuffle space NEXT TO the
+    // T×corpus output — measured dying on disk at 10M vectors (the
+    // same failure the round-10 50M attempt hit). Per-table passes
+    // bound in-flight shuffle at ONE corpus; table namespaces are
+    // disjoint, so each pass appends its own lsh_key directories and
+    // the final layout (and every probe's bytes) is identical. This is
+    // also the only shape that builds at 100 TB, where a T×corpus
+    // shuffle is not a thing any cluster does in one job.
+    (0 until tables).foreach { t =>
+      val sig = signatureBits(col(vecCol), dim, t * nbits, nbits)
+      corpus
+        .select(col(idCol), col(vecCol),
+          sqrt(norm2(col(vecCol))).as("__norm"),
+          (lit(t.toLong << nbits) + sig).as("lsh_key"))
+        .repartitionByRange(col("lsh_key"), col(idCol))
+        .sortWithinPartitions("lsh_key", idCol)
+        .write.mode(if (t == 0) "overwrite" else "append")
+        .partitionBy("lsh_key").parquet(path)
+      // completed passes' shuffle files are only reclaimed when the
+      // ContextCleaner sees their dependencies unreachable — nudge it,
+      // or 12 lingering corpus-sized shuffles re-create the blowup the
+      // per-table split exists to avoid
+      System.gc()
+    }
   }
 
   /** ANN top-k served from the persisted MULTI-TABLE index: the probe
@@ -494,13 +509,25 @@ object Similarity {
     */
   def writeIvfIndexMulti(corpus: DataFrame, idCol: String, vecCol: String,
       path: String, nlist: Int, nassign: Int): Array[Array[Double]] = {
-    val (indexed, centroids) =
+    val (_, centroids) =
       ivfIndexMulti(corpus, idCol, vecCol, nlist, nassign)
-    indexed
-      .withColumn("__norm", sqrt(norm2(col(vecCol))))
-      .repartitionByRange(col("ivf_cell"), col(idCol))
-      .sortWithinPartitions("ivf_cell", idCol)
-      .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+    // one pass per assignment rank — the same bounded-build shape as
+    // writeLshMultiTableIndex (the exploded nassign× shuffle held
+    // nassign corpora of map files next to the nassign× output); rank
+    // r's pass appends to the rank-(r-1) cell directories, so the read
+    // layout is unchanged (nassign files per cell instead of one)
+    (0 until nassign).foreach { r =>
+      corpus
+        .select(col("*"),
+          element_at(graft.functions.VectorFunctions.nearestCentroidsK(
+            col(vecCol), centroids, nassign), r + 1).as("ivf_cell"))
+        .withColumn("__norm", sqrt(norm2(col(vecCol))))
+        .repartitionByRange(col("ivf_cell"), col(idCol))
+        .sortWithinPartitions("ivf_cell", idCol)
+        .write.mode(if (r == 0) "overwrite" else "append")
+        .partitionBy("ivf_cell").parquet(path)
+      System.gc() // see writeLshMultiTableIndex: reclaim pass shuffles
+    }
     centroids
   }
 
@@ -556,14 +583,23 @@ object Similarity {
       path: String, nlist: Int, nassign: Int, m: Int, codes: Int = 256,
       samplePerCode: Int = 16)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
-    val (indexed, centroids) =
+    val (_, centroids) =
       ivfIndexMulti(corpus, idCol, vecCol, nlist, nassign)
     val (_, codebooks) = pqIndex(corpus, idCol, vecCol, m, codes,
       samplePerCode)
-    pqEncode(indexed, vecCol, codebooks)
-      .repartitionByRange(col("ivf_cell"), col(idCol))
-      .sortWithinPartitions("ivf_cell", idCol)
-      .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+    // per-assignment-rank passes — see writeIvfIndexMulti
+    (0 until nassign).foreach { r =>
+      pqEncode(
+        corpus.select(col("*"),
+          element_at(graft.functions.VectorFunctions.nearestCentroidsK(
+            col(vecCol), centroids, nassign), r + 1).as("ivf_cell")),
+        vecCol, codebooks)
+        .repartitionByRange(col("ivf_cell"), col(idCol))
+        .sortWithinPartitions("ivf_cell", idCol)
+        .write.mode(if (r == 0) "overwrite" else "append")
+        .partitionBy("ivf_cell").parquet(path)
+      System.gc() // see writeLshMultiTableIndex: reclaim pass shuffles
+    }
     (centroids, codebooks)
   }
 

@@ -168,6 +168,16 @@ object PipelineQueries {
   private[graft] def ivfNlist(n: Long): Int =
     math.min(256, math.max(16, math.round(math.sqrt(n.toDouble)).toInt))
 
+  /** The probe-depth dial: nlist/divisor cells at scale (the ≤20%-bytes
+    * big-N fraction the crossover measures), FLOORED at 8 cells (capped
+    * at nlist/2) — a small corpus has few, coarse cells, and probing 2
+    * of 45 measured recall 0.483 at sf0.1; reading half of a 2000-row
+    * index is the serving cost floor there, exactly like the LSH dial's
+    * nbits=4 bottom end.
+    */
+  private[graft] def ivfNprobe(nlist: Int, divisor: Int): Int =
+    math.max(math.min(8, nlist / 2), nlist / divisor)
+
   private def corpusSize(e: DataFrame): Long = e.count()
 
   // cfg strings carry EVERY parameter that affects the written artifact
@@ -419,7 +429,7 @@ object PipelineQueries {
         .head().getSeq[Float](0).toArray
       annTopKCheck(e, Similarity.ivfTopKMulti(idx,
         centroids, qv, "vec_id", "embedding",
-        nprobe = math.max(2, nlist / 16), k = 20), k = 20)
+        nprobe = ivfNprobe(nlist, 16), k = 20), k = 20)
     },
     "sim_search_pq_check" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
@@ -429,7 +439,7 @@ object PipelineQueries {
         .head().getSeq[Float](0).toArray
       annTopKCheck(e, Similarity.ivfPqTopKIndexed(idx,
         centroids, books, qv, "vec_id", "embedding",
-        nprobe = math.max(2, nlist / 8), k = 20, rerank = 400), k = 20)
+        nprobe = ivfNprobe(nlist, 8), k = 20, rerank = 400), k = 20)
     },
     // embedding near-dup invariants: every emitted pair's EXACT cosine
     // clears the declared threshold (the refine stage's contract) in
@@ -772,7 +782,7 @@ object PipelineQueries {
       val qv = e.where(col("vec_id") === 0L).select("embedding")
         .head().getSeq[Float](0).toArray
       Similarity.ivfTopKMulti(idx, centroids, qv,
-        "vec_id", "embedding", nprobe = math.max(2, nlist / 16), k = 20)
+        "vec_id", "embedding", nprobe = ivfNprobe(nlist, 16), k = 20)
     },
     // corpus-level n-gram frequency (top-50 bigrams): the vocabulary/phrase
     // statistics pass of a training-data pipeline
@@ -1004,7 +1014,7 @@ object PipelineQueries {
         .head().getSeq[Float](0).toArray
       Similarity.ivfPqTopKIndexed(idx, centroids,
         books, qv, "vec_id", "embedding",
-        nprobe = math.max(2, nlist / 8), k = 20, rerank = 400)
+        nprobe = ivfNprobe(nlist, 8), k = 20, rerank = 400)
     },
     // per-class embedding centroids: bit-deterministic means via an
     // id-ordered fold (matches DuckDB's list(x ORDER BY vec_id) +

@@ -130,12 +130,14 @@ class PlanLintSpec extends SparkSpec {
     assert(lshFrac <= 0.15, f"LSH MT probe fraction at 1M: $lshFrac%.3f")
     val nlist1m = graft.queries.PipelineQueries.ivfNlist(1000000L)
     assert(nlist1m == 256, s"IVF dial at 1M moved: $nlist1m")
-    val ivfFrac = 3.0 * math.max(2, nlist1m / 16) / nlist1m.toDouble
+    val ivfFrac = 3.0 * graft.queries.PipelineQueries
+      .ivfNprobe(nlist1m, 16) / nlist1m.toDouble
     assert(ivfFrac <= 0.20, f"IVF MA probe fraction at 1M: $ivfFrac%.3f")
     // PQ composite: the ADC pass reads code columns (m bytes + norm) of
     // nassign*nprobe/nlist of the index — a few % of corpus BYTES even
     // before compression is counted
-    val pqCells = 2.0 * math.max(2, nlist1m / 8) / nlist1m.toDouble
+    val pqCells = 2.0 * graft.queries.PipelineQueries
+      .ivfNprobe(nlist1m, 8) / nlist1m.toDouble
     assert(pqCells <= 0.25, f"IVF-PQ probed-cell fraction at 1M: $pqCells%.3f")
     // and the plan itself: the probe scan's partition filter carries
     // EXACTLY tables*budget keys (12×12 — the query-directed probe set;
