@@ -26,11 +26,10 @@ object PlanDump {
     // a representative of the new fingerprint-tier check twins
     "dedup_ngram", "dedup_containment", "edit_distance",
     "dedup_minhash_check",
-    // round 10: the persisted-index ANN serving probes (the snapshots
-    // must show PartitionFilters on lsh_bucket / ivf_cell and a
-    // code-columns-only ReadSchema for the PQ ADC pass) and the
-    // tx-table export round trip
-    "sim_search_ivf", "tx_export")
+    // round 10/11: the persisted-index ANN serving probes (the
+    // snapshots must show PartitionFilters carrying the driver-computed
+    // lsh_key / ivf_cell probe sets) and the tx-table interop legs
+    "sim_search_ivf", "tx_export", "tx_import")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
