@@ -174,7 +174,6 @@ case class NearestCentroidF(child: Expression, centroids: Seq[Seq[Double]])
       val c = ctx.freshName("c")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
-      val n = ctx.freshName("n")
       val d = ctx.freshName("d")
       val x = ctx.freshName("x")
       val bestD = ctx.freshName("bestD")
