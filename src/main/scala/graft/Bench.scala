@@ -29,6 +29,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // serving-session conf: let a few-hundred-value IN reach parquet as
+      // a native In predicate (default threshold 10 degrades it to a
+      // min/max range that prunes nothing). The ANN rerank fetch filters
+      // an id-sorted index by ~400 shortlist ids — with the native
+      // predicate, parquet's page-level column index skips the vector
+      // pages no shortlist id touches (measured 2.8× on the fetch).
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

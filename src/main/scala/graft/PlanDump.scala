@@ -42,6 +42,8 @@ object PlanDump {
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", aqe)
+      // native parquet In pushdown for the ANN rerank id fetch (see Bench)
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       .config("spark.ui.enabled", "false").getOrCreate()
     // OFF, not ERROR: localCheckpoint cleanup logs benign "non-existent
     // accumulator" DAGScheduler errors that would otherwise flood the

@@ -638,7 +638,8 @@ object Similarity {
       vecCol: String,
       nprobe: Int,
       k: Int,
-      rerank: Int = 400
+      rerank: Int = 400,
+      nassign: Int = 2
   ): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     val cells = nearestCells(centroids, queryVec, nprobe)
@@ -666,6 +667,14 @@ object Similarity {
     val shortlistIds = pruned
       .where(col("pq_norm") > 0.0)
       .select(col(idCol), score.as("__adc"))
+      // pigeonhole pre-cut before the dedup agg — each id occupies at
+      // most `nassign` rows in the multi-assigned composite and its
+      // copies carry IDENTICAL codes (codes derive from the vector, not
+      // the cell) ⇒ identical __adc; see annTopKMultiTable for the
+      // retention argument. The shortlist agg then runs on a
+      // ≤ nassign·rerank tail instead of shuffling every probed code row.
+      .orderBy(col("__adc").desc, col(idCol))
+      .limit(nassign * rerank)
       .groupBy(idCol)
       .agg(max(col("__adc")).as("__adc"))
       .orderBy(col("__adc").desc, col(idCol))

@@ -47,6 +47,8 @@ object AnnCrossover {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // native parquet In pushdown for the ANN rerank id fetch (see Bench)
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -226,19 +228,25 @@ object AnnCrossover {
 
       // IVF-PQ composite (round 11): multi-assign coarse cells, ADC over
       // code columns in the probed cells, IN-filter rerank on the same
-      // pruned slice
+      // pruned slice. One build per (nlist, nassign, m) — the nprobe /
+      // rerank variants probe the same persisted index.
+      val ivfPqIdx = scala.collection.mutable.Map.empty[(Int, Int, Int),
+        (DataFrame, Array[Array[Double]], Array[Array[Array[Double]]], Double)]
       def ivfPqCell(name: String, nlist: Int, nassign: Int, nprobe: Int,
           m: Int, rerank: Int): (String, Double, Double, Double) = {
-        val path = s"$idxRoot/ivfpq$nlist-$nassign-$m"
-        val t0 = System.nanoTime()
-        val (centroids, books) = Similarity.writeIvfPqIndex(embs,
-          "vec_id", "embedding", path, nlist, nassign, m,
-          codes = 256, samplePerCode = 16)
-        val build = (System.nanoTime() - t0) / 1e9
-        val idx = spark.read.parquet(path)
+        val (idx, centroids, books, build) =
+          ivfPqIdx.getOrElseUpdate((nlist, nassign, m), {
+            val path = s"$idxRoot/ivfpq$nlist-$nassign-$m"
+            val t0 = System.nanoTime()
+            val (cents, bks) = Similarity.writeIvfPqIndex(embs,
+              "vec_id", "embedding", path, nlist, nassign, m,
+              codes = 256, samplePerCode = 16)
+            (spark.read.parquet(path), cents, bks,
+              (System.nanoTime() - t0) / 1e9)
+          })
         cell(name, build, qv => Similarity.ivfPqTopKIndexed(idx,
           centroids, books, qv, "vec_id", "embedding", nprobe = nprobe,
-          k = k, rerank = rerank))
+          k = k, rerank = rerank, nassign = nassign))
       }
 
       val extraTiers = sys.env.get("SPARK_GRAFT_ANN_TIERS")
@@ -274,6 +282,16 @@ object AnnCrossover {
           () => ivfMaCell("ivf_ma_l256_a2_p24", 256, 2, 24)),
         ("ivfpq_l256_a2_p32_m16",
           () => ivfPqCell("ivfpq_l256_a2_p32_m16", 256, 2, 32, 16, 400)),
+        ("ivfpq_l256_a2_p32_rr800",
+          () => ivfPqCell("ivfpq_l256_a2_p32_rr800", 256, 2, 32, 16, 800)),
+        ("ivfpq_l256_a2_p48_m16",
+          () => ivfPqCell("ivfpq_l256_a2_p48_m16", 256, 2, 48, 16, 400)),
+        ("ivfpq_l256_a2_p48_rr800",
+          () => ivfPqCell("ivfpq_l256_a2_p48_rr800", 256, 2, 48, 16, 800)),
+        ("ivfpq_l256_a3_p32_m16",
+          () => ivfPqCell("ivfpq_l256_a3_p32_m16", 256, 3, 32, 16, 400)),
+        ("ivfpq_l256_a3_p48_rr800",
+          () => ivfPqCell("ivfpq_l256_a3_p48_rr800", 256, 3, 48, 16, 800)),
         ("pq_declared_m16c256",
           () => pqCell("pq_declared_m16c256", 16, 256, 16, 400)),
         ("pq_m8c256", () => pqCell("pq_m8c256", 8, 256, 16, 400)),
