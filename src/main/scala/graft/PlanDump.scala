@@ -29,7 +29,9 @@ object PlanDump {
     // round 10/11: the persisted-index ANN serving probes (the
     // snapshots must show PartitionFilters carrying the driver-computed
     // lsh_key / ivf_cell probe sets) and the tx-table interop legs
-    "sim_search_ivf", "tx_export", "tx_import")
+    "sim_search_ivf", "tx_export", "tx_import",
+    // late round 11: incremental dedup against the persisted band index
+    "dedup_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

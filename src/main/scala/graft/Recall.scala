@@ -112,7 +112,7 @@ object Recall {
     // PQ: the round-11 declared sim_search_pq configuration — the IVF-PQ
     // COMPOSITE (multi-assign cells, ADC over code columns in nprobe
     // cells, IN-filter rerank); flat PQ16x8 kept for context
-    val pqNprobe = graft.queries.PipelineQueries.ivfNprobe(maNlist, 8)
+    val pqNprobe = graft.queries.PipelineQueries.pqNprobe(maNlist)
     val pqPath = java.nio.file.Files
       .createTempDirectory("graft-recall-ivfpq").toString
     val (pqCentroids, pqBooks) = Similarity.writeIvfPqIndex(e, "vec_id",
@@ -121,7 +121,7 @@ object Recall {
     val pqIdx = spark.read.parquet(pqPath).cache()
     val pqRecall = meanRecall { q =>
       Similarity.ivfPqTopKIndexed(pqIdx, pqCentroids, pqBooks, qv(q),
-        "vec_id", "embedding", nprobe = pqNprobe, k = k, rerank = 400)
+        "vec_id", "embedding", nprobe = pqNprobe, k = k, rerank = 800)
         .collect().map(_.getLong(0)).toSet
     }
     val (encoded, codebooks) =
@@ -324,7 +324,7 @@ object Recall {
     val tPq = timed(queryIds.foreach(q =>
       Similarity.ivfPqTopKIndexed(pqIdx, pqCentroids, pqBooks, qv(q),
         "vec_id", "embedding", nprobe = pqNprobe, k = k,
-        rerank = 400).collect()))
+        rerank = 800).collect()))
     val tKnnExact = timed {
       val wn = e.withColumn("__n", sqrt(Similarity.norm2(col("embedding"))))
       val qa = wn.select(col("vec_id").as("id"),
@@ -374,7 +374,7 @@ object Recall {
          || — single-bucket probe |  | nbits=4, 1/16 buckets | (context: what amplification buys) | ${f"$lshRecall0%.3f"} | — |
          || multi-assignment IVF top-k | `sim_search_ivf` | nlist=$maNlist (√N dial), nassign=3, nprobe=$maNprobe (${f"${100.0 * maNprobe * 3 / maNlist}%.0f"}% of corpus bytes) | mean recall@$k over $nQueries queries vs `sim_search` | ${f"$ivfRecall%.3f"} | ${speed(tExactTopK, tIvf)} (→ ${f"$tIvf%.1f"}s) |
          || — single-assign nlist=16 |  | nlist=16, nprobe=8 | (context: the round-10 declared config — 50% of the corpus per probe) | ${f"$ivfRecallSa%.3f"} | — |
-         || IVF-PQ composite top-k | `sim_search_pq` | nlist=$maNlist, nassign=2, nprobe=$pqNprobe; PQ16x8, rerank=400 | mean recall@$k over $nQueries queries vs `sim_search` | ${f"$pqRecall%.3f"} | ${speed(tExactTopK, tPq)} (→ ${f"$tPq%.1f"}s) |
+         || IVF-PQ composite top-k | `sim_search_pq` | nlist=$maNlist, nassign=2, nprobe=$pqNprobe; PQ16x8, rerank=800 | mean recall@$k over $nQueries queries vs `sim_search` | ${f"$pqRecall%.3f"} | ${speed(tExactTopK, tPq)} (→ ${f"$tPq%.1f"}s) |
          || — flat PQ16x8 |  | m=16, 256-code books, rerank=400, full ADC scan | (context: the round-10 declared config) | ${f"$pqRecallFlat%.3f"} | — |
          || LSH knn self-join | `knn_join` | nbits=4, 8 tables, maxBucket=1000 | neighbour recall vs exact global top-$knnK (${exactKnn.size} edges) | ${f"$knnRecall%.3f"} | ${speed(tKnnExact, tKnnJoin)} (${f"$tKnnExact%.1f"}s → ${f"$tKnnJoin%.1f"}s) |
          || — 6 tables |  | nbits=4, 6 tables | (context: the cost-trim candidate) | ${f"$knnRecall6%.3f"} | — |
@@ -396,9 +396,10 @@ object Recall {
          |quadratically), while the ANN top-k tiers sit BELOW the
          |brute-force crossover (< 1×) at 2k vectors — scanning 2k×64
          |floats is cheaper than a probe. The crossover is MEASURED at
-         |1M/5M vectors in the section below (AnnCrossover): the declared
-         |persisted-index probes pass brute force at ~5M on this box and
-         |widen with corpus size.
+         |1M–35M vectors in the section below (AnnCrossover): the declared
+         |persisted-index probes pass brute force between 1M and 5M on this
+         |box (LSH 1.97× / IVF 1.87× at 5M, 2.13× / 3.13× at 10M) and widen
+         |with corpus size.
          |
          |Notes: cosine ≥ 0.3 (θ ≈ 72°) is a HARD regime for hyperplane
          |LSH — per-table collision is (1−θ/π)^4 ≈ 0.13, which is why the

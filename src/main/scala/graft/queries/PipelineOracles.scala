@@ -464,16 +464,17 @@ object PipelineOracles {
         |WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
     // the incremental tier's oracle is the EXACT cross-partition pair
-    // tier (batch = doc_id % 10 == 0 vs the rest) — same shingle/df-cap
-    // construction as dedup_ngram's oracle, restricted to pairs that
-    // straddle the batch/corpus split (candidatesAgainstIndex only emits
-    // pairs with exactly one new-batch side; the index holds the corpus)
+    // tier (batch = doc_id % 10 == 0 vs the rest) — same shingle
+    // construction as dedup_ngram's oracle minus the df cap (the
+    // declared query's flood protection is the probe's maxBucket; its
+    // verify is candidate-restricted and uncapped), restricted to pairs
+    // that straddle the batch/corpus split (candidatesAgainstIndex only
+    // emits pairs with exactly one new-batch side; the index holds the
+    // corpus)
     "dedup_incremental" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
         |        i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS s FROM w),
-        |sh AS (SELECT doc_id, s FROM sh0
-        |       QUALIFY count(*) OVER (PARTITION BY s) <= 1000),
         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
         |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id

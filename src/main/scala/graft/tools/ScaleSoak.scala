@@ -38,6 +38,7 @@ object ScaleSoak {
     "dedup_cluster" -> "linear",
     "dedup_purge" -> "linear",
     "dedup_containment" -> "linear",
+    "dedup_incremental" -> "linear",
     "dedup_simhash" -> "linear",
     "dedup_span" -> "linear",
     "winnow_pairs" -> "linear",
@@ -235,7 +236,7 @@ object ScaleSoak {
   private val zipfTiers = Set(
     "dedup_exact", "dedup_normalized", "dedup_minhash", "dedup_ngram",
     "dedup_containment", "dedup_span", "dedup_simhash", "winnow_pairs",
-    "edit_distance", "dedup_cluster", "dedup_purge")
+    "edit_distance", "dedup_cluster", "dedup_purge", "dedup_incremental")
 
   def main(args: Array[String]): Unit = {
     val vocabMode = sys.env.getOrElse("SPARK_GRAFT_SOAK_VOCAB", "source")
