@@ -35,7 +35,8 @@ object Bench {
       // an id-sorted index by ~400 shortlist ids — with the native
       // predicate, parquet's page-level column index skips the vector
       // pages no shortlist id touches (measured 2.8× on the fetch).
-      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
+      .config("spark.sql.parquet.pushdown.inFilterThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_IN_THRESHOLD", "1024"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
