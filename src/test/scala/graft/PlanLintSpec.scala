@@ -133,12 +133,19 @@ class PlanLintSpec extends SparkSpec {
     val ivfFrac = 3.0 * graft.queries.PipelineQueries
       .ivfNprobe(nlist1m, 16) / nlist1m.toDouble
     assert(ivfFrac <= 0.20, f"IVF MA probe fraction at 1M: $ivfFrac%.3f")
-    // PQ composite: the ADC pass reads code columns (m bytes + norm) of
-    // nassign*nprobe/nlist of the index — a few % of corpus BYTES even
-    // before compression is counted
-    val pqCells = 2.0 * graft.queries.PipelineQueries
-      .ivfNprobe(nlist1m, 8) / nlist1m.toDouble
-    assert(pqCells <= 0.25, f"IVF-PQ probed-cell fraction at 1M: $pqCells%.3f")
+    // PQ composite (late-r11 re-dial: pqNprobe = max(nlist/8 floor,
+    // 3/16·nlist), rerank 800): the ADC pass reads code columns (m bytes
+    // + norm ≈ 1/32 of the vector payload) of nassign·nprobe/nlist of
+    // the index — the CELL fraction may sit near a third, but the BYTE
+    // fraction stays a few % because the scan never touches the vector
+    // column (PLANS.md's ReadSchema shows codes only)
+    val pqNprobe1m = graft.queries.PipelineQueries.pqNprobe(nlist1m)
+    assert(pqNprobe1m == 48, s"PQ probe dial at 1M moved: $pqNprobe1m")
+    val pqCells = 2.0 * pqNprobe1m / nlist1m.toDouble
+    assert(pqCells <= 0.40, f"IVF-PQ probed-cell fraction at 1M: $pqCells%.3f")
+    val pqCodeBytes = pqCells * (16.0 + 8.0) / (64.0 * 4 + 24.0)
+    assert(pqCodeBytes <= 0.05,
+      f"IVF-PQ ADC byte fraction at 1M: $pqCodeBytes%.4f")
     // and the plan itself: the probe scan's partition filter carries
     // EXACTLY tables*budget keys (12×12 — the query-directed probe set;
     // nothing else is listed or read — the same property the
