@@ -60,8 +60,16 @@ object Recall {
     val mtTables = 12
     val mtBudget = 12
     val mtNbits = graft.queries.PipelineQueries.lshMtNbits(nVec)
-    val mtPath = java.nio.file.Files
-      .createTempDirectory("graft-recall-lshmt").toString
+    // temp index trees are several corpus multiples on disk (MT-LSH is
+    // 12×) — a shutdown hook reclaims them even when a recall gate
+    // BELOW throws (the tool's purpose is to fail on regression; a
+    // failing run must not leak its indexes run after run)
+    def tempIndexDir(prefix: String): String = {
+      val p = java.nio.file.Files.createTempDirectory(prefix).toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(p)))
+      p
+    }
+    val mtPath = tempIndexDir("graft-recall-lshmt")
     Similarity.writeLshMultiTableIndex(e, "vec_id", "embedding", mtPath,
       dim = 64, nbits = mtNbits, tables = mtTables)
     val mtIdx = spark.read.parquet(mtPath)
@@ -91,14 +99,13 @@ object Recall {
     // nlist=16/nprobe=8 kept for context
     val maNlist = graft.queries.PipelineQueries.ivfNlist(nVec)
     val maNprobe = graft.queries.PipelineQueries.ivfNprobe(maNlist, 16)
-    val maPath = java.nio.file.Files
-      .createTempDirectory("graft-recall-ivfma").toString
+    val maPath = tempIndexDir("graft-recall-ivfma")
     val maCentroids = Similarity.writeIvfIndexMulti(e, "vec_id",
       "embedding", maPath, nlist = maNlist, nassign = 3)
     val maIdx = spark.read.parquet(maPath).cache()
     val ivfRecall = meanRecall { q =>
       Similarity.ivfTopKMulti(maIdx, maCentroids, qv(q), "vec_id",
-        "embedding", nprobe = maNprobe, k = k)
+        "embedding", nprobe = maNprobe, k = k, nassign = 3)
         .collect().map(_.getLong(0)).toSet
     }
     val (indexed, centroids) =
@@ -113,15 +120,15 @@ object Recall {
     // COMPOSITE (multi-assign cells, ADC over code columns in nprobe
     // cells, IN-filter rerank); flat PQ16x8 kept for context
     val pqNprobe = graft.queries.PipelineQueries.pqNprobe(maNlist)
-    val pqPath = java.nio.file.Files
-      .createTempDirectory("graft-recall-ivfpq").toString
+    val pqPath = tempIndexDir("graft-recall-ivfpq")
     val (pqCentroids, pqBooks) = Similarity.writeIvfPqIndex(e, "vec_id",
       "embedding", pqPath, nlist = maNlist, nassign = 2, m = 16,
       codes = 256, samplePerCode = 16)
     val pqIdx = spark.read.parquet(pqPath).cache()
     val pqRecall = meanRecall { q =>
       Similarity.ivfPqTopKIndexed(pqIdx, pqCentroids, pqBooks, qv(q),
-        "vec_id", "embedding", nprobe = pqNprobe, k = k, rerank = 800)
+        "vec_id", "embedding", nprobe = pqNprobe, k = k, rerank = 800,
+        nassign = 2)
         .collect().map(_.getLong(0)).toSet
     }
     val (encoded, codebooks) =
@@ -320,11 +327,11 @@ object Recall {
         probeHamming = 0, probeBudget = mtBudget).collect()))
     val tIvf = timed(queryIds.foreach(q =>
       Similarity.ivfTopKMulti(maIdx, maCentroids, qv(q), "vec_id",
-        "embedding", nprobe = maNprobe, k = k).collect()))
+        "embedding", nprobe = maNprobe, k = k, nassign = 3).collect()))
     val tPq = timed(queryIds.foreach(q =>
       Similarity.ivfPqTopKIndexed(pqIdx, pqCentroids, pqBooks, qv(q),
         "vec_id", "embedding", nprobe = pqNprobe, k = k,
-        rerank = 800).collect()))
+        rerank = 800, nassign = 2).collect()))
     val tKnnExact = timed {
       val wn = e.withColumn("__n", sqrt(Similarity.norm2(col("embedding"))))
       val qa = wn.select(col("vec_id").as("id"),
@@ -460,13 +467,15 @@ object Recall {
       f"dedup_audio planted re-master recall regressed: $audioRecall%.3f")
     require(videoRecall >= 0.93,
       f"dedup_video planted re-encode recall regressed: $videoRecall%.3f")
-    Seq(mtPath, maPath, pqPath).foreach { p =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File(p))
-    }
+    Seq(mtPath, maPath, pqPath).foreach(rmTree)
     spark.stop()
+  }
+
+  private def rmTree(p: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(p))
   }
 }

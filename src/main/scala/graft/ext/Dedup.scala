@@ -1172,7 +1172,11 @@ object Dedup {
     * 1−(1−p)^L for per-table collision probability p = (1−θ/π)^nbits.
     * Low cosine thresholds (large θ) make single-table recall poor —
     * measured 0.14 at minCosine 0.3 / nbits 4 (`graft.Recall`) — so pick
-    * `tables` from the threshold, not taste.
+    * `tables` from the threshold, not taste. `probes` > 0 adds
+    * query-directed multi-probe rows on one join leg
+    * ([[Similarity.lshBandedCappedProbed]]): recall per byte between
+    * table-count steps, since a probe row widens one leg where a new
+    * table replicates the whole corpus into both.
     */
   def embeddingNearDup(
       embs: DataFrame,
@@ -1182,11 +1186,15 @@ object Dedup {
       nbits: Int,
       minCosine: Double,
       maxBucket: Long = 0L,
-      tables: Int = 1
+      tables: Int = 1,
+      probes: Int = 0
   ): DataFrame = {
-    val bucketed = Similarity.lshBandedCapped(embs, vecCol, dim, nbits,
-      tables, maxBucket)
-    if (tables == 1) {
+    val bucketed =
+      if (probes == 0) Similarity.lshBandedCapped(embs, vecCol, dim, nbits,
+        tables, maxBucket)
+      else Similarity.lshBandedCappedProbed(embs, vecCol, dim, nbits,
+        tables, maxBucket, probes)
+    if (tables == 1 && probes == 0) {
       // single table: buckets disjoint ⇒ pairs unique; norms once per
       // vector BEFORE the pair join (each vector appears in many pairs;
       // computing norm2 per pair tripled the per-pair work), vectors ride
@@ -1209,13 +1217,27 @@ object Dedup {
       // scored once, not m times (the same restructure as
       // [[Similarity.knnJoin]]; measured ~2× on the 8-table config, same
       // candidate set and output)
-      val pa = bucketed.select(col("tbl"), col("lsh_bucket"),
-        col(idCol).as("id_a"))
-      val pb = bucketed.select(col("tbl"), col("lsh_bucket"),
-        col(idCol).as("id_b"))
-      val cand = pa.join(pb, Seq("tbl", "lsh_bucket"))
-        .where(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
+      val cand = if (probes == 0) {
+        val pa = bucketed.select(col("tbl"), col("lsh_bucket"),
+          col(idCol).as("id_a"))
+        val pb = bucketed.select(col("tbl"), col("lsh_bucket"),
+          col(idCol).as("id_b"))
+        pa.join(pb, Seq("tbl", "lsh_bucket"))
+          .where(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+      } else {
+        // multi-probe: home leg vs home∪probe leg; canonicalize — a pair
+        // can collide in either orientation (see Similarity.knnJoin)
+        val pa = bucketed.where(col("__home"))
+          .select(col("tbl"), col("lsh_bucket"), col(idCol).as("id_a"))
+        val pb = bucketed.select(col("tbl"), col("lsh_bucket"),
+          col(idCol).as("id_b"))
+        pa.join(pb, Seq("tbl", "lsh_bucket"))
+          .where(col("id_a") =!= col("id_b"))
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"))
+          .distinct()
+      }
       val vec = embs.select(col(idCol), col(vecCol))
         .withColumn("__norm", sqrt(Similarity.norm2(col(vecCol))))
       cand

@@ -547,6 +547,11 @@ object Similarity {
     * map-side-combinable `max(cosine)` per id (identical bytes per copy
     * ⇒ identical score ⇒ max is pure dedup). Reads
     * `nprobe × nassign / nlist` of the corpus rows.
+    *
+    * `nassign` MUST be ≥ the build-time [[writeIvfIndexMulti]] value:
+    * it sizes the pigeonhole pre-cut, and understating it can cut every
+    * copy of a true top-k id (a silent recall loss, not an error) —
+    * which is why it has no default.
     */
   def ivfTopKMulti(
       indexed: DataFrame,
@@ -556,7 +561,7 @@ object Similarity {
       vecCol: String,
       nprobe: Int,
       k: Int,
-      nassign: Int = 3
+      nassign: Int
   ): DataFrame = {
     val cells = nearestCells(centroids, queryVec, nprobe)
     val qn = {
@@ -628,6 +633,11 @@ object Similarity {
     * cells by construction) for the exact cosine re-rank. Two bounded
     * jobs per query; total bytes ≈ pruned-cell codes + pruned-cell
     * vector pages the id filter survives + k rows.
+    *
+    * `nassign` MUST be ≥ the build-time [[writeIvfPqIndex]] value: it
+    * sizes the ADC pigeonhole pre-cut, and understating it can cut every
+    * copy of a true shortlist id (a silent recall loss, not an error) —
+    * which is why it has no default.
     */
   def ivfPqTopKIndexed(
       indexed: DataFrame,
@@ -639,7 +649,7 @@ object Similarity {
       nprobe: Int,
       k: Int,
       rerank: Int = 400,
-      nassign: Int = 2
+      nassign: Int
   ): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     val cells = nearestCells(centroids, queryVec, nprobe)
@@ -818,6 +828,83 @@ object Similarity {
     }
   }
 
+  /** [[lshBandedCapped]] with QUERY-DIRECTED MULTI-PROBE rows for the
+    * pair-mining tiers ([[knnJoin]], [[Dedup.embeddingNearDup]]): besides
+    * its home row per table, every vector emits `probes` PROBE rows in
+    * the buckets obtained by flipping its weakest-|margin| planes — the
+    * per-row twin of the serving side's
+    * [[probeKeysMultiTableAdaptive]] (multi-probe LSH, Lv et al., VLDB
+    * 2007), computed in the same one-pass codegen'd expression as the
+    * home signatures ([[graft.functions.LshSigsProbesF]]). A near pair
+    * that misses in every table's home bucket is most likely ONE
+    * weak-margin bit apart, so matching home rows against home∪probe
+    * rows lifts per-table collision from p to roughly
+    * p + probes·(weakest-bit disagreement mass) at
+    * (1+probes)× probe-leg rows — the recall/cost dial BETWEEN table
+    * count steps (a whole extra table costs a full corpus replica in the
+    * join; a probe row only widens one leg).
+    *
+    * Output: corpus columns + (`tbl`, `lsh_bucket`, `__home`). Consumers
+    * join the `__home` leg against the full frame and MUST canonicalize
+    * pairs (`least/greatest` + distinct): with probe rows, a pair can
+    * collide in either orientation. The skew guard is measured on HOME
+    * rows only (probe replicas are not corpus mass): hot-bucket
+    * refinement joins every row — home or probe — against the same
+    * home-counted size map, so both legs derive identical refined keys,
+    * and the drop backstop removes over-cap keys from both legs.
+    * localCheckpointed when the cap is active, like [[lshBandedCapped]].
+    */
+  def lshBandedCappedProbed(
+      corpus: DataFrame,
+      vecCol: String,
+      dim: Int,
+      nbits: Int,
+      tables: Int,
+      maxBucket: Long,
+      probes: Int,
+      maxExtraBits: Int = 16
+  ): DataFrame = {
+    require(tables >= 1, s"tables must be >= 1, got $tables")
+    require(probes >= 1 && probes < nbits,
+      s"probes must be in [1, nbits=$nbits), got $probes")
+    val sigs = graft.functions.VectorFunctions.lshSigsProbes(
+      col(vecCol), signMatrix(dim, 0, tables * nbits), nbits, probes)
+    val base = corpus
+      .select(col("*") +:
+        Seq(posexplode(sigs).as(Seq("__sp", "lsh_bucket"))): _*)
+      .withColumn("tbl", floor(col("__sp") / (probes + 1)).cast("int"))
+      .withColumn("__home", col("__sp") % (probes + 1) === 0)
+      .drop("__sp")
+    if (maxBucket <= 0) base
+    else {
+      val hot = base.where(col("__home")).groupBy("tbl", "lsh_bucket")
+        .agg(count(lit(1)).as("__n"))
+        .where(col("__n") > maxBucket)
+      // same width/extra-plane arithmetic as lshBandedCapped — the
+      // refined key of a probe row must be bit-identical to what the
+      // target bucket's own home rows derive
+      val extraBits = least(
+        lit(maxExtraBits),
+        ceil(log(2.0, col("__n").cast("double") / maxBucket.toDouble)) + 2L
+      ).cast("int")
+      val extraSig = when(
+        col("__n").isNotNull,
+        signatureBits(col(vecCol), dim, tables * nbits, maxExtraBits)
+          .bitwiseAND(pow(lit(2.0), extraBits).cast("long") - 1L)
+      ).otherwise(lit(0L))
+      val refined = base
+        .join(broadcast(hot), Seq("tbl", "lsh_bucket"), "left")
+        .withColumn("lsh_bucket",
+          col("lsh_bucket") + extraSig * lit(1L << nbits))
+        .drop("__n")
+      val over = refined.where(col("__home"))
+        .groupBy("tbl", "lsh_bucket").agg(count(lit(1)).as("__n"))
+        .where(col("__n") > maxBucket).select("tbl", "lsh_bucket")
+      refined.join(broadcast(over), Seq("tbl", "lsh_bucket"), "left_anti")
+        .localCheckpoint(false)
+    }
+  }
+
   /** Approximate k-nearest-neighbour SELF-join: for every vector, its `k`
     * most cosine-similar neighbours among vectors sharing its LSH bucket —
     * the all-pairs companion of [[annTopK]] (one query) used for diversity
@@ -837,7 +924,12 @@ object Similarity {
     * Pass 0 only for corpora known to be isotropic. `tables` > 1
     * OR-amplifies: neighbours colliding in ANY of the independent tables
     * are candidates (recall 1−(1−p)^L at L× join cost) — the knob for
-    * recall-critical corpora.
+    * recall-critical corpora. `probes` > 0 additionally matches each
+    * vector's home buckets against its neighbours' weakest-margin
+    * flipped buckets ([[lshBandedCappedProbed]] — query-directed
+    * multi-probe): more recall per byte than another table, because a
+    * probe row widens ONE leg of the join instead of replicating the
+    * corpus again.
     *
     * @return (id, neighbor, rnk, cosine), rnk = 1..k per id
     */
@@ -849,9 +941,14 @@ object Similarity {
       nbits: Int,
       k: Int,
       maxBucket: Long = 0L,
-      tables: Int = 1
+      tables: Int = 1,
+      probes: Int = 0
   ): DataFrame = {
-    val bucketed = lshBandedCapped(embs, vecCol, dim, nbits, tables, maxBucket)
+    val bucketed =
+      if (probes == 0) lshBandedCapped(embs, vecCol, dim, nbits, tables,
+        maxBucket)
+      else lshBandedCappedProbed(embs, vecCol, dim, nbits, tables,
+        maxBucket, probes)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("cosine").desc, col("neighbor"))
     // Both branches generate each UNORDERED pair once (id < neighbor),
@@ -862,7 +959,7 @@ object Similarity {
     // nb*na), so this halves candidate/distinct/join traffic and dot
     // products with identical output to the both-orientations form.
     val half =
-      if (tables == 1) {
+      if (tables == 1 && probes == 0) {
         // single table: buckets are disjoint ⇒ pairs unique by
         // construction — vectors ride the bucket join, one dot per pair
         val n = bucketed.withColumn("__norm", sqrt(norm2(col(vecCol))))
@@ -883,13 +980,29 @@ object Similarity {
         // vectors+norms (computed once per vector, not per table replica)
         // and score each unique pair exactly once. Measured ~2× on the
         // declared 8-table config; same candidate set, same output.
-        val pa = bucketed.select(col("tbl"), col("lsh_bucket"),
-          col(idCol).as("id"))
-        val pb = bucketed.select(col("tbl"), col("lsh_bucket"),
-          col(idCol).as("neighbor"))
-        val cand = pa.join(pb, Seq("tbl", "lsh_bucket"))
-          .where(col("id") < col("neighbor"))
-          .select("id", "neighbor").distinct()
+        val cand = if (probes == 0) {
+          val pa = bucketed.select(col("tbl"), col("lsh_bucket"),
+            col(idCol).as("id"))
+          val pb = bucketed.select(col("tbl"), col("lsh_bucket"),
+            col(idCol).as("neighbor"))
+          pa.join(pb, Seq("tbl", "lsh_bucket"))
+            .where(col("id") < col("neighbor"))
+            .select("id", "neighbor").distinct()
+        } else {
+          // multi-probe: home leg vs home∪probe leg. A pair can collide
+          // in EITHER orientation (x's home in y's probe bucket or vice
+          // versa), so canonicalize with least/greatest before distinct —
+          // id < neighbor alone would drop the reversed-orientation hits
+          val pa = bucketed.where(col("__home"))
+            .select(col("tbl"), col("lsh_bucket"), col(idCol).as("id"))
+          val pb = bucketed.select(col("tbl"), col("lsh_bucket"),
+            col(idCol).as("neighbor"))
+          pa.join(pb, Seq("tbl", "lsh_bucket"))
+            .where(col("id") =!= col("neighbor"))
+            .select(least(col("id"), col("neighbor")).as("id"),
+              greatest(col("id"), col("neighbor")).as("neighbor"))
+            .distinct()
+        }
         val vec = embs.select(col(idCol), col(vecCol))
           .withColumn("__norm", sqrt(norm2(col(vecCol))))
         cand

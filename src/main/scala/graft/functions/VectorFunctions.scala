@@ -209,7 +209,13 @@ case class NearestCentroidF(child: Expression, centroids: Seq[Seq[Double]])
   * vectors; the recall-preserving alternative to fattening nprobe).
   * Same plan-constant centroid table and null contract as
   * [[NearestCentroidF]] (wrong dim / null element → null row — a
-  * partial distance must not assign corrupt vectors anywhere).
+  * partial distance must not assign corrupt vectors anywhere), and the
+  * same degenerate-distance contract: NaN/Inf distances never win the
+  * strict `<`, and any slot left unfilled backfills with the smallest
+  * unused centroid index — so k=1 returns `[0]` exactly where
+  * [[NearestCentroidF]] returns 0, and the output is always k valid
+  * 0-based duplicate-free cells (never -1, which would silently write
+  * rows into an unprobeable partition).
   * Selection is a k-slot insertion pass (k is 2-4 in practice, far
   * under nlist), one fused loop in codegen.
   */
@@ -272,6 +278,24 @@ case class NearestCentroidsKF(child: Expression, centroids: Seq[Seq[Double]],
       }
       c += 1
     }
+    // NaN/Inf distances never pass the strict <, so slots can stay
+    // unfilled (always a suffix — insertion fills from the front).
+    // Backfill with the smallest unused centroid indices: k=1 then
+    // returns [0] for an all-NaN vector, matching NearestCentroidF's
+    // `best = 0` initial, and the output stays 0-based duplicate-free.
+    var nextFree = 0
+    var s = 0
+    while (s < k) {
+      if (bestI(s) == -1) {
+        var t = 0
+        while (t < s) {
+          if (bestI(t) == nextFree) { nextFree += 1; t = -1 }
+          t += 1
+        }
+        bestI(s) = nextFree; nextFree += 1
+      }
+      s += 1
+    }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       bestI.map(_.asInstanceOf[Any]))
   }
@@ -311,6 +335,18 @@ case class NearestCentroidsKF(child: Expression, centroids: Seq[Seq[Double]],
          |        $bd[$s] = $bd[$s - 1]; $bi[$s] = $bi[$s - 1];
          |      }
          |      $bd[$s] = $d; $bi[$s] = $c;
+         |    }
+         |  }
+         |  // backfill NaN/Inf-starved slots with the smallest unused
+         |  // indices — see nullSafeEval (k=1 ⇒ [0], NearestCentroidF's
+         |  // contract)
+         |  int $x = 0;
+         |  for (int $s = 0; $s < $k; $s++) {
+         |    if ($bi[$s] == -1) {
+         |      for (int $j = 0; $j < $s; $j++) {
+         |        if ($bi[$j] == $x) { $x++; $j = -1; }
+         |      }
+         |      $bi[$s] = $x; $x++;
          |    }
          |  }
          |  ${ev.value} =
@@ -431,6 +467,172 @@ case class LshSigsF(child: Expression, signs: Seq[Seq[Double]], nbits: Int)
     copy(child = newChild)
 }
 
+/** [[LshSigsF]] plus QUERY-DIRECTED single-bit probe variants, for
+  * multi-probe LSH on the PAIR-MINING side (Lv et al., VLDB 2007 — the
+  * same margin argument [[graft.ext.Similarity.probeKeysMultiTableAdaptive]]
+  * uses driver-side for serving, here as a per-row codegen pass): a near
+  * neighbour disagrees with this vector on plane p with probability
+  * rising as |margin p| shrinks, so flipping the weakest-margin bits
+  * yields the buckets its missed neighbours most likely live in.
+  *
+  * Output element `t*(probes+1)` is table t's home signature —
+  * bit-identical to [[LshSigsF]] element t (same fold, same NaN-ge sign
+  * test) — followed by `probes` variants of it, each flipping one plane
+  * in weakest-|margin|-first order (NaN margins rank last — flipping a
+  * plane whose sign was the NaN branch is meaningless; margin ties break
+  * by plane index). Same degenerate contracts as [[LshSigsF]]:
+  * dim-mismatch / null-element vectors keep all-zero home signatures
+  * (their margins all tie at 0 ⇒ probes flip planes 0,1,.. —
+  * deterministic), a NULL vector yields a NULL array.
+  */
+case class LshSigsProbesF(child: Expression, signs: Seq[Seq[Double]],
+    nbits: Int, probes: Int) extends UnaryExpression {
+  require(nbits > 0 && signs.nonEmpty && signs.length % nbits == 0,
+    s"signs rows (${signs.length}) must be a positive multiple of nbits=$nbits")
+  require(probes >= 1 && probes < nbits,
+    s"probes must be in [1, nbits=$nbits), got $probes")
+
+  private lazy val sgn: Array[Array[Double]] = signs.map(_.toArray).toArray
+  private lazy val dim: Int = sgn(0).length
+  private lazy val tables: Int = sgn.length / nbits
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lsh_sigs_probes expects array<float>/array<double>, got " +
+            other.simpleString)
+    }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val out = new Array[Long](tables * (probes + 1))
+    var ok = arr.numElements() == dim
+    var i = 0
+    while (ok && i < dim) { if (arr.isNullAt(i)) ok = false; i += 1 }
+    val fl = isFloat
+    val margins = new Array[Double](nbits)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var p = 0
+      while (p < nbits) {
+        var acc = 0.0
+        if (ok) {
+          val row = sgn(t * nbits + p)
+          var j = 0
+          while (j < dim) {
+            acc += (if (fl) arr.getFloat(j).toDouble
+            else arr.getDouble(j)) * row(j)
+            j += 1
+          }
+        }
+        if (ok && (java.lang.Double.isNaN(acc) || acc >= 0.0))
+          sig |= (1L << p)
+        margins(p) =
+          if (java.lang.Double.isNaN(acc)) Double.PositiveInfinity
+          else math.abs(acc)
+        p += 1
+      }
+      val base = t * (probes + 1)
+      out(base) = sig
+      // selection by repeated scan: probes is 1-2 in practice, nbits tiny
+      val used = new Array[Boolean](nbits)
+      var q = 0
+      while (q < probes) {
+        var bestP = -1
+        var bestM = 0.0
+        var s = 0
+        while (s < nbits) {
+          if (!used(s) && (bestP == -1 || margins(s) < bestM)) {
+            bestP = s; bestM = margins(s)
+          }
+          s += 1
+        }
+        used(bestP) = true
+        out(base + 1 + q) = sig ^ (1L << bestP)
+        q += 1
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val sg = ctx.addReferenceObj("lshSigns", sgn, "double[][]")
+      val out = ctx.freshName("out")
+      val ok = ctx.freshName("ok")
+      val mg = ctx.freshName("margins")
+      val used = ctx.freshName("used")
+      val sig = ctx.freshName("sig")
+      val t = ctx.freshName("t")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val q = ctx.freshName("q")
+      val s = ctx.freshName("s")
+      val acc = ctx.freshName("acc")
+      val bp = ctx.freshName("bestP")
+      val bm = ctx.freshName("bestM")
+      val get = if (isFloat) s"(double) $v.getFloat($j)" else s"$v.getDouble($j)"
+      s"""
+         |long[] $out = new long[${tables * (probes + 1)}];
+         |boolean $ok = $v.numElements() == $dim;
+         |for (int $i = 0; $ok && $i < $dim; $i++) {
+         |  if ($v.isNullAt($i)) $ok = false;
+         |}
+         |double[] $mg = new double[$nbits];
+         |boolean[] $used = new boolean[$nbits];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $sig = 0L;
+         |  for (int $p = 0; $p < $nbits; $p++) {
+         |    double $acc = 0.0;
+         |    if ($ok) {
+         |      for (int $j = 0; $j < $dim; $j++) {
+         |        $acc += $get * $sg[$t * $nbits + $p][$j];
+         |      }
+         |    }
+         |    if ($ok && (Double.isNaN($acc) || $acc >= 0.0)) {
+         |      $sig |= (1L << $p);
+         |    }
+         |    $mg[$p] = Double.isNaN($acc)
+         |      ? Double.POSITIVE_INFINITY : Math.abs($acc);
+         |    $used[$p] = false;
+         |  }
+         |  $out[$t * ${probes + 1}] = $sig;
+         |  for (int $q = 0; $q < $probes; $q++) {
+         |    int $bp = -1;
+         |    double $bm = 0.0;
+         |    for (int $s = 0; $s < $nbits; $s++) {
+         |      if (!$used[$s] && ($bp == -1 || $mg[$s] < $bm)) {
+         |        $bp = $s; $bm = $mg[$s];
+         |      }
+         |    }
+         |    $used[$bp] = true;
+         |    $out[$t * ${probes + 1} + 1 + $q] = $sig ^ (1L << $bp);
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): LshSigsProbesF = copy(child = newChild)
+}
+
 object VectorFunctions {
   /** dot(a, b): Σ a(i)·b(i) in double, left-to-right (codegen'd). */
   def dot(a: Column, b: Column): Column =
@@ -455,6 +657,15 @@ object VectorFunctions {
   def lshSigs(vec: Column, signs: Array[Array[Double]], nbits: Int): Column =
     Bridge.column(LshSigsF(Bridge.expression(vec),
       signs.toIndexedSeq.map(_.toIndexedSeq), nbits))
+
+  /** [[lshSigs]] plus `probes` weakest-margin single-bit flip variants
+    * per table (multi-probe pair mining): element t*(probes+1) is table
+    * t's home signature, followed by its probe variants.
+    */
+  def lshSigsProbes(vec: Column, signs: Array[Array[Double]], nbits: Int,
+      probes: Int): Column =
+    Bridge.column(LshSigsProbesF(Bridge.expression(vec),
+      signs.toIndexedSeq.map(_.toIndexedSeq), nbits, probes))
 
   /** SQL-callable (name, builder) pairs — consumed per-session by
     * [[registerAll]] and fleet-wide by

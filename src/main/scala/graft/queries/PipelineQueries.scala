@@ -486,7 +486,7 @@ object PipelineQueries {
         .head().getSeq[Float](0).toArray
       annTopKCheck(e, Similarity.ivfTopKMulti(idx,
         centroids, qv, "vec_id", "embedding",
-        nprobe = ivfNprobe(nlist, 16), k = 20), k = 20)
+        nprobe = ivfNprobe(nlist, 16), k = 20, nassign = 3), k = 20)
     },
     "sim_search_pq_check" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
@@ -496,7 +496,8 @@ object PipelineQueries {
         .head().getSeq[Float](0).toArray
       annTopKCheck(e, Similarity.ivfPqTopKIndexed(idx,
         centroids, books, qv, "vec_id", "embedding",
-        nprobe = pqNprobe(nlist), k = 20, rerank = 800), k = 20)
+        nprobe = pqNprobe(nlist), k = 20, rerank = 800,
+        nassign = 2), k = 20)
     },
     // embedding near-dup invariants: every emitted pair's EXACT cosine
     // clears the declared threshold (the refine stage's contract) in
@@ -839,7 +840,8 @@ object PipelineQueries {
       val qv = e.where(col("vec_id") === 0L).select("embedding")
         .head().getSeq[Float](0).toArray
       Similarity.ivfTopKMulti(idx, centroids, qv,
-        "vec_id", "embedding", nprobe = ivfNprobe(nlist, 16), k = 20)
+        "vec_id", "embedding", nprobe = ivfNprobe(nlist, 16), k = 20,
+        nassign = 3)
     },
     // corpus-level n-gram frequency (top-50 bigrams): the vocabulary/phrase
     // statistics pass of a training-data pipeline
@@ -1071,7 +1073,7 @@ object PipelineQueries {
         .head().getSeq[Float](0).toArray
       Similarity.ivfPqTopKIndexed(idx, centroids,
         books, qv, "vec_id", "embedding",
-        nprobe = pqNprobe(nlist), k = 20, rerank = 800)
+        nprobe = pqNprobe(nlist), k = 20, rerank = 800, nassign = 2)
     },
     // per-class embedding centroids: bit-deterministic means via an
     // id-ordered fold (matches DuckDB's list(x ORDER BY vec_id) +

@@ -547,9 +547,9 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
     * absent (external writers don't know the clustering column), other
     * columns are cast to the log schema. The index contract is
     * validated, not trusted — indices must be non-negative, dense and
-    * duplicate-free (`count == max−min+1` plus `min ≥ 0`; a gapped or
-    * duplicated external file would silently corrupt watermark
-    * arithmetic downstream). `lastIndex` comes from `path/MANIFEST`
+    * duplicate-free (`count == max−min+1 == countDistinct` plus
+    * `min ≥ 0`; a gapped or duplicated external file would silently
+    * corrupt watermark arithmetic downstream). `lastIndex` comes from `path/MANIFEST`
     * when present (an exported-after-truncation snapshot can carry a
     * watermark above max+1), else `max indx + 1`.
     *
@@ -572,13 +572,17 @@ final class TxLogTable(spark: SparkSession, root: String, filterHash: String,
       .persist()
     try {
       val st = rows.agg(count(lit(1)), min("indx"), max("indx"),
-        min("block_num"), max("block_num")).head()
+        min("block_num"), max("block_num"),
+        countDistinct(col("indx"))).head()
       val n = st.getLong(0)
       require(n > 0, s"empty snapshot under $path/data")
       val (minI, maxI) = (st.getLong(1), st.getLong(2))
-      require(minI >= 0 && maxI - minI + 1 == n,
-        s"snapshot indices must be dense and non-negative: " +
-          s"min=$minI max=$maxI count=$n")
+      // count == max−min+1 alone admits a duplicate paired with a gap
+      // ([0,2,2] has min=0 max=2 count=3); the distinct count closes it
+      require(minI >= 0 && maxI - minI + 1 == n && st.getLong(5) == n,
+        s"snapshot indices must be dense, duplicate-free and " +
+          s"non-negative: min=$minI max=$maxI count=$n " +
+          s"distinct=${st.getLong(5)}")
       val manifestLastIndex = {
         val p = new org.apache.hadoop.fs.Path(path, "MANIFEST")
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -213,17 +213,25 @@ object AnnCrossover {
 
       // MULTI-ASSIGNMENT IVF (round 11 — recall-preserving scale-out):
       // nassign nearest cells per vector at build, nprobe cells probed
-      // ⇒ fraction nprobe*nassign/nlist of index rows read
+      // ⇒ fraction nprobe*nassign/nlist of index rows read. One build
+      // per (nlist, nassign) — the nprobe variants probe the same
+      // persisted index (same memo contract as lshMtIndexOf/ivfPqIdx).
+      val ivfMaIdx = scala.collection.mutable.Map.empty[(Int, Int),
+        (DataFrame, Array[Array[Double]], Double)]
       def ivfMaCell(name: String, nlist: Int, nassign: Int,
           nprobe: Int): (String, Double, Double, Double) = {
-        val path = s"$idxRoot/ivfma$nlist-$nassign"
-        val t0 = System.nanoTime()
-        val centroids = Similarity.writeIvfIndexMulti(embs, "vec_id",
-          "embedding", path, nlist, nassign)
-        val build = (System.nanoTime() - t0) / 1e9
-        val idx = spark.read.parquet(path)
+        val (idx, centroids, build) =
+          ivfMaIdx.getOrElseUpdate((nlist, nassign), {
+            val path = s"$idxRoot/ivfma$nlist-$nassign"
+            val t0 = System.nanoTime()
+            val cents = Similarity.writeIvfIndexMulti(embs, "vec_id",
+              "embedding", path, nlist, nassign)
+            (spark.read.parquet(path), cents,
+              (System.nanoTime() - t0) / 1e9)
+          })
         cell(name, build, qv => Similarity.ivfTopKMulti(idx, centroids,
-          qv, "vec_id", "embedding", nprobe = nprobe, k = k))
+          qv, "vec_id", "embedding", nprobe = nprobe, k = k,
+          nassign = nassign))
       }
 
       // IVF-PQ composite (round 11): multi-assign coarse cells, ADC over

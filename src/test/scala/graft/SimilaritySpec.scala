@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.Similarity
+import graft.ext.{Dedup, Similarity}
 
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
@@ -699,6 +699,128 @@ class SimilaritySpec extends SparkSpec {
     assert(nv.head.isNullAt(0))
   }
 
+  test("LshSigsProbesF: home elements are bit-identical to LshSigsF; " +
+    "probe elements flip exactly the weakest-margin planes") {
+    val dim = 16; val nbits = 4; val tables = 3; val probes = 2
+    val rnd = new scala.util.Random(19)
+    val fuzz: Seq[(Long, Seq[java.lang.Float])] =
+      (0 until 80).map(i => (i.toLong,
+        Seq.fill(dim)(java.lang.Float.valueOf(rnd.nextGaussian().toFloat)))) ++
+      Seq(
+        (100L, Seq.fill(dim)(java.lang.Float.valueOf(Float.NaN))),
+        (101L, Seq.fill(dim - 3)(java.lang.Float.valueOf(1f))),
+        (102L, (Seq.fill(dim - 1)(java.lang.Float.valueOf(1f)) :+
+          (null: java.lang.Float))))
+    val df = fuzz.toDF("vec_id", "v")
+    // any ±1 matrix works here (the frozen-family parity is the
+    // LshSigsF test's job); seeded so the case is deterministic
+    val srnd = new scala.util.Random(7)
+    val signs = Array.tabulate(tables * nbits, dim)((_, _) =>
+      if (srnd.nextBoolean()) 1.0 else -1.0)
+    val rows = df.select(col("vec_id"),
+      graft.functions.VectorFunctions.lshSigs(col("v"), signs, nbits)
+        .as("home"),
+      graft.functions.VectorFunctions.lshSigsProbes(col("v"), signs, nbits,
+        probes).as("probed")).collect()
+    val byId = fuzz.toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val home = r.getSeq[Long](1)
+      val probed = r.getSeq[Long](2)
+      assert(probed.length == tables * (probes + 1))
+      (0 until tables).foreach { t =>
+        val base = t * (probes + 1)
+        assert(probed(base) == home(t),
+          s"home signature diverged at id=$id table=$t")
+        // each probe variant flips exactly one bit; flipped planes are
+        // distinct within the table
+        val flippedPlanes = (1 to probes).map { q =>
+          val x = probed(base + q) ^ home(t)
+          assert(java.lang.Long.bitCount(x) == 1,
+            s"probe $q flips ${java.lang.Long.bitCount(x)} bits at id=$id")
+          java.lang.Long.numberOfTrailingZeros(x)
+        }
+        assert(flippedPlanes.distinct.size == probes,
+          s"duplicate flipped planes at id=$id table=$t: $flippedPlanes")
+        // driver-side margin brute force on clean full-dim vectors: the
+        // flipped planes are the weakest-|margin| ones, weakest first
+        val v = byId(id)
+        if (v.length == dim && !v.contains(null) &&
+            !v.exists(f => f.floatValue().isNaN)) {
+          val margins = (0 until nbits).map { p =>
+            var acc = 0.0
+            var i = 0
+            while (i < dim) {
+              acc += v(i).toDouble * signs(t * nbits + p)(i); i += 1
+            }
+            math.abs(acc)
+          }
+          val expected = (0 until nbits).sortBy(p => (margins(p), p))
+            .take(probes)
+          assert(flippedPlanes == expected,
+            s"flip order diverged at id=$id table=$t: " +
+              s"$flippedPlanes vs $expected (margins $margins)")
+        }
+      }
+    }
+    // degenerate rows: all margins tie (0 or all-NaN→Inf) ⇒ planes 0,1
+    Seq(100L, 101L, 102L).foreach { id =>
+      val r = rows.find(_.getLong(0) == id).get
+      val home = r.getSeq[Long](1)
+      val probed = r.getSeq[Long](2)
+      (0 until tables).foreach { t =>
+        val base = t * (probes + 1)
+        assert(probed(base + 1) == (home(t) ^ 1L) &&
+          probed(base + 2) == (home(t) ^ 2L),
+          s"degenerate flip order at id=$id table=$t")
+      }
+    }
+  }
+
+  test("knnJoin/embeddingNearDup with probes: candidate pairs are a " +
+    "superset of the unprobed tier's; recall does not regress") {
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    // anisotropic clustered corpus — the regime where home buckets miss
+    val centers = (0 until 5).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = (0 until 300).map { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.map(x => (x + 0.45 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding").cache()
+    def pairSet(d: org.apache.spark.sql.DataFrame) =
+      d.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = pairSet(Dedup.embeddingNearDup(df, "vec_id", "embedding",
+      dim, nbits = 4, minCosine = 0.3, maxBucket = 120, tables = 4))
+    val probed = pairSet(Dedup.embeddingNearDup(df, "vec_id", "embedding",
+      dim, nbits = 4, minCosine = 0.3, maxBucket = 120, tables = 4,
+      probes = 1))
+    assert(plain.subsetOf(probed),
+      s"probed pair set lost ${(plain -- probed).size} unprobed pairs")
+    assert(probed.size >= plain.size)
+    // every emitted pair clears the threshold with its exact cosine
+    val bad = Dedup.embeddingNearDup(df, "vec_id", "embedding", dim,
+      nbits = 4, minCosine = 0.3, maxBucket = 120, tables = 4, probes = 1)
+      .where(col("cosine") < 0.3).count()
+    assert(bad == 0L)
+    // knnJoin: probed neighbour recall vs exact top-3 must not regress
+    val exact = Similarity.knnJoinExact(df.withColumn("__one", lit(1)),
+      "vec_id", "embedding", "__one", k = 3)
+      .select("id", "neighbor").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def knnRecall(probes: Int): Double = {
+      val got = Similarity.knnJoin(df, "vec_id", "embedding", dim,
+        nbits = 4, k = 3, maxBucket = 120, tables = 4, probes = probes)
+        .select("id", "neighbor").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val r0 = knnRecall(0)
+    val r1 = knnRecall(1)
+    assert(r1 >= r0, s"probed knn recall $r1 below unprobed $r0")
+  }
+
   test("lshSignatureLocalFrom is bit-identical to every table of the " +
     "codegen'd signature array") {
     // the multi-table serving probe derives table t's bucket on the
@@ -835,6 +957,46 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("nearestCentroidsK: NaN/Inf vectors backfill the smallest unused " +
+    "cells (never -1), matching nearestCentroid at k=1") {
+    val cents = Array.fill(5)(Array.fill(4)(0.5))
+    // every centroid distance is NaN (NaN element) or Inf (overflow) —
+    // the strict < never fires, so all k slots would stay -1 without the
+    // backfill, silently writing the row into an unprobeable partition
+    val degenerate = Seq(
+      (1L, Seq.fill(4)(Float.NaN)),
+      (2L, Seq.fill(4)(Float.MaxValue)))
+    val df = degenerate.toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"),
+      graft.functions.VectorFunctions.nearestCentroid(
+        col("embedding"), cents).as("one"),
+      graft.functions.VectorFunctions.nearestCentroidsK(
+        col("embedding"), cents, 1).as("k1"),
+      graft.functions.VectorFunctions.nearestCentroidsK(
+        col("embedding"), cents, 3).as("k3")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2),
+        r.getSeq[Int](3)))
+    got.foreach { case (id, one, k1, k3) =>
+      assert(one == 0, s"nearestCentroid contract at id=$id: $one")
+      assert(k1 == Seq(0), s"k=1 backfill at id=$id: $k1")
+      assert(k3 == Seq(0, 1, 2), s"k=3 backfill at id=$id: $k3")
+    }
+    // interpreted path (nullSafeEval) agrees with codegen
+    val bound = graft.functions.NearestCentroidsKF(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType), nullable = true),
+      cents.map(_.toIndexedSeq).toIndexedSeq, 3)
+    degenerate.foreach { case (_, v) =>
+      val row = org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v.toArray))
+      val out = bound.eval(row)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      assert(out.toIntArray().toSeq == Seq(0, 1, 2),
+        s"interpreted backfill diverged: ${out.toIntArray().toSeq}")
+    }
+  }
+
   test("multi-assignment IVF: full probe is bit-identical to exact; " +
     "partial probe recall >= single-assignment at the same nprobe") {
     val rnd = new scala.util.Random(41)
@@ -857,7 +1019,7 @@ class SimilaritySpec extends SparkSpec {
     // nprobe = nlist probes every cell; the max-per-id dedup collapses
     // the 2 copies of every vector — output must equal exact bit-for-bit
     val full = Similarity.ivfTopKMulti(maIdx, cMa, qv, "vec_id",
-      "embedding", nprobe = 8, k = 10).collect().map(bits).toSeq
+      "embedding", nprobe = 8, k = 10, nassign = 2).collect().map(bits).toSeq
     assert(full == exact, "full multi-assign probe diverged from exact")
     // partial probe: multi-assignment sees boundary vectors the
     // single-assignment index loses (deterministic corpus+fit ⇒ stable)
@@ -869,7 +1031,7 @@ class SimilaritySpec extends SparkSpec {
       exactIds.intersect(d.collect().map(_.getLong(0)).toSet)
         .size.toDouble / exactIds.size
     val rMa = recallOf(Similarity.ivfTopKMulti(maIdx, cMa, qv, "vec_id",
-      "embedding", nprobe = 2, k = 10))
+      "embedding", nprobe = 2, k = 10, nassign = 2))
     val rSa = recallOf(Similarity.ivfTopK(spark.read.parquet(saPath), cSa,
       qv, "vec_id", "embedding", nprobe = 2, k = 10))
     assert(rMa >= rSa,
@@ -877,7 +1039,7 @@ class SimilaritySpec extends SparkSpec {
     assert(rMa >= 0.5, s"multi-assign recall $rMa too low")
     // the probe partition-prunes on ivf_cell
     val planStr = Similarity.ivfTopKMulti(maIdx, cMa, qv, "vec_id",
-        "embedding", nprobe = 2, k = 10)
+        "embedding", nprobe = 2, k = 10, nassign = 2)
       .queryExecution.executedPlan.toString
     assert(planStr.contains("PartitionFilters") &&
       planStr.contains("ivf_cell"),
@@ -907,12 +1069,14 @@ class SimilaritySpec extends SparkSpec {
     // nprobe = nlist + rerank >= corpus: the exact re-rank sees every
     // vector, so the ADC ordering cannot cost recall — bit-identical
     val full = Similarity.ivfPqTopKIndexed(idx, cents, books, qv,
-        "vec_id", "embedding", nprobe = 4, k = 10, rerank = 300)
+        "vec_id", "embedding", nprobe = 4, k = 10, rerank = 300,
+        nassign = 2)
       .collect().map(bits).toSeq
     assert(full == exact, "full ivf-pq probe diverged from exact")
     // realistic probe keeps usable recall and self-retrieval
     val part = Similarity.ivfPqTopKIndexed(idx, cents, books, qv,
-        "vec_id", "embedding", nprobe = 2, k = 10, rerank = 50)
+        "vec_id", "embedding", nprobe = 2, k = 10, rerank = 50,
+        nassign = 2)
       .collect().map(bits).toSeq
     assert(part.map(_._1).contains(3L), "self vector not retrieved")
     val recall = exact.map(_._1).toSet

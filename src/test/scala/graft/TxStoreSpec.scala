@@ -263,6 +263,19 @@ class TxStoreSpec extends SparkSpec {
     val t5 = new TxLogTable(spark, tmpDir("txstore-imp-d"), "f1")
     intercept[IllegalArgumentException](t5.importSnapshot(gapDir))
     assert(!t5.exists)
+    // a duplicate PAIRED with a gap keeps count == max-min+1 ([0,2,2]:
+    // min=0 max=2 count=3) — the distinct-count leg of the validation
+    // must still reject it
+    val dupDir = tmpDir("tximp-dup")
+    Seq(0L, 2L, 2L).toDF("indx").select(col("indx"),
+      col("indx").as("tx_index"), concat(lit("x"), col("indx")).as("tx_hash"),
+      col("indx").as("block_num"), lit("h").as("block_hash"),
+      lit("a").as("address"), array(lit("s")).as("topics"),
+      lit("0x").as("data"))
+      .write.parquet(s"$dupDir/data")
+    val t6 = new TxLogTable(spark, tmpDir("txstore-imp-e"), "f1")
+    intercept[IllegalArgumentException](t6.importSnapshot(dupDir))
+    assert(!t6.exists)
   }
 
   test("a stale .dropped marker inside a LIVE directory is shed, so grace " +
