@@ -161,15 +161,18 @@ object Recall {
         .select("id", "neighbor").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     }
-    def knnAt(tables: Int): Double = {
+    def knnAt(tables: Int, probes: Int): Double = {
       val approx = Similarity.knnJoin(e, "vec_id", "embedding",
-          dim = 64, nbits = 4, k = knnK, maxBucket = 1000, tables = tables)
+          dim = 64, nbits = 4, k = knnK, maxBucket = 1000, tables = tables,
+          probes = probes)
         .select("id", "neighbor").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       exactKnn.intersect(approx).size.toDouble / exactKnn.size
     }
-    val knnRecall = knnAt(8)  // the declared knn_join config
-    val knnRecall6 = knnAt(6) // cost-trim context (VERDICT r4 item 8)
+    val knnRecall = knnAt(6, 1)   // the declared knn_join config (r11)
+    val knnRecall8p = knnAt(8, 1) // recall-leaning context
+    val knnRecall80 = knnAt(8, 0) // the pre-multi-probe declared config
+    val knnRecall6 = knnAt(6, 0)  // tables alone at the declared count
 
     // ── MinHash LSH: candidate recall vs the exact n-gram Jaccard tier
     // (the dedup_minhash / dedup_ngram configurations) ────────────────────
@@ -210,14 +213,15 @@ object Recall {
         (col("na") * col("nb")) >= 0.3)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    def embAt(tables: Int): Double = {
+    def embAt(tables: Int, probes: Int): Double = {
       val got = pairSet(Dedup.embeddingNearDup(e, "vec_id", "embedding",
         dim = 64, nbits = 4, minCosine = 0.3, maxBucket = 1000,
-        tables = tables))
+        tables = tables, probes = probes))
       exactEmb.intersect(got).size.toDouble / exactEmb.size
     }
-    val embRecall = embAt(8)  // the declared dedup_embedding config
-    val embRecall1 = embAt(1) // single-table, for context
+    val embRecall = embAt(6, 1)   // the declared dedup_embedding config (r11)
+    val embRecall80 = embAt(8, 0) // the pre-multi-probe declared config
+    val embRecall1 = embAt(1, 0)  // single-table, for context
 
     // ── SemDeDup at its DESIGN POINT (the declared dedup_semantic config):
     // the planted-near-dup corpus (every 4th vector + a cosine≈0.99 copy,
@@ -348,7 +352,8 @@ object Recall {
         .where(col("rnk") <= knnK).count(): Unit
     }
     val tKnnJoin = timed(Similarity.knnJoin(e, "vec_id", "embedding",
-      dim = 64, nbits = 4, k = knnK, maxBucket = 1000, tables = 8)
+      dim = 64, nbits = 4, k = knnK, maxBucket = 1000, tables = 6,
+      probes = 1)
       .count(): Unit)
     val tJaccard = timed(Dedup.ngramJaccard(docs, "doc_id", "text",
       shingleN = 3, minJaccard = 0.3, maxDf = 1000L).count(): Unit)
@@ -363,7 +368,7 @@ object Recall {
         (col("na") * col("nb")) >= 0.3).count(): Unit)
     val tEmbLsh = timed(Dedup.embeddingNearDup(e, "vec_id", "embedding",
       dim = 64, nbits = 4, minCosine = 0.3, maxBucket = 1000,
-      tables = 8).count(): Unit)
+      tables = 6, probes = 1).count(): Unit)
     def speed(exact: Double, approx: Double): String =
       f"${exact / approx}%.1f×"
 
@@ -383,12 +388,15 @@ object Recall {
          || — single-assign nlist=16 |  | nlist=16, nprobe=8 | (context: the round-10 declared config — 50% of the corpus per probe) | ${f"$ivfRecallSa%.3f"} | — |
          || IVF-PQ composite top-k | `sim_search_pq` | nlist=$maNlist, nassign=2, nprobe=$pqNprobe; PQ16x8, rerank=800 | mean recall@$k over $nQueries queries vs `sim_search` | ${f"$pqRecall%.3f"} | ${speed(tExactTopK, tPq)} (→ ${f"$tPq%.1f"}s) |
          || — flat PQ16x8 |  | m=16, 256-code books, rerank=400, full ADC scan | (context: the round-10 declared config) | ${f"$pqRecallFlat%.3f"} | — |
-         || LSH knn self-join | `knn_join` | nbits=4, 8 tables, maxBucket=1000 | neighbour recall vs exact global top-$knnK (${exactKnn.size} edges) | ${f"$knnRecall%.3f"} | ${speed(tKnnExact, tKnnJoin)} (${f"$tKnnExact%.1f"}s → ${f"$tKnnJoin%.1f"}s) |
-         || — 6 tables |  | nbits=4, 6 tables | (context: the cost-trim candidate) | ${f"$knnRecall6%.3f"} | — |
+         || LSH knn self-join | `knn_join` | nbits=4, 6 tables × 1 query-directed probe, maxBucket=1000 | neighbour recall vs exact global top-$knnK (${exactKnn.size} edges) | ${f"$knnRecall%.3f"} | ${speed(tKnnExact, tKnnJoin)} (${f"$tKnnExact%.1f"}s → ${f"$tKnnJoin%.1f"}s) |
+         || — 8 tables, 1 probe |  | nbits=4, 8 tables, probes=1 | (context: the recall-leaning dial) | ${f"$knnRecall8p%.3f"} | — |
+         || — 8 tables, no probe |  | nbits=4, 8 tables | (context: the round-10 declared config) | ${f"$knnRecall80%.3f"} | — |
+         || — 6 tables, no probe |  | nbits=4, 6 tables | (context: what the probe row buys) | ${f"$knnRecall6%.3f"} | — |
          || MinHash LSH candidates | `dedup_minhash` | 32 hashes / 16 bands, maxBucket=1000 | pair recall vs exact Jaccard ≥ 0.3 (`dedup_ngram`, ${exactPairs.size} pairs) | ${f"$minhashRecall%.3f"} | ${speed(tJaccard, tMinhash)} (${f"$tJaccard%.1f"}s → ${f"$tMinhash%.1f"}s) |
          || SimHash candidates | `dedup_simhash` | 64-bit, Hamming ≤ 6 | pair recall vs the same exact Jaccard tier | ${f"$simhashRecall%.3f"} | ${speed(tJaccard, tSimhash)} (→ ${f"$tSimhash%.1f"}s) |
          || winnowing candidates | `winnow_pairs` | k=3, w=4, minShared=2, maxDf=1000 | pair recall vs the same exact Jaccard tier (signature table ~1/w of gram sites) | ${f"$winnowRecall%.3f"} | ${speed(tJaccard, tWinnow)} (→ ${f"$tWinnow%.1f"}s) |
-         || embedding LSH near-dup | `dedup_embedding` | 8×4-bit OR-amplified tables, maxBucket=1000 | pair recall vs exact all-pairs cosine ≥ 0.3 (${exactEmb.size} pairs) | ${f"$embRecall%.3f"} | ${speed(tEmbExact, tEmbLsh)} (${f"$tEmbExact%.1f"}s → ${f"$tEmbLsh%.1f"}s) |
+         || embedding LSH near-dup | `dedup_embedding` | 6×4-bit OR-amplified tables × 1 query-directed probe, maxBucket=1000 | pair recall vs exact all-pairs cosine ≥ 0.3 (${exactEmb.size} pairs) | ${f"$embRecall%.3f"} | ${speed(tEmbExact, tEmbLsh)} (${f"$tEmbExact%.1f"}s → ${f"$tEmbLsh%.1f"}s) |
+         || — 8 tables, no probe |  | nbits=4, 8 tables | (context: the round-10 declared config) | ${f"$embRecall80%.3f"} | — |
          || — single table |  | nbits=4, 1 table | (context: what the banding buys) | ${f"$embRecall1%.3f"} | — |
          || SemDeDup design point | `dedup_semantic` | planted-near-dup corpus, nlist=16, cosine ≥ 0.8, maxCell=1000 | pair recall vs exact all-pairs cosine ≥ 0.8 (${semTruth.size} planted pairs); precision ${f"$semPrecision%.3f"} | ${f"$semRecall%.3f"} | — |
          || pHash media near-dup | `dedup_media` | exact-dedup → 8×8-bit bands, Hamming ≤ 4 | planted pixel-edited copies recalled by the exact→near ladder ($recalledCopies of $nCopies, $exactCaught via the exact rung; $mediaFalse base↔base false pairs) | ${f"$mediaRecall%.3f"} | — |
@@ -410,8 +418,10 @@ object Recall {
          |
          |Notes: cosine ≥ 0.3 (θ ≈ 72°) is a HARD regime for hyperplane
          |LSH — per-table collision is (1−θ/π)^4 ≈ 0.13, which is why the
-         |declared tier OR-amplifies across 8 independent tables
-         |(1−(1−p)^8). The round-11 serving tiers all probe a SMALL
+         |declared pair tiers OR-amplify across independent tables
+         |(1−(1−p)^L) AND multi-probe each table (the weakest-margin
+         |flip roughly doubles per-table collision for near pairs at one
+         |extra probe-leg row). The round-11 serving tiers all probe a SMALL
          |corpus fraction by construction (multi-table Hamming-1 keys /
          |nprobe of √N multi-assigned cells), so their recall is the
          |price of scanning that fraction; the configs scale with corpus
@@ -421,11 +431,15 @@ object Recall {
          |measurements to catch regressions; they are corpus-calibrated,
          |not universal.
          |
-         |`knn_join` keeps 8 OR-tables: the 6-table trim measured above
-         |costs ~0.10 recall (0.72 → 0.62), five times the 0.02 budget the
-         |round-4 advice allowed for the cost cut — the signature base is
-         |already localCheckpointed, so table count is the only lever left
-         |and it is not worth the recall.
+         |`knn_join`/`dedup_embedding` declare 6 tables × 1 query-directed
+         |probe (multi-probe LSH on the pair-mining side): the probe row
+         |buys what the round-4 cost-trim attempt could not — 6 tables
+         |alone lost ~0.10 recall vs 8, but 6 tables PLUS the
+         |weakest-margin flip beat plain 8 tables outright (measured
+         |0.927/0.912 vs 0.725/0.693) at roughly the 8-table-plain wall
+         |time and 25% less corpus replication in the join legs. The
+         |recall-leaning 8×1 dial (0.973/0.962) is the knob for
+         |recall-critical corpora.
          |
          |`dedup_semantic` is declared — and measured — at the SemDeDup
          |design point: near-identical pairs (cosine ≥ 0.8) over the
@@ -434,7 +448,8 @@ object Recall {
          |no pair above 0.6, so it cannot demonstrate the operator). A
          |planted pair is missed only when source and copy straddle a
          |KMeans cell boundary. Far-threshold (0.3) pair mining is
-         |`dedup_embedding`'s regime (0.69 above, OR-amplified).
+         |`dedup_embedding`'s regime (0.91 above, OR-amplified +
+         |multi-probed).
          |""".stripMargin
 
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), report)
@@ -445,8 +460,8 @@ object Recall {
       f"minhash candidate recall regressed: $minhashRecall%.3f")
     require(winnowRecall >= 0.95,
       f"winnow candidate recall regressed: $winnowRecall%.3f")
-    require(knnRecall >= 0.65, f"knn_join recall regressed: $knnRecall%.3f")
-    require(embRecall >= 0.6,
+    require(knnRecall >= 0.85, f"knn_join recall regressed: $knnRecall%.3f")
+    require(embRecall >= 0.85,
       f"embedding near-dup recall regressed: $embRecall%.3f")
     require(semRecall >= 0.9,
       f"dedup_semantic design-point recall regressed: $semRecall%.3f")

@@ -506,7 +506,8 @@ object PipelineQueries {
     "dedup_embedding_check" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
       val found = Dedup.embeddingNearDup(e, "vec_id", "embedding",
-        dim = 64, nbits = 4, minCosine = 0.3, maxBucket = 1000, tables = 8)
+        dim = 64, nbits = 4, minCosine = 0.3, maxBucket = 1000, tables = 6,
+        probes = 1)
       val vecs = e.select(col("vec_id"), col("embedding"))
       val re = found
         .join(vecs.select(col("vec_id").as("id_a"),
@@ -727,7 +728,7 @@ object PipelineQueries {
     "knn_join_check" -> { (s, d) =>
       val embs = Tables.embeddings(s, d)
       val found = Similarity.knnJoin(embs, "vec_id", "embedding", dim = 64,
-        nbits = 4, k = 5, maxBucket = 1000, tables = 8)
+        nbits = 4, k = 5, maxBucket = 1000, tables = 6, probes = 1)
       val va = embs.select(col("vec_id").as("id"),
         col("embedding").as("__va"))
       val vb = embs.select(col("vec_id").as("neighbor"),
@@ -757,15 +758,17 @@ object PipelineQueries {
         .select(col("n_vectors"), col("ok_cosine_exact"), col("ok_no_self"),
           col("ok_k_bound"), col("ok_rnk_dense"))
     },
-    // embedding cosine near-dup via OR-amplified LSH (8 independent 4-bit
-    // hyperplane tables — single-table recall at cosine 0.3 is ~0.14, the
-    // banding lifts it to ~0.7, see RECALL.md); maxBucket engages the
+    // embedding cosine near-dup via OR-amplified MULTI-PROBE LSH (6
+    // independent 4-bit hyperplane tables, 1 query-directed probe row per
+    // table — single-table recall at cosine 0.3 is ~0.14, 8 plain tables
+    // measured 0.693, this dial 0.912 at the 8-table-plain cost with 25%
+    // less corpus replication, see RECALL.md); maxBucket engages the
     // per-(table,bucket) refine+drop skew guard — a no-op at this corpus
     // size, the anisotropy insurance at 100 TB (see lshBandedCapped)
     "dedup_embedding" -> { (s, d) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
           dim = 64, nbits = 4, minCosine = 0.3, maxBucket = 1000,
-          tables = 8)
+          tables = 6, probes = 1)
         .orderBy("id_a", "id_b")
     },
     // SemDeDup semantic near-dup pairs at the operator's DESIGN POINT —
@@ -1367,7 +1370,8 @@ object PipelineQueries {
     // DuckDB twin); recall vs the exact tier is measured in SimilaritySpec.
     "knn_join" -> { (s, d) =>
       Similarity.knnJoin(Tables.embeddings(s, d), "vec_id", "embedding",
-          dim = 64, nbits = 4, k = 5, maxBucket = 1000, tables = 8)
+          dim = 64, nbits = 4, k = 5, maxBucket = 1000, tables = 6,
+          probes = 1)
         .orderBy("id", "rnk")
     },
     // EXACT knn self-join blocked by class label — quadratic per block,
