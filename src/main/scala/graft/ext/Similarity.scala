@@ -464,6 +464,77 @@ object Similarity {
     annTopKMultiTable(spark.read.parquet(indexPath), queryVec, idCol,
       vecCol, dim, nbits, tables, k, probeHamming, probeBudget)
 
+  /** BATCH serving probe over the multi-table index: every query's
+    * top-k in ONE job — the Spark-native retrieval shape (bulk RAG
+    * joins, eval-set alignment, dedup-against-index), and the answer to
+    * the per-query floor the crossover tables document: a single probe's
+    * cost at 1M+ is Spark job machinery, not bytes, and a batch divides
+    * that floor by |queries|.
+    *
+    * Per query the driver computes the SAME query-directed key set as
+    * [[annTopKMultiTable]]; the corpus-side scan partition-prunes to the
+    * UNION of all keys, and a broadcast (query, key) frame fans each
+    * index row out to exactly the queries probing its bucket. Ranking is
+    * per-query windows (parallel by `query_id`, never a global sort):
+    * the pigeonhole pre-cut (≤ tables·k rows per query, same retention
+    * argument as the single probe) ahead of the dedup agg, then the
+    * final rank. Output is BIT-IDENTICAL per query to the single-query
+    * probe on the same index (same key set, same fold arithmetic, same
+    * tie order — SimilaritySpec pins it).
+    *
+    * @param queries (query id, query vector) pairs; the id namespaces
+    *                the output (`query_id` column)
+    * @return (query_id, id, cosine, rnk), rnk = 1..k per query_id
+    */
+  def annTopKMultiTableBatch(
+      indexed: DataFrame,
+      queries: Seq[(Long, Array[Float])],
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nbits: Int,
+      tables: Int,
+      k: Int,
+      probeBudget: Int
+  ): DataFrame = {
+    require(queries.nonEmpty, "empty query batch")
+    val spark = indexed.sparkSession
+    val probeRows = queries.flatMap { case (qid, qv) =>
+      require(qv.length == dim, s"query $qid dim ${qv.length} != $dim")
+      val qn = {
+        var acc = 0.0
+        var i = 0
+        while (i < qv.length) { acc += qv(i).toDouble * qv(i).toDouble; i += 1 }
+        math.sqrt(acc)
+      }
+      probeKeysMultiTableAdaptive(qv, dim, nbits, tables, probeBudget)
+        .map(key => (qid, key, qv.toSeq, qn))
+    }
+    val probes = spark.createDataFrame(probeRows)
+      .toDF("query_id", "lsh_key", "__q", "__qn")
+    val allKeys = probeRows.map(_._2).distinct
+    val wCut = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__c").desc, col(idCol))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col(idCol))
+    indexed
+      .where(col("lsh_key").isin(allKeys.map(java.lang.Long.valueOf): _*))
+      .join(broadcast(probes), Seq("lsh_key"))
+      .select(col("query_id"), col(idCol),
+        (dot(col(vecCol), col("__q")) / (col("__norm") * col("__qn")))
+          .as("__c"))
+      // per-query pigeonhole pre-cut: ≤ tables·k rows per query retain
+      // the true top-k (see annTopKMultiTable) — a window partitioned by
+      // query_id, so Spark's WindowGroupLimit forwards at most tables·k
+      // rows per query from each map task; never a global sort
+      .withColumn("__r", row_number().over(wCut))
+      .where(col("__r") <= tables * k)
+      .groupBy("query_id", idCol)
+      .agg(max(col("__c")).as("cosine"))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
   /** Persist the IVF index cell-partitioned (the batch twin of
     * [[ivfStreamWriter]], fitting the coarse quantizer first) and return
     * the centroids a probe needs. [[ivfTopK]] over the re-read table

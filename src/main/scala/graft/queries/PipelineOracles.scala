@@ -124,6 +124,11 @@ object PipelineOracles {
       """SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT)
         |   AS n_vectors, TRUE AS ok_cosine_exact, TRUE AS ok_k_bound,
         | TRUE AS ok_self_found""".stripMargin,
+    "sim_search_batch_check" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT)
+        |   AS n_vectors, TRUE AS ok_cosine_exact, TRUE AS ok_all_queries,
+        | TRUE AS ok_k_bound, TRUE AS ok_ranks_dense,
+        | TRUE AS ok_self_found""".stripMargin,
     "sim_search_ivf_check" ->
       """SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT)
         |   AS n_vectors, TRUE AS ok_cosine_exact, TRUE AS ok_k_bound,

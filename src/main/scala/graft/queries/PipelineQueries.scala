@@ -499,6 +499,44 @@ object PipelineQueries {
         nprobe = pqNprobe(nlist), k = 20, rerank = 800,
         nassign = 2), k = 20)
     },
+    // batch-probe invariants, per query: every reported cosine
+    // recomputed bit-exactly by the independent SQL-level fold against
+    // THAT query's vector; ranks dense 1..≤k per query; every query
+    // retrieves ITSELF (queries are corpus members and the own bucket is
+    // always in the query-directed key set — flip set ∅ scores 0); and
+    // all 16 queries answered
+    "sim_search_batch_check" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val (idx, nbits) = lshMtIndexOf(e, 64, tables = 12)
+      val qs = e.where(col("vec_id") < 16L)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        .sortBy(_._1)
+      val res = Similarity.annTopKMultiTableBatch(idx, qs, "vec_id",
+        "embedding", dim = 64, nbits = nbits, tables = 12, k = 20,
+        probeBudget = 12)
+      val qvecs = e.where(col("vec_id") < 16L)
+        .select(col("vec_id").as("query_id"), col("embedding").as("__q"))
+      val re = res
+        .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(broadcast(qvecs), "query_id")
+        .withColumn("__cos", foldCosine(col("embedding"), col("__q")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("rnk"))
+      e.agg(count(lit(1)).cast("long").as("n_vectors"))
+        .crossJoin(broadcast(re.agg(
+          coalesce(max(abs(col("cosine") - col("__cos"))) === 0.0,
+            lit(true)).as("ok_cosine_exact"),
+          (countDistinct(col("query_id")) === 16L).as("ok_all_queries"),
+          coalesce(max(col("rnk")) <= 20L, lit(true)).as("ok_k_bound"))))
+        .crossJoin(broadcast(res
+          .withColumn("__dense", col("rnk") === row_number().over(w))
+          .agg(coalesce(min(col("__dense").cast("int")) === 1, lit(false))
+            .as("ok_ranks_dense"))))
+        .crossJoin(broadcast(res
+          .agg((sum(when(col("query_id") === col("vec_id"), 1)
+            .otherwise(0)) === 16L).as("ok_self_found"))))
+    },
     // embedding near-dup invariants: every emitted pair's EXACT cosine
     // clears the declared threshold (the refine stage's contract) in
     // canonical order — the LSH tables only decide WHICH pairs are
@@ -828,6 +866,27 @@ object PipelineQueries {
       Similarity.annTopKMultiTable(idx, qv, "vec_id", "embedding",
         dim = 64, nbits = nbits, tables = 12, k = 20, probeHamming = 0,
         probeBudget = 12)
+    },
+    // BATCH ANN serving from the same persisted multi-table index: 16
+    // queries' top-k in ONE job (pruned scan over the UNION of their
+    // query-directed key sets, broadcast (query, key) fan-out, per-query
+    // windows — never a global sort). This is the Spark-native retrieval
+    // shape (bulk RAG joins, eval alignment) AND the answer to the
+    // per-query floor the crossover tables document: a single probe's 1M+
+    // cost is job machinery, not bytes, and the batch divides that floor
+    // by |queries|. Rows-only; per-query outputs are spec-pinned
+    // bit-identical to the single-query probe, and the twin recomputes
+    // every reported cosine exactly + checks rank density per query.
+    "sim_search_batch" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val (idx, nbits) = lshMtIndexOf(e, 64, tables = 12)
+      val qs = e.where(col("vec_id") < 16L)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        .sortBy(_._1)
+      Similarity.annTopKMultiTableBatch(idx, qs, "vec_id", "embedding",
+          dim = 64, nbits = nbits, tables = 12, k = 20, probeBudget = 12)
+        .orderBy("query_id", "rnk")
     },
     // ANN: MULTI-ASSIGNMENT IVF served from the persisted
     // cell-partitioned index (round 11 — retires the round-10 weak: the

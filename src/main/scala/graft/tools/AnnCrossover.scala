@@ -211,6 +211,38 @@ object AnnCrossover {
           probeBudget = budget))
       }
 
+      // BATCH serving tier (late round 11): ALL nQueries answered in ONE
+      // job from the same persisted MT index (annTopKMultiTableBatch —
+      // pruned scan over the union key set, broadcast fan-out, per-query
+      // windows). Reported per-query: batch wall / nQueries. This is the
+      // measurement behind "the probe floor is job machinery": the batch
+      // divides that floor by |queries| while reading the same fraction
+      // per query. Compare against exact_batch below — the honest
+      // batched baseline, since one exact scan also serves every query.
+      def lshMtBatchCell(name: String, nbits: Int, tables: Int,
+          budget: Int): (String, Double, Double, Double) = {
+        val (idx, build) = lshMtIndexOf(nbits, tables)
+        val qs = queries.zipWithIndex.map { case (qv, i) => (i.toLong, qv) }
+        def runBatch(): Map[Long, Set[Long]] =
+          Similarity.annTopKMultiTableBatch(idx, qs, "vec_id", "embedding",
+              dim = 64, nbits = nbits, tables = tables, k = k,
+              probeBudget = budget)
+            .select("query_id", "vec_id").collect()
+            .groupBy(_.getLong(0)).view
+            .mapValues(_.map(_.getLong(1)).toSet).toMap
+        val secs = (0 until reps).map { _ =>
+          val t0 = System.nanoTime()
+          runBatch(): Unit
+          (System.nanoTime() - t0) / 1e9 / queries.length
+        }.min
+        val res = runBatch()
+        val rec = truth.zipWithIndex.map { case (t, i) =>
+          t.intersect(res.getOrElse(i.toLong, Set.empty[Long]))
+            .size.toDouble / t.size
+        }.sum / queries.length
+        (name, secs, rec, build)
+      }
+
       // MULTI-ASSIGNMENT IVF (round 11 — recall-preserving scale-out):
       // nassign nearest cells per vector at build, nprobe cells probed
       // ⇒ fraction nprobe*nassign/nlist of index rows read. One build
@@ -275,6 +307,9 @@ object AnnCrossover {
           () => lshMtQdCell("lsh_mt_t12_b10_qd8", 10, 12, 8)),
         ("lsh_mt_t12_b10_qd12",
           () => lshMtQdCell("lsh_mt_t12_b10_qd12", 10, 12, 12)),
+        (s"lsh_mt_t12_b10_qd12_batch$nQueries",
+          () => lshMtBatchCell(s"lsh_mt_t12_b10_qd12_batch$nQueries",
+            10, 12, 12)),
         ("lsh_mt_t8_b10_qd8",
           () => lshMtQdCell("lsh_mt_t8_b10_qd8", 10, 8, 8)),
         ("lsh_mt_t16_b10_qd8",
@@ -317,11 +352,35 @@ object AnnCrossover {
       embs.unpersist(true)
       val exactS = time(qv =>
         Similarity.cosineTopK(embsAtRest, qDf(qv), "vec_id", "embedding", k))
+      // the honest BATCHED baseline: one at-rest scan answers every
+      // query (per-query windows, same arithmetic) — batching amortizes
+      // the exact side's floor exactly like the probe's
+      val exactBatchS = {
+        val qdf = queries.zipWithIndex
+          .map { case (qv, i) => (i.toLong, qv.toSeq) }
+          .toDF("query_id", "__q")
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("vec_id"))
+        (0 until reps).map { _ =>
+          val t0 = System.nanoTime()
+          embsAtRest.crossJoin(broadcast(qdf))
+            .select(col("query_id"), col("vec_id"),
+              Similarity.cosine(col("embedding"), col("__q")).as("cosine"))
+            .withColumn("rnk", row_number().over(wr))
+            .where(col("rnk") <= k)
+            .collect(): Unit
+          (System.nanoTime() - t0) / 1e9 / queries.length
+        }.min
+      }
 
       val out = Seq(
         f""""exact":{"query_s":$exactS%.4f,"recall":1.000,"speedup":1.00,"index_s":0.00}""",
         f""""exact_cached":{"query_s":$exactCachedS%.4f,"recall":1.000,""" +
-          f""""speedup":${exactS / exactCachedS}%.2f,"index_s":0.00}""") ++
+          f""""speedup":${exactS / exactCachedS}%.2f,"index_s":0.00}""",
+        f""""exact_batch$nQueries":{"query_s":$exactBatchS%.4f,""" +
+          f""""recall":1.000,"speedup":${exactS / exactBatchS}%.2f,""" +
+          f""""index_s":0.00}""") ++
         tiers.map { case (name, s, r, indexS) =>
           f""""$name":{"query_s":$s%.4f,"recall":$r%.3f,""" +
             f""""speedup":${exactS / s}%.2f,"index_s":$indexS%.2f}"""

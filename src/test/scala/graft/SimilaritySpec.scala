@@ -854,6 +854,46 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annTopKMultiTableBatch: per-query output is bit-identical to the " +
+    "single-query probe on the same index") {
+    val rnd = new scala.util.Random(53)
+    val centers = (0 until 5).map(_ => Array.fill(16)(rnd.nextGaussian()))
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.map(x => (x + 0.2 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding").cache()
+    val path = tmpDir("lshmt-batch")
+    Similarity.writeLshMultiTableIndex(df, "vec_id", "embedding", path,
+      dim = 16, nbits = 4, tables = 4)
+    val idx = spark.read.parquet(path)
+    def bits(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    val qids = Seq(0L, 7L, 42L, 199L)
+    val batch = Similarity.annTopKMultiTableBatch(idx,
+      qids.map(q => (q, vecs(q.toInt)._2.toArray)), "vec_id", "embedding",
+      dim = 16, nbits = 4, tables = 4, k = 8, probeBudget = 3)
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rnk"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(3))
+        .map(r => (r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq)
+      .toMap
+    qids.foreach { q =>
+      val single = Similarity.annTopKMultiTable(idx,
+        vecs(q.toInt)._2.toArray, "vec_id", "embedding", dim = 16,
+        nbits = 4, tables = 4, k = 8, probeHamming = 0, probeBudget = 3)
+        .collect().map(bits).toSeq
+      assert(batch(q) == single,
+        s"batch output diverged from single probe for query $q")
+    }
+    // ranks are dense 1..k per query and every query retrieves itself
+    qids.foreach { q =>
+      assert(batch(q).map(_._1).contains(q), s"query $q lost itself")
+    }
+  }
+
   test("annTopKMultiTable: full-coverage probe is bit-identical to the " +
     "exact scan; partial probe partition-prunes to the key set") {
     val rnd = new scala.util.Random(31)
