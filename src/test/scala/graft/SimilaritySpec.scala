@@ -854,6 +854,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("lshBandedCappedProbed under a FORCING cap: candidate superset of " +
+    "the unprobed tier still holds (legs derive identical refined keys)") {
+    // an anisotropic pile forces the refine+drop guard: vectors share a
+    // dominant direction so home buckets concentrate, and cap=40 is well
+    // under the concentration. If the probe leg's refined keys diverged
+    // from the home leg's (e.g. sizes measured on home∪probe rows, or
+    // different extra-bit widths), home-home collisions would be LOST
+    // relative to the unprobed tier and the superset would break.
+    val rnd = new scala.util.Random(61)
+    val base = Array.fill(16)(rnd.nextGaussian())
+    val vecs = (0 until 400).map { i =>
+      (i.toLong,
+        base.map(x => (x + 0.3 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding").cache()
+    def pairSet(d: org.apache.spark.sql.DataFrame) =
+      d.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = pairSet(Dedup.embeddingNearDup(df, "vec_id", "embedding",
+      dim = 16, nbits = 4, minCosine = 0.5, maxBucket = 40, tables = 3))
+    val probed = pairSet(Dedup.embeddingNearDup(df, "vec_id", "embedding",
+      dim = 16, nbits = 4, minCosine = 0.5, maxBucket = 40, tables = 3,
+      probes = 2))
+    assert(plain.nonEmpty, "corpus produced no pairs — test lost its bite")
+    assert(plain.subsetOf(probed),
+      s"probed tier lost ${(plain -- probed).size} of ${plain.size} " +
+        "unprobed pairs under the forcing cap")
+  }
+
   test("annTopKMultiTableBatch: per-query output is bit-identical to the " +
     "single-query probe on the same index") {
     val rnd = new scala.util.Random(53)
