@@ -662,6 +662,56 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCH serving probe over the multi-assignment IVF index — the IVF
+    * twin of [[annTopKMultiTableBatch]], same shape and same contract:
+    * every query's top-k in ONE job (pruned scan over the union of the
+    * queries' `nprobe` nearest cells, broadcast (query, cell) fan-out,
+    * per-query windows with the pigeonhole pre-cut), per-query output
+    * bit-identical to [[ivfTopKMulti]] on the same index.
+    */
+  def ivfTopKMultiBatch(
+      indexed: DataFrame,
+      centroids: Array[Array[Double]],
+      queries: Seq[(Long, Array[Float])],
+      idCol: String,
+      vecCol: String,
+      nprobe: Int,
+      k: Int,
+      nassign: Int
+  ): DataFrame = {
+    require(queries.nonEmpty, "empty query batch")
+    val spark = indexed.sparkSession
+    val probeRows = queries.flatMap { case (qid, qv) =>
+      val qn = {
+        var acc = 0.0
+        var i = 0
+        while (i < qv.length) { acc += qv(i).toDouble * qv(i).toDouble; i += 1 }
+        math.sqrt(acc)
+      }
+      nearestCells(centroids, qv, nprobe)
+        .map(cell => (qid, cell, qv.toSeq, qn))
+    }
+    val probes = spark.createDataFrame(probeRows)
+      .toDF("query_id", "ivf_cell", "__q", "__qn")
+    val allCells = probeRows.map(_._2).distinct
+    val wCut = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__c").desc, col(idCol))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col(idCol))
+    indexed
+      .where(col("ivf_cell").isin(allCells.map(Integer.valueOf): _*))
+      .join(broadcast(probes), Seq("ivf_cell"))
+      .select(col("query_id"), col(idCol),
+        (dot(col(vecCol), col("__q")) / (col("__norm") * col("__qn")))
+          .as("__c"))
+      .withColumn("__r", row_number().over(wCut))
+      .where(col("__r") <= nassign * k)
+      .groupBy("query_id", idCol)
+      .agg(max(col("__c")).as("cosine"))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
   /** Persist the IVF-PQ composite index (FAISS's billion-scale shape,
     * batch twin of [[ivfPqStreamWriter]], multi-assignment coarse
     * quantizer): rows carry the coarse cell (partition column), the m
@@ -782,6 +832,102 @@ object Similarity {
       .agg(max(col("__c")).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
+  }
+
+  /** BATCH serving probe over the IVF-PQ composite index — the PQ twin
+    * of [[annTopKMultiTableBatch]]: every query's top-k in TWO jobs for
+    * the whole batch (ADC + rerank) instead of two per query. The ADC
+    * pass reads the union of the queries' pruned cells ONCE, scoring
+    * each row against the queries probing its cell via
+    * [[graft.functions.PqAdcBatchF]] (all per-query lookup tables ride
+    * as one plan-constant reference object); per-query windows with the
+    * pigeonhole pre-cut produce each query's `rerank` shortlist, the
+    * driver collects the (query, id) pairs, and one IN-filtered fetch
+    * re-ranks every query's shortlist exactly. Per-query output is
+    * bit-identical to [[ivfPqTopKIndexed]] on the same index (same
+    * cells, same ADC sums, same tie order — spec-pinned).
+    */
+  def ivfPqTopKIndexedBatch(
+      indexed: DataFrame,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      queries: Seq[(Long, Array[Float])],
+      idCol: String,
+      vecCol: String,
+      nprobe: Int,
+      k: Int,
+      rerank: Int,
+      nassign: Int
+  ): DataFrame = {
+    require(queries.nonEmpty, "empty query batch")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val spark = indexed.sparkSession
+    val m = codebooks.length
+    val sub = queries.head._2.length / m
+    // dense batch index (the expression's qIdx) → external query id
+    val qidOf = queries.map(_._1)
+    val luts: Seq[Seq[Seq[Double]]] = queries.map { case (_, qv) =>
+      (0 until m).map { j =>
+        codebooks(j).map { cen =>
+          var s = 0.0; var i = 0
+          while (i < sub) { s += qv(j * sub + i) * cen(i); i += 1 }
+          s
+        }.toSeq
+      }
+    }
+    val probeRows = queries.zipWithIndex.flatMap { case ((qid, qv), qi) =>
+      nearestCells(centroids, qv, nprobe).map(cell => (qid, qi, cell))
+    }
+    val probes = spark.createDataFrame(probeRows)
+      .toDF("query_id", "__qi", "ivf_cell")
+    val allCells = probeRows.map(_._3).distinct
+    val pruned = indexed
+      .where(col("ivf_cell").isin(allCells.map(Integer.valueOf): _*))
+    val score = graft.functions.VectorFunctions.pqAdcBatch(col("__qi"),
+      (0 until m).map(j => col(s"pq_$j")), luts) / col("pq_norm")
+    val wCut = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__adc").desc, col(idCol))
+    val wShort = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__adc").desc, col(idCol))
+    val shortlist = pruned
+      .where(col("pq_norm") > 0.0)
+      .join(broadcast(probes), Seq("ivf_cell"))
+      .select(col("query_id"), col(idCol), score.as("__adc"))
+      .withColumn("__r", row_number().over(wCut))
+      .where(col("__r") <= nassign * rerank)
+      .groupBy("query_id", idCol)
+      .agg(max(col("__adc")).as("__adc"))
+      .withColumn("__r", row_number().over(wShort))
+      .where(col("__r") <= rerank)
+      // integral-id contract (vec_id is long throughout the ANN surface):
+      // the (query, id) pair frame needs a concrete column type
+      .select(col("query_id"), col(idCol).cast("long").as("__id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val allIds = shortlist.map(_._2).distinct
+    val pairs = spark.createDataFrame(shortlist.toIndexedSeq)
+      .toDF("query_id", "__idk")
+    val qvecs = spark.createDataFrame(queries.map { case (qid, qv) =>
+      val qn = {
+        var acc = 0.0
+        var i = 0
+        while (i < qv.length) { acc += qv(i).toDouble * qv(i).toDouble; i += 1 }
+        math.sqrt(acc)
+      }
+      (qid, qv.toSeq, qn)
+    }).toDF("query_id", "__q", "__qn")
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col(idCol))
+    pruned
+      .where(col(idCol).isin(allIds.map(java.lang.Long.valueOf): _*))
+      .join(broadcast(pairs), col(idCol).cast("long") === col("__idk"))
+      .join(broadcast(qvecs), Seq("query_id"))
+      .select(col("query_id"), col(idCol),
+        (dot(col(vecCol), col("__q")) / (col("pq_norm") * col("__qn")))
+          .as("__c"))
+      .groupBy("query_id", idCol)
+      .agg(max(col("__c")).as("cosine"))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .where(col("rnk") <= k)
   }
 
   /** Bucket the corpus by LSH signature; ANN search = probe the query's

@@ -633,6 +633,83 @@ case class LshSigsProbesF(child: Expression, signs: Seq[Seq[Double]],
       newChild: Expression): LshSigsProbesF = copy(child = newChild)
 }
 
+/** BATCHED ADC (asymmetric distance computation) for PQ serving: the
+  * approximate dot of a PQ-coded row against the query selected by
+  * `qIdx` — `Σ_j luts(qIdx)(j)(code_j)`, the per-query lookup tables a
+  * plan-constant reference object (one batch of queries = ONE plan,
+  * where the literal-table form would bloat the plan by
+  * |queries|·m·codes literals). `qIdx` is the DENSE 0-based batch index
+  * (the caller maps external query ids); children are `qIdx` followed
+  * by the m code columns, left-to-right summation matching the
+  * single-query `element_at(typedLit(...))` form bit-for-bit. Any null
+  * child → null (codes are non-null in the index by construction).
+  */
+case class PqAdcBatchF(children: Seq[Expression],
+    luts: Seq[Seq[Seq[Double]]]) extends Expression {
+  require(children.length >= 2, "need qIdx + at least one code column")
+  require(luts.nonEmpty && luts.forall(_.length == children.length - 1),
+    s"luts must carry ${children.length - 1} tables per query")
+
+  private lazy val tbl: Array[Array[Array[Double]]] =
+    luts.map(_.map(_.toArray).toArray).toArray
+  private def m: Int = children.length - 1
+
+  override def dataType: DataType = DoubleType
+  // always a variable in codegen (assigning to a FalseLiteral isNull is
+  // invalid Java); the index's code columns are non-null in practice
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (children.forall(_.dataType == IntegerType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "pq_adc_batch expects int qIdx + int code columns, got " +
+          children.map(_.dataType.simpleString).mkString(", "))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val qi = children.head.eval(input)
+    if (qi == null) return null
+    val q = tbl(qi.asInstanceOf[Int])
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val c = children(j + 1).eval(input)
+      if (c == null) return null
+      s += q(j)(c.asInstanceOf[Int])
+      j += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val lut = ctx.addReferenceObj("pqAdcLuts", tbl, "double[][][]")
+    val evals = children.map(_.genCode(ctx))
+    val q = ctx.freshName("qtbl")
+    val childCode = evals.map(_.code.toString).mkString("\n")
+    val nullCheck = evals.map(_.isNull).mkString(" || ")
+    val sum = (0 until m).map(j =>
+      s"    ${ev.value} += $q[$j][${evals(j + 1).value}];").mkString("\n")
+    val body =
+      s"""
+         |$childCode
+         |boolean ${ev.isNull} = $nullCheck;
+         |double ${ev.value} = 0.0;
+         |if (!${ev.isNull}) {
+         |  double[][] $q = $lut[${evals.head.value}];
+         |$sum
+         |}
+       """.stripMargin
+    ev.copy(code = code"$body")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PqAdcBatchF =
+    copy(children = newChildren)
+}
+
 object VectorFunctions {
   /** dot(a, b): Σ a(i)·b(i) in double, left-to-right (codegen'd). */
   def dot(a: Column, b: Column): Column =
@@ -657,6 +734,15 @@ object VectorFunctions {
   def lshSigs(vec: Column, signs: Array[Array[Double]], nbits: Int): Column =
     Bridge.column(LshSigsF(Bridge.expression(vec),
       signs.toIndexedSeq.map(_.toIndexedSeq), nbits))
+
+  /** Batched ADC: approx dot of a PQ-coded row against the query picked
+    * by the dense 0-based `qIdx` column — per-query lookup tables ride
+    * as ONE plan-constant reference object.
+    */
+  def pqAdcBatch(qIdx: Column, codes: Seq[Column],
+      luts: Seq[Seq[Seq[Double]]]): Column =
+    Bridge.column(PqAdcBatchF(
+      (qIdx +: codes).map(Bridge.expression), luts))
 
   /** [[lshSigs]] plus `probes` weakest-margin single-bit flip variants
     * per table (multi-probe pair mining): element t*(probes+1) is table

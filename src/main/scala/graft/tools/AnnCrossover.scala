@@ -289,6 +289,64 @@ object AnnCrossover {
           k = k, rerank = rerank, nassign = nassign))
       }
 
+      // batch cells for the IVF-MA / IVF-PQ tiers — same contract as
+      // lshMtBatchCell (one job per batch; per-query s = wall/nQueries)
+      def batchTimeRecall(runBatch: () => Map[Long, Set[Long]])
+          : (Double, Double) = {
+        val secs = (0 until reps).map { _ =>
+          val t0 = System.nanoTime()
+          runBatch(): Unit
+          (System.nanoTime() - t0) / 1e9 / queries.length
+        }.min
+        val res = runBatch()
+        val rec = truth.zipWithIndex.map { case (t, i) =>
+          t.intersect(res.getOrElse(i.toLong, Set.empty[Long]))
+            .size.toDouble / t.size
+        }.sum / queries.length
+        (secs, rec)
+      }
+      def collectBatch(df: DataFrame): Map[Long, Set[Long]] =
+        df.select("query_id", "vec_id").collect()
+          .groupBy(_.getLong(0)).view
+          .mapValues(_.map(_.getLong(1)).toSet).toMap
+      def ivfMaBatchCell(name: String, nlist: Int, nassign: Int,
+          nprobe: Int): (String, Double, Double, Double) = {
+        val (idx, centroids, build) =
+          ivfMaIdx.getOrElseUpdate((nlist, nassign), {
+            val path = s"$idxRoot/ivfma$nlist-$nassign"
+            val t0 = System.nanoTime()
+            val cents = Similarity.writeIvfIndexMulti(embs, "vec_id",
+              "embedding", path, nlist, nassign)
+            (spark.read.parquet(path), cents,
+              (System.nanoTime() - t0) / 1e9)
+          })
+        val qs = queries.zipWithIndex.map { case (qv, i) => (i.toLong, qv) }
+        val (secs, rec) = batchTimeRecall(() => collectBatch(
+          Similarity.ivfTopKMultiBatch(idx, centroids, qs, "vec_id",
+            "embedding", nprobe = nprobe, k = k, nassign = nassign)))
+        (name, secs, rec, build)
+      }
+      def ivfPqBatchCell(name: String, nlist: Int, nassign: Int,
+          nprobe: Int, m: Int, rerank: Int)
+          : (String, Double, Double, Double) = {
+        val (idx, centroids, books, build) =
+          ivfPqIdx.getOrElseUpdate((nlist, nassign, m), {
+            val path = s"$idxRoot/ivfpq$nlist-$nassign-$m"
+            val t0 = System.nanoTime()
+            val (cents, bks) = Similarity.writeIvfPqIndex(embs,
+              "vec_id", "embedding", path, nlist, nassign, m,
+              codes = 256, samplePerCode = 16)
+            (spark.read.parquet(path), cents, bks,
+              (System.nanoTime() - t0) / 1e9)
+          })
+        val qs = queries.zipWithIndex.map { case (qv, i) => (i.toLong, qv) }
+        val (secs, rec) = batchTimeRecall(() => collectBatch(
+          Similarity.ivfPqTopKIndexedBatch(idx, centroids, books, qs,
+            "vec_id", "embedding", nprobe = nprobe, k = k,
+            rerank = rerank, nassign = nassign)))
+        (name, secs, rec, build)
+      }
+
       val extraTiers = sys.env.get("SPARK_GRAFT_ANN_TIERS")
         .map(_.split(",").map(_.trim).toSet)
       def want(name: String): Boolean = extraTiers.forall(_.contains(name))
@@ -321,6 +379,9 @@ object AnnCrossover {
         ("ivf_ma_l256_a3_p8", () => ivfMaCell("ivf_ma_l256_a3_p8", 256, 3, 8)),
         ("ivf_ma_l256_a3_p16",
           () => ivfMaCell("ivf_ma_l256_a3_p16", 256, 3, 16)),
+        (s"ivf_ma_l256_a3_p16_batch$nQueries",
+          () => ivfMaBatchCell(s"ivf_ma_l256_a3_p16_batch$nQueries",
+            256, 3, 16)),
         ("ivf_ma_l256_a2_p24",
           () => ivfMaCell("ivf_ma_l256_a2_p24", 256, 2, 24)),
         ("ivfpq_l256_a2_p32_m16",
@@ -331,6 +392,9 @@ object AnnCrossover {
           () => ivfPqCell("ivfpq_l256_a2_p48_m16", 256, 2, 48, 16, 400)),
         ("ivfpq_l256_a2_p48_rr800",
           () => ivfPqCell("ivfpq_l256_a2_p48_rr800", 256, 2, 48, 16, 800)),
+        (s"ivfpq_l256_a2_p48_rr800_batch$nQueries",
+          () => ivfPqBatchCell(s"ivfpq_l256_a2_p48_rr800_batch$nQueries",
+            256, 2, 48, 16, 800)),
         ("ivfpq_l256_a3_p32_m16",
           () => ivfPqCell("ivfpq_l256_a3_p32_m16", 256, 3, 32, 16, 400)),
         ("ivfpq_l256_a3_p48_rr800",

@@ -923,6 +923,105 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfTopKMultiBatch / ivfPqTopKIndexedBatch: per-query output is " +
+    "bit-identical to the single-query probes on the same indexes") {
+    val rnd = new scala.util.Random(59)
+    val centers = (0 until 4).map(_ => Array.fill(16)(rnd.nextGaussian()))
+    val vecs = (0 until 240).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + 0.3 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding").cache()
+    def bits(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    val qids = Seq(0L, 11L, 123L)
+    val qs = qids.map(q => (q, vecs(q.toInt)._2.toArray))
+
+    val maPath = tmpDir("ivfma-batch")
+    val cMa = Similarity.writeIvfIndexMulti(df, "vec_id", "embedding",
+      maPath, nlist = 8, nassign = 2)
+    val maIdx = spark.read.parquet(maPath)
+    val maBatch = Similarity.ivfTopKMultiBatch(maIdx, cMa, qs, "vec_id",
+      "embedding", nprobe = 3, k = 8, nassign = 2)
+      .collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(3))
+        .map(r => (r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq)
+      .toMap
+    qids.foreach { q =>
+      val single = Similarity.ivfTopKMulti(maIdx, cMa,
+        vecs(q.toInt)._2.toArray, "vec_id", "embedding", nprobe = 3,
+        k = 8, nassign = 2).collect().map(bits).toSeq
+      assert(maBatch(q) == single,
+        s"IVF batch output diverged from single probe for query $q")
+    }
+
+    val pqPath = tmpDir("ivfpq-batch")
+    val (cents, books) = Similarity.writeIvfPqIndex(df, "vec_id",
+      "embedding", pqPath, nlist = 4, nassign = 2, m = 4, codes = 16,
+      samplePerCode = 8)
+    val pqIdx = spark.read.parquet(pqPath)
+    val pqBatch = Similarity.ivfPqTopKIndexedBatch(pqIdx, cents, books,
+      qs, "vec_id", "embedding", nprobe = 2, k = 8, rerank = 40,
+      nassign = 2)
+      .collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(3))
+        .map(r => (r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq)
+      .toMap
+    qids.foreach { q =>
+      val single = Similarity.ivfPqTopKIndexed(pqIdx, cents, books,
+        vecs(q.toInt)._2.toArray, "vec_id", "embedding", nprobe = 2,
+        k = 8, rerank = 40, nassign = 2).collect().map(bits).toSeq
+      assert(pqBatch(q) == single,
+        s"IVF-PQ batch output diverged from single probe for query $q")
+    }
+  }
+
+  test("PqAdcBatchF matches the composed element_at(typedLit) ADC form " +
+    "bit-for-bit per query") {
+    val rnd = new scala.util.Random(67)
+    val m = 4; val codes = 8; val nQ = 3
+    val luts: Seq[Seq[Seq[Double]]] = Seq.fill(nQ)(
+      Seq.fill(m)(Seq.fill(codes)(rnd.nextGaussian())))
+    val rows = (0 until 60).map { i =>
+      (i.toLong, i % nQ, Seq.fill(m)(rnd.nextInt(codes)))
+    }.map { case (id, qi, cs) => (id, qi, cs(0), cs(1), cs(2), cs(3)) }
+    val df = rows.toDF("id", "qi", "pq_0", "pq_1", "pq_2", "pq_3")
+    val fast = graft.functions.VectorFunctions.pqAdcBatch(col("qi"),
+      (0 until m).map(j => col(s"pq_$j")), luts)
+    // the single-query composed form, dispatched per qi by when-chains
+    val slow = (0 until nQ).foldLeft(lit(null).cast("double")) { (acc, q) =>
+      val score = (0 until m).map { j =>
+        element_at(typedLit[Seq[Double]](luts(q)(j).toIndexedSeq),
+          col(s"pq_$j") + 1)
+      }.reduce(_ + _)
+      when(col("qi") === q, score).otherwise(acc)
+    }
+    val got = df.select(col("id"), fast.as("f"), slow.as("s")).collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"ADC mismatch at id=${r.getLong(0)}")
+    }
+    // interpreted path agrees with codegen
+    val expr = graft.functions.PqAdcBatchF(
+      (0 to m).map(i => org.apache.spark.sql.catalyst.expressions
+        .BoundReference(i, org.apache.spark.sql.types.IntegerType,
+          nullable = false)), luts)
+    rows.take(10).foreach { case (_, qi, c0, c1, c2, c3) =>
+      val row = org.apache.spark.sql.catalyst.InternalRow(qi, c0, c1, c2, c3)
+      val expect = (0 until m).map(j =>
+        luts(qi)(j)(Seq(c0, c1, c2, c3)(j))).sum
+      assert(java.lang.Double.doubleToLongBits(
+        expr.eval(row).asInstanceOf[Double]) ==
+        java.lang.Double.doubleToLongBits(expect),
+        "interpreted ADC diverged")
+    }
+  }
+
   test("annTopKMultiTable: full-coverage probe is bit-identical to the " +
     "exact scan; partial probe partition-prunes to the key set") {
     val rnd = new scala.util.Random(31)
