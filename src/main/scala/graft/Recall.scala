@@ -143,24 +143,8 @@ object Recall {
     // ── knn_join: per-id neighbour recall vs exact global top-k, in the
     // declared configuration (4 OR-amplified tables, skew cap) ───────────
     val knnK = 5
-    val exactKnn = {
-      val withNorm = e.withColumn("__n",
-        sqrt(Similarity.norm2(col("embedding"))))
-      val qa = withNorm.select(col("vec_id").as("id"),
-        col("embedding").as("va"), col("__n").as("na"))
-      val qb = withNorm.select(col("vec_id").as("neighbor"),
-        col("embedding").as("vb"), col("__n").as("nb"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("id").orderBy(col("cosine").desc, col("neighbor"))
-      qa.crossJoin(qb).where(col("id") =!= col("neighbor"))
-        .select(col("id"), col("neighbor"),
-          (Similarity.dot(col("va"), col("vb")) /
-            (col("na") * col("nb"))).as("cosine"))
-        .withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= knnK)
-        .select("id", "neighbor").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-    }
+    val exactKnn =
+      graft.tools.ExactBaselines.knnEdges(e, "vec_id", "embedding", knnK)
     def knnAt(tables: Int, probes: Int): Double = {
       val approx = Similarity.knnJoin(e, "vec_id", "embedding",
           dim = 64, nbits = 4, k = knnK, maxBucket = 1000, tables = tables,
@@ -203,16 +187,8 @@ object Recall {
 
     // ── Embedding near-dup: pair recall vs exact all-pairs cosine ≥ 0.3
     // (the dedup_embedding configuration, skew cap engaged) ───────────────
-    val withNorm = e.withColumn("__n", sqrt(Similarity.norm2(col("embedding"))))
-    val a = withNorm.select(col("vec_id").as("id_a"),
-      col("embedding").as("va"), col("__n").as("na"))
-    val b = withNorm.select(col("vec_id").as("id_b"),
-      col("embedding").as("vb"), col("__n").as("nb"))
-    val exactEmb = a.crossJoin(b).where(col("id_a") < col("id_b"))
-      .where(Similarity.dot(col("va"), col("vb")) /
-        (col("na") * col("nb")) >= 0.3)
-      .select("id_a", "id_b").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactEmb =
+      graft.tools.ExactBaselines.cosinePairs(e, "vec_id", "embedding", 0.3)
     def embAt(tables: Int, probes: Int): Double = {
       val got = pairSet(Dedup.embeddingNearDup(e, "vec_id", "embedding",
         dim = 64, nbits = 4, minCosine = 0.3, maxBucket = 1000,
@@ -220,6 +196,7 @@ object Recall {
       exactEmb.intersect(got).size.toDouble / exactEmb.size
     }
     val embRecall = embAt(6, 1)   // the declared dedup_embedding config (r11)
+    val embRecall8p = embAt(8, 1) // recall-leaning context (prose below)
     val embRecall80 = embAt(8, 0) // the pre-multi-probe declared config
     val embRecall1 = embAt(1, 0)  // single-table, for context
 
@@ -363,9 +340,17 @@ object Recall {
       maxDist = 6).count(): Unit)
     val tWinnow = timed(Dedup.winnowPairs(docs, "doc_id", "text",
       k = 3, w = 4, minShared = 2L, maxDf = 1000L).count(): Unit)
-    val tEmbExact = timed(a.crossJoin(b).where(col("id_a") < col("id_b"))
-      .where(Similarity.dot(col("va"), col("vb")) /
-        (col("na") * col("nb")) >= 0.3).count(): Unit)
+    val tEmbExact = timed {
+      val withNorm = e.withColumn("__n",
+        sqrt(Similarity.norm2(col("embedding"))))
+      val ea = withNorm.select(col("vec_id").as("id_a"),
+        col("embedding").as("va"), col("__n").as("na"))
+      val eb = withNorm.select(col("vec_id").as("id_b"),
+        col("embedding").as("vb"), col("__n").as("nb"))
+      ea.crossJoin(eb).where(col("id_a") < col("id_b"))
+        .where(Similarity.dot(col("va"), col("vb")) /
+          (col("na") * col("nb")) >= 0.3).count(): Unit
+    }
     val tEmbLsh = timed(Dedup.embeddingNearDup(e, "vec_id", "embedding",
       dim = 64, nbits = 4, minCosine = 0.3, maxBucket = 1000,
       tables = 6, probes = 1).count(): Unit)
@@ -436,9 +421,10 @@ object Recall {
          |buys what the round-4 cost-trim attempt could not — 6 tables
          |alone lost ~0.10 recall vs 8, but 6 tables PLUS the
          |weakest-margin flip beat plain 8 tables outright (measured
-         |0.927/0.912 vs 0.725/0.693) at roughly the 8-table-plain wall
-         |time and 25% less corpus replication in the join legs. The
-         |recall-leaning 8×1 dial (0.973/0.962) is the knob for
+         |${f"$knnRecall%.3f/$embRecall%.3f vs $knnRecall80%.3f/$embRecall80%.3f"})
+         |at roughly the 8-table-plain wall time and 25% less corpus
+         |replication in the join legs. The recall-leaning 8×1 dial
+         |(${f"$knnRecall8p%.3f/$embRecall8p%.3f"}) is the knob for
          |recall-critical corpora.
          |
          |`dedup_semantic` is declared — and measured — at the SemDeDup

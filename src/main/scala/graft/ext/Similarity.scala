@@ -381,6 +381,36 @@ object Similarity {
     }
   }
 
+  /** Append a new batch to a persisted multi-table LSH index — the
+    * ingest half of the serving story (FAISS's `add`): the hyperplanes
+    * are a pure deterministic function of the plane index, so an
+    * appended row lands in exactly the bucket a full rebuild would put
+    * it in, and every probe over the re-read index is RESULT-IDENTICAL
+    * to one over an index built from the union in one shot (spec-pinned
+    * bit equality). Cost is O(batch) — the standing index's rows are
+    * never read or rewritten, which is what makes continuous ingest at
+    * 100 TB viable (the rebuild is T corpus-sized write passes). Small
+    * frequent appends accumulate small files inside hot bucket
+    * directories; compact on the same cadence as any ingesting table.
+    */
+  def appendLshMultiTableIndex(batch: DataFrame, idCol: String,
+      vecCol: String, path: String, dim: Int, nbits: Int,
+      tables: Int): Unit = {
+    require(nbits >= 1 && nbits <= 20, s"nbits out of range: $nbits")
+    (0 until tables).foreach { t =>
+      val sig = signatureBits(col(vecCol), dim, t * nbits, nbits)
+      batch
+        .select(col(idCol), col(vecCol),
+          sqrt(norm2(col(vecCol))).as("__norm"),
+          (lit(t.toLong << nbits) + sig).as("lsh_key"))
+        .repartitionByRange(col("lsh_key"), col(idCol))
+        .sortWithinPartitions("lsh_key", idCol)
+        .write.mode("append")
+        .partitionBy("lsh_key").parquet(path)
+      System.gc() // see writeLshMultiTableIndex
+    }
+  }
+
   /** ANN top-k served from the persisted MULTI-TABLE index: the probe
     * key set is driver-computed — query-directed when `probeBudget` > 0
     * ([[probeKeysMultiTableAdaptive]], `budget` best buckets per table),
@@ -498,6 +528,12 @@ object Similarity {
       probeBudget: Int
   ): DataFrame = {
     require(queries.nonEmpty, "empty query batch")
+    // distinct ids are load-bearing, not cosmetic: the pigeonhole pre-cut's
+    // "≤ tables·k rows per query_id" bound assumes ONE key set per id — a
+    // duplicated id doubles every candidate row in its window and the cut
+    // can then silently drop true top-k ids
+    require(queries.map(_._1).distinct.size == queries.size,
+      "duplicate query ids in batch")
     val spark = indexed.sparkSession
     val probeRows = queries.flatMap { case (qid, qv) =>
       require(qv.length == dim, s"query $qid dim ${qv.length} != $dim")
@@ -612,6 +648,35 @@ object Similarity {
     centroids
   }
 
+  /** Append a new batch to a persisted multi-assignment IVF index under
+    * a FROZEN coarse quantizer (the build-time centroids — the caller
+    * holds them; [[writeIvfIndexMulti]] returned them): each appended
+    * vector joins its `nassign` nearest EXISTING cells, so probes over
+    * the re-read index are result-identical to an index built from the
+    * union under the same centroids (spec-pinned). O(batch) — standing
+    * rows untouched. The standard IVF ingest contract applies: the
+    * quantizer is not re-trained, so a drifting data distribution
+    * degrades cell balance over time — re-train/rebuild at N× growth,
+    * like any FAISS deployment.
+    */
+  def appendIvfIndexMulti(batch: DataFrame, idCol: String, vecCol: String,
+      path: String, centroids: Array[Array[Double]], nassign: Int): Unit = {
+    require(nassign >= 1 && nassign <= centroids.length,
+      s"nassign must be in [1, ${centroids.length}], got $nassign")
+    (0 until nassign).foreach { r =>
+      batch
+        .select(col("*"),
+          element_at(graft.functions.VectorFunctions.nearestCentroidsK(
+            col(vecCol), centroids, nassign), r + 1).as("ivf_cell"))
+        .withColumn("__norm", sqrt(norm2(col(vecCol))))
+        .repartitionByRange(col("ivf_cell"), col(idCol))
+        .sortWithinPartitions("ivf_cell", idCol)
+        .write.mode("append")
+        .partitionBy("ivf_cell").parquet(path)
+      System.gc() // see writeLshMultiTableIndex
+    }
+  }
+
   /** IVF probe over a MULTI-ASSIGNMENT index: partition-prune to the
     * `nprobe` nearest cells, exact-cosine against the stored norms, and
     * collapse the duplicate rows of multi-assigned vectors with a
@@ -634,6 +699,8 @@ object Similarity {
       k: Int,
       nassign: Int
   ): DataFrame = {
+    require(queryVec.length == centroids.head.length,
+      s"query dim ${queryVec.length} != centroid dim ${centroids.head.length}")
     val cells = nearestCells(centroids, queryVec, nprobe)
     val qn = {
       var acc = 0.0
@@ -680,8 +747,12 @@ object Similarity {
       nassign: Int
   ): DataFrame = {
     require(queries.nonEmpty, "empty query batch")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "duplicate query ids in batch") // see annTopKMultiTableBatch
     val spark = indexed.sparkSession
     val probeRows = queries.flatMap { case (qid, qv) =>
+      require(qv.length == centroids.head.length,
+        s"query $qid dim ${qv.length} != centroid dim ${centroids.head.length}")
       val qn = {
         var acc = 0.0
         var i = 0
@@ -745,6 +816,35 @@ object Similarity {
     (centroids, codebooks)
   }
 
+  /** Append a new batch to a persisted IVF-PQ composite index under the
+    * FROZEN build-time quantizer AND codebooks (both returned by
+    * [[writeIvfPqIndex]]): appended vectors are assigned to existing
+    * cells and encoded against the existing codebooks, so the ADC
+    * arithmetic — and therefore every probe — is result-identical to a
+    * union built under the same artifacts (spec-pinned). Same drift
+    * contract as [[appendIvfIndexMulti]], plus the PQ half: codebooks
+    * trained on yesterday's distribution quantize tomorrow's vectors
+    * with growing error — re-train at N× growth.
+    */
+  def appendIvfPqIndex(batch: DataFrame, idCol: String, vecCol: String,
+      path: String, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], nassign: Int): Unit = {
+    require(nassign >= 1 && nassign <= centroids.length,
+      s"nassign must be in [1, ${centroids.length}], got $nassign")
+    (0 until nassign).foreach { r =>
+      pqEncode(
+        batch.select(col("*"),
+          element_at(graft.functions.VectorFunctions.nearestCentroidsK(
+            col(vecCol), centroids, nassign), r + 1).as("ivf_cell")),
+        vecCol, codebooks)
+        .repartitionByRange(col("ivf_cell"), col(idCol))
+        .sortWithinPartitions("ivf_cell", idCol)
+        .write.mode("append")
+        .partitionBy("ivf_cell").parquet(path)
+      System.gc() // see writeLshMultiTableIndex
+    }
+  }
+
   /** IVF-PQ probe over the persisted composite index: partition-prune to
     * the query's `nprobe` cells, ADC-rank the code columns alone (the
     * scan's ReadSchema carries no vector column — the 32×-compressed
@@ -773,6 +873,8 @@ object Similarity {
       nassign: Int
   ): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    require(queryVec.length == centroids.head.length,
+      s"query dim ${queryVec.length} != centroid dim ${centroids.head.length}")
     val cells = nearestCells(centroids, queryVec, nprobe)
     val pruned = indexed
       .where(col("ivf_cell").isin(cells.map(Integer.valueOf): _*))
@@ -861,11 +963,17 @@ object Similarity {
   ): DataFrame = {
     require(queries.nonEmpty, "empty query batch")
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "duplicate query ids in batch") // see annTopKMultiTableBatch; here a
+      // duplicate additionally interleaves two __qi LUT indices in one
+      // query_id window, breaking the per-(query,cell) losslessness proof
+    queries.foreach { case (qid, qv) =>
+      require(qv.length == centroids.head.length,
+        s"query $qid dim ${qv.length} != centroid dim ${centroids.head.length}")
+    }
     val spark = indexed.sparkSession
     val m = codebooks.length
     val sub = queries.head._2.length / m
-    // dense batch index (the expression's qIdx) → external query id
-    val qidOf = queries.map(_._1)
     val luts: Seq[Seq[Seq[Double]]] = queries.map { case (_, qv) =>
       (0 until m).map { j =>
         codebooks(j).map { cen =>
@@ -875,8 +983,13 @@ object Similarity {
         }.toSeq
       }
     }
-    val probeRows = queries.zipWithIndex.flatMap { case ((qid, qv), qi) =>
-      nearestCells(centroids, qv, nprobe).map(cell => (qid, qi, cell))
+    // one coarse-quantizer pass per query, shared by the ADC probe frame
+    // and the per-query rerank legs below
+    val cellsOf = queries.map { case (_, qv) =>
+      nearestCells(centroids, qv, nprobe)
+    }
+    val probeRows = queries.zipWithIndex.flatMap { case ((qid, _), qi) =>
+      cellsOf(qi).map(cell => (qid, qi, cell))
     }
     val probes = spark.createDataFrame(probeRows)
       .toDF("query_id", "__qi", "ivf_cell")
@@ -936,17 +1049,28 @@ object Similarity {
     }).toDF("query_id", "__q", "__qn")
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cosine").desc, col(idCol))
-    val legs = queries.zipWithIndex.flatMap { case ((qid, qv), _) =>
+    val legs = queries.zipWithIndex.flatMap { case ((qid, _), qi) =>
       val ids = byQuery.getOrElse(qid, Array.empty[Long])
       if (ids.isEmpty) None
       else Some(indexed
-        .where(col("ivf_cell").isin(
-          nearestCells(centroids, qv, nprobe).map(Integer.valueOf): _*))
+        .where(col("ivf_cell").isin(cellsOf(qi).map(Integer.valueOf): _*))
         .where(col(idCol).isin(ids.map(java.lang.Long.valueOf): _*))
         .select(lit(qid).as("query_id"), col(idCol), col(vecCol),
           col("pq_norm")))
     }
-    require(legs.nonEmpty, "every query's shortlist came back empty")
+    if (legs.isEmpty) {
+      // same contract as the single-query probe: an all-empty shortlist
+      // (empty pruned cells, or only pq_norm <= 0 rows) yields 0 rows,
+      // not an exception
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField(idCol, indexed.schema(idCol).dataType),
+        StructField("cosine", DoubleType),
+        StructField("rnk", LongType)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
     legs.reduce(_ union _)
       .join(broadcast(qvecs), Seq("query_id"))
       .select(col("query_id"), col(idCol),

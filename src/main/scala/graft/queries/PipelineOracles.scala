@@ -129,6 +129,10 @@ object PipelineOracles {
         |   AS n_vectors, TRUE AS ok_cosine_exact, TRUE AS ok_all_queries,
         | TRUE AS ok_k_bound, TRUE AS ok_ranks_dense,
         | TRUE AS ok_self_found""".stripMargin,
+    "sim_search_incremental_check" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT)
+        |   AS n_vectors, TRUE AS ok_cosine_exact, TRUE AS ok_k_bound,
+        | TRUE AS ok_self_found, TRUE AS ok_matches_oneshot""".stripMargin,
     "sim_search_ivf_check" ->
       """SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT)
         |   AS n_vectors, TRUE AS ok_cosine_exact, TRUE AS ok_k_bound,

@@ -217,6 +217,35 @@ object PipelineQueries {
       (e.sparkSession.read.parquet(path), nbits)
     }).asInstanceOf[(DataFrame, Int)]
 
+  /** Memoized INCREMENTALLY-BUILT multi-table LSH serving index — the
+    * ANN half of the ingest story (`dedup_incremental`'s twin): the
+    * standing 90% of the corpus (vec_id % 10 != 0) is indexed once by
+    * the batch writer; the "new batch" (vec_id % 10 == 0 — including
+    * vector 0, the declared probe) is APPENDED via the frozen-plane
+    * O(batch) path ([[graft.ext.Similarity.appendLshMultiTableIndex]]),
+    * never rewriting a standing row — at 100 TB the rebuild is T
+    * corpus-sized write passes, the append is T batch-sized ones. The
+    * hyperplanes are deterministic, so probes over this index are
+    * BIT-IDENTICAL to the one-shot full index's — the check twin
+    * asserts exactly that against the `sim_search_lsh` artifact. nbits
+    * comes from the FULL corpus dial: the index is sized for the corpus
+    * it serves post-ingest.
+    */
+  private def lshMtIncrIndexOf(e: DataFrame, dim: Int,
+      tables: Int): (DataFrame, Int) =
+    annIndexCache.computeIfAbsent(annKey(e, s"lshmt-incr$dim-$tables"),
+      _ => {
+        val nbits = lshMtNbits(corpusSize(e))
+        val path = tempArtifactDir("graft-lshmtincr-")
+        Similarity.writeLshMultiTableIndex(
+          e.where(pmod(col("vec_id"), lit(10)) =!= 0), "vec_id",
+          "embedding", path, dim, nbits, tables)
+        Similarity.appendLshMultiTableIndex(
+          e.where(pmod(col("vec_id"), lit(10)) === 0), "vec_id",
+          "embedding", path, dim, nbits, tables)
+        (e.sparkSession.read.parquet(path), nbits)
+      }).asInstanceOf[(DataFrame, Int)]
+
   /** Memoized MULTI-ASSIGNMENT IVF serving index (round 11): nlist from
     * the √N dial; the memo carries (relation, centroids, nlist).
     */
@@ -536,6 +565,31 @@ object PipelineQueries {
         .crossJoin(broadcast(res
           .agg((sum(when(col("query_id") === col("vec_id"), 1)
             .otherwise(0)) === 16L).as("ok_self_found"))))
+    },
+    // incremental-index invariants: the standard top-k checks PLUS the
+    // claim that makes the append path trustworthy — the probe over
+    // build(standing)+append(batch) is BIT-IDENTICAL (ids AND cosines)
+    // to the probe over the one-shot full index (deterministic planes;
+    // a broken append key, dropped batch row or plane drift flips
+    // ok_matches_oneshot)
+    "sim_search_incremental_check" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val qv = e.where(col("vec_id") === 0L).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val (iIdx, iNbits) = lshMtIncrIndexOf(e, 64, tables = 12)
+      val (fIdx, fNbits) = lshMtIndexOf(e, 64, tables = 12)
+      val incr = Similarity.annTopKMultiTable(iIdx, qv, "vec_id",
+        "embedding", dim = 64, nbits = iNbits, tables = 12, k = 20,
+        probeHamming = 0, probeBudget = 12)
+      val full = Similarity.annTopKMultiTable(fIdx, qv, "vec_id",
+        "embedding", dim = 64, nbits = fNbits, tables = 12, k = 20,
+        probeHamming = 0, probeBudget = 12)
+      val iRows = incr.select(col("vec_id"), col("cosine"))
+      val fRows = full.select(col("vec_id"), col("cosine"))
+      val diff = iRows.exceptAll(fRows).unionAll(fRows.exceptAll(iRows))
+      annTopKCheck(e, incr, k = 20)
+        .crossJoin(broadcast(diff.agg(
+          (count(lit(1)) === 0L).as("ok_matches_oneshot"))))
     },
     // embedding near-dup invariants: every emitted pair's EXACT cosine
     // clears the declared threshold (the refine stage's contract) in
@@ -887,6 +941,25 @@ object PipelineQueries {
       Similarity.annTopKMultiTableBatch(idx, qs, "vec_id", "embedding",
           dim = 64, nbits = nbits, tables = 12, k = 20, probeBudget = 12)
         .orderBy("query_id", "rnk")
+    },
+    // INCREMENTAL ANN serving (the ingest shape, ANN twin of
+    // dedup_incremental): the standing corpus is MT-indexed once, the
+    // new batch — vec_id % 10 == 0, including the probe's own vector —
+    // is appended O(batch) under the frozen deterministic planes
+    // (Similarity.appendLshMultiTableIndex; FAISS's `add`), and the
+    // probe serves from the combined index without any rebuild. The
+    // planes make appended buckets exactly the rebuild's buckets, so
+    // this query's rows are bit-identical to probing a one-shot full
+    // index — the twin asserts that equality against the sim_search_lsh
+    // artifact. Rows-only (xxhash-free but float-fold based).
+    "sim_search_incremental" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val qv = e.where(col("vec_id") === 0L).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val (idx, nbits) = lshMtIncrIndexOf(e, 64, tables = 12)
+      Similarity.annTopKMultiTable(idx, qv, "vec_id", "embedding",
+        dim = 64, nbits = nbits, tables = 12, k = 20, probeHamming = 0,
+        probeBudget = 12)
     },
     // ANN: MULTI-ASSIGNMENT IVF served from the persisted
     // cell-partitioned index (round 11 — retires the round-10 weak: the

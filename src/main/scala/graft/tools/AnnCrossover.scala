@@ -219,78 +219,9 @@ object AnnCrossover {
       // divides that floor by |queries| while reading the same fraction
       // per query. Compare against exact_batch below — the honest
       // batched baseline, since one exact scan also serves every query.
-      def lshMtBatchCell(name: String, nbits: Int, tables: Int,
-          budget: Int): (String, Double, Double, Double) = {
-        val (idx, build) = lshMtIndexOf(nbits, tables)
-        val qs = queries.zipWithIndex.map { case (qv, i) => (i.toLong, qv) }
-        def runBatch(): Map[Long, Set[Long]] =
-          Similarity.annTopKMultiTableBatch(idx, qs, "vec_id", "embedding",
-              dim = 64, nbits = nbits, tables = tables, k = k,
-              probeBudget = budget)
-            .select("query_id", "vec_id").collect()
-            .groupBy(_.getLong(0)).view
-            .mapValues(_.map(_.getLong(1)).toSet).toMap
-        val secs = (0 until reps).map { _ =>
-          val t0 = System.nanoTime()
-          runBatch(): Unit
-          (System.nanoTime() - t0) / 1e9 / queries.length
-        }.min
-        val res = runBatch()
-        val rec = truth.zipWithIndex.map { case (t, i) =>
-          t.intersect(res.getOrElse(i.toLong, Set.empty[Long]))
-            .size.toDouble / t.size
-        }.sum / queries.length
-        (name, secs, rec, build)
-      }
-
-      // MULTI-ASSIGNMENT IVF (round 11 — recall-preserving scale-out):
-      // nassign nearest cells per vector at build, nprobe cells probed
-      // ⇒ fraction nprobe*nassign/nlist of index rows read. One build
-      // per (nlist, nassign) — the nprobe variants probe the same
-      // persisted index (same memo contract as lshMtIndexOf/ivfPqIdx).
-      val ivfMaIdx = scala.collection.mutable.Map.empty[(Int, Int),
-        (DataFrame, Array[Array[Double]], Double)]
-      def ivfMaCell(name: String, nlist: Int, nassign: Int,
-          nprobe: Int): (String, Double, Double, Double) = {
-        val (idx, centroids, build) =
-          ivfMaIdx.getOrElseUpdate((nlist, nassign), {
-            val path = s"$idxRoot/ivfma$nlist-$nassign"
-            val t0 = System.nanoTime()
-            val cents = Similarity.writeIvfIndexMulti(embs, "vec_id",
-              "embedding", path, nlist, nassign)
-            (spark.read.parquet(path), cents,
-              (System.nanoTime() - t0) / 1e9)
-          })
-        cell(name, build, qv => Similarity.ivfTopKMulti(idx, centroids,
-          qv, "vec_id", "embedding", nprobe = nprobe, k = k,
-          nassign = nassign))
-      }
-
-      // IVF-PQ composite (round 11): multi-assign coarse cells, ADC over
-      // code columns in the probed cells, IN-filter rerank on the same
-      // pruned slice. One build per (nlist, nassign, m) — the nprobe /
-      // rerank variants probe the same persisted index.
-      val ivfPqIdx = scala.collection.mutable.Map.empty[(Int, Int, Int),
-        (DataFrame, Array[Array[Double]], Array[Array[Array[Double]]], Double)]
-      def ivfPqCell(name: String, nlist: Int, nassign: Int, nprobe: Int,
-          m: Int, rerank: Int): (String, Double, Double, Double) = {
-        val (idx, centroids, books, build) =
-          ivfPqIdx.getOrElseUpdate((nlist, nassign, m), {
-            val path = s"$idxRoot/ivfpq$nlist-$nassign-$m"
-            val t0 = System.nanoTime()
-            val (cents, bks) = Similarity.writeIvfPqIndex(embs,
-              "vec_id", "embedding", path, nlist, nassign, m,
-              codes = 256, samplePerCode = 16)
-            (spark.read.parquet(path), cents, bks,
-              (System.nanoTime() - t0) / 1e9)
-          })
-        cell(name, build, qv => Similarity.ivfPqTopKIndexed(idx,
-          centroids, books, qv, "vec_id", "embedding", nprobe = nprobe,
-          k = k, rerank = rerank, nassign = nassign))
-      }
-
-      // batch cells for the IVF-MA / IVF-PQ tiers — same contract as
-      // lshMtBatchCell (one job per batch; per-query s = wall/nQueries)
+      // the batch cells' shared machinery: one job per batch, per-query
+      // s = wall/nQueries, recall vs `truth`'s indexing (ids 0..n-1)
+      val batchQs = queries.zipWithIndex.map { case (qv, i) => (i.toLong, qv) }
       def batchTimeRecall(runBatch: () => Map[Long, Set[Long]])
           : (Double, Double) = {
         val secs = (0 until reps).map { _ =>
@@ -309,39 +240,83 @@ object AnnCrossover {
         df.select("query_id", "vec_id").collect()
           .groupBy(_.getLong(0)).view
           .mapValues(_.map(_.getLong(1)).toSet).toMap
+      def lshMtBatchCell(name: String, nbits: Int, tables: Int,
+          budget: Int): (String, Double, Double, Double) = {
+        val (idx, build) = lshMtIndexOf(nbits, tables)
+        val (secs, rec) = batchTimeRecall(() => collectBatch(
+          Similarity.annTopKMultiTableBatch(idx, batchQs, "vec_id",
+            "embedding", dim = 64, nbits = nbits, tables = tables, k = k,
+            probeBudget = budget)))
+        (name, secs, rec, build)
+      }
+
+      // MULTI-ASSIGNMENT IVF (round 11 — recall-preserving scale-out):
+      // nassign nearest cells per vector at build, nprobe cells probed
+      // ⇒ fraction nprobe*nassign/nlist of index rows read. One build
+      // per (nlist, nassign) — the nprobe variants probe the same
+      // persisted index (same memo contract as lshMtIndexOf/ivfPqIdx).
+      val ivfMaIdx = scala.collection.mutable.Map.empty[(Int, Int),
+        (DataFrame, Array[Array[Double]], Double)]
+      def ivfMaIdxOf(nlist: Int, nassign: Int)
+          : (DataFrame, Array[Array[Double]], Double) =
+        ivfMaIdx.getOrElseUpdate((nlist, nassign), {
+          val path = s"$idxRoot/ivfma$nlist-$nassign"
+          val t0 = System.nanoTime()
+          val cents = Similarity.writeIvfIndexMulti(embs, "vec_id",
+            "embedding", path, nlist, nassign)
+          (spark.read.parquet(path), cents,
+            (System.nanoTime() - t0) / 1e9)
+        })
+      def ivfMaCell(name: String, nlist: Int, nassign: Int,
+          nprobe: Int): (String, Double, Double, Double) = {
+        val (idx, centroids, build) = ivfMaIdxOf(nlist, nassign)
+        cell(name, build, qv => Similarity.ivfTopKMulti(idx, centroids,
+          qv, "vec_id", "embedding", nprobe = nprobe, k = k,
+          nassign = nassign))
+      }
+
+      // IVF-PQ composite (round 11): multi-assign coarse cells, ADC over
+      // code columns in the probed cells, IN-filter rerank on the same
+      // pruned slice. One build per (nlist, nassign, m) — the nprobe /
+      // rerank variants probe the same persisted index.
+      val ivfPqIdx = scala.collection.mutable.Map.empty[(Int, Int, Int),
+        (DataFrame, Array[Array[Double]], Array[Array[Array[Double]]], Double)]
+      def ivfPqIdxOf(nlist: Int, nassign: Int, m: Int)
+          : (DataFrame, Array[Array[Double]],
+             Array[Array[Array[Double]]], Double) =
+        ivfPqIdx.getOrElseUpdate((nlist, nassign, m), {
+          val path = s"$idxRoot/ivfpq$nlist-$nassign-$m"
+          val t0 = System.nanoTime()
+          val (cents, bks) = Similarity.writeIvfPqIndex(embs,
+            "vec_id", "embedding", path, nlist, nassign, m,
+            codes = 256, samplePerCode = 16)
+          (spark.read.parquet(path), cents, bks,
+            (System.nanoTime() - t0) / 1e9)
+        })
+      def ivfPqCell(name: String, nlist: Int, nassign: Int, nprobe: Int,
+          m: Int, rerank: Int): (String, Double, Double, Double) = {
+        val (idx, centroids, books, build) = ivfPqIdxOf(nlist, nassign, m)
+        cell(name, build, qv => Similarity.ivfPqTopKIndexed(idx,
+          centroids, books, qv, "vec_id", "embedding", nprobe = nprobe,
+          k = k, rerank = rerank, nassign = nassign))
+      }
+
+      // batch cells for the IVF-MA / IVF-PQ tiers — same contract as
+      // lshMtBatchCell
       def ivfMaBatchCell(name: String, nlist: Int, nassign: Int,
           nprobe: Int): (String, Double, Double, Double) = {
-        val (idx, centroids, build) =
-          ivfMaIdx.getOrElseUpdate((nlist, nassign), {
-            val path = s"$idxRoot/ivfma$nlist-$nassign"
-            val t0 = System.nanoTime()
-            val cents = Similarity.writeIvfIndexMulti(embs, "vec_id",
-              "embedding", path, nlist, nassign)
-            (spark.read.parquet(path), cents,
-              (System.nanoTime() - t0) / 1e9)
-          })
-        val qs = queries.zipWithIndex.map { case (qv, i) => (i.toLong, qv) }
+        val (idx, centroids, build) = ivfMaIdxOf(nlist, nassign)
         val (secs, rec) = batchTimeRecall(() => collectBatch(
-          Similarity.ivfTopKMultiBatch(idx, centroids, qs, "vec_id",
+          Similarity.ivfTopKMultiBatch(idx, centroids, batchQs, "vec_id",
             "embedding", nprobe = nprobe, k = k, nassign = nassign)))
         (name, secs, rec, build)
       }
       def ivfPqBatchCell(name: String, nlist: Int, nassign: Int,
           nprobe: Int, m: Int, rerank: Int)
           : (String, Double, Double, Double) = {
-        val (idx, centroids, books, build) =
-          ivfPqIdx.getOrElseUpdate((nlist, nassign, m), {
-            val path = s"$idxRoot/ivfpq$nlist-$nassign-$m"
-            val t0 = System.nanoTime()
-            val (cents, bks) = Similarity.writeIvfPqIndex(embs,
-              "vec_id", "embedding", path, nlist, nassign, m,
-              codes = 256, samplePerCode = 16)
-            (spark.read.parquet(path), cents, bks,
-              (System.nanoTime() - t0) / 1e9)
-          })
-        val qs = queries.zipWithIndex.map { case (qv, i) => (i.toLong, qv) }
+        val (idx, centroids, books, build) = ivfPqIdxOf(nlist, nassign, m)
         val (secs, rec) = batchTimeRecall(() => collectBatch(
-          Similarity.ivfPqTopKIndexedBatch(idx, centroids, books, qs,
+          Similarity.ivfPqTopKIndexedBatch(idx, centroids, books, batchQs,
             "vec_id", "embedding", nprobe = nprobe, k = k,
             rerank = rerank, nassign = nassign)))
         (name, secs, rec, build)

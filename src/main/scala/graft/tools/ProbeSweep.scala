@@ -24,35 +24,10 @@ object ProbeSweep {
     val e = Tables.embeddings(spark, sfDir).cache()
     e.count()
 
-    // exact knn top-5 edge set (Recall.scala's formula)
+    // shared truth sets — ONE definition with graft.Recall's
     val knnK = 5
-    val withNorm = e.withColumn("__n",
-      sqrt(Similarity.norm2(col("embedding"))))
-    val qa = withNorm.select(col("vec_id").as("id"),
-      col("embedding").as("va"), col("__n").as("na"))
-    val qb = withNorm.select(col("vec_id").as("neighbor"),
-      col("embedding").as("vb"), col("__n").as("nb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("cosine").desc, col("neighbor"))
-    val exactKnn = qa.crossJoin(qb).where(col("id") =!= col("neighbor"))
-      .select(col("id"), col("neighbor"),
-        (Similarity.dot(col("va"), col("vb")) /
-          (col("na") * col("nb"))).as("cosine"))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= knnK)
-      .select("id", "neighbor").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-
-    // exact all-pairs cosine >= 0.3 pair set
-    val a2 = withNorm.select(col("vec_id").as("id_a"),
-      col("embedding").as("va"), col("__n").as("na"))
-    val b2 = withNorm.select(col("vec_id").as("id_b"),
-      col("embedding").as("vb"), col("__n").as("nb"))
-    val exactEmb = a2.crossJoin(b2).where(col("id_a") < col("id_b"))
-      .where(Similarity.dot(col("va"), col("vb")) /
-        (col("na") * col("nb")) >= 0.3)
-      .select("id_a", "id_b").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactKnn = ExactBaselines.knnEdges(e, "vec_id", "embedding", knnK)
+    val exactEmb = ExactBaselines.cosinePairs(e, "vec_id", "embedding", 0.3)
     println(s"exact: knn edges ${exactKnn.size}, emb pairs ${exactEmb.size}")
 
     def timed[T](f: => T): (T, Double) = {

@@ -899,12 +899,19 @@ class SimilaritySpec extends SparkSpec {
     def bits(r: org.apache.spark.sql.Row) =
       (r.getLong(0), java.lang.Double.doubleToLongBits(r.getDouble(1)))
     val qids = Seq(0L, 7L, 42L, 199L)
-    val batch = Similarity.annTopKMultiTableBatch(idx,
+    val batchRows = Similarity.annTopKMultiTableBatch(idx,
       qids.map(q => (q, vecs(q.toInt)._2.toArray)), "vec_id", "embedding",
       dim = 16, nbits = 4, tables = 4, k = 8, probeBudget = 3)
       .select(col("query_id"), col("vec_id"), col("cosine"), col("rnk"))
       .collect()
       .groupBy(_.getLong(0))
+    // rnk is dense 1..n per query (row_number contract — a regression to
+    // rank() would gap or duplicate it and still pass the bit-equality)
+    batchRows.foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to rows.size).toSeq,
+        s"query $q ranks not dense 1..${rows.size}")
+    }
+    val batch = batchRows
       .view.mapValues(_.sortBy(_.getLong(3))
         .map(r => (r.getLong(1),
           java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq)
@@ -917,7 +924,7 @@ class SimilaritySpec extends SparkSpec {
       assert(batch(q) == single,
         s"batch output diverged from single probe for query $q")
     }
-    // ranks are dense 1..k per query and every query retrieves itself
+    // every query retrieves itself (density asserted above)
     qids.foreach { q =>
       assert(batch(q).map(_._1).contains(q), s"query $q lost itself")
     }
@@ -978,6 +985,31 @@ class SimilaritySpec extends SparkSpec {
       assert(pqBatch(q) == single,
         s"IVF-PQ batch output diverged from single probe for query $q")
     }
+
+    // batch contract edges: a duplicated query id breaks the pigeonhole
+    // pre-cut's per-id row bound, so all three batch probes REFUSE it
+    val dup = Seq((0L, vecs(0)._2.toArray), (0L, vecs(1)._2.toArray))
+    intercept[IllegalArgumentException] {
+      Similarity.annTopKMultiTableBatch(maIdx, dup, "vec_id", "embedding",
+        dim = 16, nbits = 4, tables = 4, k = 4, probeBudget = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopKMultiBatch(maIdx, cMa, dup, "vec_id", "embedding",
+        nprobe = 2, k = 4, nassign = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKIndexedBatch(pqIdx, cents, books, dup, "vec_id",
+        "embedding", nprobe = 2, k = 4, rerank = 8, nassign = 2)
+    }
+    // an all-empty shortlist (every probed row filtered out) returns 0
+    // rows with the contract schema — same as the single-query probe,
+    // not an exception
+    val emptyRes = Similarity.ivfPqTopKIndexedBatch(
+      pqIdx.where(lit(false)), cents, books, qs, "vec_id", "embedding",
+      nprobe = 2, k = 8, rerank = 40, nassign = 2)
+    assert(emptyRes.columns.toSeq ==
+      Seq("query_id", "vec_id", "cosine", "rnk"))
+    assert(emptyRes.count() == 0L)
   }
 
   test("PqAdcBatchF matches the composed element_at(typedLit) ADC form " +
@@ -1261,5 +1293,100 @@ class SimilaritySpec extends SparkSpec {
     val b2 = Similarity.lshBucketed(df, "embedding", 16, 6)
       .select("vec_id", "lsh_bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(b1 == b2)
+  }
+
+  test("index append paths: probes over build(A)+append(B) are " +
+    "result-identical to the one-shot union build / frozen-quantizer " +
+    "union transform") {
+    val rnd = new scala.util.Random(71)
+    val centers = (0 until 4).map(_ => Array.fill(16)(rnd.nextGaussian()))
+    val all = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + 0.25 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    // batch = every 10th id (includes id 0 — a probe of it proves the
+    // append actually landed); standing = the rest
+    val standing = all.filter(_._1 % 10 != 0).toDF("vec_id", "embedding")
+    val batch = all.filter(_._1 % 10 == 0).toDF("vec_id", "embedding")
+    val union = all.toDF("vec_id", "embedding").cache()
+    def bits(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    val qids = Seq(0L, 10L, 57L, 123L) // two appended, two standing
+    def qv(q: Long) = all(q.toInt)._2.toArray
+
+    // MT-LSH: planes are deterministic ⇒ append ≡ one-shot union build
+    val oneShot = tmpDir("lshmt-oneshot")
+    Similarity.writeLshMultiTableIndex(union, "vec_id", "embedding",
+      oneShot, dim = 16, nbits = 4, tables = 4)
+    val incr = tmpDir("lshmt-incr")
+    Similarity.writeLshMultiTableIndex(standing, "vec_id", "embedding",
+      incr, dim = 16, nbits = 4, tables = 4)
+    Similarity.appendLshMultiTableIndex(batch, "vec_id", "embedding",
+      incr, dim = 16, nbits = 4, tables = 4)
+    val oneIdx = spark.read.parquet(oneShot)
+    val incrIdx = spark.read.parquet(incr)
+    assert(incrIdx.count() == union.count() * 4, "MT index row count")
+    qids.foreach { q =>
+      val a = Similarity.annTopKMultiTable(oneIdx, qv(q), "vec_id",
+        "embedding", dim = 16, nbits = 4, tables = 4, k = 8,
+        probeHamming = 0, probeBudget = 3).collect().map(bits).toSeq
+      val b = Similarity.annTopKMultiTable(incrIdx, qv(q), "vec_id",
+        "embedding", dim = 16, nbits = 4, tables = 4, k = 8,
+        probeHamming = 0, probeBudget = 3).collect().map(bits).toSeq
+      assert(a == b, s"MT-LSH appended-index probe diverged for query $q")
+      assert(b.map(_._1).contains(q), s"query $q lost itself")
+    }
+
+    // IVF-MA: frozen quantizer ⇒ append ≡ the writer's union transform
+    // under the SAME centroids (a one-shot union build would re-train
+    // them from a different sample — that is the documented contract)
+    val maPath = tmpDir("ivfma-incr")
+    val cents = Similarity.writeIvfIndexMulti(standing, "vec_id",
+      "embedding", maPath, nlist = 6, nassign = 2)
+    Similarity.appendIvfIndexMulti(batch, "vec_id", "embedding", maPath,
+      cents, nassign = 2)
+    val maIdx = spark.read.parquet(maPath)
+    assert(maIdx.count() == union.count() * 2, "IVF-MA index row count")
+    val expectedMa = (0 until 2).map { r =>
+      union.select(col("*"),
+          element_at(graft.functions.VectorFunctions.nearestCentroidsK(
+            col("embedding"), cents, 2), r + 1).as("ivf_cell"))
+        .withColumn("__norm", sqrt(Similarity.norm2(col("embedding"))))
+    }.reduce(_ unionByName _)
+    qids.foreach { q =>
+      val a = Similarity.ivfTopKMulti(expectedMa, cents, qv(q), "vec_id",
+        "embedding", nprobe = 3, k = 8, nassign = 2)
+        .collect().map(bits).toSeq
+      val b = Similarity.ivfTopKMulti(maIdx, cents, qv(q), "vec_id",
+        "embedding", nprobe = 3, k = 8, nassign = 2)
+        .collect().map(bits).toSeq
+      assert(a == b, s"IVF-MA appended-index probe diverged for query $q")
+    }
+
+    // IVF-PQ: frozen quantizer AND codebooks ⇒ same ADC arithmetic
+    val pqPath = tmpDir("ivfpq-incr")
+    val (pCents, books) = Similarity.writeIvfPqIndex(standing, "vec_id",
+      "embedding", pqPath, nlist = 4, nassign = 2, m = 4, codes = 16,
+      samplePerCode = 8)
+    Similarity.appendIvfPqIndex(batch, "vec_id", "embedding", pqPath,
+      pCents, books, nassign = 2)
+    val pqIdx = spark.read.parquet(pqPath)
+    assert(pqIdx.count() == union.count() * 2, "IVF-PQ index row count")
+    val expectedPq = (0 until 2).map { r =>
+      Similarity.pqEncode(
+        union.select(col("*"),
+          element_at(graft.functions.VectorFunctions.nearestCentroidsK(
+            col("embedding"), pCents, 2), r + 1).as("ivf_cell")),
+        "embedding", books)
+    }.reduce(_ unionByName _)
+    qids.foreach { q =>
+      val a = Similarity.ivfPqTopKIndexed(expectedPq, pCents, books,
+        qv(q), "vec_id", "embedding", nprobe = 2, k = 8, rerank = 40,
+        nassign = 2).collect().map(bits).toSeq
+      val b = Similarity.ivfPqTopKIndexed(pqIdx, pCents, books, qv(q),
+        "vec_id", "embedding", nprobe = 2, k = 8, rerank = 40,
+        nassign = 2).collect().map(bits).toSeq
+      assert(a == b, s"IVF-PQ appended-index probe diverged for query $q")
+    }
   }
 }
