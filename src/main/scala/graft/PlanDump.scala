@@ -30,8 +30,10 @@ object PlanDump {
     // snapshots must show PartitionFilters carrying the driver-computed
     // lsh_key / ivf_cell probe sets) and the tx-table interop legs
     "sim_search_ivf", "tx_export", "tx_import",
-    // late round 11: incremental dedup against the persisted band index
-    "dedup_incremental")
+    // late round 11: incremental dedup against the persisted band index,
+    // and the incremental ANN serving probe (same pruned shape as
+    // sim_search_lsh over the build+append index)
+    "dedup_incremental", "sim_search_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -392,23 +392,32 @@ object Similarity {
     * 100 TB viable (the rebuild is T corpus-sized write passes). Small
     * frequent appends accumulate small files inside hot bucket
     * directories; compact on the same cadence as any ingesting table.
+    *
+    * Unlike the builder, this is ONE pass writing all T tables' rows in
+    * one job: the per-table split exists to bound in-flight shuffle at
+    * one CORPUS, and an ingest batch is small by definition (T×batch of
+    * shuffle is nothing), while the per-pass costs the split repeats —
+    * range-sampling, the job, and above all the dynamic-partition
+    * COMMIT's walk over the index's thousands of bucket directories —
+    * dominate an append (measured: 12 passes = 232 s for a 50k batch
+    * into a 5M×12-table index; one pass = a fraction of that; see
+    * `graft.tools.AppendBench`). A corpus-sized "batch" should be
+    * appended in chunks or rebuilt with the writer.
     */
   def appendLshMultiTableIndex(batch: DataFrame, idCol: String,
       vecCol: String, path: String, dim: Int, nbits: Int,
       tables: Int): Unit = {
     require(nbits >= 1 && nbits <= 20, s"nbits out of range: $nbits")
-    (0 until tables).foreach { t =>
+    (0 until tables).map { t =>
       val sig = signatureBits(col(vecCol), dim, t * nbits, nbits)
-      batch
-        .select(col(idCol), col(vecCol),
-          sqrt(norm2(col(vecCol))).as("__norm"),
-          (lit(t.toLong << nbits) + sig).as("lsh_key"))
-        .repartitionByRange(col("lsh_key"), col(idCol))
-        .sortWithinPartitions("lsh_key", idCol)
-        .write.mode("append")
-        .partitionBy("lsh_key").parquet(path)
-      System.gc() // see writeLshMultiTableIndex
-    }
+      batch.select(col(idCol), col(vecCol),
+        sqrt(norm2(col(vecCol))).as("__norm"),
+        (lit(t.toLong << nbits) + sig).as("lsh_key"))
+    }.reduce(_ unionByName _)
+      .repartitionByRange(col("lsh_key"), col(idCol))
+      .sortWithinPartitions("lsh_key", idCol)
+      .write.mode("append")
+      .partitionBy("lsh_key").parquet(path)
   }
 
   /** ANN top-k served from the persisted MULTI-TABLE index: the probe
@@ -663,18 +672,17 @@ object Similarity {
       path: String, centroids: Array[Array[Double]], nassign: Int): Unit = {
     require(nassign >= 1 && nassign <= centroids.length,
       s"nassign must be in [1, ${centroids.length}], got $nassign")
-    (0 until nassign).foreach { r =>
-      batch
-        .select(col("*"),
-          element_at(graft.functions.VectorFunctions.nearestCentroidsK(
-            col(vecCol), centroids, nassign), r + 1).as("ivf_cell"))
-        .withColumn("__norm", sqrt(norm2(col(vecCol))))
-        .repartitionByRange(col("ivf_cell"), col(idCol))
-        .sortWithinPartitions("ivf_cell", idCol)
-        .write.mode("append")
-        .partitionBy("ivf_cell").parquet(path)
-      System.gc() // see writeLshMultiTableIndex
-    }
+    // one pass, all assignment ranks (see appendLshMultiTableIndex: the
+    // per-rank split is a corpus-build shuffle bound, not an append's)
+    batch
+      .select(col("*"),
+        explode(graft.functions.VectorFunctions.nearestCentroidsK(
+          col(vecCol), centroids, nassign)).as("ivf_cell"))
+      .withColumn("__norm", sqrt(norm2(col(vecCol))))
+      .repartitionByRange(col("ivf_cell"), col(idCol))
+      .sortWithinPartitions("ivf_cell", idCol)
+      .write.mode("append")
+      .partitionBy("ivf_cell").parquet(path)
   }
 
   /** IVF probe over a MULTI-ASSIGNMENT index: partition-prune to the
@@ -831,18 +839,16 @@ object Similarity {
       codebooks: Array[Array[Array[Double]]], nassign: Int): Unit = {
     require(nassign >= 1 && nassign <= centroids.length,
       s"nassign must be in [1, ${centroids.length}], got $nassign")
-    (0 until nassign).foreach { r =>
-      pqEncode(
-        batch.select(col("*"),
-          element_at(graft.functions.VectorFunctions.nearestCentroidsK(
-            col(vecCol), centroids, nassign), r + 1).as("ivf_cell")),
-        vecCol, codebooks)
-        .repartitionByRange(col("ivf_cell"), col(idCol))
-        .sortWithinPartitions("ivf_cell", idCol)
-        .write.mode("append")
-        .partitionBy("ivf_cell").parquet(path)
-      System.gc() // see writeLshMultiTableIndex
-    }
+    // one pass, all assignment ranks (see appendLshMultiTableIndex)
+    pqEncode(
+      batch.select(col("*"),
+        explode(graft.functions.VectorFunctions.nearestCentroidsK(
+          col(vecCol), centroids, nassign)).as("ivf_cell")),
+      vecCol, codebooks)
+      .repartitionByRange(col("ivf_cell"), col(idCol))
+      .sortWithinPartitions("ivf_cell", idCol)
+      .write.mode("append")
+      .partitionBy("ivf_cell").parquet(path)
   }
 
   /** IVF-PQ probe over the persisted composite index: partition-prune to

@@ -1,0 +1,97 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+
+/** Measures the incremental-ingest claim behind `sim_search_incremental`:
+  * appending a small batch to the persisted multi-table LSH serving index
+  * is O(batch) — table-count passes over the BATCH — where the rebuild is
+  * the same passes over the whole corpus, and the appended index's probes
+  * are bit-identical to the one-shot rebuild's (deterministic planes).
+  *
+  * One scale point per run (`SPARK_GRAFT_APPEND_FACTOR`, default 2500 =
+  * 5M vectors on the sf0.1 corpus); the batch is `vec_id % 100 == 0`
+  * (1%). Prints one JSON line: build-standing / append-batch /
+  * rebuild-union wall seconds, the append:rebuild ratio, and the
+  * probe-equality verdict over `SPARK_GRAFT_ANN_QUERIES` (default 8)
+  * query-directed probes. Temp trees are reclaimed on exit.
+  */
+object AppendBench {
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_APPEND_FACTOR", "2500").toInt
+    val nQueries = sys.env.getOrElse("SPARK_GRAFT_ANN_QUERIES", "8").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nbits = 10; val tables = 12; val dim = 64; val k = 20 // the 1M+ dial
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val dir =
+      if (factor == 1) srcDir
+      else {
+        val d = s"/tmp/graft-ann-x$factor"
+        ScaleSoak.generateVectors(spark, srcDir, d, factor)
+        d
+      }
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val standing = embs.where(pmod(col("vec_id"), lit(100)) =!= 0)
+    val batch = embs.where(pmod(col("vec_id"), lit(100)) === 0)
+    val n = embs.count(); val nBatch = batch.count()
+    val queries: Seq[Array[Float]] = embs.orderBy("vec_id")
+      .limit(nQueries).select("embedding").as[Array[Float]]
+      .collect().toSeq
+
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-appendbench-").toString
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // one-shot rebuild over the union — the cost an ingest WITHOUT the
+    // append path pays on every batch arrival
+    val tRebuild = timed(Similarity.writeLshMultiTableIndex(embs,
+      "vec_id", "embedding", s"$root/full", dim, nbits, tables))
+    // the incremental path: standing built once (amortized), batch appended
+    val tStanding = timed(Similarity.writeLshMultiTableIndex(standing,
+      "vec_id", "embedding", s"$root/incr", dim, nbits, tables))
+    val tAppend = timed(Similarity.appendLshMultiTableIndex(batch,
+      "vec_id", "embedding", s"$root/incr", dim, nbits, tables))
+
+    val fullIdx = spark.read.parquet(s"$root/full")
+    val incrIdx = spark.read.parquet(s"$root/incr")
+    def probe(idx: org.apache.spark.sql.DataFrame,
+        qv: Array[Float]): Seq[(Long, Long)] =
+      Similarity.annTopKMultiTable(idx, qv, "vec_id", "embedding",
+          dim = dim, nbits = nbits, tables = tables, k = k,
+          probeHamming = 0, probeBudget = 12)
+        .collect()
+        .map(r => (r.getLong(0),
+          java.lang.Double.doubleToLongBits(r.getDouble(1)))).toSeq
+    val identical = queries.forall(qv => probe(fullIdx, qv) == probe(incrIdx, qv))
+
+    def p2(d: Double): Double = math.round(d * 100.0) / 100.0
+    println(s"""{"metric":"ann_append","n_vectors":$n,"n_batch":$nBatch,""" +
+      s""""tables":$tables,"nbits":$nbits,""" +
+      s""""rebuild_s":${p2(tRebuild)},"build_standing_s":${p2(tStanding)},""" +
+      s""""append_s":${p2(tAppend)},""" +
+      s""""append_vs_rebuild":${p2(tRebuild / tAppend)},""" +
+      s""""probes_bit_identical":$identical,"queries":$nQueries}""")
+
+    def rmAll(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmAll)
+      f.delete(): Unit
+    }
+    rmAll(new java.io.File(root))
+    spark.stop()
+  }
+}
