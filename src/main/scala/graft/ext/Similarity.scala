@@ -381,6 +381,41 @@ object Similarity {
     }
   }
 
+  /** Streaming maintenance of the multi-table LSH serving index — the
+    * MT twin of [[ivfStreamWriter]]/[[bandIndexStreamWriter]]: vectors
+    * arriving on a stream land key-partitioned under the SAME
+    * deterministic planes as the batch writer, so the growing index is
+    * probe-compatible (and probe-RESULT-identical, spec-pinned) with a
+    * batch-built one at every micro-batch boundary. One exploded row
+    * per (vector, table) — a micro-batch is small by definition, the
+    * same argument as [[appendLshMultiTableIndex]]'s single pass.
+    */
+  def lshMtStreamWriter(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      checkpoint: String,
+      dim: Int,
+      nbits: Int,
+      tables: Int
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(nbits >= 1 && nbits <= 20, s"nbits out of range: $nbits")
+    vecs
+      .select(col(idCol), col(vecCol),
+        sqrt(norm2(col(vecCol))).as("__norm"),
+        explode(array((0 until tables).map { t =>
+          lit(t.toLong << nbits) +
+            signatureBits(col(vecCol), dim, t * nbits, nbits)
+        }: _*)).as("lsh_key"))
+      .writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("lsh_key")
+      .outputMode("append")
+      .start()
+  }
+
   /** Append a new batch to a persisted multi-table LSH index — the
     * ingest half of the serving story (FAISS's `add`): the hyperplanes
     * are a pure deterministic function of the plane index, so an

@@ -566,6 +566,42 @@ object PipelineQueries {
           .agg((sum(when(col("query_id") === col("vec_id"), 1)
             .otherwise(0)) === 16L).as("ok_self_found"))))
     },
+    // the IVF batch twin: same per-query invariants as
+    // sim_search_batch_check (exact cosines, rank density, k bound,
+    // self-retrieval — the query's own cell is its nearest cell and
+    // multi-assignment keeps it probeable, the sim_search_ivf_check
+    // argument), over the multi-assignment index batch probe
+    "sim_search_batch_ivf_check" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val (idx, centroids, nlist) = ivfMaIndexOf(e, nassign = 3)
+      val qs = e.where(col("vec_id") < 16L)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        .sortBy(_._1)
+      val res = Similarity.ivfTopKMultiBatch(idx, centroids, qs, "vec_id",
+        "embedding", nprobe = ivfNprobe(nlist, 16), k = 20, nassign = 3)
+      val qvecs = e.where(col("vec_id") < 16L)
+        .select(col("vec_id").as("query_id"), col("embedding").as("__q"))
+      val re = res
+        .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(broadcast(qvecs), "query_id")
+        .withColumn("__cos", foldCosine(col("embedding"), col("__q")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("rnk"))
+      e.agg(count(lit(1)).cast("long").as("n_vectors"))
+        .crossJoin(broadcast(re.agg(
+          coalesce(max(abs(col("cosine") - col("__cos"))) === 0.0,
+            lit(true)).as("ok_cosine_exact"),
+          (countDistinct(col("query_id")) === 16L).as("ok_all_queries"),
+          coalesce(max(col("rnk")) <= 20L, lit(true)).as("ok_k_bound"))))
+        .crossJoin(broadcast(res
+          .withColumn("__dense", col("rnk") === row_number().over(w))
+          .agg(coalesce(min(col("__dense").cast("int")) === 1, lit(false))
+            .as("ok_ranks_dense"))))
+        .crossJoin(broadcast(res
+          .agg((sum(when(col("query_id") === col("vec_id"), 1)
+            .otherwise(0)) === 16L).as("ok_self_found"))))
+    },
     // incremental-index invariants: the standard top-k checks PLUS the
     // claim that makes the append path trustworthy — the probe over
     // build(standing)+append(batch) is BIT-IDENTICAL (ids AND cosines)
@@ -960,6 +996,24 @@ object PipelineQueries {
       Similarity.annTopKMultiTable(idx, qv, "vec_id", "embedding",
         dim = 64, nbits = nbits, tables = 12, k = 20, probeHamming = 0,
         probeBudget = 12)
+    },
+    // BATCH serving from the multi-assignment IVF index — the strongest
+    // batch tier at scale (0.122 s/q at 5M = 3.04× vs exact in-run,
+    // RECALL.md): 16 queries' top-k in ONE job over the union of their
+    // nprobe-nearest cells, broadcast (query, cell) fan-out, per-query
+    // windows with the pigeonhole pre-cut. Rows-only; per-query outputs
+    // spec-pinned bit-identical to sim_search_ivf's single probe; twin
+    // recomputes cosines exactly + rank density + self-retrieval.
+    "sim_search_batch_ivf" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val (idx, centroids, nlist) = ivfMaIndexOf(e, nassign = 3)
+      val qs = e.where(col("vec_id") < 16L)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        .sortBy(_._1)
+      Similarity.ivfTopKMultiBatch(idx, centroids, qs, "vec_id",
+          "embedding", nprobe = ivfNprobe(nlist, 16), k = 20, nassign = 3)
+        .orderBy("query_id", "rnk")
     },
     // ANN: MULTI-ASSIGNMENT IVF served from the persisted
     // cell-partitioned index (round 11 — retires the round-10 weak: the

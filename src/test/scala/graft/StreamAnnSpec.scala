@@ -100,6 +100,54 @@ class StreamAnnSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF-PQ recall $recall too low")
   }
 
+  test("streamed multi-table LSH index: probes are bit-identical to the " +
+    "batch-built index on the same vectors") {
+    implicit val sql = spark.sqlContext
+    val rnd = new scala.util.Random(41)
+    val centers = (0 until 4).map(_ => Array.fill(16)(rnd.nextGaussian()))
+    def vec(i: Int): Seq[Float] =
+      centers(i % 4).map(x => (x + 0.2 * rnd.nextGaussian()).toFloat).toSeq
+    val all = (0 until 100).map(i => (i.toLong, vec(i)))
+
+    val sPath = tmpDir("lshmt-stream")
+    val ckpt = tmpDir("lshmt-stream-ckpt")
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Similarity.lshMtStreamWriter(in.toDF.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", sPath, ckpt, dim = 16, nbits = 4, tables = 4)
+    in.addData(all.take(60))
+    q.processAllAvailable()
+    in.addData(all.drop(60)) // second micro-batch — index stays live
+    q.processAllAvailable()
+    q.stop()
+
+    val bPath = tmpDir("lshmt-batch-ref")
+    Similarity.writeLshMultiTableIndex(all.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", bPath, dim = 16, nbits = 4, tables = 4)
+
+    val sIdx = spark.read.parquet(sPath)
+    val bIdx = spark.read.parquet(bPath)
+    assert(sIdx.count() == all.size * 4)
+    // identical (id, key) placement — the deterministic-planes claim.
+    // (cast: the streaming sink reads lsh_key back LONG from its
+    // _spark_metadata schema, the batch read INFERS int from dir names)
+    def placement(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("lsh_key").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(placement(sIdx) == placement(bIdx))
+    // probe-result bit-identity, query-directed probing
+    def bits(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    Seq(0L, 33L, 99L).foreach { qid =>
+      val a = Similarity.annTopKMultiTable(sIdx, all(qid.toInt)._2.toArray,
+        "vec_id", "embedding", dim = 16, nbits = 4, tables = 4, k = 8,
+        probeHamming = 0, probeBudget = 3).collect().map(bits).toSeq
+      val b = Similarity.annTopKMultiTable(bIdx, all(qid.toInt)._2.toArray,
+        "vec_id", "embedding", dim = 16, nbits = 4, tables = 4, k = 8,
+        probeHamming = 0, probeBudget = 3).collect().map(bits).toSeq
+      assert(a == b, s"streamed-index probe diverged for query $qid")
+    }
+  }
+
   test("embedding band index: incremental probe equals the one-shot pair join") {
     val rnd = new scala.util.Random(29)
     val centers = (0 until 4).map(_ => Array.fill(16)(rnd.nextGaussian()))
