@@ -25,6 +25,41 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Batch/streaming writer families are mutually exclusive per index
+    * path: a Structured Streaming parquet sink writes a `_spark_metadata`
+    * transaction log, and a BATCH read of such a path lists files from
+    * the log ONLY — rows appended by a batch writer (the `append*`
+    * functions here, or a second pass of a batch builder) would be
+    * silently invisible to every probe (a top-k loss, not an error).
+    * Every batch append therefore fails fast on a stream-owned path;
+    * conversely, pointing a stream writer at a batch-built index is
+    * refused by the stream's own checkpoint/offset machinery only when
+    * the checkpoint is fresh — keep the families on separate paths.
+    */
+  private def requireBatchOwnedPath(df: DataFrame, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, "_spark_metadata")
+    val fs = p.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    require(!fs.exists(p),
+      s"$path carries a streaming sink's _spark_metadata log; batch " +
+        "appends/builds over it would be invisible to batch reads — " +
+        "use a separate path per writer family (see lshMtStreamWriter)")
+  }
+
+  /** Per-row dimension guard for index APPENDS: a wrong-dim batch row
+    * would persist a mis-assigned index row — durable corruption the
+    * probes' own dim checks can never repair — so the append evaluates
+    * `size(vec) == dim` on every row and raises rather than writes.
+    * (Probes carry the same require on the QUERY vector; this is the
+    * write-side twin. `when(cond, true).otherwise(raise_error)` keeps
+    * the check inside whole-stage codegen as a filter.)
+    */
+  private def dimGuard(vecCol: String, dim: Int): Column =
+    when(size(col(vecCol)) === dim, lit(true))
+      .otherwise(raise_error(concat(
+        lit(s"append batch vector dim != index dim $dim: got "),
+        size(col(vecCol)).cast("string"))).cast("boolean"))
+
   /** Left-fold sum over an array<double> — order-fixed, bit-deterministic.
     * (Interpreted HOF — kept for composition in non-hot paths.)
     */
@@ -353,6 +388,7 @@ object Similarity {
       vecCol: String, path: String, dim: Int, nbits: Int,
       tables: Int): Unit = {
     require(nbits >= 1 && nbits <= 20, s"nbits out of range: $nbits")
+    requireBatchOwnedPath(corpus, path)
     // ONE PASS PER TABLE, not one exploded T× shuffle: the clustering
     // shuffle's map files live on disk until the write job ends, so the
     // all-tables form needs T×corpus of shuffle space NEXT TO the
@@ -389,6 +425,16 @@ object Similarity {
     * batch-built one at every micro-batch boundary. One exploded row
     * per (vector, table) — a micro-batch is small by definition, the
     * same argument as [[appendLshMultiTableIndex]]'s single pass.
+    *
+    * PATH EXCLUSIVITY (one writer family per index path): this sink
+    * writes a `_spark_metadata` transaction log, and a batch read of
+    * the path lists files from that log ONLY — rows written by
+    * [[writeLshMultiTableIndex]] or [[appendLshMultiTableIndex]] into
+    * the same path would be silently invisible to every probe. An
+    * index is either stream-maintained from birth (this writer owns
+    * the path) or batch-built-and-appended (those functions fail fast
+    * on a `_spark_metadata`-carrying path); migrating between families
+    * means rewriting to a fresh path.
     */
   def lshMtStreamWriter(
       vecs: DataFrame,
@@ -443,9 +489,10 @@ object Similarity {
       vecCol: String, path: String, dim: Int, nbits: Int,
       tables: Int): Unit = {
     require(nbits >= 1 && nbits <= 20, s"nbits out of range: $nbits")
+    requireBatchOwnedPath(batch, path)
     (0 until tables).map { t =>
       val sig = signatureBits(col(vecCol), dim, t * nbits, nbits)
-      batch.select(col(idCol), col(vecCol),
+      batch.where(dimGuard(vecCol, dim)).select(col(idCol), col(vecCol),
         sqrt(norm2(col(vecCol))).as("__norm"),
         (lit(t.toLong << nbits) + sig).as("lsh_key"))
     }.reduce(_ unionByName _)
@@ -670,6 +717,7 @@ object Similarity {
     */
   def writeIvfIndexMulti(corpus: DataFrame, idCol: String, vecCol: String,
       path: String, nlist: Int, nassign: Int): Array[Array[Double]] = {
+    requireBatchOwnedPath(corpus, path)
     val (_, centroids) =
       ivfIndexMulti(corpus, idCol, vecCol, nlist, nassign)
     // one pass per assignment rank — the same bounded-build shape as
@@ -707,9 +755,11 @@ object Similarity {
       path: String, centroids: Array[Array[Double]], nassign: Int): Unit = {
     require(nassign >= 1 && nassign <= centroids.length,
       s"nassign must be in [1, ${centroids.length}], got $nassign")
+    requireBatchOwnedPath(batch, path)
     // one pass, all assignment ranks (see appendLshMultiTableIndex: the
     // per-rank split is a corpus-build shuffle bound, not an append's)
     batch
+      .where(dimGuard(vecCol, centroids.head.length))
       .select(col("*"),
         explode(graft.functions.VectorFunctions.nearestCentroidsK(
           col(vecCol), centroids, nassign)).as("ivf_cell"))
@@ -839,6 +889,7 @@ object Similarity {
       path: String, nlist: Int, nassign: Int, m: Int, codes: Int = 256,
       samplePerCode: Int = 16)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    requireBatchOwnedPath(corpus, path)
     val (_, centroids) =
       ivfIndexMulti(corpus, idCol, vecCol, nlist, nassign)
     val (_, codebooks) = pqIndex(corpus, idCol, vecCol, m, codes,
@@ -874,9 +925,11 @@ object Similarity {
       codebooks: Array[Array[Array[Double]]], nassign: Int): Unit = {
     require(nassign >= 1 && nassign <= centroids.length,
       s"nassign must be in [1, ${centroids.length}], got $nassign")
+    requireBatchOwnedPath(batch, path)
     // one pass, all assignment ranks (see appendLshMultiTableIndex)
     pqEncode(
-      batch.select(col("*"),
+      batch.where(dimGuard(vecCol, centroids.head.length))
+        .select(col("*"),
         explode(graft.functions.VectorFunctions.nearestCentroidsK(
           col(vecCol), centroids, nassign)).as("ivf_cell")),
       vecCol, codebooks)

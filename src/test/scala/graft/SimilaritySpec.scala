@@ -1389,4 +1389,75 @@ class SimilaritySpec extends SparkSpec {
       assert(a == b, s"IVF-PQ appended-index probe diverged for query $q")
     }
   }
+
+  test("batch index writers/appends fail fast on a streaming-sink path; " +
+    "appends raise on a wrong-dim batch") {
+    val rnd = new scala.util.Random(83)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    // a path carrying a streaming sink's _spark_metadata log: a batch
+    // read lists files from the log ONLY, so batch-appended rows would
+    // be silently invisible to every probe (ADVICE r11) — the append
+    // must refuse, not corrupt
+    val streamed = tmpDir("lshmt-streamowned")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(streamed, "_spark_metadata"))
+    intercept[IllegalArgumentException] {
+      Similarity.appendLshMultiTableIndex(vecs, "vec_id", "embedding",
+        streamed, dim = 8, nbits = 4, tables = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.writeLshMultiTableIndex(vecs, "vec_id", "embedding",
+        streamed, dim = 8, nbits = 4, tables = 2)
+    }
+    val cents = Array(Array.fill(8)(0.0), Array.fill(8)(1.0))
+    intercept[IllegalArgumentException] {
+      Similarity.appendIvfIndexMulti(vecs, "vec_id", "embedding",
+        streamed, cents, nassign = 1)
+    }
+    val books = Array.fill(2)(Array.fill(4)(Array.fill(4)(0.0)))
+    intercept[IllegalArgumentException] {
+      Similarity.appendIvfPqIndex(vecs, "vec_id", "embedding", streamed,
+        cents, books, nassign = 1)
+    }
+
+    // wrong-dim batch: a mis-assigned index row is DURABLE corruption
+    // (probes carry the dim require on the query side only), so the
+    // append's per-row guard must raise rather than write (ADVICE r11)
+    val maPath = tmpDir("ivfma-dimguard")
+    Similarity.writeIvfIndexMulti(vecs, "vec_id", "embedding", maPath,
+      nlist = 2, nassign = 1)
+    val cents2 = Similarity.writeIvfIndexMulti(vecs, "vec_id",
+      "embedding", maPath, nlist = 2, nassign = 1)
+    val wrongDim = (0 until 5).map(i =>
+      (1000L + i, Array.fill(5)(0.5f).toSeq)).toDF("vec_id", "embedding")
+    val before = spark.read.parquet(maPath).count()
+    // raise_error surfaces as SparkRuntimeException (USER_RAISED_EXCEPTION)
+    // or job-abort SparkException depending on where the write fails —
+    // pin the guard by MESSAGE, not exception class
+    def dimRefused(f: => Unit): Unit = {
+      val e = intercept[Exception](f)
+      assert(Option(e.getMessage).getOrElse("").contains("dim") ||
+        Option(e.getCause).exists(c =>
+          Option(c.getMessage).getOrElse("").contains("dim")),
+        s"expected the dim guard, got: $e")
+    }
+    dimRefused {
+      Similarity.appendIvfIndexMulti(wrongDim, "vec_id", "embedding",
+        maPath, cents2, nassign = 1)
+    }
+    dimRefused {
+      Similarity.appendIvfPqIndex(wrongDim, "vec_id", "embedding",
+        maPath, cents2,
+        Array.fill(4)(Array.fill(4)(Array.fill(2)(0.0))), nassign = 1)
+    }
+    dimRefused {
+      Similarity.appendLshMultiTableIndex(wrongDim, "vec_id", "embedding",
+        maPath, dim = 8, nbits = 4, tables = 2)
+    }
+    // a refused append must not have landed partial rows
+    assert(spark.read.parquet(maPath).count() == before,
+      "wrong-dim append landed rows")
+  }
 }
