@@ -359,6 +359,29 @@ object AnnCrossover {
             256, 3, 16)),
         ("ivf_ma_l256_a2_p24",
           () => ivfMaCell("ivf_ma_l256_a2_p24", 256, 2, 24)),
+        // round-12 DE-CLAMPED dials (distributed coarse fit at
+        // nlist > 256; fitCentroids): nlist grows toward √N while nprobe
+        // grows sub-linearly, so the probe FRACTION shrinks with N —
+        // the 100 TB requirement the 256-clamp froze at 14–19% of bytes.
+        // fractions (corpus bytes ≈ nprobe·nassign/nlist): l1024 p24 =
+        // 7.0%, p32 = 9.4%; l2048 p48 = 7.0%; l4096 p64 = 4.7%, p96 =
+        // 7.0%.
+        ("ivf_ma_l1024_a3_p24",
+          () => ivfMaCell("ivf_ma_l1024_a3_p24", 1024, 3, 24)),
+        ("ivf_ma_l1024_a3_p32",
+          () => ivfMaCell("ivf_ma_l1024_a3_p32", 1024, 3, 32)),
+        ("ivf_ma_l2048_a3_p48",
+          () => ivfMaCell("ivf_ma_l2048_a3_p48", 2048, 3, 48)),
+        ("ivf_ma_l4096_a3_p64",
+          () => ivfMaCell("ivf_ma_l4096_a3_p64", 4096, 3, 64)),
+        ("ivf_ma_l4096_a3_p96",
+          () => ivfMaCell("ivf_ma_l4096_a3_p96", 4096, 3, 96)),
+        // MT-LSH grown jointly (T, nbits) per the lshMtNbits recall math:
+        // T=24 × nbits=12, qd12 reads 24·12/4096 ≈ 7.0% of corpus bytes
+        ("lsh_mt_t24_b12_qd12",
+          () => lshMtQdCell("lsh_mt_t24_b12_qd12", 12, 24, 12)),
+        ("ivfpq_l1024_a2_p96_rr800",
+          () => ivfPqCell("ivfpq_l1024_a2_p96_rr800", 1024, 2, 96, 16, 800)),
         ("ivfpq_l256_a2_p32_m16",
           () => ivfPqCell("ivfpq_l256_a2_p32_m16", 256, 2, 32, 16, 400)),
         ("ivfpq_l256_a2_p32_rr800",

@@ -45,7 +45,11 @@ object AppendBench {
       }
     val embs = spark.read.parquet(s"$dir/embeddings.parquet")
       .select("vec_id", "embedding")
-    val standing = embs.where(pmod(col("vec_id"), lit(100)) =!= 0)
+    // standing 95%, five disjoint 1% ingest batches: the FIRST is the
+    // headline append column (comparable to r11's 1%-batch run); the
+    // other four are the maintenance phase's extra arrivals, so the hot
+    // bucket dirs carry real multi-append file debt before compaction
+    val standing = embs.where(pmod(col("vec_id"), lit(100)) >= 5)
     val batch = embs.where(pmod(col("vec_id"), lit(100)) === 0)
     val n = embs.count(); val nBatch = batch.count()
     val queries: Seq[Array[Float]] = embs.orderBy("vec_id")
@@ -84,8 +88,6 @@ object AppendBench {
     val tAppend = timed(Similarity.appendLshMultiTableIndex(batch,
       "vec_id", "embedding", s"$root/incr", dim, nbits, tables))
 
-    val fullIdx = spark.read.parquet(s"$root/full")
-    val incrIdx = spark.read.parquet(s"$root/incr")
     def probe(idx: org.apache.spark.sql.DataFrame,
         qv: Array[Float]): Seq[(Long, Long)] =
       Similarity.annTopKMultiTable(idx, qv, "vec_id", "embedding",
@@ -94,7 +96,42 @@ object AppendBench {
         .collect()
         .map(r => (r.getLong(0),
           java.lang.Double.doubleToLongBits(r.getDouble(1)))).toSeq
+
+    // MAINTENANCE phase (round 12 — IndexLifecycle.compactIndex): the 4
+    // remaining 1% batches arrive (disjoint slices — never a duplicate
+    // row), so every hot bucket dir carries build + 5 append files; the
+    // full/incr bit-identity check runs on the COMPLETE corpus, then the
+    // probe floor is measured before and after compaction with
+    // bit-identity pinned across it. This is the ingest steady-state
+    // question: appends are O(batch), but WITHOUT compaction the probe
+    // pays task-per-file on every pruned read forever.
+    val extraAppends = (1 to 4).map { j =>
+      timed(Similarity.appendLshMultiTableIndex(
+        embs.where(pmod(col("vec_id"), lit(100)) === j),
+        "vec_id", "embedding", s"$root/incr", dim, nbits, tables))
+    }.sum
+    spark.catalog.refreshByPath(s"$root/incr")
+
+    val fullIdx = spark.read.parquet(s"$root/full")
+    val incrIdx = spark.read.parquet(s"$root/incr")
     val identical = queries.forall(qv => probe(fullIdx, qv) == probe(incrIdx, qv))
+    val dirtyIdx = spark.read.parquet(s"$root/incr")
+    def probeAllS(idx: org.apache.spark.sql.DataFrame): Double =
+      (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        queries.foreach(qv => probe(idx, qv): Unit)
+        (System.nanoTime() - t0) / 1e9 / queries.length
+      }.min
+    val preCompactS = probeAllS(dirtyIdx)
+    val preCompact = queries.map(qv => probe(dirtyIdx, qv))
+    val tCompact = timed {
+      graft.ext.IndexLifecycle.compactIndex(spark, s"$root/incr",
+        "vec_id", maxFilesPerDir = 1): Unit
+    }
+    val cleanIdx = spark.read.parquet(s"$root/incr")
+    val postCompactS = probeAllS(cleanIdx)
+    val postCompact = queries.map(qv => probe(cleanIdx, qv))
+    val compactIdentical = preCompact == postCompact
 
     def p2(d: Double): Double = math.round(d * 100.0) / 100.0
     println(s"""{"metric":"ann_append","n_vectors":$n,"n_batch":$nBatch,""" +
@@ -102,7 +139,12 @@ object AppendBench {
       s""""rebuild_s":${p2(tRebuild)},"build_standing_s":${p2(tStanding)},""" +
       s""""append_s":${p2(tAppend)},""" +
       s""""append_vs_rebuild":${p2(tRebuild / tAppend)},""" +
-      s""""probes_bit_identical":$identical,"queries":$nQueries}""")
+      s""""probes_bit_identical":$identical,"queries":$nQueries,""" +
+      s""""extra_appends_s":${p2(extraAppends)},""" +
+      s""""probe_precompact_s":${p2(preCompactS)},""" +
+      s""""compact_s":${p2(tCompact)},""" +
+      s""""probe_postcompact_s":${p2(postCompactS)},""" +
+      s""""probes_identical_across_compact":$compactIdentical}""")
 
     def rmAll(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rmAll)

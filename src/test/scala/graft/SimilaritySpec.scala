@@ -1390,6 +1390,51 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("distributed coarse-quantizer fit (nlist > 256): shape, cell " +
+    "coverage, and an end-to-end probe over the de-clamped index") {
+    val rnd = new scala.util.Random(97)
+    val centers = (0 until 8).map(_ => Array.fill(8)(3.0 * rnd.nextGaussian()))
+    val all = (0 until 3000).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + 0.3 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val corpus = all.toDF("vec_id", "embedding").cache()
+
+    // nlist = 300 forces the distributed Lloyd's path
+    val cents = Similarity.fitCentroids(corpus, "vec_id", "embedding", 300)
+    assert(cents.length == 300, s"expected 300 centroids, got ${cents.length}")
+    assert(cents.forall(_.length == 8), "centroid dim")
+    assert(cents.forall(_.forall(d => !d.isNaN && !d.isInfinite)),
+      "non-finite centroid")
+
+    // the fit must actually move centroids toward the data: assignment
+    // over the corpus should touch many cells (a broken fold that left
+    // init rows untouched still passes shape checks — coverage doesn't)
+    val cells = corpus.select(graft.functions.VectorFunctions
+        .nearestCentroid(col("embedding"), cents).as("c"))
+      .distinct().count()
+    assert(cells >= 50, s"only $cells cells populated out of 300")
+
+    // end-to-end: build the de-clamped IVF-MA index and probe it — the
+    // serving shape at nlist > 256 (fraction shrinks with nlist at fixed
+    // nprobe; recall here just needs to be sane on a clustered corpus)
+    val path = tmpDir("ivfma-declamped")
+    val wCents = Similarity.writeIvfIndexMulti(corpus, "vec_id",
+      "embedding", path, nlist = 300, nassign = 2)
+    val idx = spark.read.parquet(path)
+    assert(idx.count() == 6000L, "nassign=2 index row count")
+    val exact = Similarity.cosineTopK(corpus,
+        Seq(Tuple1(all(7)._2)).toDF("embedding"), "vec_id", "embedding", 10)
+      .select("vec_id").as[Long].collect().toSet
+    val got = Similarity.ivfTopKMulti(idx, wCents, all(7)._2.toArray,
+        "vec_id", "embedding", nprobe = 30, k = 10, nassign = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got.contains(7L), "self vector not retrieved")
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.6, s"de-clamped IVF recall $recall too low")
+    corpus.unpersist(): Unit
+  }
+
   test("batch index writers/appends fail fast on a streaming-sink path; " +
     "appends raise on a wrong-dim batch") {
     val rnd = new scala.util.Random(83)
