@@ -59,7 +59,7 @@ object Recall {
     // single-table multiprobe forms for context
     val mtTables = 12
     val mtBudget = 12
-    val mtNbits = graft.queries.PipelineQueries.lshMtNbits(nVec)
+    val mtNbits = graft.queries.Serving.lshMtNbits(nVec)
     // temp index trees are several corpus multiples on disk (MT-LSH is
     // 12×) — a shutdown hook reclaims them even when a recall gate
     // BELOW throws (the tool's purpose is to fail on regression; a
@@ -97,8 +97,8 @@ object Recall {
     // MULTI-ASSIGNMENT persisted index (nassign=3, nlist from the √N
     // dial, nprobe = nlist/16); the round-10 single-assignment
     // nlist=16/nprobe=8 kept for context
-    val maNlist = graft.queries.PipelineQueries.ivfNlist(nVec)
-    val maNprobe = graft.queries.PipelineQueries.ivfNprobe(maNlist, 16)
+    val maNlist = graft.queries.Serving.ivfNlist(nVec)
+    val maNprobe = graft.queries.Serving.ivfNprobe(maNlist, 16)
     val maPath = tempIndexDir("graft-recall-ivfma")
     val maCentroids = Similarity.writeIvfIndexMulti(e, "vec_id",
       "embedding", maPath, nlist = maNlist, nassign = 3)
@@ -119,7 +119,7 @@ object Recall {
     // PQ: the round-11 declared sim_search_pq configuration — the IVF-PQ
     // COMPOSITE (multi-assign cells, ADC over code columns in nprobe
     // cells, IN-filter rerank); flat PQ16x8 kept for context
-    val pqNprobe = graft.queries.PipelineQueries.pqNprobe(maNlist)
+    val pqNprobe = graft.queries.Serving.pqNprobe(maNlist)
     val pqPath = tempIndexDir("graft-recall-ivfpq")
     val (pqCentroids, pqBooks) = Similarity.writeIvfPqIndex(e, "vec_id",
       "embedding", pqPath, nlist = maNlist, nassign = 2, m = 16,

@@ -123,14 +123,14 @@ class PlanLintSpec extends SparkSpec {
     // the round-10 weak was a 69%/50% probe; the round-11 dials must keep
     // the big-N fraction small — pinned as arithmetic so a config drift
     // fails here before AnnCrossover re-measures it
-    val nbits1m = graft.queries.PipelineQueries.lshMtNbits(1000000L)
+    val nbits1m = graft.queries.Serving.lshMtNbits(1000000L)
     assert(nbits1m == 10, s"LSH dial at 1M moved: $nbits1m")
     // query-directed probe: 12 buckets per table of 12 tables
     val lshFrac = 12.0 * 12 / (1L << nbits1m).toDouble
     assert(lshFrac <= 0.15, f"LSH MT probe fraction at 1M: $lshFrac%.3f")
-    val nlist1m = graft.queries.PipelineQueries.ivfNlist(1000000L)
+    val nlist1m = graft.queries.Serving.ivfNlist(1000000L)
     assert(nlist1m == 256, s"IVF dial at 1M moved: $nlist1m")
-    val ivfFrac = 3.0 * graft.queries.PipelineQueries
+    val ivfFrac = 3.0 * graft.queries.Serving
       .ivfNprobe(nlist1m, 16) / nlist1m.toDouble
     assert(ivfFrac <= 0.20, f"IVF MA probe fraction at 1M: $ivfFrac%.3f")
     // PQ composite (late-r11 re-dial: pqNprobe = max(nlist/8 floor,
@@ -139,7 +139,7 @@ class PlanLintSpec extends SparkSpec {
     // the index — the CELL fraction may sit near a third, but the BYTE
     // fraction stays a few % because the scan never touches the vector
     // column (PLANS.md's ReadSchema shows codes only)
-    val pqNprobe1m = graft.queries.PipelineQueries.pqNprobe(nlist1m)
+    val pqNprobe1m = graft.queries.Serving.pqNprobe(nlist1m)
     assert(pqNprobe1m == 48, s"PQ probe dial at 1M moved: $pqNprobe1m")
     val pqCells = 2.0 * pqNprobe1m / nlist1m.toDouble
     assert(pqCells <= 0.40, f"IVF-PQ probed-cell fraction at 1M: $pqCells%.3f")
