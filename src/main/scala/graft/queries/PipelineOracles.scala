@@ -134,6 +134,11 @@ object PipelineOracles {
         |   AS n_vectors, TRUE AS ok_cosine_exact, TRUE AS ok_all_queries,
         | TRUE AS ok_k_bound, TRUE AS ok_ranks_dense,
         | TRUE AS ok_self_found""".stripMargin,
+    "sim_search_batch_pq_check" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT)
+        |   AS n_vectors, TRUE AS ok_cosine_exact, TRUE AS ok_all_queries,
+        | TRUE AS ok_k_bound, TRUE AS ok_ranks_dense,
+        | TRUE AS ok_self_found""".stripMargin,
     "sim_search_incremental_check" ->
       """SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT)
         |   AS n_vectors, TRUE AS ok_cosine_exact, TRUE AS ok_k_bound,

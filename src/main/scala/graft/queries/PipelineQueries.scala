@@ -429,6 +429,44 @@ object PipelineQueries {
           .agg((sum(when(col("query_id") === col("vec_id"), 1)
             .otherwise(0)) === 16L).as("ok_self_found"))))
     },
+    // the PQ batch twin: same per-query invariants (exact cosines via
+    // the rerank's raw-vector rescore, rank density, k bound,
+    // self-retrieval — self survives the ADC cut as the quantized-dot
+    // rank-1, the sim_search_pq_check argument) over the composite
+    // index's batched probe
+    "sim_search_batch_pq_check" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val (idx, centroids, books, nlist) = ivfPqIndexOf(e,
+        nassign = 2, m = 16, codes = 256, samplePerCode = 16)
+      val qs = e.where(col("vec_id") < 16L)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        .sortBy(_._1)
+      val res = Similarity.ivfPqTopKIndexedBatch(idx, centroids, books,
+        qs, "vec_id", "embedding", nprobe = pqNprobe(nlist), k = 20,
+        rerank = 800, nassign = 2)
+      val qvecs = e.where(col("vec_id") < 16L)
+        .select(col("vec_id").as("query_id"), col("embedding").as("__q"))
+      val re = res
+        .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(broadcast(qvecs), "query_id")
+        .withColumn("__cos", foldCosine(col("embedding"), col("__q")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("rnk"))
+      e.agg(count(lit(1)).cast("long").as("n_vectors"))
+        .crossJoin(broadcast(re.agg(
+          coalesce(max(abs(col("cosine") - col("__cos"))) === 0.0,
+            lit(true)).as("ok_cosine_exact"),
+          (countDistinct(col("query_id")) === 16L).as("ok_all_queries"),
+          coalesce(max(col("rnk")) <= 20L, lit(true)).as("ok_k_bound"))))
+        .crossJoin(broadcast(res
+          .withColumn("__dense", col("rnk") === row_number().over(w))
+          .agg(coalesce(min(col("__dense").cast("int")) === 1, lit(false))
+            .as("ok_ranks_dense"))))
+        .crossJoin(broadcast(res
+          .agg((sum(when(col("query_id") === col("vec_id"), 1)
+            .otherwise(0)) === 16L).as("ok_self_found"))))
+    },
     // incremental-index invariants: the standard top-k checks PLUS the
     // claim that makes the append path trustworthy — the probe over
     // build(standing)+append(batch) is BIT-IDENTICAL (ids AND cosines)
@@ -840,6 +878,28 @@ object PipelineQueries {
         .sortBy(_._1)
       Similarity.ivfTopKMultiBatch(idx, centroids, qs, "vec_id",
           "embedding", nprobe = ivfNprobe(nlist, 16), k = 20, nassign = 3)
+        .orderBy("query_id", "rnk")
+    },
+    // BATCH serving from the IVF-PQ composite — the third serving tier's
+    // batch row (round 12): 16 queries' shortlists from ONE ADC pass over
+    // the union of their probed cells (all per-query lookup tables ride
+    // as one plan-constant PqAdcBatchF reference object, pre-cut per
+    // (query, cell) — the group-limit lesson in RECALL.md), then one
+    // rerank job of unioned per-query IN-filtered legs. Rows-only;
+    // per-query outputs spec-pinned bit-identical to sim_search_pq's
+    // single probe; twin recomputes cosines exactly + rank density +
+    // self-retrieval.
+    "sim_search_batch_pq" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val (idx, centroids, books, nlist) = ivfPqIndexOf(e,
+        nassign = 2, m = 16, codes = 256, samplePerCode = 16)
+      val qs = e.where(col("vec_id") < 16L)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        .sortBy(_._1)
+      Similarity.ivfPqTopKIndexedBatch(idx, centroids, books, qs,
+          "vec_id", "embedding", nprobe = pqNprobe(nlist), k = 20,
+          rerank = 800, nassign = 2)
         .orderBy("query_id", "rnk")
     },
     // ANN: MULTI-ASSIGNMENT IVF served from the persisted
