@@ -53,13 +53,13 @@ object Recall {
         exact(q).intersect(t).size.toDouble / exact(q).size
       }.sum / nQueries
 
-    // LSH: the round-11 declared sim_search_lsh configuration — the
-    // OR-amplified MULTI-TABLE persisted index (T=12 tables, nbits from
-    // the corpus dial, Hamming-1 per-table probe), plus the demoted
-    // single-table multiprobe forms for context
-    val mtTables = 12
+    // LSH: the declared sim_search_lsh configuration — the OR-amplified
+    // MULTI-TABLE persisted index ((nbits, tables) from the joint corpus
+    // dial — T=12 at this corpus's nbits=4, growing to 24 past nbits=11;
+    // query-directed probe), plus the demoted single-table multiprobe
+    // forms for context
+    val (mtNbits, mtTables) = graft.queries.Serving.lshMtDial(nVec)
     val mtBudget = 12
-    val mtNbits = graft.queries.Serving.lshMtNbits(nVec)
     // temp index trees are several corpus multiples on disk (MT-LSH is
     // 12×) — a shutdown hook reclaims them even when a recall gate
     // BELOW throws (the tool's purpose is to fail on regression; a

@@ -330,9 +330,9 @@ object PipelineQueries {
       val e = Tables.embeddings(s, d)
       val qv = e.where(col("vec_id") === 0L).select("embedding")
         .head().getSeq[Float](0).toArray
-      val (idx, nbits) = lshMtIndexOf(e, 64, tables = 12)
+      val (idx, nbits, tables) = lshMtIndexOf(e, 64)
       annTopKCheck(e, Similarity.annTopKMultiTable(idx, qv,
-        "vec_id", "embedding", dim = 64, nbits = nbits, tables = 12,
+        "vec_id", "embedding", dim = 64, nbits = nbits, tables = tables,
         k = 20, probeHamming = 0, probeBudget = 12), k = 20)
     },
     "sim_search_ivf_check" -> { (s, d) =>
@@ -363,13 +363,13 @@ object PipelineQueries {
     // all 16 queries answered
     "sim_search_batch_check" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
-      val (idx, nbits) = lshMtIndexOf(e, 64, tables = 12)
+      val (idx, nbits, tables) = lshMtIndexOf(e, 64)
       val qs = e.where(col("vec_id") < 16L)
         .select("vec_id", "embedding").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
         .sortBy(_._1)
       val res = Similarity.annTopKMultiTableBatch(idx, qs, "vec_id",
-        "embedding", dim = 64, nbits = nbits, tables = 12, k = 20,
+        "embedding", dim = 64, nbits = nbits, tables = tables, k = 20,
         probeBudget = 12)
       val qvecs = e.where(col("vec_id") < 16L)
         .select(col("vec_id").as("query_id"), col("embedding").as("__q"))
@@ -477,13 +477,13 @@ object PipelineQueries {
       val e = Tables.embeddings(s, d)
       val qv = e.where(col("vec_id") === 0L).select("embedding")
         .head().getSeq[Float](0).toArray
-      val (iIdx, iNbits) = lshMtIncrIndexOf(e, 64, tables = 12)
-      val (fIdx, fNbits) = lshMtIndexOf(e, 64, tables = 12)
+      val (iIdx, iNbits, iTables) = lshMtIncrIndexOf(e, 64)
+      val (fIdx, fNbits, fTables) = lshMtIndexOf(e, 64)
       val incr = Similarity.annTopKMultiTable(iIdx, qv, "vec_id",
-        "embedding", dim = 64, nbits = iNbits, tables = 12, k = 20,
+        "embedding", dim = 64, nbits = iNbits, tables = iTables, k = 20,
         probeHamming = 0, probeBudget = 12)
       val full = Similarity.annTopKMultiTable(fIdx, qv, "vec_id",
-        "embedding", dim = 64, nbits = fNbits, tables = 12, k = 20,
+        "embedding", dim = 64, nbits = fNbits, tables = fTables, k = 20,
         probeHamming = 0, probeBudget = 12)
       val iRows = incr.select(col("vec_id"), col("cosine"))
       val fRows = full.select(col("vec_id"), col("cosine"))
@@ -817,9 +817,9 @@ object PipelineQueries {
       val e = Tables.embeddings(s, d)
       val qv = e.where(col("vec_id") === 0L).select("embedding")
         .head().getSeq[Float](0).toArray
-      val (idx, nbits) = lshMtIndexOf(e, 64, tables = 12)
+      val (idx, nbits, tables) = lshMtIndexOf(e, 64)
       Similarity.annTopKMultiTable(idx, qv, "vec_id", "embedding",
-        dim = 64, nbits = nbits, tables = 12, k = 20, probeHamming = 0,
+        dim = 64, nbits = nbits, tables = tables, k = 20, probeHamming = 0,
         probeBudget = 12)
     },
     // BATCH ANN serving from the same persisted multi-table index: 16
@@ -834,13 +834,13 @@ object PipelineQueries {
     // every reported cosine exactly + checks rank density per query.
     "sim_search_batch" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
-      val (idx, nbits) = lshMtIndexOf(e, 64, tables = 12)
+      val (idx, nbits, tables) = lshMtIndexOf(e, 64)
       val qs = e.where(col("vec_id") < 16L)
         .select("vec_id", "embedding").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
         .sortBy(_._1)
       Similarity.annTopKMultiTableBatch(idx, qs, "vec_id", "embedding",
-          dim = 64, nbits = nbits, tables = 12, k = 20, probeBudget = 12)
+          dim = 64, nbits = nbits, tables = tables, k = 20, probeBudget = 12)
         .orderBy("query_id", "rnk")
     },
     // INCREMENTAL ANN serving (the ingest shape, ANN twin of
@@ -857,9 +857,9 @@ object PipelineQueries {
       val e = Tables.embeddings(s, d)
       val qv = e.where(col("vec_id") === 0L).select("embedding")
         .head().getSeq[Float](0).toArray
-      val (idx, nbits) = lshMtIncrIndexOf(e, 64, tables = 12)
+      val (idx, nbits, tables) = lshMtIncrIndexOf(e, 64)
       Similarity.annTopKMultiTable(idx, qv, "vec_id", "embedding",
-        dim = 64, nbits = nbits, tables = 12, k = 20, probeHamming = 0,
+        dim = 64, nbits = nbits, tables = tables, k = 20, probeHamming = 0,
         probeBudget = 12)
     },
     // BATCH serving from the multi-assignment IVF index — the strongest

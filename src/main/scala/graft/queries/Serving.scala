@@ -47,49 +47,79 @@ object Serving {
     (System.identityHashCode(e.sparkSession),
       e.queryExecution.analyzed.semanticHash(), cfg)
 
-  /** The multi-table LSH scale dial: nbits sized so per-table buckets
-    * hold ~`targetBucket` rows, clamped to [4, 10] — small corpora get a
-    * cheap index whose probe fraction is naturally large (right at that
-    * scale: a 600-row read IS the serving cost floor), big corpora get
-    * 1024-bucket tables whose Hamming-1 probe reads 11/1024 per table.
-    * The clamp's top end is where recall math lives: per-table hit rate
-    * q = P(Binomial(nbits, 1−p) ≤ 1) shrinks with nbits, and the
-    * OR-amplification 1−(1−q)^T must stay ≥ 0.8 — nbits=10 at T=12
-    * holds it (AnnCrossover/RECALL.md); nbits=12 does not.
+  /** The multi-table LSH scale dial, DE-CLAMPED round 12: (nbits,
+    * tables) grow JOINTLY. nbits is sized so per-table buckets hold
+    * ~250 rows, now clamped to [4, 12]; the table count rises with
+    * nbits because per-table hit rate q = P(Binomial(nbits, 1−p) ≤ ...)
+    * shrinks as planes are added, and the OR-amplification 1−(1−q)^T
+    * must stay ≥ 0.8 — T=12 holds it through nbits=10 (the round-11
+    * measured config: 12·12/1024 = 14.1% of corpus bytes), and T=24
+    * buys it back at nbits=11–12, where the query-directed 12-bucket
+    * probe reads 24·12/4096 ≈ 7.0% of corpus bytes. Measured at 5M
+    * (AnnCrossover round 12): recall 0.831 at HALF the round-11 probe
+    * bytes; the single-probe wall sits at the exact scan's level there
+    * (0.98× in-run) because doubling T doubles the pruned-directory
+    * task count and the probe floor is task-scheduling-bound, not
+    * byte-bound — which is exactly the floor batch serving divides by
+    * |queries| (the declared `sim_search_batch` shape), and which
+    * 1000 executors hide entirely while the 2× byte saving persists.
+    * The storage trade doubles with T (24× corpus) — the classic
+    * multi-table bargain, stated in RECALL.md with the disk arithmetic.
     */
-  private[graft] def lshMtNbits(n: Long): Int =
-    math.max(4, math.min(10,
+  private[graft] def lshMtDial(n: Long): (Int, Int) = {
+    val nbits = math.max(4, math.min(12,
       math.ceil(math.log(n.toDouble / 250.0) / math.log(2.0)).toInt))
+    val tables = if (nbits >= 11) 24 else 12
+    (nbits, tables)
+  }
 
-  /** The IVF scale dial: nlist ≈ √N (FAISS guidance), clamped to
-    * [16, 256] — the top end keeps the driver-local Lloyd's fit constant
-    * (sample = nlist·64 rows); a cluster deployment distributes the fit
-    * and raises the clamp.
+  /** nbits half of [[lshMtDial]] (Recall/PlanLint's arithmetic pins). */
+  private[graft] def lshMtNbits(n: Long): Int = lshMtDial(n)._1
+
+  /** The IVF scale dial: nlist ≈ √N (FAISS guidance). The round-11
+    * clamp at 256 existed because the coarse fit was driver-local;
+    * [[graft.ext.Similarity.fitCentroids]] distributes the Lloyd's
+    * iterations past 256, so the clamp now sits at 4096 — this
+    * harness's fit-cost ceiling, not a design one (a cluster raises it
+    * toward the √N ideal; at 25B vectors nlist ~10⁵ wants the centroid
+    * matrix as an explicit broadcast, noted in fitCentroids).
     */
   private[graft] def ivfNlist(n: Long): Int =
-    math.min(256, math.max(16, math.round(math.sqrt(n.toDouble)).toInt))
+    math.min(4096, math.max(16, math.round(math.sqrt(n.toDouble)).toInt))
 
-  /** The probe-depth dial: nlist/divisor cells at scale (the ≤20%-bytes
-    * big-N fraction the crossover measures), FLOORED at 8 cells (capped
-    * at nlist/2) — a small corpus has few, coarse cells, and probing 2
-    * of 45 measured recall 0.483 at sf0.1; reading half of a 2000-row
-    * index is the serving cost floor there, exactly like the LSH dial's
-    * nbits=4 bottom end.
+  /** The probe-depth dial. ≤ 256 cells: the round-11 linear form,
+    * verbatim — nlist/divisor, floored at 8 (capped nlist/2) — so every
+    * measured artifact and every test-scale declared config is
+    * bit-unchanged. PAST the de-clamp point the probe count grows only
+    * as √nlist (≡ N^(1/4)): the probed FRACTION nprobe/nlist then
+    * SHRINKS as 1/√nlist instead of freezing — the 100 TB requirement
+    * (a frozen fraction is a 14–19 TB read per query there). The two
+    * regimes are continuous at 256 (16 = 256/16 = √256). Measured at
+    * 5M (AnnCrossover round 12, distributed fit): nlist=4096/nprobe=96
+    * (√-dial ×1.5 = 7.0% of corpus bytes) recall 0.800 at 2.33×;
+    * nprobe=64 (the bare √ point, 4.7%) recall 0.738 at 2.90×;
+    * nlist=1024/nprobe=32 (9.4%) recall 0.775 at 2.48×. Recall at a
+    * fixed config RISES with N on this corpus as the true top-20
+    * tighten (round 11 measured 0.781@5M → 0.906@20M at l256p16), and
+    * the 20M point of the de-clamped dial is in RECALL.md's round-12
+    * table — the fraction falls as N^(-1/4) while the recall bar
+    * holds where the scale question is asked.
     */
   private[graft] def ivfNprobe(nlist: Int, divisor: Int): Int =
-    math.max(math.min(8, nlist / 2), nlist / divisor)
+    if (nlist <= 256) math.max(math.min(8, nlist / 2), nlist / divisor)
+    else math.round(16.0 / divisor * math.sqrt(nlist.toDouble)).toInt
 
-  /** The IVF-PQ probe-depth dial: 3/16 of cells at the 256-cell scale
-    * dial (48 cells), floored by the plain-IVF small-corpus dial (8 of 45
-    * cells at sf0.1 — identical to the plain probe there, where reading
-    * half the tiny index is the serving cost floor anyway). Measured at
-    * 20M with rerank=800: 1.60× over the at-rest exact scan at recall
-    * 0.913 — both of the round-10 verdict's item-4 bars (≥1.5×, ≥0.85);
-    * the leaner 32-cell / rerank-400 point reads 2.36× at 0.825 and is
-    * kept as AnnCrossover's speed-leaning context row.
+  /** The IVF-PQ probe-depth dial: 3/16 of cells at the 256-cell dial
+    * (48 cells — measured 1.60× at 20M at recall 0.913, the round-11
+    * numbers), floored by the plain-IVF small-corpus dial; past the
+    * de-clamp point it follows the same √ law as [[ivfNprobe]]
+    * (3·√nlist — continuous at 256: 48 = 3·16), so the ADC cell
+    * fraction shrinks with N on top of PQ's code-column byte lean.
     */
   private[graft] def pqNprobe(nlist: Int): Int =
-    math.max(ivfNprobe(nlist, 8), nlist * 3 / 16)
+    if (nlist <= 256) math.max(ivfNprobe(nlist, 8), nlist * 3 / 16)
+    else math.max(ivfNprobe(nlist, 8),
+      math.round(3.0 * math.sqrt(nlist.toDouble)).toInt)
 
   private def corpusSize(e: DataFrame): Long = e.count()
 
@@ -108,15 +138,15 @@ object Serving {
     * every execution (measured seconds at 1M-vector dir counts); the
     * relation's file index is built once per session.
     */
-  private[queries] def lshMtIndexOf(e: DataFrame, dim: Int,
-      tables: Int): (DataFrame, Int) =
-    annIndexCache.computeIfAbsent(annKey(e, s"lshmt$dim-$tables"), _ => {
-      val nbits = lshMtNbits(corpusSize(e))
+  private[queries] def lshMtIndexOf(e: DataFrame,
+      dim: Int): (DataFrame, Int, Int) =
+    annIndexCache.computeIfAbsent(annKey(e, s"lshmt$dim"), _ => {
+      val (nbits, tables) = lshMtDial(corpusSize(e))
       val path = tempArtifactDir("graft-lshmtidx-")
       Similarity.writeLshMultiTableIndex(e, "vec_id", "embedding", path,
         dim, nbits, tables)
-      (e.sparkSession.read.parquet(path), nbits)
-    }).asInstanceOf[(DataFrame, Int)]
+      (e.sparkSession.read.parquet(path), nbits, tables)
+    }).asInstanceOf[(DataFrame, Int, Int)]
 
   /** Memoized INCREMENTALLY-BUILT multi-table LSH serving index — the
     * ANN half of the ingest story (`dedup_incremental`'s twin): the
@@ -132,11 +162,11 @@ object Serving {
     * comes from the FULL corpus dial: the index is sized for the corpus
     * it serves post-ingest.
     */
-  private[queries] def lshMtIncrIndexOf(e: DataFrame, dim: Int,
-      tables: Int): (DataFrame, Int) =
-    annIndexCache.computeIfAbsent(annKey(e, s"lshmt-incr$dim-$tables"),
+  private[queries] def lshMtIncrIndexOf(e: DataFrame,
+      dim: Int): (DataFrame, Int, Int) =
+    annIndexCache.computeIfAbsent(annKey(e, s"lshmt-incr$dim"),
       _ => {
-        val nbits = lshMtNbits(corpusSize(e))
+        val (nbits, tables) = lshMtDial(corpusSize(e))
         val path = tempArtifactDir("graft-lshmtincr-")
         Similarity.writeLshMultiTableIndex(
           e.where(pmod(col("vec_id"), lit(10)) =!= 0), "vec_id",
@@ -144,8 +174,8 @@ object Serving {
         Similarity.appendLshMultiTableIndex(
           e.where(pmod(col("vec_id"), lit(10)) === 0), "vec_id",
           "embedding", path, dim, nbits, tables)
-        (e.sparkSession.read.parquet(path), nbits)
-      }).asInstanceOf[(DataFrame, Int)]
+        (e.sparkSession.read.parquet(path), nbits, tables)
+      }).asInstanceOf[(DataFrame, Int, Int)]
 
   /** Memoized MULTI-ASSIGNMENT IVF serving index (round 11): nlist from
     * the √N dial; the memo carries (relation, centroids, nlist).

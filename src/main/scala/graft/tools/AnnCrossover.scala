@@ -376,12 +376,30 @@ object AnnCrossover {
           () => ivfMaCell("ivf_ma_l4096_a3_p64", 4096, 3, 64)),
         ("ivf_ma_l4096_a3_p96",
           () => ivfMaCell("ivf_ma_l4096_a3_p96", 4096, 3, 96)),
+        (s"ivf_ma_l4096_a3_p96_batch$nQueries",
+          () => ivfMaBatchCell(s"ivf_ma_l4096_a3_p96_batch$nQueries",
+            4096, 3, 96)),
         // MT-LSH grown jointly (T, nbits) per the lshMtNbits recall math:
         // T=24 × nbits=12, qd12 reads 24·12/4096 ≈ 7.0% of corpus bytes
         ("lsh_mt_t24_b12_qd12",
           () => lshMtQdCell("lsh_mt_t24_b12_qd12", 12, 24, 12)),
         ("ivfpq_l1024_a2_p96_rr800",
           () => ivfPqCell("ivfpq_l1024_a2_p96_rr800", 1024, 2, 96, 16, 800)),
+        // PQ batch amortization at the de-clamped dial (VERDICT r11 #5):
+        // at nlist=256 the 8 queries' 48-cell probe sets union to ~100%
+        // of the index and every ADC row fans to ~2 queries — the
+        // measured 1.25×. At nlist=1024 each query prunes to 9.4% of
+        // cells, the union stays under ~53%, and the fan-out collapses
+        // toward 1 — the amortization question is a CELL-OVERLAP
+        // artifact, so it is re-measured at the dial that removes it.
+        (s"ivfpq_l1024_a2_p96_rr800_batch$nQueries",
+          () => ivfPqBatchCell(s"ivfpq_l1024_a2_p96_rr800_batch$nQueries",
+            1024, 2, 96, 16, 800)),
+        // the 20M de-clamped PQ point: nlist=4096, pqNprobe dial = 192
+        // cells (4.7%), ADC still code-columns-only
+        ("ivfpq_l4096_a2_p192_rr800",
+          () => ivfPqCell("ivfpq_l4096_a2_p192_rr800", 4096, 2, 192, 16,
+            800)),
         ("ivfpq_l256_a2_p32_m16",
           () => ivfPqCell("ivfpq_l256_a2_p32_m16", 256, 2, 32, 16, 400)),
         ("ivfpq_l256_a2_p32_rr800",

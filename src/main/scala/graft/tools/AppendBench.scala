@@ -24,7 +24,14 @@ object AppendBench {
     val factor = sys.env.getOrElse("SPARK_GRAFT_APPEND_FACTOR", "2500").toInt
     val nQueries = sys.env.getOrElse("SPARK_GRAFT_ANN_QUERIES", "8").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val nbits = 10; val tables = 12; val dim = 64; val k = 20 // the 1M+ dial
+    // measured at T=12 × nbits=10 (the round-11 1M+ dial): every column
+    // here — signature passes, range layout, dynamic-partition commits,
+    // probe jobs — scales LINEARLY with T, so the append:rebuild and
+    // pre/post-compact RATIOS carry to the round-12 joint dial (T=24 ×
+    // nbits=12) at twice the wall per column; the half-size run keeps
+    // the harness inside its disk ceiling (24× corpus at 5M ≈ 31 GB
+    // index + a corpus-sized pass shuffle + the rebuild twin)
+    val nbits = 10; val tables = 12; val dim = 64; val k = 20
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -120,32 +120,53 @@ class PlanLintSpec extends SparkSpec {
   test("declared ANN serving probes: bounded corpus fraction at the 1M+ " +
     "dial point, and the executed plan partition-prunes to exactly the " +
     "driver-computed key set") {
-    // the round-10 weak was a 69%/50% probe; the round-11 dials must keep
-    // the big-N fraction small — pinned as arithmetic so a config drift
-    // fails here before AnnCrossover re-measures it
-    val nbits1m = graft.queries.Serving.lshMtNbits(1000000L)
-    assert(nbits1m == 10, s"LSH dial at 1M moved: $nbits1m")
-    // query-directed probe: 12 buckets per table of 12 tables
-    val lshFrac = 12.0 * 12 / (1L << nbits1m).toDouble
-    assert(lshFrac <= 0.15, f"LSH MT probe fraction at 1M: $lshFrac%.3f")
+    // the round-10 weak was a 69%/50% probe; the round-11 dials froze
+    // the fraction at 14–19%; the round-12 DE-CLAMPED dials must SHRINK
+    // it with N — pinned as arithmetic so a config drift fails here
+    // before AnnCrossover re-measures it
+    val (nbits1m, tables1m) = graft.queries.Serving.lshMtDial(1000000L)
+    assert(nbits1m == 12 && tables1m == 24,
+      s"LSH joint dial at 1M moved: ($nbits1m, $tables1m)")
+    // query-directed probe: 12 buckets per table of 24 tables
+    val lshFrac = tables1m * 12.0 / (1L << nbits1m).toDouble
+    assert(lshFrac <= 0.08, f"LSH MT probe fraction at 1M: $lshFrac%.3f")
     val nlist1m = graft.queries.Serving.ivfNlist(1000000L)
-    assert(nlist1m == 256, s"IVF dial at 1M moved: $nlist1m")
+    assert(nlist1m == 1000, s"IVF dial at 1M moved: $nlist1m")
     val ivfFrac = 3.0 * graft.queries.Serving
       .ivfNprobe(nlist1m, 16) / nlist1m.toDouble
-    assert(ivfFrac <= 0.20, f"IVF MA probe fraction at 1M: $ivfFrac%.3f")
-    // PQ composite (late-r11 re-dial: pqNprobe = max(nlist/8 floor,
-    // 3/16·nlist), rerank 800): the ADC pass reads code columns (m bytes
-    // + norm ≈ 1/32 of the vector payload) of nassign·nprobe/nlist of
-    // the index — the CELL fraction may sit near a third, but the BYTE
+    assert(ivfFrac <= 0.10, f"IVF MA probe fraction at 1M: $ivfFrac%.3f")
+    // the de-clamp's 100×-question pin: at 20M the fraction must be
+    // BELOW the round-11 frozen 18.75%, and keep falling (≤ 8% —
+    // the round-11 verdict's bar); at 1G lower still
+    val nlist20m = graft.queries.Serving.ivfNlist(20000000L)
+    assert(nlist20m == 4096, s"IVF dial at 20M moved: $nlist20m")
+    val ivfFrac20m = 3.0 * graft.queries.Serving
+      .ivfNprobe(nlist20m, 16) / nlist20m.toDouble
+    assert(ivfFrac20m <= 0.08,
+      f"IVF MA probe fraction at 20M: $ivfFrac20m%.3f")
+    val ivfFrac1g = 3.0 * graft.queries.Serving.ivfNprobe(
+      graft.queries.Serving.ivfNlist(1000000000L), 16) /
+      graft.queries.Serving.ivfNlist(1000000000L).toDouble
+    assert(ivfFrac1g <= ivfFrac20m,
+      "IVF probe fraction must not grow with N")
+    // PQ composite (round-12 √ dial past the de-clamp point: pqNprobe =
+    // 3·√nlist, continuous with the r11 3/16·nlist at 256; rerank 800):
+    // the ADC pass reads code columns (m bytes + norm ≈ 1/32 of the
+    // vector payload) of nassign·nprobe/nlist of the index — the BYTE
     // fraction stays a few % because the scan never touches the vector
-    // column (PLANS.md's ReadSchema shows codes only)
+    // column (PLANS.md's ReadSchema shows codes only), and the cell
+    // fraction now also shrinks with N
     val pqNprobe1m = graft.queries.Serving.pqNprobe(nlist1m)
-    assert(pqNprobe1m == 48, s"PQ probe dial at 1M moved: $pqNprobe1m")
+    assert(pqNprobe1m == 95, s"PQ probe dial at 1M moved: $pqNprobe1m")
     val pqCells = 2.0 * pqNprobe1m / nlist1m.toDouble
-    assert(pqCells <= 0.40, f"IVF-PQ probed-cell fraction at 1M: $pqCells%.3f")
+    assert(pqCells <= 0.20, f"IVF-PQ probed-cell fraction at 1M: $pqCells%.3f")
     val pqCodeBytes = pqCells * (16.0 + 8.0) / (64.0 * 4 + 24.0)
-    assert(pqCodeBytes <= 0.05,
+    assert(pqCodeBytes <= 0.02,
       f"IVF-PQ ADC byte fraction at 1M: $pqCodeBytes%.4f")
+    val pqCells20m = 2.0 * graft.queries.Serving.pqNprobe(nlist20m) /
+      nlist20m.toDouble
+    assert(pqCells20m < pqCells,
+      "IVF-PQ probed-cell fraction must shrink with N")
     // and the plan itself: the probe scan's partition filter carries
     // EXACTLY tables*budget keys (12×12 — the query-directed probe set;
     // nothing else is listed or read — the same property the
