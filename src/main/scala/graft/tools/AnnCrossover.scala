@@ -370,6 +370,9 @@ object AnnCrossover {
           () => ivfMaCell("ivf_ma_l1024_a3_p24", 1024, 3, 24)),
         ("ivf_ma_l1024_a3_p32",
           () => ivfMaCell("ivf_ma_l1024_a3_p32", 1024, 3, 32)),
+        (s"ivf_ma_l1024_a3_p24_batch$nQueries",
+          () => ivfMaBatchCell(s"ivf_ma_l1024_a3_p24_batch$nQueries",
+            1024, 3, 24)),
         ("ivf_ma_l2048_a3_p48",
           () => ivfMaCell("ivf_ma_l2048_a3_p48", 2048, 3, 48)),
         ("ivf_ma_l4096_a3_p64",
