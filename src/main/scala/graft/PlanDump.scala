@@ -33,7 +33,11 @@ object PlanDump {
     // late round 11: incremental dedup against the persisted band index,
     // and the incremental ANN serving probe (same pruned shape as
     // sim_search_lsh over the build+append index)
-    "dedup_incremental", "sim_search_incremental")
+    "dedup_incremental", "sim_search_incremental",
+    // round 12: the third serving tier's batch row (one ADC scan fans
+    // per-query via the broadcast probe frame; per-(query,cell) pre-cut
+    // window, then the unioned IN-filtered rerank legs)
+    "sim_search_batch_pq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

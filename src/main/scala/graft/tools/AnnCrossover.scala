@@ -373,6 +373,15 @@ object AnnCrossover {
         (s"ivf_ma_l1024_a3_p24_batch$nQueries",
           () => ivfMaBatchCell(s"ivf_ma_l1024_a3_p24_batch$nQueries",
             1024, 3, 24)),
+        // the ≤8%-bytes boundary rows (fraction = nprobe·3/1024):
+        // p26 = 7.6%, p27 = 7.9%
+        ("ivf_ma_l1024_a3_p26",
+          () => ivfMaCell("ivf_ma_l1024_a3_p26", 1024, 3, 26)),
+        ("ivf_ma_l1024_a3_p27",
+          () => ivfMaCell("ivf_ma_l1024_a3_p27", 1024, 3, 27)),
+        (s"ivf_ma_l1024_a3_p27_batch$nQueries",
+          () => ivfMaBatchCell(s"ivf_ma_l1024_a3_p27_batch$nQueries",
+            1024, 3, 27)),
         ("ivf_ma_l2048_a3_p48",
           () => ivfMaCell("ivf_ma_l2048_a3_p48", 2048, 3, 48)),
         ("ivf_ma_l4096_a3_p64",
