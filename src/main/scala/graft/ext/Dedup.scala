@@ -269,8 +269,8 @@ object Dedup {
     // never matches) — recomputing a codegen'd narrow stage is cheaper
     // than materializing an InMemoryRelation, and at cluster scale the
     // signature table is written once and joined against instead.
-    val banded = docs
-      .where(size(split(col(textCol), " ")) >= shingleN)
+    val banded = Compute.fanOut(docs
+      .where(size(split(col(textCol), " ")) >= shingleN), col(idCol))
       .select(
         col(idCol).as("doc"),
         minHashSignature(shingles(col(textCol), shingleN), numHashes)

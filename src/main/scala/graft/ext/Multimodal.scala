@@ -78,6 +78,16 @@ object Multimodal {
   object Codecs {
     val FeatureDim = 8
 
+    // ImageIO's default stream factory spools InputStream reads through a
+    // temp FILE (FileCacheImageInputStream): a file create/delete per
+    // decode attempt — pure overhead on byte-array payloads, and a
+    // temp-dir bottleneck once the decode stage is parallel (round-12
+    // profile: the fanned-out media_features accumulated ~60 s of task
+    // time for ~3 s of real decode work, the rest serialized on temp-file
+    // churn). The in-memory stream is result-identical; the flag only
+    // selects MemoryCache over FileCache streams.
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** Decode real image container metadata (PNG/JPEG/GIF/BMP — whatever
       * the JDK's ImageIO plugins recognise) without materializing the
       * raster: the reader is asked for dimensions and the raw image type
@@ -872,7 +882,12 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     // null payloads/ids carry no media — drop them rather than NPE in the
-    // executor map (the Long/String tuple encoder is non-nullable)
+    // executor map (the Long/String tuple encoder is non-nullable).
+    // NOT fanned out (round-12 A/B): with the Codecs ImageIO in-memory
+    // streams the whole text→blob→feature chain is ~0.8 s of serial CPU
+    // at sf0.1, below the measured ~0.2 s/task dispatch floor × 32 —
+    // the exchange lost (1.45 s vs 1.30 s). Real blob corpora arrive
+    // multi-split (memoSynth spreads its writes for exactly that).
     df.select(col(idCol).cast("long"), col(textCol))
       .where(col(idCol).isNotNull && col(textCol).isNotNull)
       .as[(Long, String)]

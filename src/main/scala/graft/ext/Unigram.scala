@@ -312,8 +312,12 @@ object Unigram {
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(m)
-    docs.select(col(idCol).cast("long"), col(textCol))
-      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+    // fanOut: the Viterbi pass is per-row compute; a one-split corpus
+    // otherwise tokenizes serially (Compute.fanOut doc)
+    Compute.fanOut(
+      docs.select(col(idCol).cast("long"), col(textCol))
+        .where(col(idCol).isNotNull && col(textCol).isNotNull),
+      col(idCol))
       .as[(Long, String)]
       .map { case (id, text) =>
         (id, text.split(" ").filter(_.nonEmpty).toSeq
@@ -388,8 +392,12 @@ object Unigram {
     val bc = spark.sparkContext.broadcast(m)
     def hl(v: Long, seed: Long): Long =
       org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(v, seed)
-    docs.select(col(idCol).cast("long"), col(textCol))
-      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+    // fanOut: same serial-tokenize guard as [[encode]]; the sampled path
+    // is already partitioning-invariant by its salted-hash construction
+    Compute.fanOut(
+      docs.select(col(idCol).cast("long"), col(textCol))
+        .where(col(idCol).isNotNull && col(textCol).isNotNull),
+      col(idCol))
       .as[(Long, String)]
       .map { case (id, text) =>
         val words = text.split(" ").filter(_.nonEmpty)

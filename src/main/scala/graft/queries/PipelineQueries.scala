@@ -135,6 +135,12 @@ object PipelineQueries {
   private def mediaLadderCheck(
       media: org.apache.spark.sql.Dataset[Multimodal.MediaBlob],
       maxDist: Int): DataFrame = {
+    // NOT checkpointed (round-12 A/B): f8/f16 are re-referenced across
+    // the invariant legs, but AQE's runtime query-stage reuse already
+    // dedups the repeated subtrees inside this one plan — forcing
+    // localCheckpoints here measured SLOWER on every modality
+    // (media 2.05→2.99 s, audio 2.71→3.96, video 2.18→2.99 at sf0.1;
+    // the materialization jobs serialize what AQE overlapped).
     val f8 = Multimodal.nearDupMedia(media, maxDist = maxDist,
       maxBucket = 0, bands = 8)
     val f16 = Multimodal.nearDupMedia(media, maxDist = maxDist,
@@ -271,6 +277,10 @@ object PipelineQueries {
     // pair count is reproduced independently in SQL
     "dedup_minhash_check" -> { (s, d) =>
       val docs = Tables.documents(s, d)
+      // NOT checkpointed (round-12 A/B): `found`/`ident` re-references
+      // are already deduped at runtime by AQE stage reuse — forced
+      // checkpoints measured 4.28→5.21 s on this twin (extra
+      // materialization jobs; same lesson as mediaLadderCheck)
       val found = Dedup.minHashLsh(docs, "doc_id", "text", maxBucket = 0)
       val setKey = Dedup.shingleRows(docs, "doc_id", "text", 3)
         .groupBy("doc")
@@ -368,9 +378,12 @@ object PipelineQueries {
         .select("vec_id", "embedding").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
         .sortBy(_._1)
+      // lazy checkpoint (round 12): res feeds the rescore leg + the
+      // rank-density and self-retrieval aggs — one probe execution, not
+      // three (output ≤ 16·k rows)
       val res = Similarity.annTopKMultiTableBatch(idx, qs, "vec_id",
         "embedding", dim = 64, nbits = nbits, tables = tables, k = 20,
-        probeBudget = 12)
+        probeBudget = 12).localCheckpoint(false)
       val qvecs = e.where(col("vec_id") < 16L)
         .select(col("vec_id").as("query_id"), col("embedding").as("__q"))
       val re = res
@@ -405,8 +418,11 @@ object PipelineQueries {
         .select("vec_id", "embedding").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
         .sortBy(_._1)
+      // lazy checkpoint (round 12): same three-leg reuse as
+      // sim_search_batch_check
       val res = Similarity.ivfTopKMultiBatch(idx, centroids, qs, "vec_id",
         "embedding", nprobe = ivfNprobe(nlist, 16), k = 20, nassign = 3)
+        .localCheckpoint(false)
       val qvecs = e.where(col("vec_id") < 16L)
         .select(col("vec_id").as("query_id"), col("embedding").as("__q"))
       val re = res
@@ -442,6 +458,10 @@ object PipelineQueries {
         .select("vec_id", "embedding").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
         .sortBy(_._1)
+      // NOT checkpointed (round-12 A/B): unlike the LSH/IVF batch twins,
+      // forcing the probe result measured slower here (4.41→5.09 s) —
+      // AQE stage reuse already shares the rerank legs across the
+      // invariant aggs, and the checkpoint adds two materialization jobs
       val res = Similarity.ivfPqTopKIndexedBatch(idx, centroids, books,
         qs, "vec_id", "embedding", nprobe = pqNprobe(nlist), k = 20,
         rerank = 800, nassign = 2)
@@ -479,12 +499,15 @@ object PipelineQueries {
         .head().getSeq[Float](0).toArray
       val (iIdx, iNbits, iTables) = lshMtIncrIndexOf(e, 64)
       val (fIdx, fNbits, fTables) = lshMtIndexOf(e, 64)
+      // lazy checkpoints (round 12): the exceptAll diff reads each probe
+      // twice and annTopKCheck reads `incr` again — 20-row outputs,
+      // probes otherwise re-executed 3×/2×
       val incr = Similarity.annTopKMultiTable(iIdx, qv, "vec_id",
         "embedding", dim = 64, nbits = iNbits, tables = iTables, k = 20,
-        probeHamming = 0, probeBudget = 12)
+        probeHamming = 0, probeBudget = 12).localCheckpoint(false)
       val full = Similarity.annTopKMultiTable(fIdx, qv, "vec_id",
         "embedding", dim = 64, nbits = fNbits, tables = fTables, k = 20,
-        probeHamming = 0, probeBudget = 12)
+        probeHamming = 0, probeBudget = 12).localCheckpoint(false)
       val iRows = incr.select(col("vec_id"), col("cosine"))
       val fRows = full.select(col("vec_id"), col("cosine"))
       val diff = iRows.exceptAll(fRows).unionAll(fRows.exceptAll(iRows))
@@ -720,8 +743,12 @@ object PipelineQueries {
     // already proves transitively)
     "knn_join_check" -> { (s, d) =>
       val embs = Tables.embeddings(s, d)
+      // lazy checkpoint (round 12): `found` feeds the exact-cosine rescore
+      // AND the rank-density leg — one shared RDD instead of two runs of
+      // the multi-probe knn pipeline (output is k·N rows, tiny)
       val found = Similarity.knnJoin(embs, "vec_id", "embedding", dim = 64,
         nbits = 4, k = 5, maxBucket = 1000, tables = 6, probes = 1)
+        .localCheckpoint(false)
       val va = embs.select(col("vec_id").as("id"),
         col("embedding").as("__va"))
       val vb = embs.select(col("vec_id").as("neighbor"),
@@ -1429,6 +1456,11 @@ object PipelineQueries {
         rpad(lower(hex(memo)), 64, "0"))                    // tail: payload
       val dec = Abi.decode(unhex(h),
         "Transfer(address from_addr, uint64 amount, bool flag, string memo)")
+      // NOT fanned out (round-12 A/B): the decode expression tree is
+      // large, so shipping it to 32+ tasks costs more in task-binary
+      // serialization than the ~1.2 s serial decode saves (1.50 s
+      // fanned vs 1.62 s serial — within noise, with 7.8 s of task
+      // deserialize time added)
       Tables.events(s, d)
         .select(col("event_id"),
           dec.getField("from_addr").as("from_addr"),
