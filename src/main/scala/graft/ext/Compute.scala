@@ -36,7 +36,10 @@ object Compute {
   private val enabled = !sys.env.get("SPARK_GRAFT_FANOUT").contains("off")
 
   def fanOut(df: DataFrame, key: Column): DataFrame = {
-    if (!enabled) return df
+    // a streaming frame cannot be .rdd-probed (and its micro-batch
+    // partitioning comes from the source): pass it through untouched —
+    // the batch twins of the streaming consumers keep the fan-out
+    if (!enabled || df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     // .rdd plans this frame once to read its partitioning; the frames
     // passed here are scan-rooted projections, so this is metadata-cheap
