@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// VERDICT r12 #2 (bench reporting contract): the driver invokes
+// `sbt "runMain graft.Bench"` and parses stdout for the one-line JSON;
+// sbt's default LoggedOutput strategy prefixes every forked-process line
+// with "[info] ", which made the line unparseable in every round's BENCH
+// artifact (parsed: null → empty PERF per_query). StdoutOutput passes the
+// forked JVM's stdout through UNDECORATED, and showSuccess drops the
+// trailing "[success] Total time" banner, so the JSON is the final bare
+// stdout line. Timing methodology is untouched.
+outputStrategy := Some(StdoutOutput)
+showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

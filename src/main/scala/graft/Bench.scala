@@ -44,6 +44,13 @@ object Bench {
       // an id-sorted index by ~400 shortlist ids — with the native
       // predicate, parquet's page-level column index skips the vector
       // pages no shortlist id touches (measured 2.8× on the fetch).
+      // 1024 is also a JVM-SAFETY ceiling, not just a tuning point
+      // (round 13): Spark 4.1 builds the native parquet In as a
+      // LEFT-DEEP FilterApi.or chain whose page-filter evaluation
+      // recurses once per value — a ~2,000-value In pushed natively
+      // overflowed the 1 MB task-thread stack (StackOverflowError in
+      // FileScanRDD). Above the threshold Spark pushes the In as a
+      // min/max range instead, which is safe.
       .config("spark.sql.parquet.pushdown.inFilterThreshold",
         sys.env.getOrElse("SPARK_GRAFT_IN_THRESHOLD", "1024"))
       .config("spark.ui.enabled", "false")

@@ -36,14 +36,32 @@ object Compute {
   private val enabled = !sys.env.get("SPARK_GRAFT_FANOUT").contains("off")
 
   def fanOut(df: DataFrame, key: Column): DataFrame = {
-    // a streaming frame cannot be .rdd-probed (and its micro-batch
-    // partitioning comes from the source): pass it through untouched —
-    // the batch twins of the streaming consumers keep the fan-out
+    // a streaming frame cannot be plan-probed this way (and its
+    // micro-batch partitioning comes from the source): pass it through
+    // untouched — the batch twins of the streaming consumers keep the
+    // fan-out
     if (!enabled || df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // .rdd plans this frame once to read its partitioning; the frames
-    // passed here are scan-rooted projections, so this is metadata-cheap
-    if (df.rdd.getNumPartitions >= target) df
+    // Partitioning probe WITHOUT Dataset.rdd (optimization round 13,
+    // ADVICE r12): under AQE, .rdd finalizes the adaptive plan, which
+    // EXECUTES any upstream shuffle stages — an eager-execution trap for
+    // any future caller passing a post-shuffle frame, and it planned the
+    // frame twice. Instead read the pre-AQE physical plan: if it carries
+    // an Exchange the frame is already session-parallel (shuffle
+    // partitions = cores here) and fanning out could only re-shuffle, so
+    // pass through; otherwise the frame is scan-rooted and its
+    // parallelism is the max over leaf-scan partition counts —
+    // leaf.execute() on a scan/local/RDD leaf only BUILDS the RDD
+    // (file-listing metadata), it runs no job.
+    val plan = df.queryExecution.sparkPlan
+    val hasExchange = plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+    if (hasExchange) return df
+    val parts =
+      try plan.collectLeaves().map(_.execute().getNumPartitions)
+        .foldLeft(0)(math.max)
+      catch { case scala.util.control.NonFatal(_) => Int.MaxValue }
+    if (parts >= target) df
     else df.repartition(target, key)
   }
 }

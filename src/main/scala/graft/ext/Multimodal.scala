@@ -84,9 +84,13 @@ object Multimodal {
     // temp-dir bottleneck once the decode stage is parallel (round-12
     // profile: the fanned-out media_features accumulated ~60 s of task
     // time for ~3 s of real decode work, the rest serialized on temp-file
-    // churn). The in-memory stream is result-identical; the flag only
-    // selects MemoryCache over FileCache streams.
-    javax.imageio.ImageIO.setUseCache(false)
+    // churn). Round 12 flipped the process-global ImageIO.setUseCache
+    // flag here; round 13 (ADVICE r12) removes the global mutation —
+    // every decode in this object now constructs its
+    // MemoryCacheImageInputStream EXPLICITLY, which is result-identical
+    // (the flag only ever selected the stream class), free of
+    // classload-ordering dependence, and leaves other ImageIO users'
+    // behavior alone.
 
     /** Decode real image container metadata (PNG/JPEG/GIF/BMP — whatever
       * the JDK's ImageIO plugins recognise) without materializing the
@@ -388,8 +392,13 @@ object Multimodal {
       */
     private def rasterRgb(content: Array[Byte]): Option[(Int, Int, Array[Int])] =
       decodeBmpRgb(content).orElse(try {
+        // explicit in-memory stream (see the Codecs note): ImageIO.read on
+        // a bare InputStream would route through createImageInputStream,
+        // whose default factory spools byte-array reads via a temp file.
+        // read(ImageInputStream) closes the stream itself.
         val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(content))
+          new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(content)))
         if (img == null || img.getWidth == 0 || img.getHeight == 0) None
         else {
           val (w, h) = (img.getWidth, img.getHeight)

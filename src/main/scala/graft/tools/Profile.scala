@@ -118,7 +118,10 @@ object Profile {
           }
         }
       } catch {
-        case e: Throwable =>
+        // NonFatal only (ADVICE r12): a fatal error (OutOfMemoryError,
+        // linkage) leaves the JVM corrupted — continuing the loop would
+        // profile garbage; rethrow instead of swallowing
+        case scala.util.control.NonFatal(e) =>
           println(s"$name FAILED: ${e.getMessage}")
       }
       spark.catalog.clearCache()
