@@ -53,6 +53,18 @@ object Bench {
       // min/max range instead, which is safe.
       .config("spark.sql.parquet.pushdown.inFilterThreshold",
         sys.env.getOrElse("SPARK_GRAFT_IN_THRESHOLD", "1024"))
+      // driver-floor conf (round 13, guide §1 measured): the generated-
+      // class cache (StaticSQLConf spark.sql.codegen.cache.maxEntries)
+      // defaults to 100 entries, while one sweep of this inventory
+      // compiles thousands of distinct fragments — by the time a query's
+      // next rep (or next AQE stage with a repeated shape) needs a
+      // fragment, it has been evicted and Janino recompiles it. A bigger
+      // cache is pure driver-side memoization: results and task-side
+      // behavior are untouched at any scale, and a production driver
+      // serving a repeated query mix wants the same thing. A/B in
+      // OPTIMIZATION_r13.md.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

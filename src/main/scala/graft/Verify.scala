@@ -17,6 +17,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // native parquet In pushdown for the ANN rerank id fetch (see Bench)
       .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
+      // generated-class cache sized to the inventory (see Bench) — pure
+      // driver-side memoization, results unaffected
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -64,4 +64,36 @@ object Compute {
     if (parts >= target) df
     else df.repartition(target, key)
   }
+
+  /** Size-guarded lazy localCheckpoint (optimization round 13, VERDICT
+    * r12 #8). A `localCheckpoint(eager = false)` truncates lineage and
+    * pins the result to executor-local storage — the round-12 win on
+    * check twins whose expensive probe tier re-executes across
+    * aggregation legs (knn_join_check measured 8.9 → 4.1 s in r12). But
+    * the pinned RDD has NO recompute path on executor loss and occupies
+    * executor storage for its lifetime, so an O(N) intermediate (k·N
+    * rows for the knn tier) must not be pinned blindly at corpus scale.
+    *
+    * Guard: the EXACT on-disk byte size of the pipeline's `input` frame
+    * (sum of its leaf relations' statistics — for parquet scans these
+    * are true file sizes, not derived estimates; the obvious guard on
+    * `df`'s own plan stats is useless here, the join-product estimate
+    * for the knn tier reads 1.2e23 bytes at a 780 KB input). The
+    * materialized intermediate is PROPORTIONAL to the input for these
+    * consumers (k·N rows vs N input rows), so input bytes bound the pin:
+    * under the budget → checkpoint (the harness / serving regime); over
+    * it → return the frame unchanged — plain recompute, correct under
+    * executor loss, and AQE's runtime stage reuse still dedups what it
+    * can. Budget override: SPARK_GRAFT_PIN_MAX_BYTES (bytes).
+    */
+  def pinSmall(df: DataFrame, input: DataFrame,
+      maxBytes: Long = pinMaxBytes): DataFrame = {
+    val bytes = input.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+    if (bytes <= maxBytes) df.localCheckpoint(false) else df
+  }
+
+  private val pinMaxBytes: Long =
+    sys.env.get("SPARK_GRAFT_PIN_MAX_BYTES").map(_.toLong)
+      .getOrElse(1L << 30)
 }

