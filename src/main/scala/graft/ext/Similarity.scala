@@ -1276,8 +1276,17 @@ object Similarity {
       maxExtraBits: Int = 16
   ): DataFrame = {
     require(tables >= 1, s"tables must be >= 1, got $tables")
+    // fan the signature pass out (round 13, guide §2.5 — the round-12
+    // MinHash treatment applied to the hyperplane tiers): the harness
+    // corpus is one input split, so the tables×nbits dot products per
+    // row ran SERIALLY (knn_join/dedup_embedding profiles showed a
+    // 1-task 1.2–1.3 s stage). Hash-on-vector is deterministic; the
+    // signature is row-local and every consumer is join/aggregate/
+    // window-terminated, so placement cannot affect results. No-op on
+    // multi-split production scans (fanOut's partitioning guard).
+    val fanned = Compute.fanOut(corpus, col(vecCol))
     val sigArr = signatureArr(col(vecCol), dim, nbits, tables)
-    val base = corpus.select(col("*") +:
+    val base = fanned.select(col("*") +:
       Seq(posexplode(sigArr).as(Seq("tbl", "lsh_bucket"))): _*)
     if (maxBucket <= 0) base
     else {
@@ -1352,7 +1361,9 @@ object Similarity {
       s"probes must be in [1, nbits=$nbits), got $probes")
     val sigs = graft.functions.VectorFunctions.lshSigsProbes(
       col(vecCol), signMatrix(dim, 0, tables * nbits), nbits, probes)
-    val base = corpus
+    // fanned for the same reason as lshBandedCapped: the home+probe
+    // signature expression is the serial hot spot on a one-split corpus
+    val base = Compute.fanOut(corpus, col(vecCol))
       .select(col("*") +:
         Seq(posexplode(sigs).as(Seq("__sp", "lsh_bucket"))): _*)
       .withColumn("tbl", floor(col("__sp") / (probes + 1)).cast("int"))
